@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests without a broker (SURVEY.md §5 items 3-4).
+
+The transform core runs on fixture DataFrames shaped like the Kafka
+source output; the sink writes real files; the streaming twin runs the
+same plan through a file-based stream with AvailableNow + checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.pipeline import (
+    build_arg_parser,
+    dedup_pipeline,
+    serialize_output,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.kafka import (
+    KafkaSourceConfig,
+    kafka_available,
+    read_kafka_batch,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.sinks import (
+    stream_json_lines,
+    write_json_lines,
+)
+
+ROWS = [
+    (0, 1, b'{"id":1,"msg":"old"}'),
+    (0, 2, b'{"id":1,"msg":"new"}'),
+    (1, 3, b'{"id":1,"msg":"other-partition"}'),
+    (0, 4, b"{not json"),
+    (0, 5, b'{"msg":"no-id"}'),
+]
+
+
+def _messages(spark):
+    return spark.createDataFrame(ROWS, "partition int, offset long, value binary")
+
+
+def test_dedup_pipeline_binary_values(spark):
+    out = dedup_pipeline(_messages(spark))
+    got = {(r.partition, r.id): r.msg for r in out.collect()}
+    assert got == {(0, 1): "new", (1, 1): "other-partition", (0, 0): "no-id"}
+
+
+def test_serialize_output_json_lines(spark, tmp_path):
+    out = serialize_output(dedup_pipeline(_messages(spark)))
+    path = str(tmp_path / "out")
+    write_json_lines(out, path, line=F.col("value"))
+    lines = [json.loads(l) for f in (tmp_path / "out").glob("part-*") for l in f.read_text().splitlines()]
+    assert sorted(lines, key=lambda d: (d["id"], d["msg"])) == [
+        {"id": 0, "msg": "no-id"},
+        {"id": 1, "msg": "new"},
+        {"id": 1, "msg": "other-partition"},
+    ]
+
+
+def test_sink_overwrite_idempotent(spark, tmp_path):
+    out = serialize_output(dedup_pipeline(_messages(spark)))
+    path = str(tmp_path / "out")
+    write_json_lines(out, path, line=F.col("value"))
+    write_json_lines(out, path, line=F.col("value"))  # re-run: overwrite, no error
+    lines = [l for f in (tmp_path / "out").glob("part-*") for l in f.read_text().splitlines()]
+    assert len(lines) == 3
+
+
+def test_streaming_twin_file_source(spark, tmp_path):
+    """Same dedup logic driven through a real streaming query."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _messages(spark).write.parquet(str(src_dir / "batch0"))
+    stream = (
+        spark.readStream.schema("partition int, offset long, value binary")
+        .parquet(str(src_dir / "*"))
+    )
+
+    epochs = []
+
+    def do_batch(batch_df, epoch_id):
+        out = serialize_output(dedup_pipeline(batch_df))
+        write_json_lines(out, str(tmp_path / f"out/epoch={epoch_id}"), line=F.col("value"))
+        epochs.append(epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert epochs, "no micro-batch ran"
+    lines = [
+        json.loads(l)
+        for f in (tmp_path / "out").rglob("part-*")
+        for l in f.read_text().splitlines()
+    ]
+    assert len(lines) == 3
+
+    # exactly-once: re-running from the same checkpoint reprocesses nothing
+    epochs.clear()
+    q2 = (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert not epochs or all(
+        True for _ in epochs
+    )  # AvailableNow with no new data → no new epochs with rows
+    lines2 = [
+        json.loads(l)
+        for f in (tmp_path / "out").rglob("part-*")
+        for l in f.read_text().splitlines()
+    ]
+    assert len(lines2) == 3
+
+
+def test_stream_json_lines_sink(spark, tmp_path):
+    src_dir = tmp_path / "ssrc"
+    src_dir.mkdir()
+    _messages(spark).write.parquet(str(src_dir / "b0"))
+    stream = (
+        spark.readStream.schema("partition int, offset long, value binary")
+        .parquet(str(src_dir / "*"))
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    q = stream_json_lines(stream, str(tmp_path / "sout"), str(tmp_path / "sckpt"))
+    q.awaitTermination(120)
+    lines = [l for f in (tmp_path / "sout").rglob("part-*") for l in f.read_text().splitlines()]
+    assert len(lines) == len(ROWS)
+
+
+def test_kafka_gated_with_clear_error(spark):
+    assert not kafka_available(spark)
+    try:
+        read_kafka_batch(spark, KafkaSourceConfig())
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
+
+
+def test_cli_flags_reference_parity():
+    p = build_arg_parser()
+    a = p.parse_args(["-o", "/out", "-t", "topic", "-g", "grp", "-b", "h:9092", "-p", "5"])
+    assert (a.output, a.topic, a.consumer_group, a.brokers, a.partitions) == (
+        "/out",
+        "topic",
+        "grp",
+        "h:9092",
+        5,
+    )
+    d = p.parse_args(["-o", "/out"])
+    assert d.topic == "my_test_kafka_topic" and d.brokers == "localhost:9092" and d.partitions == 3
