@@ -1,0 +1,791 @@
+"""Relational operator surface over the star schema (SURVEY.md §2.5, M2).
+
+The reference has no relational operators beyond its dedup reduce
+(SURVEY.md §2.4) — this module is the north-star extension that makes
+the rebuild an analytics engine. Every query is a declarative DataFrame
+plan (Catalyst does pushdown/pruning/join selection) with a DuckDB
+oracle string whose column names and value representations match
+exactly.
+
+Float determinism contract (critical for the driver's value hash):
+money aggregates are computed over values cast to DECIMAL first —
+sums become exact and engine-order-independent — then the final result
+is cast back to DOUBLE, which is a deterministic conversion. Plain
+SUM(double) would differ between Spark (parallel partial aggregation)
+and DuckDB (sequential) in the low bits and break the hash.
+
+Scale notes per query are inline; common choices:
+- dimension joins broadcast (region/nation/supplier/part stay tiny
+  relative to facts at every SF);
+- aggregations rely on partial (map-side) aggregation — no distinct
+  unless semantically required;
+- top-k = window rank + filter (per group) or orderBy+limit (global,
+  with a deterministic tie-break so results are stable under retries);
+- AQE handles skew/coalescing (enabled in session config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+from ..sources.files import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{name}"
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent exact sum: decimal-cast inputs, double output."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, the canonical fact-table agg.
+
+    Plan: parquet scan with l_shipdate pushed filter + 7-column pruned
+    read → partial hash agg → single shuffle on 2 low-cardinality keys
+    → final agg. At 100 TB this is scan-bound; no other shape exists.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@_register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan → global agg (no group keys).
+
+    All three predicates push to the parquet scan; the aggregate is a
+    single partial+final reduction — the cheapest possible plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_register("agg_count_distinct", _COUNT_DISTINCT_ORACLE)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register("agg_approx_count_distinct")  # no oracle: approximate by design
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB substitute for exact
+    distinct (no expand, mergeable sketches, bounded memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@_register("agg_rollup", _ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@_register("agg_cube", _CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@_register("agg_grouping_sets", _GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint dimension summaries in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
+
+    customer is the small side after the segment filter → broadcast;
+    orders⋈lineitem shuffles on orderkey (the natural co-location key).
+    Global top-10 by (revenue desc, orderkey) is a TakeOrdered — no full
+    sort materialization.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@_register("q5_local_supplier_volume", _Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with local-supplier correlation.
+
+    supplier/nation/region broadcast (tiny at any SF); the only big
+    shuffles are orders⋈customer (custkey) and lineitem⋈orders
+    (orderkey). The c_nationkey = s_nationkey correlation rides the
+    supplier join as a post-condition.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+    )
+
+
+_BROADCAST_DIM_ORACLE = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@_register("join_broadcast_dims", _BROADCAST_DIM_ORACLE)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain: fact ⋈ broadcast(nation) ⋈ broadcast(region).
+
+    Zero shuffles until the final 5-group aggregate — the plan shape to
+    demand for any dim join at scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@_register("join_semi", _SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS; no row multiplication, build side pruned
+    to the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@_register("join_anti", _ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_LEFT_JOIN_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@_register("join_left_outer", _LEFT_JOIN_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+_FULL_JOIN_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@_register("join_full_outer", _FULL_JOIN_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+@_register("window_topk_per_group", _TOPK_GROUP_ORACLE)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the scalable 'greatest n per group' idiom.
+
+    One shuffle on the group key; AQE handles group skew. Deterministic
+    tie-break on o_orderkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+@_register("window_running_sum", _RUNNING_ORACLE)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (order fully determined)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)   AS prio_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@_register("window_lag_lead_rank", _LAG_LEAD_ORACLE)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/dense_rank over per-customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wr).alias("prio_rank"),
+    )
+
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id, ts, event_type,
+       MAX(CASE WHEN event_type = 'signup' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+FROM events
+"""
+
+
+@_register("window_asof_last_event", _ASOF_ORACLE)
+def window_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup expressed as a running conditional max — the
+    shuffle-free way to do per-key as-of joins when both sides share a
+    partition key (vs. pd.merge_asof, which would pull data to Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias(
+            "last_signup_ts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+_TOPK_GLOBAL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+@_register("sort_topk_global", _TOPK_GLOBAL_ORACLE)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SETOPS_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT 'both_years' AS cohort, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT 'any_year' AS cohort, o_custkey FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+"""
+
+
+@_register("set_operations", _SETOPS_ORACLE)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT cohort analysis in one result."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    both = y95.intersect(y96).select(F.lit("both_years").alias("cohort"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("cohort"), "o_custkey")
+    any_year = (
+        y95.union(y96).distinct().select(F.lit("any_year").alias("cohort"), "o_custkey")
+    )
+    return both.unionByName(only95).unionByName(any_year)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+       REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS type_last_word,
+       TRIM(p_name) AS name_trim
+FROM part
+"""
+
+
+@_register("scalar_string_functions", _STRING_ORACLE)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery — all codegen'd JVM builtins, zero UDFs."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_mm,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("scalar_date_functions", _DATE_ORACLE)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/extract grouping — the partition-pruning-friendly shape."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_mm"),
+            "o_totalprice",
+        )
+        .groupBy("order_month", "order_year", "order_mm")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_MATH_ORACLE = """
+SELECT p_partkey,
+       ABS(p_retailprice - 1000) AS abs_diff,
+       FLOOR(p_retailprice) AS price_floor,
+       CEIL(p_retailprice) AS price_ceil,
+       ROUND(p_retailprice, 1) AS price_round1,
+       SQRT(p_size) AS size_sqrt,
+       p_size % 7 AS size_mod,
+       SIGN(p_retailprice - 1500.0) AS above_1500
+FROM part
+"""
+
+
+@_register("scalar_math_functions", _MATH_ORACLE)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math builtins chosen for IEEE-exact cross-engine determinism
+    (sqrt/abs/floor/ceil/round — no libm-divergent pow/log in hashed
+    output)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("abs_diff"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.round("p_retailprice", 1).alias("price_round1"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.signum(F.col("p_retailprice") - 1500.0).alias("above_1500"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("scalar_json_functions", _JSON_ORACLE)
+def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: get_json_object on the events.props JSON
+    column, aggregated — stays entirely in codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_CASE_NULL_ORACLE = """
+SELECT
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS balance_band,
+  COUNT(*) AS n,
+  COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building,
+  CAST(SUM(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS positive_total
+FROM customer
+GROUP BY 1
+"""
+
+
+@_register("scalar_case_null_handling", _CASE_NULL_ORACLE)
+def scalar_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/conditional aggregation + null-safe counting."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.select(band.alias("balance_band"), "c_mktsegment", "c_acctbal")
+        .groupBy("balance_band")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+            F.sum(
+                F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+                .otherwise(0)
+                .cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("positive_total"),
+        )
+    )
