@@ -292,10 +292,14 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join with local-supplier correlation.
 
-    supplier/nation/region broadcast (tiny at any SF); the only big
-    shuffles are orders⋈customer (custkey) and lineitem⋈orders
-    (orderkey). The c_nationkey = s_nationkey correlation rides the
-    supplier join as a post-condition.
+    nation/region broadcast unconditionally (25/5 rows at every SF).
+    supplier grows linearly with SF (10k rows/SF — multi-GB at ~100 TB),
+    so its join strategy is left to Catalyst/AQE: broadcast while it
+    fits under autoBroadcastJoinThreshold, shuffle-hash/sort-merge once
+    it doesn't. The only guaranteed big shuffles are orders⋈customer
+    (custkey) and lineitem⋈orders (orderkey). The
+    c_nationkey = s_nationkey correlation rides the supplier join as a
+    post-condition.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -310,7 +314,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -616,7 +620,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     y95, y96 = year(1995), year(1996)
     both = y95.intersect(y96).select(F.lit("both_years").alias("cohort"), "o_custkey")
-    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("cohort"), "o_custkey")
+    only95 = y95.subtract(y96).select(F.lit("only_1995").alias("cohort"), "o_custkey")
     any_year = (
         y95.union(y96).distinct().select(F.lit("any_year").alias("cohort"), "o_custkey")
     )
@@ -700,7 +704,7 @@ SELECT p_partkey,
        ROUND(p_retailprice, 1) AS price_round1,
        SQRT(p_size) AS size_sqrt,
        p_size % 7 AS size_mod,
-       SIGN(p_retailprice - 1500.0) AS above_1500
+       CAST(SIGN(p_retailprice - 1500.0) AS DOUBLE) AS above_1500
 FROM part
 """
 

@@ -26,10 +26,14 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# factor (region=5 rows, nation=25 rows always; supplier/part grow
-# slowly). Used by plan builders to choose broadcast joins.
-BROADCASTABLE = frozenset({"region", "nation", "supplier", "part"})
+# Dimension tables small enough to broadcast at ANY scale factor:
+# region (5 rows) and nation (25 rows) are constant-size in the schema.
+# supplier (10k rows/SF) and part (200k rows/SF) grow linearly and are
+# multi-GB at the 100 TB target, so they are deliberately NOT listed —
+# their join strategy is left to Catalyst/AQE, which broadcasts while
+# the build side fits under autoBroadcastJoinThreshold and falls back
+# to shuffle joins beyond that.
+BROADCASTABLE = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -50,7 +50,13 @@ def _canon_cell(v):
             return "NULL"
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        return f"{v:.9g}"
+        # Type-sensitive: a float that formats integral still carries a
+        # ".0" so a DOUBLE 1.0 never canonicalizes equal to a BIGINT 1 —
+        # the driver's value hash distinguishes them, so we must too.
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "E" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):
