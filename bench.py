@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Everything else (Spark logs, progress) goes to stderr so the driver's
+stdout parse stays clean.
+
+Methodology:
+- one shared SparkSession on local[$SPARK_GRAFT_CPUS];
+- each query materializes fully through the JVM-side "noop" writer
+  (no driver collect — measures the distributed plan, not Arrow
+  transfer to pandas);
+- a warm-up query runs first (JIT/codegen/parquet footer caches) and
+  is excluded from timings;
+- per-query wall time is a single run (the driver compares rounds at
+  fixed SF; run-to-run variance at sf0.1 is well under the 2x bar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the scan-agg / join / window / dedup / LLM shapes that
+# dominate real workloads. Names not present in the registry (yet) are
+# skipped, so this list can lead the implementation.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_count_distinct",
+    "window_running_sum",
+    "window_topk_per_group",
+    "kafka_dedup_lww",
+    "kafka_parse_project",
+    # LLM-data-pipeline layer
+    "text_stats",
+    "text_quality_score",
+    "dedup_exact_docs",
+    "dedup_near_minhash",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    # event-time layer
+    "event_tumbling_window",
+    "event_session_window",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+    from new_kafka_consumer_to_hadoop_hdfs_spark.session import get_spark
+
+    spark = get_spark(app_name="nkch-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    queries, _ = merged_registry()
+    names = [n for n in HEADLINE if n in queries]
+    skipped = [n for n in HEADLINE if n not in queries]
+    if skipped:
+        print(f"bench: skipping unimplemented {skipped}", file=sys.stderr)
+
+    def materialize(name: str) -> float:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: run the first query once, discard the timing.
+    if names:
+        materialize(names[0])
+
+    timings: dict[str, float] = {}
+    for name in names:
+        sec = materialize(name)
+        timings[name] = round(sec, 4)
+        print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
+
+    result = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
