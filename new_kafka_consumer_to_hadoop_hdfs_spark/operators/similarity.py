@@ -1,0 +1,197 @@
+"""Vector-similarity operators over array<float> embedding columns.
+
+The reference repo has no vector operations; this is the SURVEY.md
+§2.5 similarity-search extension. Two tiers:
+
+- **Exact** (correctness grade): cosine built from higher-order array
+  functions (`zip_with` multiply + `aggregate` sum) — pure JVM
+  codegen, double-precision, sequential accumulation in index order so
+  the result is bit-identical to any other engine that sums a
+  double-precision product array left-to-right (DuckDB's
+  list_cosine_similarity on DOUBLE[] does). Top-k = broadcast the
+  query side, score all pairs, window rank per query. Correct at any
+  scale where |queries| is broadcastable; the corpus side streams.
+- **Approximate** (scale grade): BucketedRandomProjectionLSH from
+  pyspark.ml over L2-normalized vectors (on the unit sphere, euclidean
+  distance is monotone in cosine: d² = 2·(1-cos)), so bucketed
+  euclidean LSH answers cosine top-k without the all-pairs product.
+  At 100 TB the exact path's cost is |corpus|·|queries| dot products —
+  fine for dozens of queries, not for corpus×corpus; LSH (or an IVF
+  partition prune) is the corpus×corpus answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """Cast array<float> → array<double> before arithmetic so both the
+    products and the accumulation are IEEE double (and cross-engine
+    reproducible)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic bit pattern)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Plan: broadcast the (small) query side → one narrow pass over the
+    corpus computing cosines → window row_number per query. The only
+    shuffle is the per-query rank, keyed on query_id (|queries| groups,
+    each holding the scored corpus — for large corpora swap the window
+    for a groupBy + min_by-heap aggregation; at k·|queries| rows the
+    window is fine). Self-matches are excluded.
+
+    Deterministic tie-break: (cos_sim DESC, neighbor_id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — embedding-level
+    near-duplicate detection, exact form.
+
+    This IS O(n²): a broadcast nested-loop self-join, the correctness
+    baseline only. The scale path is :func:`lsh_topk_cosine` /
+    MinHash-style bucketing (see operators.text) — an all-pairs product
+    over a 100 TB corpus is never the answer, which is why this
+    function demands an explicit threshold and the callers cap the
+    input (documented per query).
+    """
+    a = df.select(
+        F.col(id_col).alias(f"{id_col}_a"), to_double(F.col(vec_col)).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias(f"{id_col}_b"), to_double(F.col(vec_col)).alias("__vb")
+    )
+    return (
+        a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    distance_threshold: float = 1.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via BucketedRandomProjectionLSH.
+
+    Vectors are L2-normalized first, so euclidean bucketing answers
+    cosine queries (d² = 2·(1-cos) on the unit sphere;
+    distance_threshold 1.4 ≈ cos ≥ 0.02). approxSimilarityJoin only
+    compares vectors sharing an LSH bucket — the corpus×corpus /
+    corpus×queries cost is bucketed, not all-pairs, which is the
+    100 TB execution story. Fixed seed → deterministic buckets.
+
+    Output schema matches :func:`topk_cosine`; recall < 1 by design
+    (rows-only correctness check).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        vec = df.select(
+            F.col(id_col).alias(out_id),
+            array_to_vector(to_double(F.col(vec_col))).alias("__raw"),
+        )
+        return Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(vec)
+
+    c = prep(corpus, "neighbor_id")
+    q = prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(
+        q, c, distance_threshold, distCol="__dist"
+    ).filter(F.col("datasetA.query_id") != F.col("datasetB.neighbor_id"))
+    # unit sphere: cos = 1 - d²/2 (exact given normalized inputs)
+    scored = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        (F.lit(1.0) - (F.col("__dist") * F.col("__dist")) / F.lit(2.0)).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

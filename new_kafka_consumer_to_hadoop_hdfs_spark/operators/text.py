@@ -1,0 +1,300 @@
+"""Text-analysis and near-duplicate-detection operator cores.
+
+The reference repo has no text operators (its only string handling is
+Gson JSON decode, MyKafkaMessage.java:36-38); this module is the
+LLM-data-pipeline extension surface mandated by SURVEY.md §2.5 / M4:
+tokenization, shingling, MinHash+LSH banding, SimHash, and exact
+set-similarity (prefix-filter) joins — the building blocks of
+training-data dedup at 100 TB.
+
+Everything here is a Column-expression builder or a DataFrame
+transform built from JVM-side builtins (higher-order array functions,
+xxhash64, codegen string ops). There are NO Python UDFs and NO
+driver-side loops, so every operator scales with the cluster:
+
+- Per-document work (tokens, shingles, signatures, SimHash) is
+  embarrassingly parallel: narrow projections, zero shuffle.
+- Candidate generation (MinHash bands, SimHash chunks, prefix tokens)
+  is explode → equi-join on the bucket key: the join shuffles hash on
+  the bucket key, so the all-pairs O(n²) comparison the naive approach
+  needs never materializes. This is the same banding trick the
+  published MinHashLSH literature (Broder; Leskovec et al., "Mining of
+  Massive Datasets" ch. 3) prescribes, expressed relationally.
+- Verification (exact Jaccard on candidate pairs) touches only the
+  candidate set, which LSH keeps near-linear in the true-duplicate
+  count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Split on single spaces (the corpus' delimiter); empty text → []. """
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Word/punctuation tokens via the BPE-pretokenizer-style regex
+    ``\\w+|[^\\w\\s]`` — words and standalone punctuation marks."""
+    return F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0)
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (order-sensitive document
+    fingerprint units). Documents with < n tokens yield [].
+
+    Guarded with ``when`` because Spark's ``sequence(1, stop)`` counts
+    DOWN when stop < 1 instead of producing an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles. Text shorter than n → []."""
+    idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    grams = F.transform(idx, lambda i: F.substring(text, i, n))
+    return F.when(
+        F.length(text) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle). Pr[sig_a[i] == sig_b[i]] = Jaccard(a, b).
+
+    Built from array builtins — one pass per hash, zero shuffle.
+    Empty shingle sets produce null mins; callers should filter those
+    documents out first.
+    """
+    # NB: seed capture must use a closure factory, not a default arg —
+    # a two-parameter lambda in F.transform means (element, index).
+    def seeded(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, rows_per_band: int, num_bands: int) -> Column:
+    """Collapse each band of ``rows_per_band`` signature slots into one
+    64-bit bucket key. Two docs collide on band j iff their signatures
+    agree on every slot of the band → Pr = jaccard^rows_per_band."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a < id_b) sharing ≥1 band bucket.
+
+    ``payload_col`` must be an array<string> shingle column already on
+    ``df``. Plan shape: narrow signature projection → explode bands
+    (num_bands rows/doc) → self equi-join hash-partitioned on
+    (band_idx, band_hash) → distinct pairs. The join key is the bucket,
+    so cost is Σ bucket_size² — near-linear for realistic corpora —
+    instead of the |corpus|² of a cross join. With the default
+    16 hashes / 8 bands of 2, recall at Jaccard 0.9 is
+    1-(1-0.81)^8 ≈ 1-2e-6.
+    """
+    num_bands = num_hashes // rows_per_band
+    sig = df.select(
+        F.col(id_col),
+        band_hashes(
+            minhash_signature(F.col(payload_col), num_hashes), rows_per_band, num_bands
+        ).alias("__bands"),
+    )
+    exploded = sig.select(
+        id_col, F.posexplode("__bands").alias("__band_idx", "__band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_pairs(
+    df: DataFrame, id_col: str, payload_col: str, *, threshold: float
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ threshold via prefix filtering.
+
+    Classic set-similarity-join bound (Chaudhuri et al., SSJoin;
+    Bayardo et al., WWW'07 "Scaling Up All Pairs"): order each set by a
+    global total order; two sets with Jaccard ≥ t MUST share an element
+    within each other's first ``|s| - ceil(t·|s|) + 1`` elements. So
+    exploding only that prefix and equi-joining on the element finds
+    every qualifying pair — no recall loss, unlike LSH — while the join
+    key (a shingle) keeps the comparison bucketed.
+
+    Uses lexicographic order as the global total order (any consistent
+    order is correct; frequency order would shrink candidates further).
+    """
+    sorted_set = F.array_sort(F.col(payload_col))
+    prefix_len = (
+        F.size(sorted_set) - F.ceil(F.size(sorted_set) * F.lit(threshold)) + 1
+    ).cast("int")
+    pref = df.select(
+        F.col(id_col),
+        F.explode(F.slice(sorted_set, 1, prefix_len)).alias("__tok"),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash (Charikar, STOC'02): hash each token, vote ±1 per
+    bit position, signature bit b = 1 iff the bit-b vote is positive.
+
+    Single array traversal with an array<long> accumulator — zero
+    shuffle, all codegen. Duplicate tokens vote multiple times, which
+    is the standard frequency weighting.
+    """
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # bit-63 weight is long-min under two's complement (1<<63 overflows)
+    pow2 = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda v, b: v + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        pow2,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, sig_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming via the
+    standard chunk pigeonhole: split 64 bits into max_hamming+1 chunks;
+    any pair within the Hamming budget must match EXACTLY on ≥1 chunk
+    (pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds all
+    such pairs with zero recall loss, bucketed by chunk value.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftrightunsigned(F.col(sig_col), i * width)
+                .bitwiseAND(
+                    # the last chunk keeps any leftover high bits too
+                    F.lit(
+                        (1 << (64 - i * width)) - 1
+                        if i == n_chunks - 1
+                        else (1 << width) - 1
+                    )
+                )
+                .alias("val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    ex = df.select(id_col, F.col(sig_col).alias("__sig"), F.explode(chunks).alias("c"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c.idx") == F.col("b.c.idx"))
+            & (F.col("a.c.val") == F.col("b.c.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

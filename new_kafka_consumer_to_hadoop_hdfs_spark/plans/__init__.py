@@ -17,27 +17,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import reference
+    from . import llm, reference, relational, windows
 
-    modules = [reference]
-    try:
-        from . import relational
-
-        modules.append(relational)
-    except ImportError:
-        pass
-    try:
-        from . import llm
-
-        modules.append(llm)
-    except ImportError:
-        pass
-    try:
-        from . import windows
-
-        modules.append(windows)
-    except ImportError:
-        pass
+    modules = [reference, relational, llm, windows]
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,606 @@
+"""LLM-data-pipeline query surface (SURVEY.md §2.5 / M4, north star).
+
+The reference repo is a Kafka→HDFS dedup ETL with no text or vector
+operators; this module is the training-data-pipeline extension layer:
+text analysis, exact + near-duplicate detection, and embedding
+similarity search over the ``documents`` / ``embeddings`` tables.
+
+Shared determinism contract with the DuckDB oracles:
+- tokenization = split on single space, empty tokens dropped;
+- similarity scores are double-precision with sequential accumulation
+  and ROUND(·, 6) in both engines;
+- every ranking carries an explicit deterministic tie-break.
+
+Scale design (100 TB): all per-document work is narrow/zero-shuffle;
+candidate generation for near-dup is bucketed (MinHash bands, SimHash
+chunks, Jaccard prefix filtering) so no operator materializes the
+all-pairs product except the two explicitly documented
+correctness-baseline queries (`dedup_embedding_cosine` brute force,
+and the oracle side of near-dup, which runs only in DuckDB at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_last_write_wins
+from ..operators.similarity import (
+    cosine_pairs,
+    lsh_topk_cosine,
+    topk_cosine,
+)
+from ..operators.text import (
+    bpe_ish_tokens,
+    char_shingles,
+    jaccard,
+    lsh_candidate_pairs,
+    prefix_filter_pairs,
+    simhash64,
+    simhash_near_pairs,
+    whitespace_tokens,
+    word_shingles,
+)
+from ..session import apply_runtime_conf
+from ..sources.files import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{name}"
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# DuckDB equivalents of the shared token/shingle builders. Kept as
+# format fragments so the Spark builders and oracles can never drift
+# on delimiter or empty-token semantics.
+_SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x != '')"
+# word 3-gram shingles over the token list t (1-based inclusive slices)
+_SQL_WORD_SHINGLES = (
+    "list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])"
+)
+# char 5-gram shingles over text
+_SQL_CHAR_SHINGLES = "list_distinct([substr(text, i, 5) FOR i IN range(1, len(text) - 3)])"
+_SQL_JACCARD = (
+    "len(list_intersect(a.sh, b.sh))::DOUBLE"
+    " / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+)
+
+# Language-ID marker words (function words per language). Shared
+# between the Spark plan and the oracle SQL via this single constant.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "les", "des", "est", "et"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+_LANG_ORDER = tuple(_LANG_MARKERS)  # deterministic argmax priority
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH d AS (SELECT lang, source, n_chars, {_SQL_TOKENS} AS t FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS avg_chars,
+       SUM(len(t))::BIGINT AS total_tokens,
+       ROUND(SUM(len(t))::DOUBLE / COUNT(*), 6) AS avg_tokens,
+       MIN(len(t)) AS min_tokens,
+       MAX(len(t)) AS max_tokens
+FROM d GROUP BY lang, source
+"""
+
+
+@_register("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/token counts.
+
+    Zero-UDF: split + size are codegen'd; one shuffle on the
+    (lang, source) grouping keys (100 groups — partial agg does the
+    heavy lifting map-side at any scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(whitespace_tokens(F.col("text")))
+    return (
+        d.select("lang", "source", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+                "avg_chars"
+            ),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias(
+                "avg_tokens"
+            ),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+_TOKEN_HIST_ORACLE = f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+SELECT token, COUNT(*) AS n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS freq_rank
+FROM tok GROUP BY token
+"""
+
+
+@_register("text_token_histogram", _TOKEN_HIST_ORACLE)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency table with a deterministic rank.
+
+    explode → two-phase count aggregation (map-side partial combine
+    keeps the shuffle at |vocab| rows per task, not |corpus| — the
+    canonical wordcount shape). The rank window runs over the
+    aggregated vocabulary (tiny), so its single-partition sort is fine
+    at any corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.withColumn("freq_rank", F.row_number().over(w))
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(t, x -> x IN ({_sql_in_list(_LANG_MARKERS[lang])})))"
+    )
+
+
+_LANG_PRED_SQL = "CASE " + " ".join(
+    f"WHEN s_{lang} >= GREATEST({', '.join('s_' + o for o in _LANG_ORDER[i + 1:] or ('0',))}) THEN '{lang}'"
+    for i, lang in enumerate(_LANG_ORDER[:-1])
+) + f" ELSE '{_LANG_ORDER[-1]}' END"
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in _LANG_ORDER)}
+  FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+)
+SELECT lang, {_LANG_PRED_SQL} AS pred_lang, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, pred_lang
+"""
+
+
+@_register("text_language_id", _LANG_ID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification → confusion matrix vs labels.
+
+    The scorer counts per-language function-word occurrences in the
+    token stream and argmaxes with a fixed language priority (ties go
+    to the earlier language — fully deterministic). Per-doc work is a
+    narrow array pass; the confusion-matrix aggregation shuffles ≤
+    |langs|² rows. (On this synthetic corpus the labels are random, so
+    the matrix shows heuristic bias, not accuracy — the operator's
+    contract is determinism, which the oracle checks.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    def marker_hits(words: tuple[str, ...]):
+        # closure factory: a 2-arg lambda in F.filter means (elem, index)
+        return lambda t: t.isin(*words)
+
+    scored = d.select(
+        "lang",
+        *[
+            F.size(F.filter(toks, marker_hits(_LANG_MARKERS[lang]))).alias(f"s_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
+        cond = F.lit(True)
+        for other in _LANG_ORDER[i + 1:]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(_LANG_ORDER[-1])
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_SQL_TOKENS} AS t,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       ROUND(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6) AS avg_token_len,
+       ROUND(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+       ROUND(len(list_filter(t, x -> x IN ({_sql_in_list(_STOPWORDS)})))::DOUBLE / len(t), 6) AS stopword_ratio,
+       CASE WHEN len(t) >= 20
+              AND len(list_filter(t, x -> x IN ({_sql_in_list(_STOPWORDS)})))::DOUBLE / len(t) <= 0.5
+              AND n_punct::DOUBLE / n_chars <= 0.1
+            THEN 'good'
+            WHEN len(t) >= 5 THEN 'fair'
+            ELSE 'low' END AS quality_band
+FROM d WHERE len(t) > 0
+"""
+
+
+@_register("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    punctuation ratio, stopword ratio, and a banded quality verdict —
+    the standard pretraining-corpus filter stack (Gopher/C4-style
+    heuristics), all as codegen'd array expressions, zero shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("t"),
+        F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).alias("n_punct"),
+    ).filter(F.size("t") > 0)
+    n_tokens = F.size("t")
+    sum_len = F.aggregate(
+        F.transform(F.col("t"), F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(sum_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.when(
+            (n_tokens >= 20) & (stop_ratio <= 0.5) & (punct_ratio <= 0.1), "good"
+        )
+        .when(n_tokens >= 5, "fair")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws,
+         regexp_extract_all(text, '\w+|[^\w\s]') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       len(ws) AS n_ws_tokens,
+       len(bpe) AS n_pretokens,
+       COALESCE(list_sum(list_transform(bpe, w -> GREATEST(1, CEIL(len(w) / 4.0)::BIGINT))), 0)::BIGINT AS est_bpe_tokens
+FROM d
+"""
+
+
+@_register("text_token_count", _TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, BPE-style
+    pre-tokens (``\\w+|[^\\w\\s]``), and an estimated BPE token count
+    (≈ 4 chars per merged token, the usual budget heuristic). Narrow
+    per-row expressions — the shape used to cost a 100 TB corpus in
+    tokens without running a real tokenizer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    bpe = bpe_ish_tokens(F.col("text"))
+    est = F.aggregate(
+        F.transform(
+            bpe,
+            lambda w: F.greatest(
+                F.lit(1).cast("long"), F.ceil(F.length(w) / F.lit(4.0))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_pretokens"),
+        F.coalesce(est, F.lit(0)).alias("est_bpe_tokens"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_md5
+FROM d
+"""
+
+
+@_register("text_fingerprint", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-tokens hash (catches token-reordered duplicates). Hash
+    column keys are the join/dedup currency of a 100 TB pipeline —
+    computed once, narrow, then reused by every dedup pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = whitespace_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("bag_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_DOCS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS bag_md5
+  FROM documents
+)
+SELECT doc_id, lang, source, bag_md5 FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY bag_md5 ORDER BY doc_id) = 1
+"""
+
+
+@_register("dedup_exact_docs", _DEDUP_EXACT_DOCS_ORACLE)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup on the bag-of-tokens fingerprint, keeping
+    the lowest doc_id per group (deterministic survivor).
+
+    Reuses the reference's dedup core (operators.dedup, from
+    HadoopKafkaConsumer.java:47-103 semantics) with fingerprint keys:
+    one hash-partitioned shuffle on the fingerprint, spill-safe
+    row_number — the canonical exact-dedup plan at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = whitespace_tokens(F.col("text"))
+    with_fp = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("bag_md5"),
+    )
+    return dedup_last_write_wins(with_fp, ["bag_md5"], [F.col("doc_id").asc()])
+
+
+_DEDUP_EXACT_EVENTS_ORACLE = """
+SELECT user_id, event_id, ts, event_type
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+"""
+
+
+@_register("dedup_exact_events", _DEDUP_EXACT_EVENTS_ORACLE)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user via the generalized LWW dedup operator —
+    the reference's argmax-by-offset semantics (strict '>', first-seen
+    tie-keep) applied to event time with an id tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    deduped = dedup_last_write_wins(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").asc()],
+    )
+    return deduped
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_NEAR_MINHASH_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND({_SQL_JACCARD}, 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_SQL_JACCARD} >= 0.8
+"""
+
+
+@_register("dedup_near_minhash", _NEAR_MINHASH_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (word-3-gram-shingle Jaccard ≥ 0.8) via
+    MinHash LSH banding + exact verification.
+
+    Pipeline: shingle (narrow) → 16-hash MinHash signature (narrow) →
+    8 bands of 2 exploded → self equi-join on band buckets (the ONLY
+    shuffle over candidates; never all-pairs) → exact Jaccard verify on
+    candidates. Banding recall at j=0.9 is 1-(1-0.81)^8 ≈ 1-2e-6, so
+    against this corpus (true pairs all ≥ 0.9, next cluster ≤ 0.2) the
+    output equals the brute-force oracle. At 100 TB the same plan holds:
+    bucket sizes stay bounded because signatures of non-dups collide at
+    the j^rows_per_band rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    sh = d.select("doc_id", word_shingles(toks, 3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    cands = lsh_candidate_pairs(
+        sh, "doc_id", "sh", num_hashes=16, rows_per_band=2
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_CHAR_SHINGLES} AS sh
+  FROM documents WHERE len(text) >= 5
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND({_SQL_JACCARD}, 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_SQL_JACCARD} >= 0.6
+"""
+
+
+@_register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (char-5-gram Jaccard ≥ 0.6) via EXACT
+    prefix-filter set-similarity join (Bayardo et al., WWW'07).
+
+    Unlike LSH this has zero recall loss: any pair with Jaccard ≥ t
+    must share a shingle within both sorted prefixes of length
+    |s|-⌈t·|s|⌉+1, so the equi-join on prefix shingles finds every
+    qualifying pair, then exact Jaccard filters. The shuffle key is the
+    shingle — candidates are bucketed by shared rare content, not
+    compared all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", char_shingles(F.col("text"), 5).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cands = prefix_filter_pairs(sh, "doc_id", "sh", threshold=0.6)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@_register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash Hamming distance ≤ 3.
+
+    Signature is a single zero-shuffle array pass per document
+    (operators.text.simhash64); candidate pairs come from the 4-chunk
+    pigeonhole equi-join (no recall loss for the Hamming budget, no
+    all-pairs scan). Deterministic (xxhash64 token hashes) but not
+    SQL-expressible in DuckDB → rows-only correctness check.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id", simhash64(whitespace_tokens(F.col("text"))).alias("simhash")
+    )
+    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=3).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+_EMB_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+@_register("dedup_embedding_cosine", _EMB_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-dup: all pairs with cosine ≥ 0.4.
+
+    CORRECTNESS BASELINE ONLY: this is the documented O(n²)
+    brute-force pair scan (broadcast nested-loop self-join), runnable
+    because the fixture corpus is small; the synthetic vectors have no
+    true near-dups (max pairwise cos ≈ 0.51) so the threshold is set to
+    exercise the operator. The 100 TB path for the same predicate is
+    LSH bucketing — see `sim_topk_lsh` — or MinHash over quantized
+    vectors; an all-pairs product is never shipped at scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, id_col="vec_id", vec_col="embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+     scored AS (
+       SELECT q.query_id, e.vec_id AS neighbor_id,
+              list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+       FROM e JOIN q ON e.vec_id != q.query_id
+     )
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@_register("sim_topk_cosine", _TOPK_COSINE_ORACLE)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the query set vec_id % 100 = 0.
+
+    Broadcast the query vectors, one narrow scoring pass over the
+    corpus (higher-order array functions — JVM codegen, no UDF), then
+    a per-query rank. Scales as |corpus|·|queries| dot products with
+    NO corpus shuffle — the right exact-kNN plan whenever the query set
+    is broadcastable; `sim_topk_lsh` is the corpus×corpus variant.
+    Tie-break (cos DESC, neighbor_id) keeps results hash-stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@_register("sim_topk_lsh")  # no oracle: approximate recall by design
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors via BucketedRandomProjection
+    LSH over L2-normalized vectors (pyspark.ml; fixed seed).
+
+    The scale path for similarity: normalize → hash into
+    num_hash_tables random-projection buckets → approxSimilarityJoin
+    compares only co-bucketed vectors. Recall < 1 → rows-only check;
+    the exact twin (`sim_topk_cosine`) is the correctness anchor.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10, seed=42
+    ).orderBy("query_id", "rank")
