@@ -69,7 +69,11 @@ def dedup_exact(
     if keep_order is not None:
         return dedup_last_write_wins(df, keys, keep_order)
     cols = [c for c in df.columns]
-    key_names = {c if isinstance(c, str) else c._jc.toString() for c in keys}  # noqa: SLF001
+    # resolve Column keys to their output names via a public API
+    # (select().columns), not private JVM pokes — survives Spark Connect
+    key_names = set()
+    for c in keys:
+        key_names.add(c if isinstance(c, str) else df.select(c).columns[0])
     value_cols = [c for c in cols if c not in key_names]
     if not value_cols:
         return df.dropDuplicates([c for c in keys if isinstance(c, str)])

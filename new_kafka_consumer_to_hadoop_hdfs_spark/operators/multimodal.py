@@ -1,0 +1,157 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+SURVEY.md §2.5 mandates multimodal columns for the LLM-data pipeline:
+image/audio/video stored as ``binary`` columns with structured
+metadata, processed by Arrow-batched Python (`mapInPandas`) because
+media decoding cannot be expressed in SQL expressions.
+
+Design for 100 TB:
+- The binary payload travels as a normal DataFrame column: parquet
+  stores it page-compressed, scans prune it unless selected, and
+  shuffles move it only when a plan actually requires it. Metadata
+  (dims, codec, byte size, hashes) lives in plain typed columns so
+  filters/joins touch ONLY metadata — never decode on the filter path.
+- Decode/feature-extraction runs in ``mapInPandas``: one Arrow batch
+  per invocation (bounded memory via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``), embarrassingly
+  parallel, no shuffle. Output is a fresh schema — columnar features,
+  not decoded frames, to keep the post-decode data small.
+- The actual media decoder is STUBBED in this environment (no
+  PIL/ffmpeg in the container): :func:`decode_stub` raises
+  ``NotImplementedError`` where a real decoder would plug in, and the
+  pipeline substitutes :func:`fake_decode_features` — a deterministic
+  byte-level featurizer — so the Spark-side plumbing (schema, batch
+  iteration, partitioning) is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of a multimodal asset row: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes, media_type: str):  # pragma: no cover
+    """Plug point for a real media decoder (PIL / soundfile / pyav).
+
+    The execution container ships no media libraries, so this raises;
+    production deployments replace it (or install the libs and branch
+    here). Kept as a function — NOT dead code — so the pipeline shape
+    is honest about where decoding happens.
+    """
+    raise NotImplementedError(
+        "media decoding requires PIL/soundfile/pyav, not available in "
+        "this environment; fake_decode_features provides the "
+        "deterministic stand-in"
+    )
+
+
+def fake_decode_features(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decoder: derives pseudo dimensions and a
+    16-bin byte histogram 'embedding' from the raw bytes. Exercises the
+    exact batch shapes a real decoder produces."""
+    n = len(payload)
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    total = float(n) or 1.0
+    return {
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "n_frames": 1 if media_type != "video/fake" else (n % 24) + 1,
+        "feature": [c / total for c in hist],
+    }
+
+
+def extract_features(assets: DataFrame, *, use_real_decoder: bool = False) -> DataFrame:
+    """Decode + featurize multimodal payloads via Arrow-batched Python.
+
+    ``mapInPandas`` streams Arrow record batches through the featurizer
+    partition-parallel (no shuffle); output rows carry compact features
+    only. This is the ONE sanctioned Python hot path in the engine
+    (media decode is not SQL-expressible); everything around it —
+    filtering, joins, dedup on the sha256 — stays in JVM expressions.
+    """
+
+    # Ship this module by value inside the closure: executor Python
+    # workers don't necessarily have the repo on sys.path (the driver
+    # harness imports us via a path hack), so by-reference pickling of
+    # module-level functions would raise ModuleNotFoundError there.
+    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = decode_stub if use_real_decoder else fake_decode_features
+        for pdf in batches:
+            feats = [
+                decoder(payload if payload is not None else b"", mt)
+                for payload, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "feature": [f["feature"] for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Adapt the documents table into multimodal asset rows: the UTF-8
+    bytes of ``text`` stand in for media payloads (deterministic, so
+    oracle-checkable), with metadata computed JVM-side."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/fake-image").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )

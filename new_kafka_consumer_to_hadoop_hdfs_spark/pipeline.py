@@ -56,13 +56,44 @@ def run_batch(spark: SparkSession, cfg: KafkaSourceConfig, output_dir: str) -> N
 
 
 def run_streaming(
-    spark: SparkSession, cfg: KafkaSourceConfig, output_dir: str, checkpoint: str
+    spark: SparkSession,
+    cfg: KafkaSourceConfig,
+    output_dir: str,
+    checkpoint: str,
+    *,
+    stateful: bool = False,
 ):
-    """Streaming twin with AvailableNow — note: LWW-argmax needs a batch
-    view of the group, so streaming mode uses foreachBatch to apply the
-    same dedup per micro-batch (exact global LWW across batches requires
-    the stateful variant in streaming/dedup.py)."""
+    """Streaming twin with AvailableNow.
+
+    Default mode dedups per micro-batch via foreachBatch (exact when a
+    key's messages land in one batch — always true for AvailableNow
+    over a quiet topic). ``stateful=True`` switches to the
+    cross-batch-exact LWW operator (streaming/dedup.stateful_lww_dedup,
+    applyInPandasWithState), emitting a key's new winner whenever a
+    higher offset arrives, with O(live keys) state.
+
+    Note on --limit: in streaming mode the per-partition cap maps to
+    ``maxOffsetsPerTrigger``, which is a per-trigger rate limit —
+    AvailableNow still drains the whole topic, unlike the batch path's
+    hard cap (reference kafka.limit, KafkaInputFormat.java:188).
+    """
     src = read_kafka_stream(spark, cfg)
+    if stateful:
+        from .streaming.dedup import stateful_lww_dedup
+
+        parsed = dedup_pipeline_parse_only(src)
+        winners = stateful_lww_dedup(parsed)
+        out = winners.select(
+            serialize_message(F.col("id"), F.col("msg")).alias("value")
+        )
+        return (
+            out.writeStream.format("text")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = serialize_output(dedup_pipeline(batch_df))
@@ -74,6 +105,13 @@ def run_streaming(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_pipeline_parse_only(messages: DataFrame) -> DataFrame:
+    """The parse/filter half of dedup_pipeline (for stateful streaming,
+    where the argmax happens in the state operator, not a batch agg)."""
+    value_str = F.col("value").cast("string")
+    return parse_messages(messages.withColumn("value", value_str), "value")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -101,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
         group_id=args.consumer_group,
         limit=args.limit,
         min_partitions=args.partitions,
+        partitions=args.partitions,
     )
     spark = get_spark(app_name=f"kafka-dedup:{args.topic}")
     if args.streaming:

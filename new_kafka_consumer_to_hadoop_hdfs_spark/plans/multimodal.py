@@ -1,0 +1,89 @@
+"""Multimodal-column query surface (SURVEY.md §2.5, M4).
+
+Two registered queries over the documents-as-assets adaptation
+(operators/multimodal.py): metadata-only stats (oracle-checked — the
+path a 100 TB pipeline uses for filtering/dedup without ever decoding)
+and the Arrow-batched feature extraction (rows-only: the deterministic
+stub decoder isn't SQL-expressible, and a real decoder wouldn't be
+either).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import documents_as_assets, extract_features
+from ..session import apply_runtime_conf
+from ..sources.files import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{name}"
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+_BINARY_STATS_ORACLE = """
+WITH a AS (SELECT doc_id AS asset_id, text, encode(text) AS payload FROM documents)
+SELECT asset_id,
+       'text/fake-image' AS media_type,
+       octet_length(payload)::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       lower(hex(payload)) AS payload_hex
+FROM a
+"""
+
+
+@_register("multimodal_binary_stats", _BINARY_STATS_ORACLE)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: byte size, content hash, head bytes.
+
+    Everything here is JVM-side over the binary column — the metadata
+    path that lets a 100 TB media pipeline filter, dedup (sha256
+    equi-join), and route assets without a single decode.
+    """
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "sha256",
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
+@_register("multimodal_feature_extract")  # no oracle: stub decoder, not SQL
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/featurize via mapInPandas (stub decoder).
+
+    The plumbing under test is real: binary column in, Arrow record
+    batches through Python partition-parallel, compact typed features
+    out, zero shuffle. Swap the stub for PIL/pyav and the plan is a
+    production image featurizer.
+    """
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 16), 6).alias("f15"),
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("asset_id")

@@ -53,6 +53,10 @@ class KafkaSourceConfig:
     limit: int = -1  # kafka.limit, -1 = unlimited (HadoopKafkaConsumer.java:115)
     min_partitions: int | None = None  # oversplit knob for hot partitions
     max_fetch_bytes: int = 1024 * 1024  # max.partition.fetch.bytes (KafkaContext.java:49)
+    # Number of topic partitions, used to push the per-partition row cap
+    # into endingOffsets (the reference's --partitions flag,
+    # HadoopKafkaConsumer.java:116). None → cap applied post-read.
+    partitions: int | None = None
 
 
 def kafka_available(spark: SparkSession) -> bool:
@@ -75,23 +79,53 @@ def _require_kafka(spark: SparkSession) -> None:
         )
 
 
+def limit_ending_offsets(cfg: KafkaSourceConfig) -> str | None:
+    """Push the per-partition row cap into the source as endingOffsets.
+
+    Returns the JSON for ``endingOffsets`` — ``{"topic": {"0": limit,
+    ...}}`` — when both the cap and the partition count are known.
+    The source then stops READING each partition at the cap (zero
+    shuffle, zero discarded fetch), instead of reading the whole topic
+    and dropping rows. Matches the reference's semantics, which counts
+    records from the log start (seekToBeginning, KafkaContext.java:59):
+    offsets are absolute, so this assumes the log begins at offset 0 —
+    true unless retention already truncated the head, the same
+    situation where the reference's "first N records" is equally
+    ill-defined. Pass ``partitions=None`` to fall back to the exact
+    post-read cap.
+    """
+    if cfg.limit and cfg.limit > 0 and cfg.partitions:
+        per_part = {str(p): cfg.limit for p in range(cfg.partitions)}
+        import json
+
+        return json.dumps({cfg.topic: per_part})
+    return None
+
+
 def read_kafka_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
-    """Bounded whole-topic read: the reference's consume-until-empty-poll."""
+    """Bounded whole-topic read: the reference's consume-until-empty-poll.
+
+    The per-partition ``limit`` (reference kafka.limit,
+    KafkaInputFormat.java:188) is pushed into ``endingOffsets`` when
+    the partition count is known — the scan stops at the cap. Only
+    when the partition count is unknown does the cap fall back to a
+    post-read ``row_number`` filter, which shuffles once on the
+    partition id (N reducers for N topic partitions).
+    """
     _require_kafka(spark)
     reader = (
         spark.read.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", cfg.brokers)
         .option("subscribe", cfg.topic)
         .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
         .option("kafka.max.partition.fetch.bytes", str(cfg.max_fetch_bytes))
     )
+    ending = limit_ending_offsets(cfg)
+    reader = reader.option("endingOffsets", ending if ending else "latest")
     if cfg.min_partitions:
         reader = reader.option("minPartitions", str(cfg.min_partitions))
     df = reader.load()
-    if cfg.limit and cfg.limit > 0:
-        # kafka.limit is a per-partition cap in the reference
-        # (KafkaInputFormat.java:188); enforce the same scope.
+    if cfg.limit and cfg.limit > 0 and not ending:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -105,7 +139,16 @@ def read_kafka_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
 
 
 def read_kafka_stream(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
-    """Streaming twin; pair with Trigger.AvailableNow for bounded runs."""
+    """Streaming twin; pair with Trigger.AvailableNow for bounded runs.
+
+    NOTE: in streaming mode ``limit`` maps to ``maxOffsetsPerTrigger``,
+    a per-trigger RATE limit split across partitions — with
+    AvailableNow the whole topic is still consumed, just in capped
+    micro-batches. The reference's hard per-partition cap exists only
+    on the batch path (read_kafka_batch pushes it into endingOffsets);
+    a streaming hard cap would need the cap re-checked inside
+    foreachBatch.
+    """
     _require_kafka(spark)
     reader = (
         spark.readStream.format(KAFKA_FORMAT)

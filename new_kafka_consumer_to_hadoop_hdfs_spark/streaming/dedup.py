@@ -1,0 +1,192 @@
+"""Streaming dedup: watermarked drop-duplicates and stateful LWW.
+
+The reference dedups a bounded topic in one reduce
+(HadoopKafkaConsumer.java:47-103). In a true stream the same semantics
+split into two operators with different guarantees:
+
+1. :func:`dedup_within_watermark` — keep the FIRST row per key among
+   rows whose event times fall within the watermark horizon. This is
+   Spark's ``dropDuplicatesWithinWatermark``: state for a key is
+   dropped once the watermark passes its event time + delay, so state
+   is bounded — the property that makes dedup runnable forever at
+   100 TB/day, which the reference's in-heap HashMap never had.
+
+2. :func:`stateful_lww_dedup` — exact cross-micro-batch
+   last-write-wins (argmax by an ordering column, strict '>', ties
+   keep first — the reference's precise semantics,
+   HadoopKafkaConsumer.java:69-78) via ``applyInPandasWithState``.
+   Each key's state holds the current winner; every micro-batch emits
+   the keys whose winner changed (update semantics). This is the
+   documented Pandas-UDF last-resort path (SURVEY.md §2.5): the
+   argmax-with-override semantics over unbounded input isn't
+   expressible with built-in streaming operators, which only offer
+   keep-first dedup.
+
+Scale notes: state lives in the state store, partitioned by key hash
+across executors. For large key spaces configure the RocksDB provider
+(``spark.sql.streaming.stateStore.providerClass`` →
+``RocksDBStateStoreProvider``) so state spills off-heap; with the
+default HDFS-backed store, state must fit in executor memory — the
+same cliff the reference's HashMap had, which is why
+:func:`rocksdb_state_conf` exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session confs for RocksDB-backed streaming state (bounded memory
+    at arbitrary key cardinality). Apply before starting the query."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Keep-first dedup with bounded state.
+
+    ``withWatermark`` declares how late data may arrive; duplicate keys
+    arriving within the horizon are dropped, and key state is evicted
+    once the watermark passes. Works identically in batch mode (where
+    it degrades to a plain dropDuplicates on the keys) — which is how
+    the semantics are oracle-checked.
+    """
+    return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# Output/state schemas for stateful_lww_dedup: the reference envelope
+# (partition, id) key → winning (offset, msg).
+_LWW_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("partition", LongType()),
+        StructField("id", LongType()),
+        StructField("offset", LongType()),
+        StructField("msg", StringType()),
+    ]
+)
+_LWW_STATE_SCHEMA = StructType(
+    [StructField("offset", LongType()), StructField("msg", StringType())]
+)
+
+
+def _lww_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-key state update: argmax by offset with strict '>' override.
+
+    Within a batch rows are reduced in (offset, row-order) — the
+    incumbent survives ties, mirroring HadoopKafkaConsumer.java:69-78.
+    Emits one row per key per batch IFF the winner changed.
+    """
+    if state.exists:
+        best_offset, best_msg = state.get
+    else:
+        best_offset, best_msg = None, None
+    changed = False
+    for pdf in batches:
+        for offset, msg in zip(pdf["offset"], pdf["msg"]):
+            offset = int(offset)
+            if best_offset is None or offset > best_offset:  # strict >
+                best_offset, best_msg = offset, msg
+                changed = True
+    if changed:
+        state.update((best_offset, best_msg))
+        yield pd.DataFrame(
+            {
+                "partition": [key[0]],
+                "id": [key[1]],
+                "offset": [best_offset],
+                "msg": [best_msg],
+            }
+        )
+
+
+def stateful_lww_dedup(parsed: DataFrame) -> DataFrame:
+    """Exact streaming last-write-wins over (partition, id).
+
+    Input: a streaming DataFrame with (partition, id, offset, msg) —
+    the parsed reference envelope. Output (update mode): the new winner
+    for every key whose argmax-by-offset changed in the micro-batch.
+
+    Plan shape: one hash shuffle on the grouping key into the stateful
+    operator; state per key is a single (offset, msg) pair, so state
+    size is O(|live keys|), independent of stream length. Arrow moves
+    batches to Python — the documented exception to the no-Python rule,
+    required for custom stateful logic until Spark exposes built-in
+    argmax dedup.
+    """
+    # Ship this module by value: executor Python workers may not have
+    # the repo on sys.path (driver harnesses import via path hacks), so
+    # the state-update function must not require importing us there.
+    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    grouped = parsed.select(
+        F.col("partition").cast("long"),
+        F.col("id").cast("long"),
+        F.col("offset").cast("long"),
+        F.col("msg").cast("string"),
+    ).groupBy("partition", "id")
+    return grouped.applyInPandasWithState(
+        _lww_update,
+        outputStructType=_LWW_OUTPUT_SCHEMA,
+        stateStructType=_LWW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    event_time_col: str = "ts",
+    window_width: str = "6 hours",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    plans/windows.event_tumbling_window (same expression, plus the
+    watermark that lets closed windows emit and their state drop)."""
+    return (
+        events.withWatermark(event_time_col, delay)
+        .groupBy(F.window(event_time_col, window_width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -99,17 +99,19 @@ def test_streaming_twin_file_source(spark, tmp_path):
     assert len(lines) == 3
 
     # exactly-once: re-running from the same checkpoint reprocesses nothing
-    epochs.clear()
+    rerun_rows: list[int] = []
+
+    def count_batch(batch_df, epoch_id):
+        rerun_rows.append(batch_df.count())
+
     q2 = (
-        stream.writeStream.foreachBatch(do_batch)
+        stream.writeStream.foreachBatch(count_batch)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q2.awaitTermination(120)
-    assert not epochs or all(
-        True for _ in epochs
-    )  # AvailableNow with no new data → no new epochs with rows
+    assert sum(rerun_rows) == 0, f"checkpoint replayed rows: {rerun_rows}"
     lines2 = [
         json.loads(l)
         for f in (tmp_path / "out").rglob("part-*")
@@ -140,6 +142,24 @@ def test_kafka_gated_with_clear_error(spark):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "spark-sql-kafka" in str(e)
+
+
+def test_limit_pushed_into_ending_offsets():
+    """kafka.limit with a known partition count becomes endingOffsets —
+    the source stops reading at the cap, no shuffle, no discarded rows."""
+    import json
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.kafka import (
+        limit_ending_offsets,
+    )
+
+    cfg = KafkaSourceConfig(topic="t", limit=100, partitions=3)
+    assert json.loads(limit_ending_offsets(cfg)) == {
+        "t": {"0": 100, "1": 100, "2": 100}
+    }
+    # unknown partition count or no limit → no pushdown (exact fallback)
+    assert limit_ending_offsets(KafkaSourceConfig(topic="t", limit=100)) is None
+    assert limit_ending_offsets(KafkaSourceConfig(topic="t", partitions=3)) is None
 
 
 def test_cli_flags_reference_parity():

@@ -1,0 +1,167 @@
+"""Streaming-semantics tests via broker-free file-stream harnesses.
+
+Covers SURVEY.md §5 item 4: watermarked dedup, cross-batch stateful
+LWW (the reference's argmax semantics over a real stream), and
+event-time windows under streaming execution, each compared against
+the equivalent batch computation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+    dedup_within_watermark,
+    stateful_lww_dedup,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = "partition long, id long, offset long, msg string, ts timestamp"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_stateful_lww_across_micro_batches(spark, tmp_path):
+    """A higher offset arriving in a LATER micro-batch must override the
+    winner from an earlier batch — the cross-batch case the per-batch
+    foreachBatch dedup cannot handle."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: two ids on partition 0
+    _rows(
+        spark,
+        [
+            (0, 1, 10, "b0-id1", dt.datetime.fromisoformat("2024-01-01 00:00:00")),
+            (0, 2, 11, "b0-id2", dt.datetime.fromisoformat("2024-01-01 00:01:00")),
+        ],
+    ).write.parquet(str(src / "batch0"))
+    # batch 1: override id1 with a higher offset, stale update for id2
+    _rows(
+        spark,
+        [
+            (0, 1, 99, "b1-id1-new", dt.datetime.fromisoformat("2024-01-01 00:02:00")),
+            (0, 2, 5, "b1-id2-stale", dt.datetime.fromisoformat("2024-01-01 00:03:00")),
+        ],
+    ).write.parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    updates: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        updates.extend(
+            (r.partition, r.id, r.offset, r.msg) for r in batch_df.collect()
+        )
+
+    q = (
+        stateful_lww_dedup(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for partition, id_, offset, msg in updates:
+        final[(partition, id_)] = (offset, msg)
+    # id1 overridden by offset 99; id2's stale offset 5 ignored (strict >)
+    assert final == {(0, 1): (99, "b1-id1-new"), (0, 2): (11, "b0-id2")}
+    # the stale id2 update must not have been emitted at all
+    assert (0, 2, 5, "b1-id2-stale") not in updates
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Duplicate keys within the watermark horizon are dropped; state is
+    keyed, so the first arrival wins (keep-first semantics)."""
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    _rows(
+        spark,
+        [
+            (0, 1, 1, "first", dt.datetime.fromisoformat("2024-01-01 00:00:00")),
+            (0, 1, 2, "dup-same-key", dt.datetime.fromisoformat("2024-01-01 00:02:00")),
+            (0, 7, 3, "other-key", dt.datetime.fromisoformat("2024-01-01 00:03:00")),
+        ],
+    ).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src / "*"))
+    out = dedup_within_watermark(
+        stream, ["partition", "id"], event_time_col="ts", delay="10 minutes"
+    )
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend((r.partition, r.id, r.msg) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # exactly one survivor per key; which duplicate wins within a single
+    # micro-batch is arrival order (not event time) and not guaranteed
+    keys = sorted((p, i) for p, i, _ in got)
+    assert keys == [(0, 1), (0, 7)]
+    assert ("other-key") in {m for _, i, m in got if i == 7}
+    assert {m for _, i, m in got if i == 1} <= {"first", "dup-same-key"}
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, sf_dir):
+    """The streaming windowed aggregation must produce exactly the
+    batch result once the AvailableNow run drains the source."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = tmp_path / "esrc"
+    events.write.parquet(str(src))
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        str(src)
+    )
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend(
+            (r.window_start, r.window_end, r.event_type, r.n_events)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = sorted(
+        (r.window_start, r.window_end, r.event_type, r.n_events)
+        for r in (
+            events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+            )
+        ).collect()
+    )
+    # update-mode may emit a window more than once; the LAST emit per
+    # (window, type) is the final count
+    final = {}
+    for ws, we, et, n in got:
+        final[(ws, we, et)] = n
+    assert sorted((k[0], k[1], k[2], v) for k, v in final.items()) == expected

@@ -1,0 +1,185 @@
+"""Semantics unit tests for the text / similarity / multimodal operator
+cores on hand-built fixtures (SURVEY.md §5 item 2 pattern, applied to
+the M4 layer)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+    fake_decode_features,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+    cosine,
+    to_double,
+    topk_cosine,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+    char_shingles,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    prefix_filter_pairs,
+    simhash64,
+    simhash_near_pairs,
+    whitespace_tokens,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "x"),  # shorter than any shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _shingled(docs):
+    return docs.select(
+        "doc_id", word_shingles(whitespace_tokens(F.col("text")), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def test_shingles_short_text_empty(spark, docs):
+    rows = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(word_shingles(whitespace_tokens(F.col("text")), 3)).alias("n"),
+        ).collect()
+    }
+    assert rows[5] == 0  # 1 token < n → no shingles, no crash
+    assert rows[1] == 7  # 9 tokens → 7 trigrams
+
+
+def test_minhash_identical_sets_identical_signatures(spark, docs):
+    sh = _shingled(docs)
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in sh.select(
+            "doc_id", minhash_signature(F.col("sh"), 16).alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[4]  # same shingle set → same signature
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_12 > agree_13  # similar docs agree on more slots
+    assert agree_13 == 0  # disjoint shingle sets should agree nowhere
+
+
+def test_lsh_candidates_find_near_and_exact_dups(spark, docs):
+    sh = _shingled(docs)
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_candidate_pairs(sh, "doc_id", "sh").collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs and (2, 4) in pairs  # near-dups collide
+    assert not any(3 in p for p in pairs)  # unrelated doc stays alone
+
+
+def test_prefix_filter_exact_recall(spark, docs):
+    """Prefix filtering must find EVERY pair above threshold (no recall
+    loss) — verified against the brute-force crossJoin."""
+    sh = docs.select(
+        "doc_id", char_shingles(F.col("text"), 5).alias("sh")
+    ).filter(F.size("sh") > 0)
+    t = 0.5
+    a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb"))
+    brute = {
+        (r.da, r.db)
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .withColumn("j", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("j") >= t)
+        .collect()
+    }
+    cand = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in prefix_filter_pairs(sh, "doc_id", "sh", threshold=t).collect()
+    }
+    assert brute <= cand  # completeness: candidates ⊇ true pairs
+    assert brute  # fixture actually has qualifying pairs
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", simhash64(whitespace_tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    assert sigs[1] == sigs[4]  # identical text → identical simhash
+    ham_12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    ham_13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    assert ham_12 < ham_13  # near-dup closer in Hamming space
+
+    sig_df = docs.select(
+        "doc_id", simhash64(whitespace_tokens(F.col("text"))).alias("s")
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_near_pairs(sig_df, "doc_id", "s", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # exact dup at distance 0
+
+
+def test_cosine_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0], [0.5, 1.0, 0.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    got = df.select(
+        cosine(to_double(F.col("a")), to_double(F.col("b"))).alias("c")
+    ).first()["c"]
+    expect = 0.5 / (math.sqrt(5.0) * math.sqrt(1.25))
+    assert abs(got - expect) < 1e-12
+
+
+def test_topk_cosine_excludes_self_and_ranks(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = topk_cosine(vecs, q, k=2).collect()
+    assert [r.neighbor_id for r in out] == [3, 1]  # closest first
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_multimodal_roundtrip(spark, docs):
+    assets = documents_as_assets(
+        docs.withColumnRenamed("doc_id", "doc_id").withColumn(
+            "n_chars", F.length("text")
+        )
+    )
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    # deterministic stub: recompute one row in plain Python
+    text = DOCS[0][1].encode()
+    expect = fake_decode_features(text, "text/fake-image")
+    got = feats[1]
+    assert (got.width, got.height, got.n_frames) == (
+        expect["width"],
+        expect["height"],
+        expect["n_frames"],
+    )
+    assert len(got.feature) == 16
+    assert abs(sum(got.feature) - 1.0) < 1e-6  # histogram normalized
