@@ -48,12 +48,18 @@ HEADLINE = [
     # LLM-data-pipeline layer
     "text_stats",
     "text_quality_score",
+    "text_token_count",
     "dedup_exact_docs",
     "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_cosine",
     "sim_topk_lsh",
+    "sim_topk_ivf",
+    "multimodal_binary_stats",
     # event-time layer
     "event_tumbling_window",
+    "event_sliding_window",
     "event_session_window",
 ]
 

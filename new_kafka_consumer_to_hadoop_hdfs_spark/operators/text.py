@@ -78,6 +78,54 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
+def jaccard_verify_pairs(
+    cands: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    out_col: str = "jaccard",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs, computed relationally.
+
+    ``cands``: (id_a, id_b) candidate pairs; ``sh``: (id, sh) with
+    distinct-element shingle arrays. Intersection sizes come from
+    explode + two equi-joins + a count — whole-stage codegen end to
+    end — instead of per-pair ``array_intersect`` on carried arrays,
+    which evaluates on the interpreted expression path and drags the
+    full arrays through the joins. Union via |a|+|b|-|a∩b|.
+
+    Scale shape: the candidate side is usually tiny relative to the
+    corpus (that is LSH/prefix-filtering's job), so Catalyst broadcasts
+    it into the first join; the only big shuffle is the exploded-
+    shingle join keyed on (id_b, shingle). Pairs with zero overlap
+    vanish at the join — they cannot reach any positive threshold.
+    """
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("__tok"))
+    inter = (
+        cands.join(ex.withColumnRenamed(id_col, ida), ida)
+        .join(ex.withColumnRenamed(id_col, idb), [idb, "__tok"])
+        .groupBy(ida, idb)
+        .agg(F.count("*").alias("__inter"))
+    )
+    j = F.col("__inter").cast("double") / (
+        F.col("__sza") + F.col("__szb") - F.col("__inter")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias(ida), F.col("__sz").alias("__sza")), ida
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(idb), F.col("__sz").alias("__szb")), idb
+        )
+        .withColumn(out_col, j)
+        .filter(F.col(out_col) >= threshold)
+        .select(ida, idb, F.round(out_col, 6).alias(out_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -126,10 +174,17 @@ def minhash_signatures(
     (explode drops them) — matching the "filter empty docs first"
     contract of the expression form.
     """
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("__sh"))
+    # Hash the (variable-length) shingle string ONCE, then derive the
+    # num_hashes family members by re-hashing the resulting fixed-width
+    # long with each seed — 8-byte hashing is several times cheaper
+    # than string hashing, and the seeded re-hash of a near-uniform
+    # long is still an independent-enough MinHash family.
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__sh")
+    ).select(F.col(id_col), F.xxhash64(F.col("__sh")).alias("__h"))
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__mh{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -249,7 +304,7 @@ def prefix_filter_pairs(
         exploded.join(freq, "__tok")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select(id_col, "__tok")
+        .select(id_col, "__tok", "__set_size")
     )
     a = pref.alias("a")
     b = pref.alias("b")
@@ -257,7 +312,12 @@ def prefix_filter_pairs(
         a.join(
             b,
             (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # PPJoin length filter: Jaccard ≥ t forces
+            # t·|a| ≤ |b| ≤ |a|/t — prune size-incompatible pairs
+            # before they ever reach verification.
+            & (F.col("b.__set_size") >= F.ceil(F.col("a.__set_size") * F.lit(threshold)))
+            & (F.col("a.__set_size") >= F.ceil(F.col("b.__set_size") * F.lit(threshold))),
         )
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),

@@ -27,13 +27,13 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedup_last_write_wins
 from ..operators.similarity import (
     cosine_pairs,
+    ivf_topk_cosine,
     lsh_topk_cosine,
     topk_cosine,
 )
 from ..operators.text import (
     bpe_ish_tokens,
-    char_shingles,
-    jaccard,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     prefix_filter_pairs,
     simhash_signatures,
@@ -72,8 +72,6 @@ _SQL_TOKENS = "list_filter(string_split(text, ' '), x -> x != '')"
 _SQL_WORD_SHINGLES = (
     "list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])"
 )
-# char 5-gram shingles over text
-_SQL_CHAR_SHINGLES = "list_distinct([substr(text, i, 5) FOR i IN range(1, len(text) - 3)])"
 _SQL_JACCARD = (
     "len(list_intersect(a.sh, b.sh))::DOUBLE"
     " / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
@@ -450,21 +448,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.col("text"))
-    sh = d.select("doc_id", word_shingles(toks, 3).alias("sh")).filter(
-        F.size("sh") > 0
+    # persist: the shingle relation feeds both the signature branch and
+    # the verification branch of the DAG; without it Spark recomputes
+    # the shingling per branch (at scale: checkpoint/write it instead)
+    sh = (
+        d.select("doc_id", word_shingles(toks, 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
     )
     cands = lsh_candidate_pairs(
         sh, "doc_id", "sh", num_hashes=16, rows_per_band=2
     )
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verify_pairs(cands, sh, "doc_id", threshold=0.8)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -504,19 +499,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.col("text"))
-    sh = d.select("doc_id", word_shingles(toks, 3).alias("sh")).filter(
-        F.size("sh") > 0
+    sh = (
+        d.select("doc_id", word_shingles(toks, 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()  # reused by prefix, frequency, and verify branches
     )
     cands = prefix_filter_pairs(sh, "doc_id", "sh", threshold=0.6)
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verify_pairs(cands, sh, "doc_id", threshold=0.6)
 
 
 @_register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB
@@ -614,4 +603,21 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0)
     return lsh_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10, seed=42
+    ).orderBy("query_id", "rank")
+
+
+@_register("sim_topk_ivf")  # no oracle: approximate recall by design
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors via an IVF index: corpus
+    vectors bucketed by nearest coarse centroid, queries probe their 4
+    nearest of 16 cells. The partition-prune ANN path — at scale the
+    cell id becomes the storage bucketing key and a probe touches
+    n_probe/n_cells of the corpus. Deterministic (fixed centroid
+    choice); recall < 1 → rows-only check, anchored by the exact twin
+    `sim_topk_cosine`.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
     ).orderBy("query_id", "rank")

@@ -165,6 +165,30 @@ def test_topk_cosine_excludes_self_and_ranks(spark):
     assert [r.rank for r in out] == [1, 2]
 
 
+def test_ivf_topk_recall_against_exact(spark, sf_dir):
+    """IVF probe search must be a subset-approximation of exact top-k:
+    every returned neighbor's cosine is real, ranks are consistent, and
+    recall@10 against the exact operator is substantial."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        ivf_topk_cosine,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = topk_cosine(e, q, k=10).collect()
+    approx = ivf_topk_cosine(e, q, k=10, n_cells=16, n_probe=4).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # scores must agree exactly with the true cosine wherever both found
+    exact_by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_by_pair:
+            assert abs(r.cos_sim - exact_by_pair[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
 def test_multimodal_roundtrip(spark, docs):
     assets = documents_as_assets(
         docs.withColumnRenamed("doc_id", "doc_id").withColumn(
