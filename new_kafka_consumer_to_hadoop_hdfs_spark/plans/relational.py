@@ -446,6 +446,58 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_JOIN_ORACLE = """
+SELECT a.event_id,
+       a.user_id,
+       COUNT(b.event_id) AS n_prior_events_1h,
+       CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS prior_value_1h
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL '1 hour'
+ AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id
+"""
+
+
+@_register("join_range_events", _RANGE_JOIN_ORACLE)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join: for each event, aggregate the same
+    user's events in the preceding hour — the sessionization/feature
+    -engineering join shape.
+
+    Plan: equi-join on user_id (the shuffle key) with the time interval
+    as a join residual — Catalyst plans a sort-merge join on user and
+    evaluates the range per user partition, so cost is Σ per-user
+    pairs-within-window, never a time cross product. At 100 TB the
+    same predicate benefits from AQE skew handling on hot users; a
+    bucketed-by-user layout makes it shuffle-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        F.col("event_id").alias("b_event_id"),
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("b_ts") < F.col("a_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("b_event_id").alias("n_prior_events_1h"),
+        F.coalesce(F.sum(F.col("b_value").cast("decimal(18,6)")), F.lit(0))
+        .cast("double")
+        .alias("prior_value_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------

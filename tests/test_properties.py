@@ -1,0 +1,118 @@
+"""Property-based checks (SURVEY.md §5 item 5) with hypothesis.
+
+Spark-session-per-example is too slow for classic hypothesis loops, so
+each property generates a batch of randomized fixtures ONCE per run
+(seeded by hypothesis for shrinkability) and asserts the invariant over
+the whole batch inside a single Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.dedup import (
+    dedup_last_write_wins,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+    jaccard,
+    jaccard_verify_pairs,
+    word_shingles,
+)
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # partition
+        st.integers(0, 5),  # id
+        st.integers(0, 50),  # offset
+        st.text(alphabet="abc ", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_dedup_is_idempotent_and_unique(spark, rows):
+    df = spark.createDataFrame(
+        rows, "partition int, id int, offset int, msg string"
+    )
+    keys = ["partition", "id"]
+    order = [F.col("offset").desc(), F.col("msg").asc()]
+    once = dedup_last_write_wins(df, keys, order)
+    twice = dedup_last_write_wins(once, keys, order)
+
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotence
+    # uniqueness per key
+    key_set = [(r[0], r[1]) for r in got_once]
+    assert len(key_set) == len(set(key_set))
+    # output ⊆ input
+    input_set = set(map(tuple, rows))
+    assert set(got_once) <= input_set
+    # survivor is the argmax by (offset desc, msg asc) — recompute in python
+    best = {}
+    for p, i, o, m in rows:
+        cur = best.get((p, i))
+        if cur is None or (-o, m) < (-cur[2], cur[3]):
+            best[(p, i)] = (p, i, o, m)
+    assert set(got_once) == set(best.values())
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["row", "scan", "agg", "key", "the", "fast"]),
+        min_size=3,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=texts_strategy)
+@_SETTINGS
+def test_relational_jaccard_equals_array_jaccard(spark, texts):
+    """jaccard_verify_pairs (explode/join/count path) must agree with
+    the direct array-expression Jaccard for every candidate pair."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.split("text", " "), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ids = [r.doc_id for r in sh.select("doc_id").collect()]
+    if len(ids) < 2:
+        return
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    cands = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
+
+    rel = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in jaccard_verify_pairs(cands, sh, "doc_id", threshold=0.0).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
+    direct = {
+        (r.doc_id_a, r.doc_id_b): r.j
+        for r in cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("j"),
+        )
+        .collect()
+        if r.j > 0
+    }
+    assert rel == direct
