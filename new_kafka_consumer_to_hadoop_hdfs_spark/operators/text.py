@@ -328,6 +328,182 @@ def prefix_filter_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Hashed-element relational forms
+#
+# The array-based operators above are convenient for expression-level
+# composition, but the bulk near-dup pipeline is faster as plain
+# relations of (id, element_hash) rows: every stage (signatures,
+# frequencies, prefixes, verification) is then explode-free codegen
+# over longs — no higher-order lambdas, no string shuffles. Element
+# identity is xxhash64 of the shingle (collisions at 2^-64 are
+# irrelevant next to MinHash's own error), which also shrinks shuffle
+# payloads from n-gram strings to 8 bytes.
+# ---------------------------------------------------------------------------
+
+
+def shingle_elements(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """Distinct hashed word n-gram shingles as (id, __h) rows.
+
+    posexplode tokens → window ``lead`` over token position per doc →
+    hash the n adjacent tokens → distinct. Two hash-partitioned
+    shuffles on the doc id (window + distinct), everything codegen.
+    Equivalent set semantics to ``word_shingles`` + per-shingle
+    hashing, in relational form.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(whitespace_tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    leads = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(F.col(id_col), F.xxhash64(*leads).alias("__h"),
+                    leads[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "__h")
+        .distinct()
+    )
+
+
+def element_set_sizes(ex: DataFrame, id_col: str) -> DataFrame:
+    """|set| per id from the exploded element relation."""
+    return ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
+
+
+def minhash_candidate_pairs(
+    ex: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs from the (id, __h) element relation.
+
+    Signature mins aggregate directly over the hashed elements
+    (map-side combine; the shuffle carries num_hashes longs per doc),
+    bands explode from the aggregated row, and candidates come from the
+    band-bucket self-join — the same banding math as
+    :func:`lsh_candidate_pairs`, minus every per-element lambda.
+    """
+    num_bands = num_hashes // rows_per_band
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = mins.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("__band_idx", "__band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_candidate_pairs(
+    ex: DataFrame, id_col: str, *, threshold: float
+) -> DataFrame:
+    """Exact prefix-filter candidates from the (id, __h) relation —
+    the relational twin of :func:`prefix_filter_pairs` (frequency-
+    ordered prefixes + PPJoin length filter), joining on 8-byte hashes
+    instead of shingle strings."""
+    from pyspark.sql import Window
+
+    sizes = element_set_sizes(ex, id_col)
+    freq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
+    ).cast("int")
+    pref = (
+        ex.join(freq, "__h")
+        .join(sizes, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(id_col, "__h", F.col("__sz").alias("__set_size"))
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.__set_size") >= F.ceil(F.col("a.__set_size") * F.lit(threshold)))
+            & (F.col("a.__set_size") >= F.ceil(F.col("b.__set_size") * F.lit(threshold))),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify_elements(
+    cands: DataFrame,
+    ex: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    out_col: str = "jaccard",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the element relation:
+    intersection = equi-join on (pair, element hash) + count, union via
+    |a|+|b|-|a∩b|. All codegen; the candidate side broadcasts when
+    small (LSH/prefix filtering's whole job is making it small)."""
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    sizes = element_set_sizes(ex, id_col)
+    inter = (
+        cands.join(ex.withColumnRenamed(id_col, ida), ida)
+        .join(ex.withColumnRenamed(id_col, idb), [idb, "__h"])
+        .groupBy(ida, idb)
+        .agg(F.count("*").alias("__inter"))
+    )
+    j = F.col("__inter").cast("double") / (
+        F.col("__sza") + F.col("__szb") - F.col("__inter")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias(ida), F.col("__sz").alias("__sza")), ida
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(idb), F.col("__sz").alias("__szb")), idb
+        )
+        .withColumn(out_col, j)
+        .filter(F.col(out_col) >= threshold)
+        .select(ida, idb, F.round(out_col, 6).alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -33,13 +33,13 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     bpe_ish_tokens,
-    jaccard_verify_pairs,
-    lsh_candidate_pairs,
-    prefix_filter_pairs,
-    simhash_signatures,
+    jaccard_verify_elements,
+    minhash_candidate_pairs,
+    prefix_filter_candidate_pairs,
+    shingle_elements,
     simhash_near_pairs,
+    simhash_signatures,
     whitespace_tokens,
-    word_shingles,
 )
 from ..session import apply_runtime_conf
 from ..sources.files import load_table
@@ -447,19 +447,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the j^rows_per_band rate.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.col("text"))
-    # persist: the shingle relation feeds both the signature branch and
-    # the verification branch of the DAG; without it Spark recomputes
-    # the shingling per branch (at scale: checkpoint/write it instead)
-    sh = (
-        d.select("doc_id", word_shingles(toks, 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    cands = lsh_candidate_pairs(
-        sh, "doc_id", "sh", num_hashes=16, rows_per_band=2
-    )
-    return jaccard_verify_pairs(cands, sh, "doc_id", threshold=0.8)
+    # persist: the hashed-element relation feeds the signature branch
+    # and the verification branch of the DAG; without it Spark
+    # recomputes the shingling per branch (at scale: write it once)
+    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(ex, "doc_id", num_hashes=16, rows_per_band=2)
+    return jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -498,14 +491,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle space sparse enough that document frequency discriminates.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.col("text"))
-    sh = (
-        d.select("doc_id", word_shingles(toks, 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()  # reused by prefix, frequency, and verify branches
-    )
-    cands = prefix_filter_pairs(sh, "doc_id", "sh", threshold=0.6)
-    return jaccard_verify_pairs(cands, sh, "doc_id", threshold=0.6)
+    # reused by prefix, frequency, and verify branches
+    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
+    return jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6)
 
 
 @_register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB

@@ -204,6 +204,35 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERCENTILES_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@_register("agg_percentiles", _PERCENTILES_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`: (n-1)·p rank with linear interpolation).
+
+    Exact percentiles sort each group's values — fine per group here
+    (groups are value-sized); at 100 TB switch to
+    `approx_percentile` (t-digest sketch, mergeable map-side) when the
+    per-group data no longer fits a task, the same trade documented on
+    agg_approx_count_distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 _GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
 FROM orders
