@@ -277,10 +277,12 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
 
-    customer is the small side after the segment filter → broadcast;
+    customer-after-filter is small at test SFs but grows linearly with
+    scale (150k rows/SF), so no forced broadcast hint — AQE broadcasts
+    while it fits and falls back to a shuffle join beyond that.
     orders⋈lineitem shuffles on orderkey (the natural co-location key).
-    Global top-10 by (revenue desc, orderkey) is a TakeOrdered — no full
-    sort materialization.
+    Global top-10 by (revenue desc, orderkey) is a TakeOrdered — no
+    full sort materialization.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -291,7 +293,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
