@@ -129,6 +129,63 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed (id_a < id_b) pairs with cosine ≥ threshold — the scale
+    path for embedding near-dup, replacing :func:`cosine_pairs`'s
+    brute-force self-join.
+
+    L2-normalize, then ``approxSimilarityJoin`` at euclidean distance
+    √(2·(1-threshold)) (exact translation on the unit sphere); only
+    co-bucketed vectors are compared. Cosines on survivors are exact,
+    recall < 1 by LSH design → rows-only check anchored by the exact
+    twin. Output schema matches :func:`cosine_pairs`.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    prepped = Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(
+        df.select(
+            F.col(id_col),
+            to_double(F.col(vec_col)).alias("__v"),
+            array_to_vector(to_double(F.col(vec_col))).alias("__raw"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(prepped)
+    dist = math.sqrt(2.0 * (1.0 - threshold))
+    joined = model.approxSimilarityJoin(prepped, prepped, dist, distCol="__dist")
+    a_id, b_id = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        joined.filter(a_id < b_id)
+        .select(
+            a_id.alias(f"{id_col}_a"),
+            b_id.alias(f"{id_col}_b"),
+            cosine(F.col("datasetA.__v"), F.col("datasetB.__v")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            f"{id_col}_a", f"{id_col}_b", F.round("__cos", 6).alias("cos_sim")
+        )
+    )
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,38 +208,53 @@ def ivf_topk_cosine(
 
     Centroid choice is deterministic: the first ``n_cells`` corpus
     vectors by id (a k-means refinement would improve cell balance but
-    adds an iterative job; the index structure — assignment join,
-    partition-pruned probe — is identical). At 100 TB the cell id is
-    the partition/bucket key: writing the corpus bucketed by
-    ``cell`` makes a probe read only n_probe/n_cells of the data —
-    genuine partition pruning for vector search.
+    adds an iterative job; the index structure — assignment, partition-
+    pruned probe — is identical). At 100 TB the cell id is the
+    partition/bucket key: writing the corpus bucketed by ``cell`` makes
+    a probe read only n_probe/n_cells of the data — genuine partition
+    pruning for vector search.
 
-    Plan: two broadcast joins (centroids are tiny) + one shuffle on
-    cell for the probe join + per-query rank. Output schema matches
-    :func:`topk_cosine`.
+    The n_cells centroid vectors are collected to the driver and
+    embedded as a LITERAL array — the one sanctioned collect in the
+    engine, because it is index CONSTRUCTION over k·dim floats (bytes,
+    like any broadcast build side), never the data path. That makes
+    cell assignment a pure per-row projection: the corpus pass is
+    zero-shuffle (the earlier draft cross-joined centroids and ranked
+    with a window, which shuffles corpus×n_cells rows — a 16× blowup
+    that would be the bottleneck at scale). The only shuffle left is
+    the probe equi-join on cell + the per-query rank.
     """
-    w_id = Window.orderBy(F.col(id_col))
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(w_id).alias("__cell"),
-            to_double(F.col(vec_col)).alias("__centroid"),
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_cells).select(to_double(F.col(vec_col))).collect()
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in row[0]]).alias("c"),
+            )
+            for i, row in enumerate(cent_rows)
+        ]
+    )
+    # per-row scored cells, best first: sort_array on (-cos, cell)
+    scored_cells = lambda vec: F.sort_array(  # noqa: E731
+        F.transform(
+            cents,
+            lambda ct: F.struct(
+                (-cosine(vec, ct["c"])).alias("neg_cos"), ct["cell"].alias("cell")
+            ),
         )
     )
 
     def assign(df: DataFrame, out_id: str, keep_vec: str, top_cells: int) -> DataFrame:
-        """Tag each vector with its ``top_cells`` nearest centroid ids."""
-        scored = df.select(
+        """Tag each vector with its ``top_cells`` nearest centroid ids —
+        a narrow projection (argmin over the literal centroid array)."""
+        vec = df.select(
             F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
-        ).join(F.broadcast(cents), how="cross")
-        w = Window.partitionBy(out_id).orderBy(
-            cosine(F.col(keep_vec), F.col("__centroid")).desc(), F.col("__cell")
         )
-        return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= top_cells)
-            .select(out_id, keep_vec, "__cell")
+        cells = F.slice(scored_cells(F.col(keep_vec)), 1, top_cells)
+        return vec.select(
+            out_id, keep_vec, F.explode(cells["cell"]).alias("__cell")
         )
 
     inv_file = assign(corpus, "neighbor_id", "__cv", 1)

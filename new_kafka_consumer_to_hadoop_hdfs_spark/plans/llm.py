@@ -28,6 +28,7 @@ from ..operators.dedup import dedup_last_write_wins
 from ..operators.similarity import (
     cosine_pairs,
     ivf_topk_cosine,
+    lsh_cosine_pairs,
     lsh_topk_cosine,
     topk_cosine,
 )
@@ -540,6 +541,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(e, id_col="vec_id", vec_col="embedding", threshold=0.4)
+
+
+@_register("dedup_embedding_lsh")  # no oracle: approximate recall by design
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) via LSH bucketing — the
+    100 TB twin of `dedup_embedding_cosine`: approxSimilarityJoin
+    compares only co-bucketed normalized vectors, so the cost follows
+    bucket occupancy instead of |corpus|². Exact cosine recomputed on
+    surviving pairs; recall < 1 → rows-only, anchored by the exact
+    brute-force twin.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.4, seed=42
+    ).orderBy("vec_id_a", "vec_id_b")
 
 
 # ---------------------------------------------------------------------------
