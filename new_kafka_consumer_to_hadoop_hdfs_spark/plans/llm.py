@@ -558,6 +558,40 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+_ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(embedding[64] AS DOUBLE) AS last_elem,
+       ROUND(CAST(list_sum(embedding[1:8]::DOUBLE[]) AS DOUBLE), 6) AS head_sum,
+       CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+"""
+
+
+@_register("scalar_array_functions", _ARRAY_FUNCS_ORACLE)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column: size, element
+    access, slice-sum (higher-order aggregate), max, predicate count —
+    the vector-column manipulation surface, all JVM expressions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    head8 = F.transform(
+        F.slice(F.col("embedding"), 1, 8), lambda x: x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", 64).cast("double").alias("last_elem"),
+        F.round(
+            F.aggregate(head8, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

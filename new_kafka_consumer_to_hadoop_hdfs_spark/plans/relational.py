@@ -477,6 +477,96 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@_register("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join — the plan Catalyst produces
+    for correlated scalars anyway, written explicitly so the
+    aggregation reuses the lineitem scan.
+
+    Per-part averages shuffle once on partkey (map-side partial avg);
+    the filtered fact join shares that key. At scale both sides of the
+    self-join co-locate on l_partkey — no extra exchange under AQE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey AS ok, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = ok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@_register("q18_large_volume_customer", _Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregation, then dim joins
+    and global top-k.
+
+    The heavy aggregation runs FIRST (one shuffle on orderkey,
+    map-side combine), and only qualifying orders — a tiny fraction —
+    reach the joins, which AQE then broadcasts. Aggregate-then-join
+    ordering is the difference between shuffling the fact table once
+    and shuffling it per join at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("ok") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 _RANGE_JOIN_ORACLE = """
 SELECT a.event_id,
        a.user_id,

@@ -116,6 +116,74 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     assert {m for _, i, m in got if i == 1} <= {"first", "dup-same-key"}
 
 
+def test_session_window_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming session windows (watermarked, update mode) must settle
+    to exactly the batch session result once the source drains."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = tmp_path / "ssrc2"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(str(src))
+
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in batch_df.collect()
+        )
+
+    # session windows support append mode only: a session is emitted
+    # once, when the watermark passes its close (AvailableNow runs the
+    # extra no-data batch that advances the watermark and flushes)
+    q = (
+        out.writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = {(uid, ss): (se, n) for uid, ss, se, n in got}
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in (
+            events.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        ).collect()
+    }
+    # append emits a session only once the watermark passes its close;
+    # sessions still open at end-of-stream (close > max_ts - delay)
+    # correctly remain in state and never appear
+    import datetime as _dt
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    watermark = max_ts - _dt.timedelta(hours=1)
+    closed = {k: v for k, v in expected.items() if v[0] <= watermark}
+    still_open = {k: v for k, v in expected.items() if v[0] > watermark}
+    assert final == closed
+    assert all(k not in final for k in still_open)
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_path, sf_dir):
     """The streaming windowed aggregation must produce exactly the
     batch result once the AvailableNow run drains the source."""

@@ -189,6 +189,40 @@ def test_ivf_topk_recall_against_exact(spark, sf_dir):
             assert abs(r.cos_sim - exact_by_pair[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    """Salted two-phase aggregation must equal the direct groupBy for
+    every algebraic aggregate, regardless of bucket count."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.skew import (
+        salted_aggregate,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    salted = salted_aggregate(
+        o,
+        ["o_orderstatus"],
+        [
+            ("sum", F.col("o_totalprice").cast("decimal(18,2)"), "total"),
+            ("count", F.col("o_orderkey"), "n"),
+            ("min", F.col("o_totalprice"), "lo"),
+            ("max", F.col("o_totalprice"), "hi"),
+        ],
+        salt_buckets=7,
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.count("o_orderkey").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    with pytest.raises(ValueError):
+        salted_aggregate(o, ["o_orderstatus"], [("avg", "o_totalprice", "a")])
+
+
 def test_multimodal_roundtrip(spark, docs):
     assets = documents_as_assets(
         docs.withColumnRenamed("doc_id", "doc_id").withColumn(
