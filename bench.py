@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "pipeline_corpus_dedup",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
     "sim_topk_cosine",
     "sim_topk_lsh",
     "sim_topk_ivf",
@@ -81,8 +84,10 @@ def main() -> None:
         print(f"bench: skipping unimplemented {skipped}", file=sys.stderr)
 
     def materialize(name: str) -> float:
-        df = queries[name](spark, SF_DIR)
+        # time plan construction + execution: iterative queries (e.g.
+        # connected components) run Spark jobs during construction
         t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 

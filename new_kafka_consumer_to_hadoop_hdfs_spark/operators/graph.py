@@ -1,0 +1,80 @@
+"""Iterative graph operators: connected components by min-label
+propagation.
+
+Near-duplicate REMOVAL (as opposed to pair detection) needs the
+transitive closure of the pair relation: if A≈B and B≈C, the cluster
+{A,B,C} keeps one survivor even though (A,C) may fall below the
+threshold. That closure is a connected-components problem, computed
+here by synchronous min-label propagation — each node repeatedly
+adopts the minimum label among itself and its neighbors until
+fixpoint, i.e. the standard iterative-join formulation (the
+large-star/small-star family from the MapReduce CC literature reduces
+the round count; propagation converges in O(diameter) rounds, and
+near-dup graphs are overwhelmingly tiny cliques with diameter 1-2).
+
+This is the engine's one ITERATIVE algorithm: the driver loop runs a
+bounded number of Spark jobs (not a per-row loop), checkpointing each
+round to cut lineage — the documented pattern for iterative work on
+Spark. At 100 TB each round is one shuffle of the edge relation,
+keyed on dst; convergence checks are a cheap count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components_min_label(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with its connected component's minimum node id.
+
+    ``nodes``: one column ``id_col``; ``edges``: (src, dst), treated as
+    undirected (symmetrized internally). Returns (node, label).
+
+    Each round: for every node take min(own label, neighbors' labels);
+    stop when no label changed (or at ``max_iterations``, far beyond
+    the diameter of dedup graphs). ``localCheckpoint`` truncates plan
+    lineage so round N's plan doesn't embed rounds 1..N-1.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["__dst"] == labels["node"])
+            .groupBy("__src")
+            .agg(F.min("label").alias("__nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["__src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("__nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -558,6 +558,56 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+_CORPUS_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+s AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM t WHERE len(t) >= 3),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE {_SQL_JACCARD} >= 0.8),
+edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM reach WHERE b < a)
+"""
+
+
+@_register("pipeline_corpus_dedup", _CORPUS_DEDUP_ORACLE)
+def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus near-dedup: the query a training-data pipeline
+    actually runs. MinHash-LSH pair detection (Jaccard ≥ 0.8) →
+    connected components over the pair graph (transitive closure: A≈B,
+    B≈C removes C even if (A,C) is sub-threshold) → keep each
+    cluster's minimum doc_id.
+
+    Composes three scale-safe stages: bucketed candidate generation,
+    exact verification, and iterative min-label propagation
+    (operators/graph.py — one edge shuffle per round, O(diameter)
+    rounds). Oracle: DuckDB recursive CTE over the brute-force pair
+    relation.
+    """
+    from ..operators.graph import connected_components_min_label
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    cands = minhash_candidate_pairs(ex, "doc_id", num_hashes=16, rows_per_band=2)
+    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
+    labels = connected_components_min_label(
+        d.select("doc_id"),
+        pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        ),
+        id_col="doc_id",
+    )
+    return labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+
+
 _ARRAY_FUNCS_ORACLE = """
 SELECT vec_id,
        len(embedding) AS dim,

@@ -189,6 +189,27 @@ def test_ivf_topk_recall_against_exact(spark, sf_dir):
             assert abs(r.cos_sim - exact_by_pair[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_connected_components_chain_clique_singleton(spark):
+    """Min-label propagation: a 4-chain (needs >1 round), a triangle,
+    and an isolated node each resolve to their component minimum."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    edges = spark.createDataFrame(
+        # chain 1-3-5-7 (written so propagation takes multiple rounds),
+        # triangle 2-4-6; node 8 and 0 isolated
+        [(7, 5), (5, 3), (3, 1), (2, 4), (4, 6), (2, 6)],
+        "src long, dst long",
+    )
+    labels = {
+        r.node: r.label
+        for r in connected_components_min_label(nodes, edges).collect()
+    }
+    assert labels == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 2, 8: 8}
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     """Salted two-phase aggregation must equal the direct groupBy for
     every algebraic aggregate, regardless of bucket count."""
