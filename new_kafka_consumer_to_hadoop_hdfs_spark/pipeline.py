@@ -72,10 +72,12 @@ def run_streaming(
     applyInPandasWithState), emitting a key's new winner whenever a
     higher offset arrives, with O(live keys) state.
 
-    Note on --limit: in streaming mode the per-partition cap maps to
-    ``maxOffsetsPerTrigger``, which is a per-trigger rate limit —
-    AvailableNow still drains the whole topic, unlike the batch path's
-    hard cap (reference kafka.limit, KafkaInputFormat.java:188).
+    --limit in streaming mode: ``maxOffsetsPerTrigger`` throttles each
+    micro-batch, and the foreachBatch path additionally enforces the
+    reference's HARD per-partition cap cumulatively across batches via
+    streaming.dedup.per_partition_cap (the topic is still consumed to
+    the end — AvailableNow semantics — but output stops at the cap,
+    matching kafka.limit, KafkaInputFormat.java:188).
     """
     src = read_kafka_stream(spark, cfg)
     if stateful:
@@ -95,7 +97,15 @@ def run_streaming(
             .start()
         )
 
+    cap = None
+    if cfg.limit and cfg.limit > 0:
+        from .streaming.dedup import per_partition_cap
+
+        cap = per_partition_cap(cfg.limit)
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if cap is not None:
+            batch_df = cap(batch_df)
         out = serialize_output(dedup_pipeline(batch_df))
         write_json_lines(out, f"{output_dir}/epoch={epoch_id}", line=F.col("value"))
 

@@ -9,12 +9,14 @@ file-stream harnesses (tests/test_streaming.py).
 
 from .dedup import (
     dedup_within_watermark,
+    per_partition_cap,
     stateful_lww_dedup,
     windowed_event_counts,
 )
 
 __all__ = [
     "dedup_within_watermark",
+    "per_partition_cap",
     "stateful_lww_dedup",
     "windowed_event_counts",
 ]

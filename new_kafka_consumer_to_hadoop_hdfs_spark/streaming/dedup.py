@@ -169,6 +169,50 @@ def stateful_lww_dedup(parsed: DataFrame) -> DataFrame:
     )
 
 
+def per_partition_cap(limit: int):
+    """Hard per-partition row cap across micro-batches (streaming twin
+    of the reference's kafka.limit, KafkaInputFormat.java:188).
+
+    Returns ``cap(batch_df) -> DataFrame`` for use inside foreachBatch:
+    it keeps a cumulative per-partition quota in the driver (foreachBatch
+    epochs run serially on the driver, so the closure dict is safe) and
+    trims each batch to the remaining quota, ordered by offset. Unlike
+    ``maxOffsetsPerTrigger`` — a per-trigger RATE limit — this enforces
+    the reference's absolute cap: once a partition has emitted ``limit``
+    rows, later batches contribute nothing from it.
+
+    The per-batch trim is a window over only the batch's rows (bounded
+    by maxOffsetsPerTrigger), not the whole topic.
+    """
+    consumed: dict[int, int] = {}
+
+    def cap(batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("partition").orderBy("offset")
+        remaining = F.col("__limit") - F.col("__used")
+        used_df = batch_df.sparkSession.createDataFrame(
+            [(p, n) for p, n in consumed.items()] or [(-1, 0)],
+            "partition int, __used long",
+        )
+        trimmed = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(used_df), "partition", "left")
+            .withColumn("__used", F.coalesce("__used", F.lit(0)))
+            .withColumn("__limit", F.lit(limit))
+            .filter(F.col("__rn") <= remaining)
+            .drop("__rn", "__used", "__limit")
+        )
+        # update quota bookkeeping (runs on driver, serial per epoch)
+        for row in (
+            trimmed.groupBy("partition").agg(F.count("*").alias("n")).collect()
+        ):
+            consumed[row["partition"]] = consumed.get(row["partition"], 0) + row["n"]
+        return trimmed
+
+    return cap
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

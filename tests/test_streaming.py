@@ -116,6 +116,117 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     assert {m for _, i, m in got if i == 1} <= {"first", "dup-same-key"}
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Click→purchase attribution across two real streams: purchases
+    join their user's click within the preceding hour; out-of-window
+    purchases drop."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.joins import (
+        interval_join,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "c1"),
+            (2, dt.datetime(2024, 1, 1, 11, 0), "c2"),
+        ],
+        "user long, click_ts timestamp, click_id string",
+    ).write.parquet(str(clicks_dir / "b0"))
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 30), "p-in-window"),
+            (2, dt.datetime(2024, 1, 1, 12, 30), "p-too-late"),
+            (3, dt.datetime(2024, 1, 1, 10, 15), "p-no-click"),
+        ],
+        "user long, buy_ts timestamp, buy_id string",
+    ).write.parquet(str(buys_dir / "b0"))
+
+    clicks = spark.readStream.schema(
+        "user long, click_ts timestamp, click_id string"
+    ).parquet(str(clicks_dir / "*"))
+    buys = spark.readStream.schema(
+        "user long, buy_ts timestamp, buy_id string"
+    ).parquet(str(buys_dir / "*"))
+
+    joined = interval_join(
+        clicks, buys, key="user", left_ts="click_ts", right_ts="buy_ts",
+        within="1 hour",
+    ).select("click_id", "buy_id")
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend((r.click_id, r.buy_id) for r in batch_df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == [("c1", "p-in-window")]
+
+
+def test_per_partition_cap_across_batches(spark, tmp_path):
+    """The streaming hard cap must be cumulative: once a partition hits
+    the limit, rows from LATER micro-batches are dropped — the behavior
+    maxOffsetsPerTrigger (a rate limit) cannot provide."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        per_partition_cap,
+    )
+
+    src = tmp_path / "capsrc"
+    src.mkdir()
+    # two batches; partition 0 has 3+2 rows, partition 1 has 1+1
+    _rows(
+        spark,
+        [
+            (0, 1, 1, "a", dt.datetime(2024, 1, 1)),
+            (0, 2, 2, "b", dt.datetime(2024, 1, 1)),
+            (0, 3, 3, "c", dt.datetime(2024, 1, 1)),
+            (1, 4, 1, "d", dt.datetime(2024, 1, 1)),
+        ],
+    ).write.parquet(str(src / "b0"))
+    _rows(
+        spark,
+        [
+            (0, 5, 4, "e", dt.datetime(2024, 1, 1)),
+            (0, 6, 5, "f", dt.datetime(2024, 1, 1)),
+            (1, 7, 2, "g", dt.datetime(2024, 1, 1)),
+        ],
+    ).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    cap = per_partition_cap(4)
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend((r.partition, r.offset) for r in cap(batch_df).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "capckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    p0 = sorted(o for p, o in got if p == 0)
+    p1 = sorted(o for p, o in got if p == 1)
+    # file→batch order isn't guaranteed, but the cumulative cap is:
+    # partition 0 (5 rows available) emits exactly 4, partition 1 (2
+    # rows) stays under the cap and emits everything
+    assert len(p0) == 4 and set(p0) <= {1, 2, 3, 4, 5}
+    assert p1 == [1, 2]
+
+
 def test_session_window_stream_equals_batch(spark, tmp_path, sf_dir):
     """Streaming session windows (watermarked, update mode) must settle
     to exactly the batch session result once the source drains."""
