@@ -69,6 +69,16 @@ def test_no_forced_broadcast_on_growing_tables(spark, registry):
             assert "(n)" in line or "(r)" in line, f"forced broadcast: {line.strip()}"
 
 
+def test_near_dup_never_plans_cartesian(spark, registry):
+    """The bucketed near-dup pipeline must never degenerate into an
+    all-pairs join — candidate generation is equi-join on band/shingle
+    buckets by construction."""
+    for name in ("dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash"):
+        plan = _plan(spark, registry, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_kafka_dedup_single_shuffle(spark, registry):
     """The reference dedup plan: exactly one exchange (hash partition on
     the dedup keys) feeding the windowed argmax."""
