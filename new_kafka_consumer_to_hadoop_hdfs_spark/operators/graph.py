@@ -76,5 +76,10 @@ def connected_components_min_label(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge within {max_iterations} "
+        "iterations — the pair graph has a longer path than expected; "
+        "raise max_iterations (propagation needs O(component diameter) "
+        "rounds). Returning partial labels would silently under-dedup."
+    )

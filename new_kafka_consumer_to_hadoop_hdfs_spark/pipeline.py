@@ -88,11 +88,19 @@ def run_streaming(
         out = winners.select(
             serialize_message(F.col("id"), F.col("msg")).alias("value")
         )
+
+        # file sinks support append only, so update-mode output goes
+        # through foreachBatch: each epoch's new winners land in their
+        # own overwritten dir (idempotent under epoch replay)
+        def write_updates(batch_df: DataFrame, epoch_id: int) -> None:
+            write_json_lines(
+                batch_df, f"{output_dir}/epoch={epoch_id}", line=F.col("value")
+            )
+
         return (
-            out.writeStream.format("text")
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint)
+            out.writeStream.foreachBatch(write_updates)
             .outputMode("update")
+            .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
@@ -101,11 +109,15 @@ def run_streaming(
     if cfg.limit and cfg.limit > 0:
         from .streaming.dedup import per_partition_cap
 
-        cap = per_partition_cap(cfg.limit)
+        # quota state lives next to the checkpoint so a restart resumes
+        # the cap; per-epoch overwrite dirs make sink replays idempotent
+        cap = per_partition_cap(
+            cfg.limit, state_path=f"{checkpoint}/__partition_cap_state.json"
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if cap is not None:
-            batch_df = cap(batch_df)
+            batch_df = cap(batch_df, epoch_id)
         out = serialize_output(dedup_pipeline(batch_df))
         write_json_lines(out, f"{output_dir}/epoch={epoch_id}", line=F.col("value"))
 
@@ -134,6 +146,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--partitions", type=int, default=3,
                    help="minPartitions hint; Spark discovers real partition count")
     p.add_argument("--limit", type=int, default=-1, help="per-partition row cap")
+    p.add_argument(
+        "--partition-count",
+        type=int,
+        default=None,
+        help="ACTUAL topic partition count, enabling the zero-shuffle "
+        "endingOffsets pushdown of --limit (must cover every partition "
+        "or the Kafka source rejects the offsets; omit to use the "
+        "exact post-read cap)",
+    )
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None)
     return p
@@ -149,7 +170,10 @@ def main(argv: list[str] | None = None) -> int:
         group_id=args.consumer_group,
         limit=args.limit,
         min_partitions=args.partitions,
-        partitions=args.partitions,
+        # NOT -p: that is an oversplit hint with a default of 3, while
+        # the endingOffsets pushdown needs the true partition count for
+        # every partition — opt-in via --partition-count only
+        partitions=args.partition_count,
     )
     spark = get_spark(app_name=f"kafka-dedup:{args.topic}")
     if args.streaming:

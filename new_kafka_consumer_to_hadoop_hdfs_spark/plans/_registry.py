@@ -1,0 +1,51 @@
+"""Shared query-registration machinery for the plan modules.
+
+One definition instead of a copy per module: ``make_register`` returns
+the decorator each plan module uses to publish (query, oracle) pairs,
+and ``dsum`` is the shared order-independent money-sum helper (decimal
+accumulate, double out — see plans/relational.py's float determinism
+contract). ``functools.wraps`` matters here: it keeps
+``inspect.getsource``/introspection pointed at the real query body
+(the plan-shape tests read query sources to enforce design rules).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+
+
+def make_register(queries: dict, oracles: dict):
+    """Build a ``@register(name, oracle_sql=None)`` decorator bound to a
+    module's QUERIES/ORACLES dicts. Registered callables take
+    (spark, sf_dir), apply the runtime confs, and return a DataFrame."""
+
+    def register(name: str, oracle: str | None = None):
+        def deco(fn):
+            @functools.wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                apply_runtime_conf(spark)
+                return fn(spark, sf_dir)
+
+            queries[name] = wrapped
+            if oracle is not None:
+                oracles[name] = oracle
+            return wrapped
+
+        return deco
+
+    return register
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent exact sum: decimal-cast inputs, double output.
+
+    Pass ``scale`` explicitly when the column carries more than 2
+    decimal places (e.g. event values use 6) — the oracle SQL must use
+    the same scale or the value hash diverges.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")

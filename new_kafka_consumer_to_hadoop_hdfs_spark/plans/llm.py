@@ -42,27 +42,12 @@ from ..operators.text import (
     simhash_signatures,
     whitespace_tokens,
 )
-from ..session import apply_runtime_conf
 from ..sources.files import load_table
+from ._registry import make_register
 
 QUERIES = {}
 ORACLES = {}
-
-
-def _register(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            apply_runtime_conf(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = f"q_{name}"
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return wrapped
-
-    return deco
+_register = make_register(QUERIES, ORACLES)
 
 
 # DuckDB equivalents of the shared token/shingle builders. Kept as
@@ -94,6 +79,27 @@ _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 def _sql_in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
+
+
+# Bounded persist: the near-dup queries cache their shingle relation
+# (it feeds several DAG branches), but the returned DataFrame executes
+# after this function returns, so unpersisting eagerly is impossible.
+# Instead each new persist evicts the previous query's cached relation
+# — Spark recomputes if it is somehow still needed — bounding the
+# session's cache footprint to one relation instead of leaking one per
+# invocation (bench/driver sessions call every query in one process).
+_PERSISTED: list = []
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -451,7 +457,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the hashed-element relation feeds the signature branch
     # and the verification branch of the DAG; without it Spark
     # recomputes the shingling per branch (at scale: write it once)
-    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
     cands = minhash_candidate_pairs(ex, "doc_id", num_hashes=16, rows_per_band=2)
     return jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
 
@@ -493,7 +499,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     # reused by prefix, frequency, and verify branches
-    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
     cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
     return jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6)
 
@@ -593,7 +599,7 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_min_label
 
     d = load_table(spark, sf_dir, "documents")
-    ex = shingle_elements(d, "doc_id", "text", n=3).persist()
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
     cands = minhash_candidate_pairs(ex, "doc_id", num_hashes=16, rows_per_band=2)
     pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
     labels = connected_components_min_label(

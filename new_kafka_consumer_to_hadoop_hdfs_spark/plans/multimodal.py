@@ -14,27 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import documents_as_assets, extract_features
-from ..session import apply_runtime_conf
 from ..sources.files import load_table
+from ._registry import make_register
 
 QUERIES = {}
 ORACLES = {}
-
-
-def _register(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            apply_runtime_conf(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = f"q_{name}"
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return wrapped
-
-    return deco
+_register = make_register(QUERIES, ORACLES)
 
 
 _BINARY_STATS_ORACLE = """

@@ -29,32 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import apply_runtime_conf
 from ..sources.files import load_table
+from ._registry import dsum as _dsum
+from ._registry import make_register
 
 QUERIES = {}
 ORACLES = {}
-
-
-def _register(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            apply_runtime_conf(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = f"q_{name}"
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return wrapped
-
-    return deco
-
-
-def _dsum(col: Column, scale: int = 2) -> Column:
-    """Order-independent exact sum: decimal-cast inputs, double output."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+_register = make_register(QUERIES, ORACLES)
 
 
 # ---------------------------------------------------------------------------

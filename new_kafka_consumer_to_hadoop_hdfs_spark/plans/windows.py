@@ -21,32 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import apply_runtime_conf
 from ..sources.files import load_table
+from ._registry import dsum
+from ._registry import make_register
 
 QUERIES = {}
 ORACLES = {}
+_register = make_register(QUERIES, ORACLES)
 
 
-def _register(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            apply_runtime_conf(spark)
-            return fn(spark, sf_dir)
-
-        wrapped.__name__ = f"q_{name}"
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return wrapped
-
-    return deco
-
-
-def _dsum(col: Column, scale: int = 6) -> Column:
-    """Order-independent exact sum (decimal accumulate, double out)."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+def _dsum(col: Column) -> Column:
+    """Event values carry 6 decimal places — scale must match oracles."""
+    return dsum(col, 6)
 
 
 _TUMBLING_ORACLE = """
@@ -132,7 +118,7 @@ def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH seq AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL '8 hours'
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -141,7 +127,7 @@ WITH seq AS (
 ),
 ids AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM seq
 )

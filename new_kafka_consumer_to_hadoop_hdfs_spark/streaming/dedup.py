@@ -169,25 +169,64 @@ def stateful_lww_dedup(parsed: DataFrame) -> DataFrame:
     )
 
 
-def per_partition_cap(limit: int):
+def per_partition_cap(limit: int, *, state_path: str | None = None):
     """Hard per-partition row cap across micro-batches (streaming twin
     of the reference's kafka.limit, KafkaInputFormat.java:188).
 
-    Returns ``cap(batch_df) -> DataFrame`` for use inside foreachBatch:
-    it keeps a cumulative per-partition quota in the driver (foreachBatch
-    epochs run serially on the driver, so the closure dict is safe) and
-    trims each batch to the remaining quota, ordered by offset. Unlike
-    ``maxOffsetsPerTrigger`` — a per-trigger RATE limit — this enforces
-    the reference's absolute cap: once a partition has emitted ``limit``
-    rows, later batches contribute nothing from it.
+    Returns ``cap(batch_df, epoch_id=None) -> DataFrame`` for use
+    inside foreachBatch: it keeps a cumulative per-partition quota on
+    the driver (foreachBatch epochs run serially, so the bookkeeping
+    is race-free) and trims each batch to the remaining quota, ordered
+    by offset. Unlike ``maxOffsetsPerTrigger`` — a per-trigger RATE
+    limit — this enforces the reference's absolute cap: once a
+    partition has emitted ``limit`` rows, later batches contribute
+    nothing from it.
 
-    The per-batch trim is a window over only the batch's rows (bounded
-    by maxOffsetsPerTrigger), not the whole topic.
+    Durability: with ``state_path`` the quota (and the set of applied
+    epoch ids) is persisted as JSON after every epoch, so a checkpoint
+    RESTART resumes the cap instead of resetting it; a replayed epoch
+    (committed to the sink but re-delivered) returns an empty frame,
+    keeping the cap exact as long as the sink's own epoch handling is
+    idempotent (the pipeline writes per-epoch dirs with overwrite).
+    Without ``state_path`` the quota is in-memory only and a restart
+    re-opens it — acceptable for AvailableNow one-shot runs, wrong for
+    long-lived queries; pass a path under the checkpoint dir there.
+    The state file uses driver-local file IO: point it at a
+    driver-accessible path (local disk or a mounted DFS).
+
+    The returned (trimmed) frame is persisted for the epoch so the
+    bookkeeping count and the caller's sink write share one evaluation.
     """
-    consumed: dict[int, int] = {}
+    import json
+    import os
 
-    def cap(batch_df: DataFrame) -> DataFrame:
+    consumed: dict[int, int] = {}
+    applied_epochs: set[int] = set()
+    last_cached: list[DataFrame] = []
+
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as fh:
+            saved = json.load(fh)
+        consumed.update({int(k): v for k, v in saved.get("consumed", {}).items()})
+        applied_epochs.update(saved.get("epochs", []))
+
+    def _save() -> None:
+        if not state_path:
+            return
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"consumed": consumed, "epochs": sorted(applied_epochs)}, fh
+            )
+        os.replace(tmp, state_path)  # atomic on POSIX
+
+    def cap(batch_df: DataFrame, epoch_id: int | None = None) -> DataFrame:
         from pyspark.sql import Window
+
+        if epoch_id is not None and epoch_id in applied_epochs:
+            # replay of an already-accounted epoch: the sink already
+            # holds its rows; emit nothing rather than double-spend
+            return batch_df.limit(0)
 
         w = Window.partitionBy("partition").orderBy("offset")
         remaining = F.col("__limit") - F.col("__used")
@@ -195,6 +234,11 @@ def per_partition_cap(limit: int):
             [(p, n) for p, n in consumed.items()] or [(-1, 0)],
             "partition int, __used long",
         )
+        while last_cached:  # bound cache to the current epoch
+            try:
+                last_cached.pop().unpersist()
+            except Exception:
+                pass
         trimmed = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .join(F.broadcast(used_df), "partition", "left")
@@ -202,12 +246,16 @@ def per_partition_cap(limit: int):
             .withColumn("__limit", F.lit(limit))
             .filter(F.col("__rn") <= remaining)
             .drop("__rn", "__used", "__limit")
+            .persist()
         )
-        # update quota bookkeeping (runs on driver, serial per epoch)
+        last_cached.append(trimmed)
         for row in (
             trimmed.groupBy("partition").agg(F.count("*").alias("n")).collect()
         ):
             consumed[row["partition"]] = consumed.get(row["partition"], 0) + row["n"]
+        if epoch_id is not None:
+            applied_epochs.add(epoch_id)
+        _save()
         return trimmed
 
     return cap

@@ -227,6 +227,35 @@ def test_per_partition_cap_across_batches(spark, tmp_path):
     assert p1 == [1, 2]
 
 
+def test_per_partition_cap_survives_restart(spark, tmp_path):
+    """With state_path, a recreated cap (simulating a driver restart)
+    resumes the cumulative quota and skips already-applied epochs."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        per_partition_cap,
+    )
+
+    state = str(tmp_path / "cap_state.json")
+    b0 = _rows(
+        spark,
+        [(0, i, i, f"m{i}", dt.datetime(2024, 1, 1)) for i in range(1, 4)],
+    )
+    b1 = _rows(
+        spark,
+        [(0, i, i, f"m{i}", dt.datetime(2024, 1, 1)) for i in range(4, 7)],
+    )
+
+    cap1 = per_partition_cap(4, state_path=state)
+    assert cap1(b0, epoch_id=0).count() == 3  # 3 of quota 4 spent
+
+    # "restart": fresh cap instance from the same state file
+    cap2 = per_partition_cap(4, state_path=state)
+    assert cap2(b0, epoch_id=0).count() == 0  # replayed epoch: nothing
+    assert cap2(b1, epoch_id=1).count() == 1  # only 1 left of the quota
+    # and the emitted row is the lowest offset of the new batch
+    cap3 = per_partition_cap(4, state_path=state)
+    assert cap3(b1, epoch_id=1).count() == 0  # epoch 1 now applied too
+
+
 def test_session_window_stream_equals_batch(spark, tmp_path, sf_dir):
     """Streaming session windows (watermarked, update mode) must settle
     to exactly the batch session result once the source drains."""
