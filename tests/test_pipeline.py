@@ -162,6 +162,18 @@ def test_limit_pushed_into_ending_offsets():
     assert limit_ending_offsets(KafkaSourceConfig(topic="t", partitions=3)) is None
 
 
+def test_run_sql_over_views(spark):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sql import run_sql
+
+    df = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
+    )
+    rows = {r.l_returnflag: r.n for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"} and all(n > 0 for n in rows.values())
+
+
 def test_cli_flags_reference_parity():
     p = build_arg_parser()
     a = p.parse_args(["-o", "/out", "-t", "topic", "-g", "grp", "-b", "h:9092", "-p", "5"])
