@@ -548,6 +548,319 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@_register("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-filtered orders, EXISTS against a
+    lineitem predicate (returned items — the fixture schema carries no
+    commit/receipt dates), count by priority. The EXISTS is a LEFT
+    SEMI join — no row multiplication, and the lineitem side prunes to
+    orderkey + returnflag at the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@_register("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair trade volume — two
+    broadcast joins against the SAME tiny dim under different aliases,
+    with a disjunctive cross-side predicate evaluated after both.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(F.col("volume"), 4).alias("revenue"))
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@_register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Both fact filters push to the scans; the group-by runs BEFORE the
+    TakeOrdered so only |customers-with-returns| rows rank."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL '60 days'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@_register("q12_shiplag_priority", _Q12_ORACLE)
+def q12_shiplag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (recast for the fixture schema, which carries no
+    shipmode/commit/receipt columns): slow shipments — ship date ≥ 60
+    days after order date, a CROSS-TABLE comparison that can only run
+    post-join — split into high/low priority counts per line status.
+    The single-table range predicates still push to the lineitem scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(100.00 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@_register("q14_promo_effect", _Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate
+    ratio over a month of shipments joined to part."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * _dsum(promo, 4) / _dsum(rev, 4)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+@_register("q19_disjunctive_predicates", _Q19_ORACLE)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a 3-way disjunction mixing columns from BOTH
+    join sides — the optimizer stress case. Catalyst extracts the
+    common per-side filters implied by the OR (brand ∈ {...},
+    quantity ≤ 30, size ≤ 15) and pushes them below the join while the
+    full disjunction evaluates after it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer
+  WHERE c_acctbal > 0.00 AND c_nationkey IN (13, 3, 23, 9, 20, 18, 17)
+)
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (13, 3, 23, 9, 20, 18, 17)
+  AND c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY cntrycode
+"""
+
+
+@_register("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average
+    balance, computed once and cross-joined — one row broadcast) +
+    anti join against orders (customers with no LARGE order — every
+    fixture customer has some order, so the plain NOT EXISTS would be
+    empty), grouped by country (c_nationkey stands in for the phone
+    country code the fixture schema lacks)."""
+    c = load_table(spark, sf_dir, "customer")
+    codes = (13, 3, 23, 9, 20, 18, 17)
+    in_codes = F.col("c_nationkey").isin(*codes)
+    avg_bal = (
+        c.filter((F.col("c_acctbal") > 0.0) & in_codes)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.filter(in_codes)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_totalprice") > 400000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 _RANGE_JOIN_ORACLE = """
 SELECT a.event_id,
        a.user_id,
