@@ -1035,6 +1035,122 @@ def window_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_DIST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       NTILE(4) OVER w AS price_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+       LAST_VALUE(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@_register("window_distribution_functions", _WINDOW_DIST_ORACLE)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / last_value-with-full-frame) over per-customer price
+    order. One shuffle on the high-cardinality partition key; the
+    last_value frame is explicitly unbounded-both-ways (the default
+    frame would return the CURRENT row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(wfull).alias("priciest_order"),
+    )
+
+
+_STRING_ADV_ORACLE = """
+SELECT p_partkey,
+       split_part(p_type, ' ', 1) AS type_first_word,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev,
+       repeat('*', p_size % 5) AS stars,
+       left(p_name, 8) AS name_head,
+       right(p_name, 4) AS name_tail,
+       strpos(p_name, 'a') AS first_a,
+       levenshtein(p_brand, 'Brand#00') AS brand_dist
+FROM part
+"""
+
+
+@_register("scalar_string_advanced", _STRING_ADV_ORACLE)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: split_part / pad / reverse / repeat /
+    left-right slicing / position / levenshtein — still all codegen'd
+    JVM builtins with DuckDB-identical semantics."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_tail"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00")).cast("long").alias(
+            "brand_dist"
+        ),
+    )
+
+
+_NULL_SEMANTICS_ORACLE = """
+WITH c AS (
+  SELECT c_custkey,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+  FROM customer
+)
+SELECT seg_or_null,
+       COUNT(*) AS n_rows,
+       COUNT(seg_or_null) AS n_nonnull_seg,
+       COUNT(bal_or_null) AS n_nonnull_bal,
+       SUM(CASE WHEN seg_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_safe_eq_null,
+       CAST(SUM(CAST(COALESCE(bal_or_null, 0) AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+FROM c GROUP BY seg_or_null
+"""
+
+
+@_register("scalar_null_semantics", _NULL_SEMANTICS_ORACLE)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery: NULLIF-manufactured nulls, COUNT(col) vs
+    COUNT(*), null-safe equality (<=> / IS NOT DISTINCT FROM), COALESCE
+    in aggregation — the semantics corner where engines differ most,
+    pinned by the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return (
+        c.select(
+            seg.alias("seg_or_null"),
+            bal.alias("bal_or_null"),
+        )
+        .groupBy("seg_or_null")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("seg_or_null").alias("n_nonnull_seg"),
+            F.count("bal_or_null").alias("n_nonnull_bal"),
+            F.sum(
+                F.when(F.col("seg_or_null").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_null_safe_eq_null"),
+            F.sum(F.coalesce(F.col("bal_or_null"), F.lit(0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal_total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / set ops
 # ---------------------------------------------------------------------------
