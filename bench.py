@@ -14,8 +14,10 @@ Methodology:
   transfer to pandas);
 - a warm-up query runs first (JIT/codegen/parquet footer caches) and
   is excluded from timings;
-- per-query wall time is a single run (the driver compares rounds at
-  fixed SF; run-to-run variance at sf0.1 is well under the 2x bar).
+- per-query wall time is the MIN OF TWO timed runs (steady-state;
+  damps JIT/page-cache/GC noise). NOTE: rounds benched before this
+  change used single-run timing, so cross-round deltas at the
+  changeover include the methodology shift, not only plan changes.
 """
 
 from __future__ import annotations

@@ -814,7 +814,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT AVG(c_acctbal) AS a FROM customer
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a FROM customer
   WHERE c_acctbal > 0.00 AND c_nationkey IN (13, 3, 23, 9, 20, 18, 17)
 )
 SELECT c_nationkey AS cntrycode,
@@ -839,9 +839,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     codes = (13, 3, 23, 9, 20, 18, 17)
     in_codes = F.col("c_nationkey").isin(*codes)
+    # decimal-accumulated average: the threshold feeds a FILTER, so it
+    # must be bit-identical across engines/partitionings (the module's
+    # float-determinism contract applies doubly to comparison inputs)
     avg_bal = (
         c.filter((F.col("c_acctbal") > 0.0) & in_codes)
-        .agg(F.avg("c_acctbal").alias("a"))
+        .agg((_dsum(F.col("c_acctbal")) / F.count("*")).alias("a"))
     )
     o = load_table(spark, sf_dir, "orders")
     return (

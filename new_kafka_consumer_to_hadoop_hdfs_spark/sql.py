@@ -21,12 +21,29 @@ from .sources.files import register_views
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Register the star-schema + extension tables as views and run
-    ``query`` against them."""
+    """Register every AVAILABLE table as a view and run ``query``.
+
+    Tables whose parquet is absent from ``sf_dir`` are skipped (with a
+    stderr note) instead of failing the whole session — a star-schema-
+    only directory can still serve star-schema queries; referencing a
+    skipped table surfaces the normal TABLE_OR_VIEW_NOT_FOUND error.
+    """
+    import os
+    import sys
+
     from .session import apply_runtime_conf
+    from .sources.files import TABLE_NAMES
 
     apply_runtime_conf(spark)
-    register_views(spark, sf_dir)
+    available = [
+        n
+        for n in TABLE_NAMES
+        if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    ]
+    missing = sorted(set(TABLE_NAMES) - set(available))
+    if missing:
+        print(f"run_sql: skipping absent tables {missing}", file=sys.stderr)
+    register_views(spark, sf_dir, *available)
     return spark.sql(query)
 
 

@@ -162,12 +162,12 @@ def test_limit_pushed_into_ending_offsets():
     assert limit_ending_offsets(KafkaSourceConfig(topic="t", partitions=3)) is None
 
 
-def test_run_sql_over_views(spark):
+def test_run_sql_over_views(spark, sf_dir):
     from new_kafka_consumer_to_hadoop_hdfs_spark.sql import run_sql
 
     df = run_sql(
         spark,
-        "/root/testdata/sf0.001",
+        sf_dir,
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
     )
     rows = {r.l_returnflag: r.n for r in df.collect()}
