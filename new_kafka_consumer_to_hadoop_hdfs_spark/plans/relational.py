@@ -1038,6 +1038,109 @@ def window_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_F
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("agg_pivot", _PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority spread across status columns
+    (explicit value list → no extra distinct-discovery job, stable
+    output schema — the form to use at scale), plus one pivoted money
+    sum. Spark rewrites pivot into exactly the conditional aggregation
+    the oracle spells out: one shuffle, no transpose materialization.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    total_f = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            _dsum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    0
+                )
+            ).alias("total_F")
+        )
+    )
+    return counts.join(total_f, "o_orderpriority")
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, F AS n FROM wide
+UNION ALL SELECT o_orderpriority, 'O', O FROM wide
+UNION ALL SELECT o_orderpriority, 'P', P FROM wide
+"""
+
+
+@_register("agg_unpivot", _UNPIVOT_ORACLE)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status counts back to long form via
+    ``DataFrame.unpivot`` — the inverse transform, a narrow per-row
+    expansion (no shuffle beyond the feeding aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n"
+    )
+
+
+_DATE_ADV_ORACLE = """
+SELECT o_orderkey,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       strftime(o_orderdate - INTERVAL 90 DAY, '%Y-%m-%d') AS minus90d,
+       quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) - 1 AS weekday_mon0,
+       EXTRACT(doy FROM o_orderdate) AS day_of_year,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+FROM orders
+"""
+
+
+@_register("scalar_date_advanced", _DATE_ADV_ORACLE)
+def scalar_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date battery: month-end, month/day arithmetic, quarter,
+    Monday-based weekday (Spark ``weekday`` == DuckDB ``isodow - 1`` —
+    conventions pinned by the oracle), day-of-year, day difference."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.date_sub("o_orderdate", 90), "yyyy-MM-dd").alias("minus90d"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+        F.dayofyear("o_orderdate").cast("long").alias("day_of_year"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
 _WINDOW_DIST_ORACLE = """
 SELECT o_orderkey, o_custkey,
        NTILE(4) OVER w AS price_quartile,
