@@ -1445,6 +1445,37 @@ def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
+       TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_map,
+       len(json_keys(props)) AS n_keys,
+       json_keys(props)[1] AS first_key
+FROM events
+"""
+
+
+@_register("scalar_json_struct_map", _JSON_STRUCT_ORACLE)
+def scalar_json_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON access beyond string extraction: ``from_json`` into a
+    STRUCT (schema-on-read with codegen'd field access — the fast path
+    when the shape is known) and into a MAP (schema-free key/value
+    introspection via map_keys/element_at). Both stay entirely JVM-side;
+    at scale the struct parse happens once per row regardless of how
+    many fields downstream expressions touch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    as_map = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_struct"),
+        F.element_at(as_map, "k").alias("k_map"),
+        F.size(F.map_keys(as_map)).alias("n_keys"),
+        F.element_at(F.map_keys(as_map), 1).alias("first_key"),
+    )
+
+
 _CASE_NULL_ORACLE = """
 SELECT
   CASE WHEN c_acctbal < 0 THEN 'negative'
