@@ -17,9 +17,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import llm, multimodal, reference, relational, windows
+    from . import llm, multimodal, reference, relational, tpch_deep, windows
 
-    modules = [reference, relational, llm, windows, multimodal]
+    modules = [reference, relational, tpch_deep, llm, windows, multimodal]
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

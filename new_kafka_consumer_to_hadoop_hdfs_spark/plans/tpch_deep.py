@@ -1,0 +1,635 @@
+"""Deep TPC-H battery: the nine remaining classic query shapes.
+
+Together with plans/relational.py this completes coverage of all 22
+TPC-H query *shapes* (adapted where the fixture schema lacks a column
+or table — see each docstring). The reference engine
+(binglliu/new-Kafka-consumer-to-hadoop-hdfs) has no query surface
+beyond its dedup aggregation (SURVEY.md §2.4), so this battery is part
+of the §2.5 extension mandate: the relational capabilities a user of a
+100 TB analytics engine actually needs.
+
+Schema adaptations (the fixture has no partsupp table and no
+commit/receipt dates, TESTDATA.md):
+
+- partsupp-derived shapes (Q2/Q11/Q16/Q20) recover the part-supplier
+  relation from ``lineitem`` — ``GROUP BY l_partkey, l_suppkey`` is the
+  same cardinality class as partsupp, so join/agg shapes are preserved.
+- lateness shapes (Q21) define late as ``l_shipdate > o_orderdate +
+  90 days`` — a cross-table predicate, just like the original's
+  ``l_receiptdate > l_commitdate``.
+
+Float determinism contract (same as plans/relational.py): every money
+sum goes through ``_dsum`` (decimal accumulate → double out) so the
+value is order-independent and hash-identical to the DuckDB oracle;
+double *comparisons* (Q11/Q15/Q20 thresholds) compare exact
+decimal-derived values, computed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from ._registry import dsum as _dsum
+from ._registry import make_register
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+_register = make_register(QUERIES, ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar-min subquery)
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(l_extendedprice) AS DOUBLE) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, supplycost
+FROM part
+JOIN ps ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'SMALL' AND p_size <= 10 AND r_name = 'EUROPE'
+  AND supplycost = (
+    SELECT MIN(ps2.supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@_register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s)
+    offering the minimum cost within a region — a correlated scalar-MIN
+    subquery. The part-supplier cost relation is derived from lineitem
+    (MIN extendedprice per (partkey, suppkey)); the fixture has no
+    partsupp table (reference has no such table either —
+    HadoopKafkaConsumer.java:47-103 is its whole data model).
+
+    Scale shape: the correlated subquery is decorrelated into a window
+    MIN over ``p_partkey`` computed on the already region+part-filtered
+    relation — ONE extra shuffle on partkey, no self-join, no second
+    scan of lineitem. The dims (nation/region) broadcast; the
+    part/supplier joins stay under Catalyst/AQE control.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").cast("double").alias("supplycost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share (conditional share-of-total ratio)
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@_register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional promo-part
+    revenue per year — an 8-table join tree feeding a conditional
+    share-of-total ratio.
+
+    Scale shape: selective filters (part type, order date range,
+    customer region) all push below the joins; nation/region broadcast
+    unconditionally, the two fact-fact joins shuffle on their keys.
+    The share is ONE aggregation — numerator as a conditional sum in
+    the same groupBy, not a second pass or a self-join.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            target.alias("target_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (_dsum(F.col("target_volume"), 4) / _dsum(F.col("volume"), 4)).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit (derived measure mixing columns of both sides)
+# --------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity
+           AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@_register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name LIKE filter. The original subtracts
+    ``ps_supplycost * l_quantity``; with no partsupp table the cost
+    proxy is ``0.1 * p_retailprice * l_quantity`` — same shape: the
+    measure mixes columns from part AND lineitem, so it can only be
+    computed post-join, while the LIKE filter prunes part at the scan.
+
+    Scale shape: part(filtered) is the small side of the first join
+    (AQE broadcasts while it fits); orders joins on orderkey; nation
+    broadcasts. One aggregation, partial map-side combine.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum(F.col("amount"), 4).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important value concentration (HAVING vs scalar-subquery total)
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH natvalue AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value
+FROM natvalue
+WHERE value > (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) * 0.001
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+)
+"""
+
+
+@_register("q11_important_value", _Q11_ORACLE)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose per-nation traded value exceeds a
+    fraction of the nation's total — a HAVING clause against a scalar
+    aggregate subquery over the same relation.
+
+    Scale shape: the filtered relation is computed ONCE and persisted;
+    the per-part aggregate and the grand total both derive from it
+    (the total from the per-part decimal sums — exact, so re-summing
+    introduces no order dependence). The scalar total joins back as a
+    broadcast of a single row, not a window-over-everything (which
+    would funnel all rows through one partition).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("p_partkey"), val.alias("val"))
+        .groupBy("p_partkey")
+        # keep the exact decimal; cast to double only at the output edge
+        .agg(F.sum(F.col("val").cast("decimal(18,4)")).alias("dec_value"))
+        .persist()
+    )
+    total = per_part.agg(
+        (F.sum("dec_value").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("dec_value").cast("double") > F.col("threshold"))
+        .select("p_partkey", F.col("dec_value").cast("double").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double aggregate)
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@_register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a
+    LEFT OUTER join whose filter lives in the JOIN CONDITION (so
+    customers with only excluded orders still count as zero), then two
+    stacked aggregations. The original excludes by o_comment pattern;
+    the fixture carries no comment column, so the stand-in predicate is
+    o_orderpriority <> '4-NOT SPECIFIED'.
+
+    Scale shape: first aggregate shuffles on custkey (high
+    cardinality, no skew); second shuffles on c_count (tiny domain —
+    at most ~tens of distinct counts) which is fine BECAUSE the input
+    to it is already one row per customer, reduced map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (view + scalar MAX equality)
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@_register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a named view consumed twice (per-supplier revenue, and
+    its scalar MAX), joined back on equality. Returns ALL tied
+    suppliers, which a top-1 LIMIT would not.
+
+    Scale shape: the revenue view is persisted and reused (Spark does
+    not share identical subtrees between branches on its own); the MAX
+    is a single-row broadcast, and the supplier join is
+    Catalyst-planned. Revenue values are exact decimal sums cast to
+    double, so the equality compare is deterministic cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "total_revenue"
+            )
+        )
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (anti join + count-distinct)
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@_register("q16_supplier_part_count", _Q16_ORACLE)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding a NOT-IN supplier set. The
+    part-supplier relation derives from lineitem; the excluded-supplier
+    predicate (original: complaint comments) is s_acctbal < 0.
+
+    Scale shape: the NOT IN is a LEFT ANTI join against an
+    already-aggregated tiny relation (it broadcasts); the distinct
+    part-supplier projection reduces lineitem BEFORE the part join;
+    count-distinct runs as Spark's two-phase distinct aggregate, no
+    driver involvement. NOT IN's null trap doesn't apply — s_suppkey
+    is a key and non-null — and the anti join is the null-safe plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — excess shipments (nested IN subqueries → semi-join chain)
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate < TIMESTAMP '1997-01-01'
+                              THEN l_quantity ELSE 0 END AS DECIMAL(18,2)))
+                AS DOUBLE) AS qty_96,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_all
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    GROUP BY l_suppkey, l_partkey
+  ) shipped
+  WHERE qty_96 > 0.5 * qty_all AND qty_all >= 80
+)
+"""
+
+
+@_register("q20_excess_shipments", _Q20_ORACLE)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a disproportionate share
+    of promo parts in one year — the doubly-nested IN-subquery query
+    (parts IN → aggregate-with-threshold IN → supplier). The original's
+    availqty threshold becomes "1996 quantity > 50% of all-time
+    quantity per (part, supplier), with an 80-unit volume floor",
+    preserving the aggregate-then-threshold inner subquery while
+    staying selective (16 of 100 suppliers at sf0.01).
+
+    Scale shape: innermost part filter is a semi join (small side
+    broadcasts); the per-(supp, part) aggregate computes BOTH sums in
+    one pass (conditional sum, not two scans); the outer IN is a semi
+    join on suppkey. Nothing materializes wider than (suppkey,
+    partkey, two sums).
+    """
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    qty96 = F.when(in_96, F.col("l_quantity")).otherwise(F.lit(0))
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            _dsum(qty96, 2).alias("qty_96"),
+            _dsum(F.col("l_quantity"), 2).alias("qty_all"),
+        )
+        .filter(
+            (F.col("qty_96") > F.lit(0.5) * F.col("qty_all"))
+            & (F.col("qty_all") >= 80)
+        )
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL '90 days'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@_register("q21_waiting_suppliers", _Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late
+    multi-supplier orders — the hardest subquery shape in the battery:
+    an EXISTS and a NOT-EXISTS, both correlated on orderkey AND
+    anti-correlated on suppkey (l2.l_suppkey <> l1.l_suppkey).
+    "Late" is ship > 90 days after order date (fixture has no
+    commit/receipt dates, so the original's receipt>commit predicate
+    becomes this cross-table one).
+
+    Scale shape: both EXISTS translate to LEFT SEMI / LEFT ANTI joins
+    whose EQUI component (orderkey) drives a shuffled hash join; the
+    suppkey inequality rides along as a post-probe condition, so no
+    nested-loop join appears. The `late` relation is computed once and
+    persisted for its two uses (l1 and l3).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_okey"), F.col("l_suppkey").alias("l2_skey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("o_key") == F.col("l2_okey"))
+            & (F.col("s_key") != F.col("l2_skey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("o_key") == F.col("l3_okey"))
+            & (F.col("s_key") != F.col("l3_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("s_key") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
