@@ -43,21 +43,41 @@ def connected_components_min_label(
     stop when no label changed (or at ``max_iterations``, far beyond
     the diameter of dedup graphs). ``localCheckpoint`` truncates plan
     lineage so round N's plan doesn't embed rounds 1..N-1.
+
+    Only EDGE-ADJACENT nodes enter the propagation loop: an isolated
+    node is its own component by construction, so shuffling it through
+    every round is pure waste. At 100 TB this is the difference between
+    per-round shuffles of the full corpus and per-round shuffles of the
+    (much smaller) near-dup pair graph; isolated nodes are stitched
+    back in with one final left join.
     """
-    sym = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).union(
-        edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst"))
+    # Materialize the edge relation ONCE: the upstream DAG is typically
+    # the whole candidate-generation + verification pipeline, and the
+    # loop would otherwise re-execute it every round (each round's
+    # neighbor join references it).
+    sym = (
+        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")
+            )
+        )
+        .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("__src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["__dst"] == labels["node"])
             .groupBy("__src")
             .agg(F.min("label").alias("__nbr_label"))
         )
+        # Carry the change flag through the checkpoint so convergence is
+        # a scan of the materialized round output — no old-vs-new join.
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["__src"], "left")
             .select(
@@ -65,21 +85,28 @@ def connected_components_min_label(
                 F.least(
                     F.col("label"), F.coalesce("__nbr_label", "label")
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("__nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected components did not converge within {max_iterations} "
-        "iterations — the pair graph has a longer path than expected; "
-        "raise max_iterations (propagation needs O(component diameter) "
-        "rounds). Returning partial labels would silently under-dedup."
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iterations} "
+            "iterations — the pair graph has a longer path than expected; "
+            "raise max_iterations (propagation needs O(component diameter) "
+            "rounds). Returning partial labels would silently under-dedup."
+        )
+    # Stitch isolated nodes back in: never shuffled through the loop,
+    # they are their own component label.
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
     )
