@@ -58,6 +58,11 @@ HEADLINE = [
     "pipeline_corpus_dedup",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
+    # deep TPC-H subquery shapes
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "sim_topk_cosine",
     "sim_topk_lsh",
     "sim_topk_ivf",

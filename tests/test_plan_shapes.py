@@ -89,3 +89,44 @@ def test_kafka_dedup_single_shuffle(spark, registry):
     # and once in the details ("(n) Exchange"); count tree entries
     assert plan.count("hashpartitioning(") == 1
     assert "partition" in plan.split("hashpartitioning(", 1)[1][:40]
+
+
+def test_q21_subqueries_stay_hash_joins(spark, registry):
+    """Q21's EXISTS/NOT-EXISTS carry a suppkey INEQUALITY next to the
+    orderkey equality; the equi component must drive a hash/merge semi
+    + anti join — a nested-loop plan here is quadratic in lineitems."""
+    plan = _plan(spark, registry, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q2_decorrelates_to_single_window(spark, registry):
+    """The correlated scalar-MIN must run as ONE window over partkey,
+    not a second scan of lineitem + self-join (the naive translation)."""
+    plan = _plan(spark, registry, "q2_min_cost_supplier")
+    # formatted mode lists a node in the tree ("Window (n)") and again
+    # in the details ("(n) Window") — count tree entries only
+    assert plan.count("Window (") == 1
+    # one lineitem scan only: the ps relation is built once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q16_not_in_is_broadcast_anti(spark, registry):
+    plan = _plan(spark, registry, "q16_supplier_part_count")
+    assert "LeftAnti" in plan
+    # the excluded-supplier set is tiny and must broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, registry):
+    plan = _plan(spark, registry, "q20_excess_shipments")
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_filter_pushed_and_single_lineitem_scan(spark, registry):
+    """The per-part aggregate and the grand total must both read the
+    persisted filtered relation — not re-scan lineitem twice."""
+    plan = _plan(spark, registry, "q11_important_value")
+    assert "InMemoryTableScan" in plan
