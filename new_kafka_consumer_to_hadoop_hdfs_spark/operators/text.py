@@ -433,7 +433,19 @@ def prefix_filter_candidate_pairs(
     """Exact prefix-filter candidates from the (id, __h) relation —
     the relational twin of :func:`prefix_filter_pairs` (frequency-
     ordered prefixes + PPJoin length filter), joining on 8-byte hashes
-    instead of shingle strings."""
+    instead of shingle strings.
+
+    Adds PPJoin's POSITIONAL filter (Xiao et al., WWW'08): for a prefix
+    match at rank i of a and rank j of b (both ordered by the same
+    global frequency order), the overlap can't exceed
+    ``1 + min(|a|-i, |b|-j)``; Jaccard ≥ t needs overlap ≥
+    ``ceil(t/(1+t)·(|a|+|b|))``, so size-incompatible positions are
+    dropped INSIDE the join, before the distinct. On corpora with
+    small vocabularies (where bare prefix filtering degenerates —
+    every doc's prefix shares common shingles) this prunes the
+    candidate set by an order of magnitude, which is exactly the
+    regime where verification cost would otherwise blow up.
+    """
     from pyspark.sql import Window
 
     sizes = element_set_sizes(ex, id_col)
@@ -447,17 +459,27 @@ def prefix_filter_candidate_pairs(
         .join(sizes, id_col)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select(id_col, "__h", F.col("__sz").alias("__set_size"))
+        .select(id_col, "__h", F.col("__sz").alias("__set_size"), "__rn")
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # minimum overlap for Jaccard ≥ t: α = ceil(t/(1+t)·(|a|+|b|))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.__set_size") + F.col("b.__set_size"))
+    )
+    overlap_ubound = F.lit(1) + F.least(
+        F.col("a.__set_size") - F.col("a.__rn"),
+        F.col("b.__set_size") - F.col("b.__rn"),
+    )
     return (
         a.join(
             b,
             (F.col("a.__h") == F.col("b.__h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.__set_size") >= F.ceil(F.col("a.__set_size") * F.lit(threshold)))
-            & (F.col("a.__set_size") >= F.ceil(F.col("b.__set_size") * F.lit(threshold))),
+            & (F.col("a.__set_size") >= F.ceil(F.col("b.__set_size") * F.lit(threshold)))
+            & (overlap_ubound >= alpha),
         )
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
