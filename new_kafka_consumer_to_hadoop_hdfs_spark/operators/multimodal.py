@@ -143,6 +143,101 @@ def extract_features(assets: DataFrame, *, use_real_decoder: bool = False) -> Da
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, *, target: int = 64) -> DataFrame:
+    """Nearest-neighbor resample of each payload to ``target`` bytes via
+    Arrow-batched Python — the resize stage of a media pipeline, with
+    byte-level sampling standing in for 2-D pixel resampling (the index
+    arithmetic ``out[j] = in[floor(j·L/target)]`` IS nearest-neighbor;
+    a real image resize applies it per axis after decode_stub).
+
+    1 row in → 1 row out, no shuffle; emits the resampled content's
+    sha256 plus sizes, so the whole Python path is content-hash
+    verifiable against an engine-independent oracle.
+    """
+    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                out = bytes(b[(j * n) // target] for j in range(target)) if n else b""
+                rows.append(
+                    (asset_id, n, len(out), hashlib.sha256(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "orig_bytes", "out_bytes", "resized_sha"]
+            )
+
+    return assets.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, *, frame_len: int = 256, step: int = 2
+) -> DataFrame:
+    """Frame sampling via Arrow-batched Python: treat each payload as
+    fixed-size frames of ``frame_len`` bytes and keep every ``step``-th
+    frame — the 1-row-in → N-rows-out batch shape of a video
+    frame-sampler (mapInPandas output need not be 1:1 with input).
+
+    Emits per-frame byte counts and content sha256, so frame
+    boundaries, the sampling stride, AND the sliced content are all
+    verifiable against an engine-independent oracle.
+    """
+    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = -(-len(b) // frame_len)  # ceil
+                for i in range(0, n_frames, step):
+                    frame = b[i * frame_len : (i + 1) * frame_len]
+                    rows.append(
+                        (asset_id, i, len(frame), hashlib.sha256(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_bytes", "frame_sha"]
+            )
+
+    return assets.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapt the documents table into multimodal asset rows: the UTF-8
     bytes of ``text`` stand in for media payloads (deterministic, so

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import documents_as_assets, extract_features
+from ..operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+    resize_assets,
+    sample_frames,
+)
 from ..sources.files import load_table
 from ._registry import make_register
 
@@ -72,3 +77,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 16), 6).alias("f15"),
         F.size("feature").alias("feature_dim"),
     ).orderBy("asset_id")
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id,
+       length(text)::BIGINT AS orig_bytes,
+       64::BIGINT AS out_bytes,
+       sha256(array_to_string(
+         [substr(text, ((j * length(text)) // 64) + 1, 1) for j in range(64)],
+         '')) AS resized_sha
+FROM documents
+"""
+
+
+@_register("multimodal_resize", _RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor payload resize through mapInPandas, verified BY
+    CONTENT HASH against a pure-SQL oracle: the corpus is ASCII, so the
+    Python byte sampling ``out[j] = in[(j·L)//64]`` is reproducible in
+    DuckDB as character indexing — an end-to-end oracle over the
+    Arrow/Python path itself, not just its row counts."""
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return resize_assets(assets, target=64)
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS asset_id,
+       i AS frame_idx,
+       length(substr(text, CAST(i * 256 + 1 AS INT), 256))::BIGINT AS frame_bytes,
+       sha256(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_sha
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 2)) AS t(i)
+"""
+
+
+@_register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through mapInPandas (1 row in → N
+    rows out: Arrow batches may change cardinality), keeping every 2nd
+    256-byte frame. Frame boundaries, stride, and sliced content are
+    all oracle-checked via per-frame sha256 — the strongest correctness
+    statement available for a Python batch operator."""
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return sample_frames(assets, frame_len=256, step=2)
