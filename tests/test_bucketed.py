@@ -1,0 +1,74 @@
+"""Bucketed-layout tests: the write-once-shuffle-never join contract.
+
+Asserts the actual PLAN property bucketing exists for — an equi-join
+of two tables bucketed by the same key into the same bucket count
+contains no Exchange at all — plus value equivalence with the
+shuffled join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("warehouse")
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(
+        o, "orders_b", ["o_orderkey"], num_buckets=8, path=str(base / "orders_b")
+    )
+    write_bucketed_table(
+        li, "lineitem_b", ["o_orderkey"], num_buckets=8, path=str(base / "lineitem_b")
+    )
+    yield "orders_b", "lineitem_b"
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # disable broadcast so the plan must rely on the layout, as it
+    # would with two 10-TB fact tables at the real scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join(spark, left, right, ["o_orderkey"])
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_matches_shuffled_join(spark, bucketed_tables):
+    left, right = bucketed_tables
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    expected = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert bucketed_join(spark, left, right, ["o_orderkey"]).count() == expected
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """Aggregation on the bucket key also reuses the layout: the
+    partial/final agg collapses into one stage with no shuffle."""
+    _, right = bucketed_tables
+    df = (
+        spark.table(right)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan, plan
