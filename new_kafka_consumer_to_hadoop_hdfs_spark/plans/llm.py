@@ -716,3 +716,72 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Corpus management: deterministic splits and samples
+# ---------------------------------------------------------------------------
+
+_TRAIN_VAL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+@_register("pipeline_train_val_split", _TRAIN_VAL_ORACLE)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/val split by content-independent key
+    hash — the split every training pipeline needs, done the way that
+    survives re-runs and incremental ingest: membership is a pure
+    function of doc_id (md5 prefix < 0xe6 ≈ 230/256 ≈ 90%), never of
+    ordering, partitioning, or a random seed. Zero shuffle: one narrow
+    projection; at 100 TB the split is a pushed-down filter on either
+    side, not a materialized assignment table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(bucket < "e6", F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+_STRATIFIED_ORACLE = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+) ranked
+WHERE rn % 10 = 1
+"""
+
+
+@_register("pipeline_stratified_sample", _STRATIFIED_ORACLE)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10% systematic sample: within each language stratum,
+    order documents by a deterministic key hash and keep every 10th —
+    exact per-stratum proportions (vs. the variance of Bernoulli
+    `sampleBy`) and fully reproducible, so it oracle-checks exactly.
+
+    Scale note: the window partitions by `lang`, a LOW-cardinality key
+    — at 100 TB a hot language would funnel into one task. The scale
+    variant swaps exactness of the per-stratum rank for the hash-bucket
+    filter used in `pipeline_train_val_split` computed per-stratum
+    (`md5 < quantile(lang)`), which is shuffle-free; this query keeps
+    the rank form because it is the one with an exact oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("lang", "doc_id")
+    )
