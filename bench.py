@@ -64,6 +64,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "sim_topk_cosine",
+    "sim_topk_cosine_arrow",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "multimodal_binary_stats",

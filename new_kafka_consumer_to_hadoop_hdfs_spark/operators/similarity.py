@@ -22,6 +22,8 @@ The reference repo has no vector operations; this is the SURVEY.md
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +80,69 @@ def topk_cosine(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def topk_cosine_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine — identical semantics and plan shape to
+    :func:`topk_cosine`, but scoring runs in a VECTORIZED scalar
+    ``pandas_udf`` (Arrow batches → numpy matrix math) instead of JVM
+    higher-order array expressions.
+
+    This is the engine's documented demonstration of the sanctioned
+    Python fast path: when per-element logic outgrows what
+    `zip_with`/`aggregate` express (learned scorers, custom metrics),
+    the Arrow batch transfer + numpy inner loop is the form to reach
+    for — per-BATCH Python dispatch over contiguous float64 arrays,
+    ~10-100× over row-at-a-time Python UDFs. For plain cosine the JVM
+    path (`topk_cosine`) stays primary: no serialization boundary at
+    all beats crossing it quickly.
+
+    numpy's SIMD summation order differs from sequential fold in the
+    last ulps; results round to 6 decimals (like every cosine here), so
+    both paths and the oracle agree exactly.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("__cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", _cos_batch(F.col("__qv"), F.col("__cv")).alias("__cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id")

@@ -31,6 +31,7 @@ from ..operators.similarity import (
     lsh_cosine_pairs,
     lsh_topk_cosine,
     topk_cosine,
+    topk_cosine_arrow,
 )
 from ..operators.text import (
     bpe_ish_tokens,
@@ -682,6 +683,20 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@_register("sim_topk_cosine_arrow", _TOPK_COSINE_ORACLE)
+def sim_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_topk_cosine`'s Arrow twin: identical query, scoring through
+    the vectorized `pandas_udf` numpy path instead of JVM array
+    expressions — the sanctioned pattern for scorers the built-ins
+    can't express, oracle-checked against the very same SQL. Benched
+    side-by-side with the JVM twin so the serialization-boundary cost
+    stays measured, not assumed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine_arrow(e, q, id_col="vec_id", vec_col="embedding", k=10)
 
 
 @_register("sim_topk_lsh")  # no oracle: approximate recall by design
