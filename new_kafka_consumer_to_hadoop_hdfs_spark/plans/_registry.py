@@ -41,6 +41,26 @@ def make_register(queries: dict, oracles: dict):
     return register
 
 
+# Bounded persist shared by plan modules: queries that cache a relation
+# feeding several DAG branches can't unpersist eagerly (the returned
+# DataFrame executes after the builder returns), so each new persist
+# evicts every previously cached relation — Spark recomputes if one is
+# somehow still needed — bounding a bench/driver session's cache
+# footprint to one relation instead of leaking one per invocation.
+_PERSISTED: list = []
+
+
+def persist_bounded(df: DataFrame) -> DataFrame:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
 def dsum(col: Column, scale: int = 2) -> Column:
     """Order-independent exact sum: decimal-cast inputs, double output.
 

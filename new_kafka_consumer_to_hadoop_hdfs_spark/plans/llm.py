@@ -44,7 +44,7 @@ from ..operators.text import (
     whitespace_tokens,
 )
 from ..sources.files import load_table
-from ._registry import make_register
+from ._registry import make_register, persist_bounded
 
 QUERIES = {}
 ORACLES = {}
@@ -82,25 +82,10 @@ def _sql_in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-# Bounded persist: the near-dup queries cache their shingle relation
-# (it feeds several DAG branches), but the returned DataFrame executes
-# after this function returns, so unpersisting eagerly is impossible.
-# Instead each new persist evicts the previous query's cached relation
-# — Spark recomputes if it is somehow still needed — bounding the
-# session's cache footprint to one relation instead of leaking one per
-# invocation (bench/driver sessions call every query in one process).
-_PERSISTED: list = []
-
-
-def _persist_bounded(df: DataFrame) -> DataFrame:
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
+# Bounded persist now lives in plans/_registry.py (shared by the
+# tpch_deep module too); keep the local alias for this module's many
+# call sites.
+_persist_bounded = persist_bounded
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 from ._registry import dsum as _dsum
-from ._registry import make_register
+from ._registry import make_register, persist_bounded
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -313,8 +313,8 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         # keep the exact decimal; cast to double only at the output edge
         .agg(F.sum(F.col("val").cast("decimal(18,4)")).alias("dec_value"))
-        .persist()
     )
+    per_part = persist_bounded(per_part)
     total = per_part.agg(
         (F.sum("dec_value").cast("double") * F.lit(0.001)).alias("threshold")
     )
@@ -417,8 +417,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .persist()
     )
+    revenue = persist_bounded(revenue)
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(best))
@@ -601,8 +601,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
-        .persist()
     )
+    late = persist_bounded(late)
     l1 = late.select(
         F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
     )
