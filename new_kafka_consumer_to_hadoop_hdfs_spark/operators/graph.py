@@ -54,7 +54,14 @@ def connected_components_min_label(
     # Materialize the edge relation ONCE: the upstream DAG is typically
     # the whole candidate-generation + verification pipeline, and the
     # loop would otherwise re-execute it every round (each round's
-    # neighbor join references it).
+    # neighbor join references it). Edges are restricted to endpoints
+    # present in ``nodes`` first — labels seed from edge endpoints, so
+    # an endpoint that was filtered OUT of the node set upstream (e.g.
+    # pairs computed before a quality filter) must not be allowed to
+    # become a component's min label: the stitch join would then drop
+    # it, and the survivor filter (node == label) would silently delete
+    # the whole cluster.
+    node_ids = nodes.select(F.col(id_col).alias("__nid"))
     sym = (
         edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
         .union(
@@ -62,6 +69,8 @@ def connected_components_min_label(
                 F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")
             )
         )
+        .join(node_ids, F.col("__src") == F.col("__nid"), "left_semi")
+        .join(node_ids, F.col("__dst") == F.col("__nid"), "left_semi")
         .localCheckpoint()
     )
     labels = (

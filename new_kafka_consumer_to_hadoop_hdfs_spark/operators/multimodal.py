@@ -67,6 +67,22 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+
+def _ship_module_by_value() -> None:
+    """Ship this module by value inside UDF closures: executor Python
+    workers don't necessarily have the repo on sys.path (the driver
+    harness imports us via a path hack), so by-reference pickling of
+    module-level functions would raise ModuleNotFoundError there."""
+    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+
 def decode_stub(payload: bytes, media_type: str):  # pragma: no cover
     """Plug point for a real media decoder (PIL / soundfile / pyav).
 
@@ -109,18 +125,7 @@ def extract_features(assets: DataFrame, *, use_real_decoder: bool = False) -> Da
     filtering, joins, dedup on the sha256 — stays in JVM expressions.
     """
 
-    # Ship this module by value inside the closure: executor Python
-    # workers don't necessarily have the repo on sys.path (the driver
-    # harness imports us via a path hack), so by-reference pickling of
-    # module-level functions would raise ModuleNotFoundError there.
-    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
-        import sys
-
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    _ship_module_by_value()
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decoder = decode_stub if use_real_decoder else fake_decode_features
@@ -173,14 +178,7 @@ def resize_assets(assets: DataFrame, *, target: int = 64) -> DataFrame:
     sha256 plus sizes, so the whole Python path is content-hash
     verifiable against an engine-independent oracle.
     """
-    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
-        import sys
-
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    _ship_module_by_value()
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,14 +209,7 @@ def sample_frames(
     boundaries, the sampling stride, AND the sliced content are all
     verifiable against an engine-independent oracle.
     """
-    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
-        import sys
-
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    _ship_module_by_value()
 
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

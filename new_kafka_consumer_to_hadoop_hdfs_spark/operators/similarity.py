@@ -134,13 +134,28 @@ def topk_cosine_arrow(
 
     @pandas_udf("double")
     def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-            np.einsum("ij,ij->i", B, B)
-        )
-        return pd.Series(num / den)
+        # Mirror the JVM twin's null semantics: a NULL (or ragged-width)
+        # vector scores NaN→null and ranks last, instead of blowing up
+        # np.stack and failing the whole task.
+        out = np.full(len(a), np.nan)
+        av, bv = a.to_numpy(), b.to_numpy()
+        dim = next((len(x) for x in av if x is not None), None)
+        valid = [
+            i
+            for i in range(len(av))
+            if av[i] is not None
+            and bv[i] is not None
+            and len(av[i]) == len(bv[i]) == dim
+        ]
+        if valid:
+            A = np.stack([np.asarray(av[i], dtype=np.float64) for i in valid])
+            B = np.stack([np.asarray(bv[i], dtype=np.float64) for i in valid])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            out[valid] = num / den
+        return pd.Series(out)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")

@@ -463,10 +463,19 @@ def prefix_filter_candidate_pairs(
     )
     a = pref.alias("a")
     b = pref.alias("b")
-    # minimum overlap for Jaccard ≥ t: α = ceil(t/(1+t)·(|a|+|b|))
+    # minimum overlap for Jaccard ≥ t: α = ceil(t·(|a|+|b|)/(1+t)).
+    # Keep the division LAST and back off one ulp-scale epsilon before
+    # the ceil: pre-dividing t/(1+t) (e.g. t=0.8 → 0.4444…45, rounded
+    # UP) can push ceil one integer too high and silently drop pairs
+    # sitting exactly at the threshold — a recall bug the brute-force
+    # oracle catches only on corpora that have such boundary pairs.
+    # The epsilon (1e-9) is far below the unit spacing of the integer
+    # overlap but above float error for any realistic set size.
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
+        F.lit(threshold)
         * (F.col("a.__set_size") + F.col("b.__set_size"))
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
     )
     overlap_ubound = F.lit(1) + F.least(
         F.col("a.__set_size") - F.col("a.__rn"),

@@ -82,7 +82,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_ORACLE = """
 SELECT doc_id AS asset_id,
        length(text)::BIGINT AS orig_bytes,
-       64::BIGINT AS out_bytes,
+       (CASE WHEN length(text) = 0 THEN 0 ELSE 64 END)::BIGINT AS out_bytes,
        sha256(array_to_string(
          [substr(text, ((j * length(text)) // 64) + 1, 1) for j in range(64)],
          '')) AS resized_sha

@@ -1467,11 +1467,16 @@ def scalar_json_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k BIGINT")
     as_map = F.from_json(F.col("props"), "map<string,bigint>")
+    # size() guard: on NULL/unparseable props the map is NULL and the
+    # oracle emits NULL — never let legacy size-of-null (-1) leak in.
+    n_keys = F.when(as_map.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.map_keys(as_map))
+    )
     return ev.select(
         "event_id",
         parsed["k"].alias("k_struct"),
         F.element_at(as_map, "k").alias("k_map"),
-        F.size(F.map_keys(as_map)).alias("n_keys"),
+        n_keys.alias("n_keys"),
         F.element_at(F.map_keys(as_map), 1).alias("first_key"),
     )
 

@@ -273,7 +273,7 @@ WITH natvalue AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_5'
+  WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
 SELECT l_partkey AS p_partkey, value
@@ -284,7 +284,7 @@ WHERE value > (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_5'
+  WHERE n_name = 'NATION_3'
 )
 """
 
@@ -304,7 +304,7 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = (
         li.join(s, li.l_suppkey == s.s_suppkey)

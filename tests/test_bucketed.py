@@ -18,7 +18,7 @@ from new_kafka_consumer_to_hadoop_hdfs_spark.sources.bucketed import (
 )
 from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
 
-SF = "/root/testdata/sf0.001"
+from .conftest import SF_DIR as SF
 
 
 @pytest.fixture(scope="module")

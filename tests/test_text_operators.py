@@ -210,6 +210,24 @@ def test_connected_components_chain_clique_singleton(spark):
     assert labels == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 2, 8: 8}
 
 
+def test_connected_components_ignores_foreign_endpoints(spark):
+    """An edge endpoint absent from the node set (e.g. pairs computed
+    before an upstream quality filter dropped the doc) must not become
+    a component label: nodes {5, 9} linked only through missing node 1
+    still label as min(5, 9), and 1 never appears in the output."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    nodes = spark.createDataFrame([(5,), (9,)], "id long")
+    edges = spark.createDataFrame([(5, 1), (1, 9)], "src long, dst long")
+    labels = {
+        r.node: r.label
+        for r in connected_components_min_label(nodes, edges).collect()
+    }
+    assert labels == {5: 5, 9: 9}
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     """Salted two-phase aggregation must equal the direct groupBy for
     every algebraic aggregate, regardless of bucket count."""
