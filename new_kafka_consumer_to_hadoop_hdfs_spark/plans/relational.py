@@ -1518,3 +1518,50 @@ def scalar_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("positive_total"),
         )
     )
+
+
+_SALTED_SKEW_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("agg_salted_skew", _SALTED_SKEW_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation as a first-class query: the same
+    GROUP BY event_type any engine runs, executed through the salted
+    two-phase decomposition (operators/skew.py) — phase 1 aggregates
+    (key, salt) partials in parallel, phase 2 merges |keys|×buckets
+    rows. `event_type` has single-digit cardinality: the exact shape
+    where a hot key would otherwise pin one reducer at 100 TB. The
+    oracle is the PLAIN SQL aggregate, proving the decomposition is
+    value-identical (decimal partial sums keep it order-independent).
+    """
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("__dec_value"), "value"
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("count", "value", "n_events"),
+            ("sum", "__dec_value", "total_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

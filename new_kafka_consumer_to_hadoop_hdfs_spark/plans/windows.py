@@ -167,3 +167,43 @@ def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_TIME_ROLLUP_ORACLE = """
+SELECT EXTRACT(year FROM ts) AS y,
+       EXTRACT(month FROM ts) AS m,
+       EXTRACT(day FROM ts) AS d,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (y, m, d)
+"""
+
+
+@_register("event_time_rollup", _TIME_ROLLUP_ORACLE)
+def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass emitting
+    the day, month, year, and grand-total aggregation levels of the
+    event stream (`ROLLUP(y, m, d)`), the materialized hierarchy a
+    time-series store keeps per hypertable.
+
+    Scale shape: Spark plans rollup as a single Expand + one shuffled
+    aggregation — levels × rows expanded map-side with partial
+    aggregation, so the shuffle carries near-|groups| rows, not
+    levels × |input|. At 100 TB this one query replaces three
+    sequential re-aggregations of the same scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
