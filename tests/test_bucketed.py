@@ -72,3 +72,25 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Hive-partitioned layout: writing facts partitioned by a
+    low-cardinality column and filtering on it must prune partitions
+    at the scan (PartitionFilters), not read-then-filter — at 100 TB
+    this is the difference between touching one day and the full
+    table."""
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_type = back.select("event_id", "value").filter(
+        back.event_type == ev.select("event_type").first()[0]
+    )
+    plan = one_type._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear inside PartitionFilters (scan
+    # prune), not as a post-scan Filter over all partitions
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf
