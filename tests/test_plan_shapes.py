@@ -130,3 +130,33 @@ def test_q11_filter_pushed_and_single_lineitem_scan(spark, registry):
     persisted filtered relation — not re-scan lineitem twice."""
     plan = _plan(spark, registry, "q11_important_value")
     assert "InMemoryTableScan" in plan
+
+
+# Single-row scalar broadcasts (q11/q15/q22) legitimately plan a
+# BroadcastNestedLoopJoin over ONE row; the two documented brute-force
+# correctness baselines and the broadcast-query-side exact kNN pair
+# are the only operators allowed an NLJ over data.
+NLJ_ALLOWED = {
+    "q11_important_value",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "dedup_embedding_cosine",  # documented brute-force baseline
+    "sim_topk_cosine",         # broadcast query side, != join condition
+    "sim_topk_cosine_arrow",
+}
+
+
+def test_no_query_plans_cartesian_or_surprise_nlj(spark, registry):
+    """Registry-wide plan hygiene: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin appears only where
+    documented (scalar one-row broadcasts, brute-force baselines).
+    Guards every future query at once: an accidental non-equi join or
+    a lost equi-condition shows up here, not at 100 TB."""
+    failures = []
+    for name in sorted(registry):
+        plan = _plan(spark, registry, name)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
+            failures.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+    assert not failures, failures

@@ -280,3 +280,24 @@ def test_multimodal_roundtrip(spark, docs):
     )
     assert len(got.feature) == 16
     assert abs(sum(got.feature) - 1.0) < 1e-6  # histogram normalized
+
+
+def test_prefix_filter_positional_boundary_pair(spark):
+    """Regression for the positional-filter alpha rounding: a pair at
+    EXACTLY the threshold (|a|=31, |b|=32, overlap 28 → Jaccard
+    28/35 = 0.8) must survive candidate generation at t=0.8. A
+    float-first alpha (ceil(t/(1+t)·s) with t/(1+t) rounded up)
+    computes 29 > the true minimum 28 and drops it."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        jaccard_verify_elements,
+        prefix_filter_candidate_pairs,
+    )
+
+    rows = [(1, h) for h in range(31)] + [(2, h) for h in range(3, 35)]
+    ex = spark.createDataFrame(rows, "doc_id long, __h long")
+    cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.8)
+    assert [(r.doc_id_a, r.doc_id_b) for r in cands.collect()] == [(1, 2)]
+    verified = jaccard_verify_elements(
+        cands, ex, "doc_id", threshold=0.8
+    ).collect()
+    assert len(verified) == 1 and abs(verified[0].jaccard - 0.8) < 1e-12
