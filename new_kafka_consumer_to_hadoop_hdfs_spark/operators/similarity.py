@@ -302,46 +302,48 @@ def ivf_topk_cosine(
     pruning for vector search.
 
     The n_cells centroid vectors are collected to the driver and
-    embedded as a LITERAL array — the one sanctioned collect in the
-    engine, because it is index CONSTRUCTION over k·dim floats (bytes,
-    like any broadcast build side), never the data path. That makes
-    cell assignment a pure per-row projection: the corpus pass is
-    zero-shuffle (the earlier draft cross-joined centroids and ranked
-    with a window, which shuffles corpus×n_cells rows — a 16× blowup
-    that would be the bottleneck at scale). The only shuffle left is
-    the probe equi-join on cell + the per-query rank.
+    shipped inside the assignment UDF's closure — the one sanctioned
+    collect in the engine, because it is index CONSTRUCTION over k·dim
+    floats (bytes, like any broadcast build side), never the data
+    path. Cell assignment is then a pure per-row projection with zero
+    shuffle (an earlier draft cross-joined centroids and ranked with a
+    window — a corpus×n_cells blowup that would be the bottleneck at
+    scale); the only shuffle left is the probe equi-join on cell + the
+    per-query rank.
     """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
     cent_rows = (
         corpus.orderBy(id_col).limit(n_cells).select(to_double(F.col(vec_col))).collect()
     )
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in row[0]]).alias("c"),
-            )
-            for i, row in enumerate(cent_rows)
-        ]
-    )
-    # per-row scored cells, best first: sort_array on (-cos, cell)
-    scored_cells = lambda vec: F.sort_array(  # noqa: E731
-        F.transform(
-            cents,
-            lambda ct: F.struct(
-                (-cosine(vec, ct["c"])).alias("neg_cos"), ct["cell"].alias("cell")
-            ),
-        )
-    )
+    cent_mat = np.array([row[0] for row in cent_rows], dtype=np.float64)
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    # Cell ranking runs on the Arrow path: one einsum-style matmul per
+    # record batch against the (tiny) centroid matrix. The earlier HOF
+    # form (transform + interpreted cosine per cell) cost n_cells
+    # interpreted array-folds PER ROW — measured ~2-3 s of the query's
+    # wall time at sf0.1; the numpy matmul is a rounding error. Stable
+    # argsort on -cos preserves the (-cos, cell-asc) tie order of the
+    # expression form.
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cell_ranks(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+        order = np.argsort(-(Vu @ cent_unit.T), axis=1, kind="stable") + 1
+        return pd.Series(list(order.astype("int32")))
 
     def assign(df: DataFrame, out_id: str, keep_vec: str, top_cells: int) -> DataFrame:
         """Tag each vector with its ``top_cells`` nearest centroid ids —
-        a narrow projection (argmin over the literal centroid array)."""
+        a narrow projection (argmax over the broadcast centroid matrix)."""
         vec = df.select(
             F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
         )
-        cells = F.slice(scored_cells(F.col(keep_vec)), 1, top_cells)
+        cells = F.slice(_cell_ranks(F.col(keep_vec)), 1, top_cells)
         return vec.select(
-            out_id, keep_vec, F.explode(cells["cell"]).alias("__cell")
+            out_id, keep_vec, F.explode(cells).alias("__cell")
         )
 
     inv_file = assign(corpus, "neighbor_id", "__cv", 1)
