@@ -346,27 +346,30 @@ def shingle_elements(
 ) -> DataFrame:
     """Distinct hashed word n-gram shingles as (id, __h) rows.
 
-    posexplode tokens → window ``lead`` over token position per doc →
-    hash the n adjacent tokens → distinct. Two hash-partitioned
-    shuffles on the doc id (window + distinct), everything codegen.
-    Equivalent set semantics to ``word_shingles`` + per-shingle
-    hashing, in relational form.
-    """
-    from pyspark.sql import Window
+    ZERO-SHUFFLE: tokens stay inside their row as an array; shingle
+    hashes come from a ``transform`` over the start-index sequence
+    (xxhash64 of the n adjacent tokens), per-doc dedup from
+    ``array_distinct``, and the relation materializes with one
+    ``explode`` — a narrow projection end to end. An earlier form
+    posexploded tokens and ran a window ``lead`` per doc + a global
+    ``distinct``: two hash-partitioned shuffles of the TOKEN relation,
+    the largest intermediate in the whole near-dup pipeline — at
+    100 TB that's two corpus-sized exchanges bought back for ~one
+    interpreted hash call per shingle (linear, embarrassingly
+    parallel).
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(whitespace_tokens(F.col(text_col))).alias("__pos", "__tok"),
+    Docs with < n tokens vanish (empty shingle array → explode drops
+    the row), matching the previous contract.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    leads = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.select(F.col(id_col), F.xxhash64(*leads).alias("__h"),
-                    leads[-1].alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "__h")
-        .distinct()
-    )
+    guarded = F.when(
+        F.size(toks) >= n, F.array_distinct(hashes)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col), F.explode(guarded).alias("__h"))
 
 
 def element_set_sizes(ex: DataFrame, id_col: str) -> DataFrame:
