@@ -1565,3 +1565,34 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# One SQL text, two engines: this exact string runs through Spark SQL
+# (run_sql → Catalyst) AND through DuckDB as its own oracle — the
+# strongest statement the gate can make about the ad-hoc SQL surface.
+_SQL_ADHOC_TEXT = """
+SELECT r_name,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, o_year
+"""
+
+
+@_register("sql_adhoc_star_join", _SQL_ADHOC_TEXT)
+def sql_adhoc_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc SQL entry point (sql.run_sql) under the correctness
+    gate: a 5-table star join + yearly revenue rollup written ONCE in
+    dialect-portable ANSI SQL and executed verbatim by BOTH engines
+    (the oracle IS the query text). Catalyst plans it like any
+    DataFrame query — pushdown, AQE, broadcast dims — because the SQL
+    and DataFrame APIs share the same logical plan layer.
+    """
+    from ..sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_ADHOC_TEXT)
