@@ -316,10 +316,23 @@ def ivf_topk_cosine(
     from pyspark.sql.types import ArrayType, IntegerType
 
     cent_rows = (
-        corpus.orderBy(id_col).limit(n_cells).select(to_double(F.col(vec_col))).collect()
+        corpus.orderBy(id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(n_cells)
+        .select(to_double(F.col(vec_col)))
+        .collect()
     )
-    cent_mat = np.array([row[0] for row in cent_rows], dtype=np.float64)
-    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    dim = len(cent_rows[0][0]) if cent_rows else 0
+    cent_list = [list(row[0]) for row in cent_rows if len(row[0]) == dim]
+    if not cent_list:
+        # empty corpus → empty result with the contract schema, like
+        # the rest of the operator surface (no driver-side crash)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    cent_mat = np.array(cent_list, dtype=np.float64)
+    norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_unit = cent_mat / np.where(norms == 0.0, 1.0, norms)
 
     # Cell ranking runs on the Arrow path: one einsum-style matmul per
     # record batch against the (tiny) centroid matrix. The earlier HOF
@@ -328,12 +341,29 @@ def ivf_topk_cosine(
     # wall time at sf0.1; the numpy matmul is a rounding error. Stable
     # argsort on -cos preserves the (-cos, cell-asc) tie order of the
     # expression form.
+    n_active_cells = cent_unit.shape[0]
+    exp_dim = cent_unit.shape[1]
+
     @pandas_udf(ArrayType(IntegerType()))
     def _cell_ranks(v: pd.Series) -> pd.Series:
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
-        order = np.argsort(-(Vu @ cent_unit.T), axis=1, kind="stable") + 1
-        return pd.Series(list(order.astype("int32")))
+        # Same null/ragged guard as _cos_batch: a NULL, wrong-width, or
+        # zero-norm vector gets the default cell order instead of
+        # killing the task with np.stack.
+        vals = v.to_numpy()
+        default = list(range(1, n_active_cells + 1))
+        out = [default] * len(vals)
+        valid = [
+            i for i in range(len(vals))
+            if vals[i] is not None and len(vals[i]) == exp_dim
+        ]
+        if valid:
+            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vu = V / np.where(vn == 0.0, 1.0, vn)
+            order = np.argsort(-(Vu @ cent_unit.T), axis=1, kind="stable") + 1
+            for j, i in enumerate(valid):
+                out[i] = list(order[j].astype("int32"))
+        return pd.Series(out)
 
     def assign(df: DataFrame, out_id: str, keep_vec: str, top_cells: int) -> DataFrame:
         """Tag each vector with its ``top_cells`` nearest centroid ids —

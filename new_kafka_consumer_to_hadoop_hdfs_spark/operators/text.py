@@ -359,17 +359,14 @@ def shingle_elements(
     parallel).
 
     Docs with < n tokens vanish (empty shingle array → explode drops
-    the row), matching the previous contract.
+    the row), matching the previous contract. Composes
+    :func:`word_shingles` (which carries the short-doc guard and
+    per-doc distinct) so the n-gram construction lives in ONE place.
     """
-    toks = whitespace_tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
+    grams = word_shingles(whitespace_tokens(F.col(text_col)), n)
+    return df.select(
+        F.col(id_col), F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__h")
     )
-    guarded = F.when(
-        F.size(toks) >= n, F.array_distinct(hashes)
-    ).otherwise(F.array().cast("array<long>"))
-    return df.select(F.col(id_col), F.explode(guarded).alias("__h"))
 
 
 def element_set_sizes(ex: DataFrame, id_col: str) -> DataFrame:

@@ -1551,7 +1551,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [
-            ("count", "value", "n_events"),
+            # count a literal so NULL values still count — oracle is COUNT(*)
+            ("count", F.lit(1), "n_events"),
             ("sum", "__dec_value", "total_value"),
             ("min", "value", "min_value"),
             ("max", "value", "max_value"),

@@ -18,11 +18,22 @@ def registry():
     return merged_registry()[0]
 
 
+# Building a query's DataFrame can itself run Spark jobs (IVF collects
+# centroids; corpus dedup runs the CC loop to convergence), so cache
+# each query's explain string for the whole test module — the hygiene
+# loop and the per-query tests then build every plan at most once.
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _plan(spark, registry, name: str) -> str:
-    df = registry[name](spark, SF)
-    jvm = spark._jvm  # noqa: SLF001
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    if name not in _PLAN_CACHE:
+        df = registry[name](spark, SF)
+        jvm = spark._jvm  # noqa: SLF001
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        _PLAN_CACHE[name] = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    return _PLAN_CACHE[name]
 
 
 def test_q1_filter_pushed_and_columns_pruned(spark, registry):
