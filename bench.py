@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "pipeline_corpus_dedup",
+    "pipeline_incremental_dedup",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     # deep TPC-H subquery shapes

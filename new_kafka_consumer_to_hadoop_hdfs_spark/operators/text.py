@@ -374,21 +374,13 @@ def element_set_sizes(ex: DataFrame, id_col: str) -> DataFrame:
     return ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
 
 
-def minhash_candidate_pairs(
-    ex: DataFrame,
-    id_col: str,
-    *,
-    num_hashes: int = 16,
-    rows_per_band: int = 2,
+def _band_relation(
+    ex: DataFrame, id_col: str, *, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs from the (id, __h) element relation.
-
-    Signature mins aggregate directly over the hashed elements
-    (map-side combine; the shuffle carries num_hashes longs per doc),
-    bands explode from the aggregated row, and candidates come from the
-    band-bucket self-join — the same banding math as
-    :func:`lsh_candidate_pairs`, minus every per-element lambda.
-    """
+    """(id, band_idx, band_hash) rows: MinHash signature mins aggregate
+    directly over the hashed elements (map-side combine; the shuffle
+    carries num_hashes longs per doc), bands explode from the
+    aggregated row."""
     num_bands = num_hashes // rows_per_band
     mins = ex.groupBy(id_col).agg(
         *[
@@ -396,7 +388,7 @@ def minhash_candidate_pairs(
             for i in range(num_hashes)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -410,6 +402,23 @@ def minhash_candidate_pairs(
             )
         ).alias("__band_idx", "__band_hash"),
     )
+
+
+def minhash_candidate_pairs(
+    ex: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs from the (id, __h) element relation:
+    the band-bucket SELF-join over :func:`_band_relation` — the same
+    banding math as :func:`lsh_candidate_pairs`, minus every
+    per-element lambda.
+    """
+    bands = _band_relation(
+        ex, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -418,6 +427,44 @@ def minhash_candidate_pairs(
             (F.col("a.__band_idx") == F.col("b.__band_idx"))
             & (F.col("a.__band_hash") == F.col("b.__band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs_between(
+    ex_probe: DataFrame,
+    ex_base: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Asymmetric MinHash-LSH candidates: probe docs vs an EXISTING
+    base corpus — the incremental-ingest shape (today's batch against
+    yesterday's index), where a self-join over (base ∪ probe) would
+    waste the dominant base×base quadrant on pairs nobody asked about.
+
+    Output: (``{id}_a`` from probe, ``{id}_b`` from base), distinct.
+    At scale the base side's band relation is the persisted index
+    (computed once per corpus version, reusable across every incoming
+    batch); the probe side is the only per-batch work.
+    """
+    a = _band_relation(
+        ex_probe, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+    ).alias("a")
+    b = _band_relation(
+        ex_base, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_hash") == F.col("b.__band_hash")),
         )
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),

@@ -785,3 +785,49 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("lang", "doc_id")
     )
+
+
+_INCREMENTAL_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+s AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM t WHERE len(t) >= 3),
+dup AS (
+  SELECT DISTINCT a.doc_id AS incoming
+  FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+  WHERE {_SQL_JACCARD} >= 0.8
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT incoming FROM dup)
+"""
+
+
+@_register("pipeline_incremental_dedup", _INCREMENTAL_DEDUP_ORACLE)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: keep only the incoming docs
+    (doc_id % 10 = 0 stands in for today's batch) that have NO
+    near-duplicate (word-3-gram Jaccard ≥ 0.8) in the existing base
+    corpus — the query a training pipeline runs on every ingest, and a
+    different join shape from `pipeline_corpus_dedup`: an ASYMMETRIC
+    probe-vs-index LSH join (operators.text
+    minhash_candidate_pairs_between) that never touches the base×base
+    quadrant, followed by exact verification and an anti join.
+
+    At 100 TB the base band relation is a persisted index computed once
+    per corpus version; per-batch cost is |batch| signatures + the
+    bucket join. Banding recall on this corpus's planted dups (J ≥ 0.9)
+    is ≈1, so the oracle is the exact brute force.
+    """
+    from ..operators.text import minhash_candidate_pairs_between
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
+    is_incoming = F.col("doc_id") % 10 == 0
+    cands = minhash_candidate_pairs_between(
+        ex.filter(is_incoming), ex.filter(~is_incoming), "doc_id"
+    )
+    dup_pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
+    incoming = d.filter(is_incoming).select("doc_id")
+    return incoming.join(
+        dup_pairs.select(F.col("doc_id_a").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
