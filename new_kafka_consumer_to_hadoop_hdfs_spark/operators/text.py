@@ -359,13 +359,29 @@ def shingle_elements(
     parallel).
 
     Docs with < n tokens vanish (empty shingle array → explode drops
-    the row), matching the previous contract. Composes
-    :func:`word_shingles` (which carries the short-doc guard and
-    per-doc distinct) so the n-gram construction lives in ONE place.
+    the row), matching the previous contract.
+
+    Gram extraction is ONE codegen'd regex pass per document: a
+    zero-width lookahead anchored at token starts captures every
+    overlapping n-word gram ("(?:^|(?<= ))(?=(\\S+( \\S+)*))"). The
+    obvious form — ``transform`` over an index sequence slicing the
+    token array — evaluates the OUTER token expression again for every
+    shingle on the interpreted HOF path (no common-subexpression
+    elimination there), turning O(tokens) into O(tokens·shingles) per
+    doc: measured 4.3 s → 0.9 s at sf0.1 for this one projection. The
+    hash ``transform`` is safe because its lambda touches only its own
+    element. Contract: tokens are single-space delimited (the corpus'
+    delimiter, and exactly what the DuckDB oracle fragment splits on);
+    a multi-space corpus needs :func:`word_shingles` over a real
+    tokenizer instead.
     """
-    grams = word_shingles(whitespace_tokens(F.col(text_col)), n)
+    pat = "(?:^|(?<= ))(?=(" + " ".join([r"\S+"] * n) + "))"
+    grams = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    )
     return df.select(
-        F.col(id_col), F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__h")
+        F.col(id_col),
+        F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__h"),
     )
 
 
