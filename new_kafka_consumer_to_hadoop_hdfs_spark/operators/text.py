@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -636,36 +638,45 @@ def simhash64(tokens: Column) -> Column:
 def simhash_signatures(
     df: DataFrame, id_col: str, token_col: str, *, out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash via the codegen path: one row per id with the
-    signature as a long.
+    """64-bit SimHash, ZERO-shuffle: one row per id with the signature
+    as a long.
 
-    Plan: explode tokens (duplicates retained — the standard frequency
-    weighting), xxhash64 per token in whole-stage codegen, then 64
-    bit-vote SUM aggregates (±1 per bit, plain shift/mask arithmetic —
-    all codegen) with map-side partial aggregation; the shuffle carries
-    64 longs per document. The final projection folds votes into the
-    signature word. Same result as :func:`simhash64`, which evaluates
-    per-element lambdas on the interpreted path and exists for
-    expression-level composition/tests.
+    Plan: token hashes stay inside their row (``transform`` +
+    ``xxhash64`` — the lambda touches only its element, so no
+    re-evaluation trap), then an Arrow-batched UDF folds each hash
+    array into the 64 bit votes with numpy bit arithmetic. Replaces
+    the earlier explode + 64-SUM-aggregate formulation: same exact
+    result (integer votes), but the groupBy shuffle carrying 64 longs
+    per document disappears entirely — per-document work with no
+    cross-row dependency should never shuffle. :func:`simhash64` is
+    the pure-expression twin for composition/tests.
+
+    Rows whose token array is empty are absent from the output
+    (matching the explode form's contract).
     """
-    exploded = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("__t"))
-    h = F.xxhash64(F.col("__t"))
-    votes = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"__v{b}")
-            for b in range(64)
-        ]
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sig(h: pd.Series) -> pd.Series:
+        out = np.zeros(len(h), dtype=np.int64)
+        vals = h.to_numpy()
+        for i, arr in enumerate(vals):
+            H = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((H[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig_u = ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                dtype=np.uint64
+            )
+            out[i] = int(sig_u.astype(np.int64))
+        return pd.Series(out)
+
+    hashes = F.transform(F.col(token_col), lambda t: F.xxhash64(t))
+    return df.filter(F.size(F.col(token_col)) > 0).select(
+        F.col(id_col), _sig(hashes).alias(out_col)
     )
-    sig = None
-    for b in range(64):
-        term = F.when(
-            F.col(f"__v{b}") > 0,
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return votes.select(F.col(id_col), sig.alias(out_col))
 
 
 def simhash_near_pairs(

@@ -301,3 +301,27 @@ def test_prefix_filter_positional_boundary_pair(spark):
         cands, ex, "doc_id", threshold=0.8
     ).collect()
     assert len(verified) == 1 and abs(verified[0].jaccard - 0.8) < 1e-12
+
+
+def test_simhash_signatures_match_expression_form(spark, docs):
+    """The Arrow bulk path and the pure-expression form must produce
+    bit-identical signatures (integer votes — no float slack), and the
+    bulk path must drop empty-token docs like the explode form did."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        simhash_signatures,
+    )
+
+    toks = docs.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("t")
+    )
+    expr_sigs = {
+        r.doc_id: r.s
+        for r in toks.filter(F.size("t") > 0)
+        .select("doc_id", simhash64(F.col("t")).alias("s"))
+        .collect()
+    }
+    bulk_sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(toks, "doc_id", "t").collect()
+    }
+    assert bulk_sigs == expr_sigs
