@@ -728,3 +728,36 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every overlapping character
+    k-gram, then keep the MINIMUM hash of each window of ``w``
+    consecutive k-grams; the distinct survivors are the document's
+    fingerprint set. Guarantees every shared substring of length
+    ≥ k+w-1 contributes at least one matching fingerprint — the
+    local-sampling property plain MinHash lacks.
+
+    Engine-portable construction: k-grams via ONE codegen regex pass
+    (zero-width lookahead, same CSE-avoidance rationale as
+    :func:`shingle_elements`), hashes as 8-hex-char md5 prefixes (md5
+    exists in Spark AND DuckDB, so the oracle reproduces the exact
+    strings), windows via transform over a MATERIALIZED hash column
+    (a bound column reference — per-element slice cost is O(w), with
+    none of the outer-expression re-evaluation the interpreted HOF
+    path suffers). Zero shuffle end to end.
+    """
+    pat = f"(?=(.{{{k}}}))"
+    grams = F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8)).alias("__kh"),
+    ).filter(F.size("__kh") >= w)
+    idx = F.sequence(F.lit(1), F.size(F.col("__kh")) - (w - 1))
+    fps = F.transform(idx, lambda i: F.array_min(F.slice(F.col("__kh"), i, w)))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
