@@ -365,17 +365,23 @@ def shingle_elements(
 
     Gram extraction is ONE codegen'd regex pass per document: a
     zero-width lookahead anchored at token starts captures every
-    overlapping n-word gram ("(?:^|(?<= ))(?=(\\S+( \\S+)*))"). The
-    obvious form — ``transform`` over an index sequence slicing the
-    token array — evaluates the OUTER token expression again for every
-    shingle on the interpreted HOF path (no common-subexpression
-    elimination there), turning O(tokens) into O(tokens·shingles) per
-    doc: measured 4.3 s → 0.9 s at sf0.1 for this one projection. The
-    hash ``transform`` is safe because its lambda touches only its own
-    element. Contract: tokens are single-space delimited (the corpus'
-    delimiter, and exactly what the DuckDB oracle fragment splits on);
-    a multi-space corpus needs :func:`word_shingles` over a real
-    tokenizer instead.
+    overlapping n-word gram (for n=3 the pattern is
+    ``(?:^|(?<= ))(?=(\\S+ \\S+ \\S+))``). The obvious form —
+    ``transform`` over an index sequence slicing the token array —
+    evaluates the OUTER token expression again for every shingle on
+    the interpreted HOF path (no common-subexpression elimination
+    there), turning O(tokens) into O(tokens·shingles) per doc:
+    measured 4.3 s → 0.9 s at sf0.1 for this one projection. The hash
+    ``transform`` is safe because its lambda touches only its own
+    element.
+
+    CONTRACT: tokens must be delimited by EXACTLY one space (true for
+    the fixture corpus and for the DuckDB oracle fragments, which also
+    split on the single-space delimiter — but NOT equivalent to
+    whitespace tokenization in general: on runs of spaces/tabs/
+    newlines the regex finds fewer grams than split-and-filter would).
+    A corpus with messy whitespace needs :func:`word_shingles` over a
+    real tokenizer instead.
     """
     pat = "(?:^|(?<= ))(?=(" + " ".join([r"\S+"] * n) + "))"
     grams = F.array_distinct(
@@ -482,7 +488,12 @@ def minhash_candidate_pairs_between(
         a.join(
             b,
             (F.col("a.__band_idx") == F.col("b.__band_idx"))
-            & (F.col("a.__band_hash") == F.col("b.__band_hash")),
+            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
+            # guard against overlapping probe/base relations: a doc
+            # re-ingested into a batch it already belongs to must not
+            # pair with itself (downstream anti joins would silently
+            # drop it as "a duplicate of itself")
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
@@ -651,6 +662,12 @@ def simhash_signatures(
     cross-row dependency should never shuffle. :func:`simhash64` is
     the pure-expression twin for composition/tests.
 
+    PRECONDITION: one input row per id. Each row's signature is
+    computed from that row's tokens alone — a doc stored as multiple
+    chunk rows must be pre-aggregated (``groupBy(id) +
+    flatten(collect_list)``) first; the removed groupBy form merged
+    such rows implicitly, this form does not.
+
     Rows whose token array is empty are absent from the output
     (matching the explode form's contract).
     """
@@ -750,7 +767,10 @@ def winnow_fingerprints(
     none of the outer-expression re-evaluation the interpreted HOF
     path suffers). Zero shuffle end to end.
     """
-    pat = f"(?=(.{{{k}}}))"
+    # (?s) = DOTALL: without it Java's `.` skips line terminators and
+    # every k-gram spanning a newline vanishes — diverging from the
+    # oracle's substr() and breaking the recall guarantee.
+    pat = f"(?s)(?=(.{{{k}}}))"
     grams = F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
     hashed = df.select(
         F.col(id_col),

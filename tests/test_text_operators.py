@@ -311,7 +311,10 @@ def test_simhash_signatures_match_expression_form(spark, docs):
         simhash_signatures,
     )
 
-    toks = docs.select(
+    spark_docs = docs.union(
+        docs.sparkSession.createDataFrame([(6, "")], "doc_id long, text string")
+    )
+    toks = spark_docs.select(
         "doc_id", whitespace_tokens(F.col("text")).alias("t")
     )
     expr_sigs = {
@@ -325,3 +328,4 @@ def test_simhash_signatures_match_expression_form(spark, docs):
         for r in simhash_signatures(toks, "doc_id", "t").collect()
     }
     assert bulk_sigs == expr_sigs
+    assert 6 not in bulk_sigs  # empty-token doc dropped, not scored

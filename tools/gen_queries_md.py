@@ -27,7 +27,9 @@ def main() -> None:
     ]
     for i, name in enumerate(sorted(qs), 1):
         fn = qs[name]
-        doc = (inspect.getdoc(fn) or "").strip().split("\n")[0].strip()
+        # first PARAGRAPH (joined across source-line wraps), then cap
+        para = (inspect.getdoc(fn) or "").strip().split("\n\n")[0]
+        doc = " ".join(line.strip() for line in para.split("\n")).strip()
         if len(doc) > 110:
             doc = doc[:107] + "..."
         mod = fn.__module__.split(".")[-1]
