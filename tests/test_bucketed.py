@@ -94,3 +94,57 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     # prune), not as a post-scan Filter over all partitions
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pf
+
+
+def test_write_bounds_file_count_and_size(spark, tmp_path):
+    """Sink-side small-files control: repartition before write bounds
+    the file COUNT (one per partition), maxRecordsPerFile bounds each
+    file's row count. At 100 TB unbounded tiny files destroy scan
+    planning; unbounded huge files destroy parallelism — both knobs
+    must actually take effect."""
+    out = str(tmp_path / "events_compact")
+    ev = load_table(spark, SF, "events")
+    n = ev.count()
+    (
+        ev.repartition(4)
+        .write.option("maxRecordsPerFile", 200)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    # 4 partitions, each split into ceil(rows_in_partition / 200) files
+    assert len(files) >= 4
+    assert len(files) <= 4 * (n // 200 + 2)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # no file may exceed the record cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= 200
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Lakehouse schema evolution: two parquet batches with different
+    (compatible) schemas read back as ONE table under mergeSchema,
+    with the missing column null-filled — the append-only column-add
+    migration every long-lived 100 TB dataset eventually needs."""
+    out = str(tmp_path / "evolving")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    ev.write.mode("overwrite").parquet(out + "/batch=1")
+    ev2 = load_table(spark, SF, "events").select(
+        "event_id", "user_id", F.col("value").alias("quality_score")
+    )
+    ev2.write.mode("overwrite").parquet(out + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"event_id", "user_id", "quality_score", "batch"}
+    n = ev.count()
+    assert merged.count() == 2 * n
+    # old batch rows surface the new column as NULL, not garbage
+    assert merged.filter(
+        (F.col("batch") == 1) & F.col("quality_score").isNotNull()
+    ).count() == 0
+    assert merged.filter(
+        (F.col("batch") == 2) & F.col("quality_score").isNull()
+    ).count() == 0
