@@ -66,6 +66,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "sim_topk_cosine",
     "sim_topk_cosine_arrow",
+    "sim_topk_cosine_int8",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "multimodal_binary_stats",

@@ -32,6 +32,7 @@ from ..operators.similarity import (
     lsh_topk_cosine,
     topk_cosine,
     topk_cosine_arrow,
+    topk_cosine_int8,
 )
 from ..operators.text import (
     bpe_ish_tokens,
@@ -682,6 +683,52 @@ def sim_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return topk_cosine_arrow(e, q, id_col="vec_id", vec_col="embedding", k=10)
+
+
+_TOPK_COSINE_INT8_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> round(x * 127.0 / greatest(
+                  list_max(list_transform(embedding::DOUBLE[], y -> abs(y))),
+                  1e-300))
+         ) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@_register("sim_topk_cosine_int8", _TOPK_COSINE_INT8_ORACLE)
+def sim_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors over int8-QUANTIZED vectors — the
+    bandwidth-reduction similarity path (same plan as
+    `sim_topk_cosine`; vectors max-abs-quantized to 127 levels first).
+
+    At 100 TB the embedding column IS the table's bytes; storing it as
+    array<tinyint> cuts scan/shuffle/cache traffic 4× vs float32.
+    Scoring needs no dequantization (cosine is scale-invariant), and
+    quantized dot products are exact integers — bit-reproducible
+    across engines and partition orders — so unlike LSH/IVF this
+    approximate path is fully hash-checkable: DuckDB reproduces the
+    quantization (both engines round ties half-away-from-zero) and the
+    integer arithmetic exactly. Accuracy loss vs the float path is
+    bounded by rounding error, measured in tests/test_properties.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine_int8(e, q, id_col="vec_id", vec_col="embedding", k=10)
 
 
 @_register("sim_topk_lsh")  # no oracle: approximate recall by design

@@ -329,3 +329,47 @@ def test_simhash_signatures_match_expression_form(spark, docs):
     }
     assert bulk_sigs == expr_sigs
     assert 6 not in bulk_sigs  # empty-token doc dropped, not scored
+
+
+def test_int8_topk_tracks_exact_cosine(spark, sf_dir):
+    """Quantized scoring must stay within the rounding-error bound of
+    the float path: per-pair |cos_int8 - cos_float| small, and top-10
+    neighbor overlap high (quantization reshuffles ranks only where
+    neighbors are nearly tied)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        topk_cosine_int8,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = topk_cosine(e, q, k=10).collect()
+    quant = topk_cosine_int8(e, q, k=10).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    quant_pairs = {(r.query_id, r.neighbor_id) for r in quant}
+    overlap = len(exact_pairs & quant_pairs) / len(exact_pairs)
+    assert overlap >= 0.8, f"int8 top-k diverged from float top-k: {overlap}"
+    # 127-level max-abs quantization of d-dim vectors perturbs a unit
+    # dot product by O(1/127); 0.02 is a loose ceiling for dim=64
+    exact_by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in exact_by_pair:
+            err = abs(r.cos_sim - exact_by_pair[(r.query_id, r.neighbor_id)])
+            assert err < 0.02, f"quantization error too large: {err}"
+
+
+def test_quantize_int8_integer_components_and_zero_vector(spark):
+    """Quantized components are integers in [-127, 127]; the max-abs
+    element maps to ±127 exactly; an all-zero vector survives (maps to
+    zeros, no division blowup)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])], "id long, v array<double>"
+    )
+    rows = {r.id: r.q for r in df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
+    assert rows[1] == [64.0, -127.0, 32.0]  # round(.5*127)=64 (half-up), max-abs → -127
+    assert rows[2] == [0.0, 0.0, 0.0]
+    assert all(x == int(x) and -127 <= x <= 127 for x in rows[1])
