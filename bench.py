@@ -53,6 +53,9 @@ HEADLINE = [
     "text_token_count",
     "dedup_exact_docs",
     "dedup_near_minhash",
+    "pipeline_decontaminate",
+    "text_repetition_stats",
+    "pipeline_pack_sequences",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "pipeline_corpus_dedup",

@@ -781,3 +781,51 @@ def winnow_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
     )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 4,
+) -> DataFrame:
+    """Train/test decontamination sweep: for every corpus document,
+    count the distinct word ``n``-grams it shares with ANY benchmark
+    document. Returns (id, n_benchmark_grams) for contaminated docs
+    only — subtract/anti-join this against the corpus to purge.
+
+    The standard pretraining-data hygiene operator (the reference has
+    nothing like it; SURVEY §2.5 LLM surface): membership of each
+    corpus gram in the benchmark gram SET, not document pairing — so
+    the benchmark side collapses to ``distinct grams`` first.
+
+    Scale shape: a benchmark suite is small by construction (thousands
+    of documents, not billions), so its distinct-gram relation is
+    broadcast — the corpus-side scan is then a NARROW pass (shingle →
+    explode → broadcast-hash-join probe) with the per-doc groupBy as
+    the only shuffle, keyed on doc id (uniform, no skew). The corpus is
+    never shuffled by gram, never self-joined. If the benchmark side
+    ever outgrew broadcast, drop the hint and the same plan becomes a
+    shuffled equi-join on the gram — still bucketed, never all-pairs.
+
+    Grams are matched as exact strings (not hashes) so the operator is
+    oracle-checkable; per-doc distinctness comes from word_shingles'
+    array_distinct, benchmark-set distinctness from one distinct() on
+    the (small) benchmark gram relation.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        toks = whitespace_tokens(F.col(text_col))
+        return df.select(
+            *cols, F.explode(word_shingles(toks, n=n)).alias("__gram")
+        )
+
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    return (
+        grams(corpus, keep_id=True)
+        .join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_benchmark_grams"))
+    )

@@ -35,6 +35,7 @@ from ..operators.similarity import (
     topk_cosine_int8,
 )
 from ..operators.text import (
+    contamination_hits,
     bpe_ish_tokens,
     jaccard_verify_elements,
     minhash_candidate_pairs,
@@ -507,6 +508,165 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=3).orderBy(
         "doc_id_a", "doc_id_b"
     )
+
+
+_PACK_SEQUENCES_ORACLE = f"""
+WITH d AS (
+  SELECT source, substr(md5(doc_id::VARCHAR), 1, 1) AS shard, doc_id,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT source, shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT source, shard, doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS chunk_id,
+       (CAST(FLOOR(start_offset / 128.0) AS BIGINT)
+        != CAST(FLOOR((start_offset + n_tokens - 1) / 128.0) AS BIGINT))
+       AS spans_boundary
+FROM o
+"""
+
+
+@_register("pipeline_pack_sequences", _PACK_SEQUENCES_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    deterministic token offset in its shard's concatenation stream
+    and the 128-token training chunk that offset lands in —
+    the standard "concatenate docs, slice fixed-length sequences"
+    step before tokenized training data is written.
+
+    Sharding is (source, md5-hex-prefix-of-doc_id): 16 deterministic
+    buckets per source, so one hot source never serializes into a
+    single window partition (the classic skew trap — a bare
+    `PARTITION BY source` would put all of a 100 TB crawl's docs in
+    one reducer). Within a shard the layout is a running-sum window
+    over doc_id order: one shuffle keyed (source, shard), each
+    partition a sequential prefix scan — the distributed form closest
+    to the sequential packer; docs crossing a chunk edge are flagged
+    (`spans_boundary`) for the trainer's attention-mask logic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    chunk = F.floor(F.col("start_offset") / 128.0).cast("long")
+    last_chunk = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / 128.0
+    ).cast("long")
+    return o.select(
+        "source", "shard", "doc_id", "n_tokens", "start_offset",
+        chunk.alias("chunk_id"),
+        (chunk != last_chunk).alias("spans_boundary"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+     g AS (
+       SELECT doc_id, len(t) AS n_tokens,
+              unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS gram
+       FROM toks WHERE len(t) >= 2
+     ),
+     c AS (SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt FROM g GROUP BY ALL)
+SELECT doc_id, n_tokens,
+       ROUND(COUNT(*)::DOUBLE / (n_tokens - 1), 6) AS distinct_bigram_ratio,
+       ROUND(MAX(cnt)::DOUBLE / (n_tokens - 1), 6) AS top_bigram_frac,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+             / (n_tokens - 1), 6) AS dup_bigram_frac
+FROM c GROUP BY doc_id, n_tokens
+"""
+
+
+@_register("text_repetition_stats", _REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals over word bigrams —
+    the Gopher-rules family (Rae et al. 2021: excess duplicate n-grams
+    mark low-quality/boilerplate text, filtered before training):
+    distinct-bigram ratio, most-common-bigram fraction, and the
+    fraction of bigram occurrences belonging to a repeated bigram.
+
+    Plan: one narrow pass extracts non-distinct bigrams from the
+    MATERIALIZED token array (bound-column transform — no outer-expr
+    re-evaluation on the interpreted HOF path), then two partial-agg
+    shuffles keyed on (doc_id, gram) and doc_id. Both keys are
+    uniform (per-doc fan-out is n_tokens), so the shape holds at
+    100 TB; no self-joins, no gram-global state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    idx = F.sequence(F.lit(1), F.size("__t") - 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2)))
+    ex = toks.select(
+        "doc_id", F.size("__t").alias("n_tokens"), F.explode(grams).alias("__gram")
+    )
+    counts = ex.groupBy("doc_id", "n_tokens", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    denom = (F.col("n_tokens") - 1).cast("double")
+    return counts.groupBy("doc_id", "n_tokens").agg(
+        F.round(F.count(F.lit(1)) / denom, 6).alias("distinct_bigram_ratio"),
+        F.round(F.max("__cnt") / denom, 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(0)) / denom, 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+     sh AS (
+       SELECT doc_id,
+              unnest(list_distinct(
+                [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)]
+              )) AS gram
+       FROM toks WHERE len(t) >= 4
+     ),
+     bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0),
+     corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id % 97 != 0)
+SELECT c.doc_id, COUNT(*) AS n_benchmark_grams
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+@_register("pipeline_decontaminate", _DECONTAMINATE_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus documents sharing any word
+    4-gram with the held-out benchmark slice (doc_id % 97 = 0), with
+    the count of distinct leaked grams per document.
+
+    The data-hygiene op every pretraining pipeline runs before
+    training: exact n-gram membership against the evaluation suite's
+    gram set. The benchmark side is distinct-collapsed and BROADCAST
+    (a benchmark is small by construction), so at 100 TB the corpus
+    undergoes one narrow shingle→probe pass with the per-doc count as
+    the only shuffle — the corpus is never shuffled by gram content and
+    never self-joined. Anti-join the output against the corpus to get
+    the clean training set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench, "doc_id", "text", n=4)
 
 
 _EMB_COSINE_ORACLE = """

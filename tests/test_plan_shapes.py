@@ -154,6 +154,7 @@ NLJ_ALLOWED = {
     "dedup_embedding_cosine",  # documented brute-force baseline
     "sim_topk_cosine",         # broadcast query side, != join condition
     "sim_topk_cosine_arrow",
+    "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
 }
 
 
@@ -171,3 +172,13 @@ def test_no_query_plans_cartesian_or_surprise_nlj(spark, registry):
         if "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
             failures.append(f"{name}: undocumented BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, registry):
+    """The benchmark gram set must reach the corpus probe as a
+    broadcast: the corpus side is never shuffled by gram content, and
+    no cartesian/nested-loop fallback appears."""
+    plan = _plan(spark, registry, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

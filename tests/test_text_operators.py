@@ -373,3 +373,32 @@ def test_quantize_int8_integer_components_and_zero_vector(spark):
     assert rows[1] == [64.0, -127.0, 32.0]  # round(.5*127)=64 (half-up), max-abs → -127
     assert rows[2] == [0.0, 0.0, 0.0]
     assert all(x == int(x) and -127 <= x <= 127 for x in rows[1])
+
+
+def test_contamination_hits_semantics(spark):
+    """A corpus doc sharing an n-gram with ANY benchmark doc is
+    reported once with the distinct shared-gram count; clean docs and
+    sub-n docs don't appear; duplicated benchmark grams don't double-
+    count."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),   # 1 shared 4-gram (in both bench docs)
+            (2, "beta gamma delta epsilon tail"), # 1 shared 4-gram (bench 101)
+            (3, "totally different words here"),  # clean
+            (4, "alpha beta"),                    # < n tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_benchmark_grams
+        for r in contamination_hits(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert out == {1: 1, 2: 1}
