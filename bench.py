@@ -56,6 +56,7 @@ HEADLINE = [
     "pipeline_decontaminate",
     "text_repetition_stats",
     "pipeline_pack_sequences",
+    "pipeline_mix_languages",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "pipeline_corpus_dedup",

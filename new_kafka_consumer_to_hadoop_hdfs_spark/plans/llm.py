@@ -510,6 +510,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_LANGUAGES_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+     t AS (SELECT SUM(n_l)::DOUBLE / COUNT(*) AS target FROM c)
+SELECT d.lang, d.doc_id
+FROM documents d JOIN c USING (lang) CROSS JOIN t
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
+      < least(1.0, t.target / c.n_l)
+"""
+
+
+@_register("pipeline_mix_languages", _MIX_LANGUAGES_ORACLE)
+def pipeline_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: downsample over-represented
+    languages to an equal per-language share (the corpus is ~44% en)
+    by deterministic rate-based hash sampling — the mixture-weighting
+    step of a pretraining data recipe.
+
+    Acceptance is a pure function of doc_id (md5-prefix fraction <
+    per-lang rate), so the sample is re-run-stable and incremental-
+    ingest-stable, like `pipeline_train_val_split`. The plan is the
+    scale-correct shape for mixing: per-lang counts (one partial-agg
+    pass over a table that is tiny after aggregation) → rates
+    BROADCAST back → a NARROW accept/reject filter. No corpus shuffle,
+    no per-group window — a rank-based "keep first n_target" would
+    serialize each language through one reducer at 100 TB; the rate
+    filter touches every row exactly once, embarrassingly parallel.
+    Expected (not exact) per-lang share equality is the trade, which
+    is what production mixing does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    t = c.agg(
+        (F.sum("n_l").cast("double") / F.count(F.lit(1))).alias("target")
+    )
+    rates = c.crossJoin(F.broadcast(t)).select(
+        "lang", F.least(F.lit(1.0), F.col("target") / F.col("n_l")).alias("__rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") / F.lit(65536.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("__rate"))
+        .select("lang", "doc_id")
+    )
+
+
 _PACK_SEQUENCES_ORACLE = f"""
 WITH d AS (
   SELECT source, substr(md5(doc_id::VARCHAR), 1, 1) AS shard, doc_id,

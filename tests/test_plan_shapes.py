@@ -155,6 +155,7 @@ NLJ_ALLOWED = {
     "sim_topk_cosine",         # broadcast query side, != join condition
     "sim_topk_cosine_arrow",
     "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
+    "pipeline_mix_languages",  # one-row global-target scalar broadcast
 }
 
 
