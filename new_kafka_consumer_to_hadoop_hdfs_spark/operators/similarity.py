@@ -211,7 +211,9 @@ def quantize_int8(vec: Column) -> Column:
     maxabs = F.greatest(
         F.array_max(F.transform(v, F.abs)), F.lit(1e-300)
     )
-    return F.transform(v, lambda x: F.round(x * F.lit(127.0) / maxabs, 0))
+    return F.transform(
+        v, lambda x: F.round(x * F.lit(127.0) / maxabs, 0).cast("tinyint")
+    )
 
 
 def topk_cosine_int8(
@@ -232,28 +234,23 @@ def topk_cosine_int8(
     quantization and the (integer-exact) dot products bit-for-bit.
     Rank order may differ from the float path only where quantization
     error crosses a neighbor gap.
+
+    Quantization happens BEFORE the join, so the tinyint arrays are
+    what the broadcast and the corpus scan carry; scoring delegates to
+    :func:`topk_cosine`, whose `to_double` widens each component back
+    for arithmetic (tinyint×tinyint would overflow at 127²) — one
+    shared plan, not a diverging copy.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_int8(F.col(vec_col)).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize_int8(F.col(vec_col)).alias("__cv")
-    )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "__cos", cosine(F.col("__qv"), F.col("__cv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("__cos"), 6).alias("cos_sim"),
-            "rank",
-        )
+    return topk_cosine(
+        corpus.select(
+            F.col(id_col), quantize_int8(F.col(vec_col)).alias(vec_col)
+        ),
+        queries.select(
+            F.col(id_col), quantize_int8(F.col(vec_col)).alias(vec_col)
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
     )
 
 

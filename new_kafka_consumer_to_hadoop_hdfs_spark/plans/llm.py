@@ -575,7 +575,7 @@ o AS (
 SELECT source, shard, doc_id, n_tokens, start_offset,
        CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS chunk_id,
        (CAST(FLOOR(start_offset / 128.0) AS BIGINT)
-        != CAST(FLOOR((start_offset + n_tokens - 1) / 128.0) AS BIGINT))
+        != CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 128.0) AS BIGINT))
        AS spans_boundary
 FROM o
 """
@@ -615,8 +615,12 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
     )
     chunk = F.floor(F.col("start_offset") / 128.0).cast("long")
+    # greatest(n,1): a zero-token doc's "last token" would otherwise sit
+    # at offset-1 — one chunk EARLIER when the doc lands exactly on a
+    # chunk edge, flagging an empty doc as boundary-spanning
     last_chunk = F.floor(
-        (F.col("start_offset") + F.col("n_tokens") - 1) / 128.0
+        (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / 128.0
     ).cast("long")
     return o.select(
         "source", "shard", "doc_id", "n_tokens", "start_offset",
@@ -932,7 +936,8 @@ def sim_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path is fully hash-checkable: DuckDB reproduces the
     quantization (both engines round ties half-away-from-zero) and the
     integer arithmetic exactly. Accuracy loss vs the float path is
-    bounded by rounding error, measured in tests/test_properties.py.
+    bounded by rounding error, measured in
+    tests/test_text_operators.py::test_int8_topk_tracks_exact_cosine.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)

@@ -369,10 +369,12 @@ def test_quantize_int8_integer_components_and_zero_vector(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])], "id long, v array<double>"
     )
-    rows = {r.id: r.q for r in df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
-    assert rows[1] == [64.0, -127.0, 32.0]  # round(.5*127)=64 (half-up), max-abs → -127
-    assert rows[2] == [0.0, 0.0, 0.0]
-    assert all(x == int(x) and -127 <= x <= 127 for x in rows[1])
+    out = df.select("id", quantize_int8(F.col("v")).alias("q"))
+    assert dict(out.dtypes)["q"] == "array<tinyint>"  # true int8 in flight
+    rows = {r.id: r.q for r in out.collect()}
+    assert rows[1] == [64, -127, 32]  # round(.5*127)=64 (half-up), max-abs → -127
+    assert rows[2] == [0, 0, 0]
+    assert all(isinstance(x, int) and -127 <= x <= 127 for x in rows[1])
 
 
 def test_contamination_hits_semantics(spark):
