@@ -43,6 +43,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "agg_count_distinct",
+    "agg_approx_percentiles",
+    "agg_hll_union_rollup",
     "window_running_sum",
     "window_topk_per_group",
     "kafka_dedup_lww",

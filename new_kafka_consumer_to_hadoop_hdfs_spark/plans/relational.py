@@ -214,6 +214,57 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("agg_approx_percentiles")  # no oracle: t-digest-style sketch,
+# engine-specific estimates; anchored by the exact twin agg_percentiles
+# and the in-query error assertion in tests/test_properties.py
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_percentiles`' sketch twin: `approx_percentile` with
+    accuracy 10000 — the 100 TB form the exact query's docstring
+    promises. Exact percentiles sort every group's values in one task;
+    the sketch is MERGEABLE: each partition builds a bounded summary,
+    partials combine associatively map-side, and no single task ever
+    holds a group's full value set. Same shape as
+    `agg_approx_count_distinct`'s HLL trade, applied to quantiles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99"),
+    )
+
+
+@_register("agg_hll_union_rollup")  # no oracle: Datasketches HLL binary
+# sketches are Spark-specific; anchored by exactness assertion in
+# tests/test_properties.py (20 distinct sources ≪ HLL error regime)
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-language HLL sketches of distinct
+    `source`, UNIONED into a corpus-wide estimate WITHOUT rescanning —
+    `hll_union_agg` over the per-group sketches, the property plain
+    `approx_count_distinct` doesn't expose.
+
+    This is the 100 TB pattern for layered distinct-count reporting
+    (per-partition sketches materialized once; any ad-hoc grouping of
+    them answered by merging kilobyte summaries): count-distinct is
+    not algebraic, but sketches make it behave like one.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.expr("hll_sketch_agg(source)").alias("__sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    lang_rows = per_lang.select(
+        "lang", "n_docs",
+        F.expr("hll_sketch_estimate(__sk)").alias("approx_sources"),
+    )
+    total_row = per_lang.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("approx_sources"),
+        F.sum("n_docs").alias("n_docs"),
+    ).select(F.lit("__all__").alias("lang"), "n_docs", "approx_sources")
+    return lang_rows.unionByName(total_row)
+
+
 _GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
 FROM orders

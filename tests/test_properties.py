@@ -116,3 +116,62 @@ def test_relational_jaccard_equals_array_jaccard(spark, texts):
         if r.j > 0
     }
     assert rel == direct
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """The sketch twin must stay within t-digest-style error of the
+    exact per-group percentiles it mirrors (anchor for the rows-only
+    agg_approx_percentiles query)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    qs = merged_registry()[0]
+    from pyspark.sql import functions as SF
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    exact = {r.event_type: r for r in qs["agg_percentiles"](spark, sf_dir).collect()}
+    approx = {r.event_type: r for r in qs["agg_approx_percentiles"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    # approx_percentile returns a TRUE data value near the target rank
+    # (never interpolates), so bound each estimate by the exact
+    # interpolated percentiles one rank-percent either side — the
+    # correct acceptance window for a rank-error sketch.
+    ev = load_table(spark, sf_dir, "events")
+    bounds = {
+        r.event_type: r
+        for r in ev.groupBy("event_type").agg(
+            *[
+                SF.expr(f"percentile(value, {q})").alias(f"b{i}")
+                for i, q in enumerate((0.49, 0.51, 0.89, 0.91, 0.98, 1.0))
+            ]
+        ).collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert a.n == e.n
+        b = bounds[et]
+        for p, (lo, hi) in (("p50", (b.b0, b.b1)), ("p90", (b.b2, b.b3)), ("p99", (b.b4, b.b5))):
+            assert lo - 1e-6 <= getattr(a, p) <= hi + 1e-6, (
+                f"{et}.{p}: approx {getattr(a, p)} outside exact rank window [{lo}, {hi}]"
+            )
+
+
+def test_hll_union_rollup_exact_at_low_cardinality(spark, sf_dir):
+    """20 distinct sources is far below HLL's error regime, so every
+    per-lang estimate and the unioned total must equal the exact
+    distinct counts (anchor for the rows-only agg_hll_union_rollup)."""
+    from pyspark.sql import functions as SF
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    qs = merged_registry()[0]
+    got = {r.lang: r for r in qs["agg_hll_union_rollup"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(SF.countDistinct("source").alias("n")).collect()
+    }
+    exact["__all__"] = d.select("source").distinct().count()
+    assert {k: int(v.approx_sources) for k, v in got.items()} == exact
+    assert got["__all__"].n_docs == d.count()
