@@ -790,6 +790,7 @@ def contamination_hits(
     text_col: str,
     *,
     n: int = 4,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test decontamination sweep: for every corpus document,
     count the distinct word ``n``-grams it shares with ANY benchmark
@@ -814,6 +815,12 @@ def contamination_hits(
     oracle-checkable; per-doc distinctness comes from word_shingles'
     array_distinct, benchmark-set distinctness from one distinct() on
     the (small) benchmark gram relation.
+
+    ``bench_grams``: optionally pass the benchmark's precomputed
+    distinct-gram relation (one column ``__gram``) so repeated probes
+    — e.g. one per streaming micro-batch — reuse a persisted index
+    instead of re-shingling the benchmark every call (see
+    streaming/hygiene.py).
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
         # Materialize tokens into a bound column BEFORE shingling: on
@@ -828,7 +835,8 @@ def contamination_hits(
             F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"),
         )
 
-    bench_grams = grams(benchmark, keep_id=False).distinct()
+    if bench_grams is None:
+        bench_grams = grams(benchmark, keep_id=False).distinct()
     return (
         grams(corpus, keep_id=True)
         .join(F.broadcast(bench_grams), "__gram")

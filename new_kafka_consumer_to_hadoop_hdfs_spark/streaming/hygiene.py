@@ -1,0 +1,67 @@
+"""Streaming corpus hygiene: incremental decontamination.
+
+Batch decontamination (`operators.text.contamination_hits`) sweeps the
+whole corpus against a benchmark gram set. At ingest time the natural
+form is incremental: the benchmark index is FIXED (an evaluation suite
+changes rarely), so each arriving micro-batch of documents is probed
+against the same precomputed, persisted gram relation — the
+probe-vs-index asymmetry of `pipeline_incremental_dedup`, applied to
+leakage checking. No state store is needed: per-document gram hits
+don't cross documents, so micro-batch results are exactly the batch
+result restricted to that batch's docs (asserted stream-equals-batch
+in tests/test_streaming.py).
+
+At 100 TB-ingest scale the index side is broadcast (benchmarks are
+small by construction) and each micro-batch runs one narrow
+shingle→probe pass plus a per-doc count keyed on doc id — the same
+plan `pipeline_decontaminate` locks in via its plan-shape test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators.text import contamination_hits
+
+
+def benchmark_gram_index(
+    benchmark: DataFrame, id_col: str, text_col: str, *, n: int = 4
+) -> DataFrame:
+    """Precompute + persist the benchmark's distinct-gram relation once;
+    reuse it across every micro-batch (re-shingling the benchmark per
+    trigger would repeat the index build at each batch)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import whitespace_tokens, word_shingles
+
+    toked = benchmark.select(whitespace_tokens(F.col(text_col)).alias("__t"))
+    return (
+        toked.select(F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"))
+        .distinct()
+        .persist()
+    )
+
+
+def decontaminate_batch_fn(
+    benchmark: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function: probe each micro-batch against
+    the (precomputed) benchmark gram index and hand the per-doc hit
+    counts to ``sink``. ``benchmark`` is shingled once here, not per
+    trigger."""
+    bench = benchmark_gram_index(benchmark, id_col, text_col, n=n)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        hits = contamination_hits(
+            batch_df, benchmark, id_col, text_col, n=n, bench_grams=bench
+        )
+        sink(hits, epoch_id)
+
+    return _probe

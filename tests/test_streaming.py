@@ -373,3 +373,47 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path, sf_dir):
     for ws, we, et, n in got:
         final[(ws, we, et)] = n
     assert sorted((k[0], k[1], k[2], v) for k, v in final.items()) == expected
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path, sf_dir):
+    """Incremental decontamination over micro-batches must settle to
+    exactly the batch sweep: per-doc gram hits don't cross documents,
+    so the union of per-batch probe results is the batch result."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        contamination_hits,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.hygiene import (
+        decontaminate_batch_fn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    src = tmp_path / "docsrc"
+    # several files so AvailableNow + maxFilesPerTrigger yields several
+    # micro-batches, exercising index reuse across triggers
+    corpus.repartition(4).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    got: list[tuple] = []
+
+    def sink(hits_df, epoch_id):
+        got.extend((r.doc_id, r.n_benchmark_grams) for r in hits_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(decontaminate_batch_fn(bench, sink))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = {
+        (r.doc_id, r.n_benchmark_grams)
+        for r in contamination_hits(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert set(got) == expected
+    assert len(got) == len(expected)  # no doc reported twice across batches
