@@ -73,6 +73,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_topk_cosine_arrow",
     "sim_topk_cosine_int8",
+    "sim_topk_cosine_mapside",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "multimodal_binary_stats",

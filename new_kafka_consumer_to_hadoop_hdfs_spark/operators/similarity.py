@@ -254,6 +254,114 @@ def topk_cosine_int8(
     )
 
 
+def topk_cosine_mapside(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine with MAP-SIDE pruning — the scale form of
+    :func:`topk_cosine`'s brute-force plan, same results.
+
+    The window-rank plan shuffles EVERY scored (query, neighbor) pair
+    to the rank stage: |corpus|·|queries| rows through the exchange.
+    Here each input partition keeps only its own top-k per query
+    (`mapInPandas`: one numpy matmul per Arrow batch, a bounded
+    per-query heap across batches), so the exchange carries at most
+    k·|queries|·num_partitions candidate rows — for 10⁹-row corpora
+    that is the difference between shuffling the corpus and shuffling
+    kilobytes. The global window rank then runs on the tiny candidate
+    relation. Top-k of per-partition top-ks equals global top-k
+    because the (cos DESC, neighbor_id ASC) order is total.
+
+    Query vectors ship inside the closure (like IVF centroids: an
+    index build side of |queries|·dim floats, collected once — the
+    query side must be broadcastable for ANY exact-kNN plan here).
+    NULL / ragged / zero-norm corpus vectors score NaN and are
+    dropped by the pruner, mirroring the float path's NaN-ranks-last
+    semantics for rows that can never enter a top-k.
+    """
+    import numpy as np
+
+    q_rows = (
+        queries.select(F.col(id_col), to_double(F.col(vec_col)))
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    dim = len(q_rows[0][1])
+    q_ids = np.array([r[0] for r in q_rows if len(r[1]) == dim])
+    Q = np.array([list(r[1]) for r in q_rows if len(r[1]) == dim], dtype=np.float64)
+    Q_norm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def prune(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        # per-query bounded candidate pools, maintained across every
+        # Arrow batch of THIS partition
+        best: dict[int, list[tuple[float, int]]] = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            ids = pdf["__nid"].to_numpy()
+            vecs = pdf["__cv"].to_numpy()
+            valid = [
+                i for i in range(len(ids))
+                if vecs[i] is not None and len(vecs[i]) == dim
+            ]
+            if not valid:
+                continue
+            C = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in valid])
+            # same num/den form as topk_cosine_arrow's _cos_batch so
+            # all Python paths agree bit-for-bit after round(6)
+            C_norm = np.sqrt(np.einsum("ij,ij->i", C, C))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (C @ Q.T) / np.outer(C_norm, Q_norm)  # (batch, queries)
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                for bi, i in enumerate(valid):
+                    c = col[bi]
+                    if np.isnan(c) or int(ids[i]) == int(qid):
+                        continue
+                    best[int(qid)].append((float(c), int(ids[i])))
+                # keep the pool bounded: top-k by (cos desc, id asc)
+                if len(best[int(qid)]) > 4 * k:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:k]
+        out = [
+            (int(qid), nid, c)
+            for qid, pool in best.items()
+            for c, nid in sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        ]
+        yield pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "__cos"]
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "__cos": "float64"})
+
+    c = corpus.select(
+        F.col(id_col).alias("__nid"), to_double(F.col(vec_col)).alias("__cv")
+    )
+    cands = c.mapInPandas(
+        prune, "query_id long, neighbor_id long, __cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

@@ -33,6 +33,7 @@ from ..operators.similarity import (
     topk_cosine,
     topk_cosine_arrow,
     topk_cosine_int8,
+    topk_cosine_mapside,
 )
 from ..operators.text import (
     contamination_hits,
@@ -942,6 +943,25 @@ def sim_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return topk_cosine_int8(e, q, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@_register("sim_topk_cosine_mapside", _TOPK_COSINE_ORACLE)
+def sim_topk_cosine_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine with MAP-SIDE top-k pruning — the scale
+    form of the brute-force plan, checked against the very same SQL
+    as `sim_topk_cosine`.
+
+    The window-rank twins shuffle every scored (query, neighbor) pair;
+    this one keeps only each partition's top-k per query inside a
+    `mapInPandas` pass (one numpy matmul per Arrow batch, bounded
+    candidate pools), so the exchange carries k·|queries|·partitions
+    rows — kilobytes where the window plan moves the corpus. At 10⁹+
+    corpus rows this IS the runnable exact-kNN plan; the window twins
+    remain as the all-JVM and simplest-Python baselines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine_mapside(e, q, id_col="vec_id", vec_col="embedding", k=10)
 
 
 @_register("sim_topk_lsh")  # no oracle: approximate recall by design
