@@ -279,9 +279,15 @@ def topk_cosine_mapside(
     Query vectors ship inside the closure (like IVF centroids: an
     index build side of |queries|·dim floats, collected once — the
     query side must be broadcastable for ANY exact-kNN plan here).
-    NULL / ragged / zero-norm corpus vectors score NaN and are
-    dropped by the pruner, mirroring the float path's NaN-ranks-last
-    semantics for rows that can never enter a top-k.
+
+    Degenerate-input semantics, where this DIFFERS from the window
+    twins: NULL / ragged / zero-norm corpus vectors score NaN and are
+    DROPPED here, while the window plans emit them as null-scored
+    tail rows when a query has fewer than k scoreable neighbors (and
+    null QUERY vectors are skipped rather than producing k null
+    rows). On corpora of well-formed vectors — including the oracle
+    fixture — results are identical to `topk_cosine`; for a top-k
+    similarity contract the dropped rows carry no information.
     """
     import numpy as np
 
@@ -315,23 +321,33 @@ def topk_cosine_mapside(
             if not valid:
                 continue
             C = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in valid])
+            valid_ids = ids[valid].astype(np.int64)
             # same num/den form as topk_cosine_arrow's _cos_batch so
             # all Python paths agree bit-for-bit after round(6)
             C_norm = np.sqrt(np.einsum("ij,ij->i", C, C))
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = (C @ Q.T) / np.outer(C_norm, Q_norm)  # (batch, queries)
+            # disqualify self-pairs and NaN scores, then select per-query
+            # top-k IN NUMPY (partition on the value axis): interpreted
+            # work per batch is O(k·|queries|) appends, never
+            # O(batch·|queries|). Selection keeps every row TIED with
+            # the k-th value — value-only partitioning may otherwise
+            # drop the boundary tie the (cos desc, id asc) total order
+            # prefers; the deterministic sort resolves ties later.
+            cos[valid_ids[:, None] == q_ids[None, :]] = -np.inf
+            cos = np.nan_to_num(cos, nan=-np.inf)
+            take = min(k, cos.shape[0])
+            kth = -np.partition(-cos, take - 1, axis=0)[take - 1, :]
             for j, qid in enumerate(q_ids):
-                col = cos[:, j]
-                for bi, i in enumerate(valid):
-                    c = col[bi]
-                    if np.isnan(c) or int(ids[i]) == int(qid):
-                        continue
-                    best[int(qid)].append((float(c), int(ids[i])))
-                # keep the pool bounded: top-k by (cos desc, id asc)
-                if len(best[int(qid)]) > 4 * k:
-                    best[int(qid)] = sorted(
-                        best[int(qid)], key=lambda t: (-t[0], t[1])
-                    )[:k]
+                pool = best[int(qid)]
+                for i in np.nonzero(cos[:, j] >= kth[j])[0]:
+                    c = cos[i, j]
+                    if c != -np.inf:
+                        pool.append((float(c), int(valid_ids[i])))
+                # keep the pool bounded: top-k under the STRICT total
+                # order (cos desc, id asc) — safe to prune mid-stream
+                if len(pool) > 4 * k:
+                    best[int(qid)] = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
         out = [
             (int(qid), nid, c)
             for qid, pool in best.items()

@@ -822,24 +822,33 @@ def contamination_hits(
     instead of re-shingling the benchmark every call (see
     streaming/hygiene.py).
     """
-    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        # Materialize tokens into a bound column BEFORE shingling: on
-        # the interpreted HOF path, word_shingles over the raw
-        # whitespace_tokens expression re-evaluates the split once per
-        # shingle (O(tokens·shingles) per doc — measured 2.7 s → 1.3 s
-        # at sf0.1 for this query).
-        cols = [F.col(id_col)] if keep_id else []
-        toked = df.select(*cols, whitespace_tokens(F.col(text_col)).alias("__t"))
-        return toked.select(
-            *[c for c in toked.columns if c != "__t"],
-            F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"),
-        )
-
     if bench_grams is None:
-        bench_grams = grams(benchmark, keep_id=False).distinct()
+        bench_grams = doc_grams(benchmark, None, text_col, n=n).distinct()
     return (
-        grams(corpus, keep_id=True)
+        doc_grams(corpus, id_col, text_col, n=n)
         .join(F.broadcast(bench_grams), "__gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_benchmark_grams"))
+    )
+
+
+def doc_grams(
+    df: DataFrame, id_col: str | None, text_col: str, *, n: int = 4
+) -> DataFrame:
+    """Per-document distinct word n-grams as (id?, __gram) rows — the
+    ONE gram construction shared by batch `contamination_hits` and the
+    streaming index build (streaming/hygiene.py), so probe and index
+    can never drift on tokenization or shingle shape.
+
+    Tokens are materialized into a bound column BEFORE shingling: on
+    the interpreted HOF path, word_shingles over the raw
+    whitespace_tokens expression re-evaluates the split once per
+    shingle (O(tokens·shingles) per doc — measured 2.7 s → 1.3 s at
+    sf0.1 on the decontamination query).
+    """
+    cols = [F.col(id_col)] if id_col is not None else []
+    toked = df.select(*cols, whitespace_tokens(F.col(text_col)).alias("__t"))
+    return toked.select(
+        *[c for c in toked.columns if c != "__t"],
+        F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"),
     )

@@ -27,21 +27,16 @@ from ..operators.text import contamination_hits
 
 
 def benchmark_gram_index(
-    benchmark: DataFrame, id_col: str, text_col: str, *, n: int = 4
+    benchmark: DataFrame, text_col: str, *, n: int = 4
 ) -> DataFrame:
     """Precompute + persist the benchmark's distinct-gram relation once;
     reuse it across every micro-batch (re-shingling the benchmark per
-    trigger would repeat the index build at each batch)."""
-    from pyspark.sql import functions as F
+    trigger would repeat the index build at each batch). Gram
+    construction is `operators.text.doc_grams` — the same code the
+    batch probe uses, so index and probe cannot drift."""
+    from ..operators.text import doc_grams
 
-    from ..operators.text import whitespace_tokens, word_shingles
-
-    toked = benchmark.select(whitespace_tokens(F.col(text_col)).alias("__t"))
-    return (
-        toked.select(F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"))
-        .distinct()
-        .persist()
-    )
+    return doc_grams(benchmark, None, text_col, n=n).distinct().persist()
 
 
 def decontaminate_batch_fn(
@@ -56,7 +51,7 @@ def decontaminate_batch_fn(
     the (precomputed) benchmark gram index and hand the per-doc hit
     counts to ``sink``. ``benchmark`` is shingled once here, not per
     trigger."""
-    bench = benchmark_gram_index(benchmark, id_col, text_col, n=n)
+    bench = benchmark_gram_index(benchmark, text_col, n=n)
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         hits = contamination_hits(

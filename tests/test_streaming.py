@@ -395,17 +395,23 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path, sf_dir):
     # several files so AvailableNow + maxFilesPerTrigger yields several
     # micro-batches, exercising index reuse across triggers
     corpus.repartition(4).write.parquet(str(src))
-    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # source option: real multi-batch run
+        .parquet(str(src))
+    )
 
     got: list[tuple] = []
 
+    epochs: set[int] = set()
+
     def sink(hits_df, epoch_id):
+        epochs.add(epoch_id)
         got.extend((r.doc_id, r.n_benchmark_grams) for r in hits_df.collect())
 
     q = (
         stream.writeStream.foreachBatch(decontaminate_batch_fn(bench, sink))
         .option("checkpointLocation", str(tmp_path / "dckpt"))
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -415,5 +421,6 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path, sf_dir):
         (r.doc_id, r.n_benchmark_grams)
         for r in contamination_hits(corpus, bench, "doc_id", "text", n=4).collect()
     }
+    assert len(epochs) >= 2  # the run really was incremental
     assert set(got) == expected
     assert len(got) == len(expected)  # no doc reported twice across batches

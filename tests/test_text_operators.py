@@ -404,3 +404,30 @@ def test_contamination_hits_semantics(spark):
         for r in contamination_hits(corpus, bench, "doc_id", "text", n=4).collect()
     }
     assert out == {1: 1, 2: 1}
+
+
+def test_mapside_topk_matches_window_with_boundary_ties(spark):
+    """Map-side pruning must survive score ties at the selection
+    boundary across partitions: duplicate vectors produce equal
+    cosines, and the (cos desc, id asc) winner must match the window
+    twin exactly — a value-only partition that drops the id-preferred
+    tie would diverge here."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_mapside,
+    )
+
+    # vec 0 = query; vecs 1..8 are four tied pairs (identical vectors),
+    # k=3 cuts through the middle pair of a tie group
+    rows = [(0, [1.0, 0.0])]
+    dup = [[0.9, 0.1], [0.9, 0.1], [0.7, 0.3], [0.7, 0.3],
+           [0.5, 0.5], [0.5, 0.5], [0.1, 0.9], [0.1, 0.9]]
+    rows += [(i + 1, v) for i, v in enumerate(dup)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    q = df.filter(F.col("vec_id") == 0)
+    want = [(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in topk_cosine(df, q, k=3).orderBy("rank").collect()]
+    got = [(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+           for r in topk_cosine_mapside(df, q, k=3).orderBy("rank").collect()]
+    assert got == want
+    assert [g[1] for g in got] == [1, 2, 3]  # tie at rank 2/3 → smaller id first
