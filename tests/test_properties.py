@@ -175,3 +175,27 @@ def test_hll_union_rollup_exact_at_low_cardinality(spark, sf_dir):
     exact["__all__"] = d.select("source").distinct().count()
     assert {k: int(v.approx_sources) for k, v in got.items()} == exact
     assert got["__all__"].n_docs == d.count()
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """The packing layout must be a valid concatenation stream per
+    shard: offsets start at 0, are contiguous (each doc begins where
+    the previous ended), never overlap, and chunk ids are consistent
+    with the 128-token budget."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    qs = merged_registry()[0]
+    rows = qs["pipeline_pack_sequences"](spark, sf_dir).collect()
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        by_shard.setdefault((r.source, r.shard), []).append(r)
+    assert len(by_shard) > 1  # sharding actually splits sources
+    for (_, _), docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expected_offset = 0
+        for r in docs:
+            assert r.start_offset == expected_offset  # contiguous, no gaps
+            assert r.chunk_id == r.start_offset // 128
+            last_token = r.start_offset + max(r.n_tokens, 1) - 1
+            assert r.spans_boundary == (last_token // 128 != r.chunk_id)
+            expected_offset += r.n_tokens
