@@ -53,6 +53,7 @@ HEADLINE = [
     "text_stats",
     "text_quality_score",
     "text_token_count",
+    "text_tfidf_keywords",
     "dedup_exact_docs",
     "dedup_near_minhash",
     "pipeline_decontaminate",

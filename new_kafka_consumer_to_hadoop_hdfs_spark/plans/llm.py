@@ -511,6 +511,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token, len({_SQL_TOKENS}) AS doc_len
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, doc_len, COUNT(*) AS n_occ
+  FROM toks GROUP BY doc_id, token, doc_len
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS total_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND((tf.n_occ::DOUBLE / tf.doc_len)
+               * ln((n.total_docs + 1.0) / (df.n_docs + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf,
+       ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, token
+       ) AS rank
+FROM w
+QUALIFY rank <= 3
+"""
+
+
+@_register("text_tfidf_keywords", _TFIDF_ORACLE)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the classic
+    term-importance extraction (topic tagging / retrieval weighting)
+    over the corpus vocabulary.
+
+    tf = occurrences / doc length; idf = ln((N+1)/(df+1)) (smoothed,
+    always finite). Plan: one explode pass → per-(doc, token) counts
+    (partial-agg shuffle keyed on doc+token) → document frequencies
+    (token-keyed agg over the SAME exploded relation, reused via
+    persist) broadcast-joined back — df is |vocab| rows, tiny relative
+    to the corpus — → per-doc rank. Ranking uses the ROUNDED weight
+    (both engines round identically; raw ln() may differ in the last
+    ulp between libm and the JVM) with the token as tie-break, so the
+    result is deterministic and hash-checkable cross-engine.
+
+    At 100 TB: the corpus-sized relations only ever shuffle on
+    (doc_id, token) and doc_id — both uniform; the vocabulary-sized
+    df relation is the only broadcast. No all-pairs term matrix is
+    ever materialized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _persist_bounded(
+        d.select(
+            "doc_id",
+            F.explode(whitespace_tokens(F.col("text"))).alias("token"),
+            F.size(whitespace_tokens(F.col("text"))).alias("doc_len"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "token", "doc_len").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    df_rel = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    total_docs = d.select(F.countDistinct("doc_id").alias("total_docs"))
+    w = (
+        tf.join(F.broadcast(df_rel), "token")
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("n_occ").cast("double") / F.col("doc_len"))
+                * F.log(
+                    (F.col("total_docs") + 1.0) / (F.col("n_docs") + 1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
 _MIX_LANGUAGES_ORACLE = """
 WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
      t AS (SELECT SUM(n_l)::DOUBLE / COUNT(*) AS target FROM c)
