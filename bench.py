@@ -75,6 +75,7 @@ HEADLINE = [
     "sim_topk_cosine_arrow",
     "sim_topk_cosine_int8",
     "sim_topk_cosine_mapside",
+    "pipeline_similar_docs_report",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "multimodal_binary_stats",

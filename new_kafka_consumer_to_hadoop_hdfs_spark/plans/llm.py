@@ -547,8 +547,10 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     always finite). Plan: one explode pass → per-(doc, token) counts
     (partial-agg shuffle keyed on doc+token) → document frequencies
     (token-keyed agg over the SAME exploded relation, reused via
-    persist) broadcast-joined back — df is |vocab| rows, tiny relative
-    to the corpus — → per-doc rank. Ranking uses the ROUNDED weight
+    persist) joined back — |vocab| rows, broadcast by AQE while small,
+    hash-joined on token when the vocabulary outgrows that (no forced
+    hint: vocabularies grow with the corpus) — → per-doc rank on the
+    per-doc shuffle. Ranking uses the ROUNDED weight
     (both engines round identically; raw ln() may differ in the last
     ulp between libm and the JVM) with the token as tie-break, so the
     result is deterministic and hash-checkable cross-engine.
@@ -569,12 +571,17 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token", "doc_len").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
+    # NO forced broadcast on df_rel: the vocabulary grows with the
+    # corpus (unbounded at web scale, unlike a benchmark suite), so the
+    # join strategy is AQE's call — it broadcasts while |vocab| is
+    # small and falls back to a token-keyed hash join when it isn't.
+    # Same rule as the dimension tables (SCALE.md ground rules).
     df_rel = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     total_docs = d.select(F.countDistinct("doc_id").alias("total_docs"))
     w = (
-        tf.join(F.broadcast(df_rel), "token")
+        tf.join(df_rel, "token")
         .crossJoin(F.broadcast(total_docs))
         .select(
             "doc_id",
@@ -595,6 +602,70 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+_SIMILAR_DOCS_REPORT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+     scored AS (
+       SELECT q.query_id, e.vec_id AS neighbor_id,
+              list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+       FROM e JOIN q ON e.vec_id != q.query_id
+     ),
+     topk AS (
+       SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+       FROM scored QUALIFY rank <= 3
+     )
+SELECT t.query_id, t.neighbor_id, t.cos_sim, t.rank,
+       nd.lang AS neighbor_lang, nd.source AS neighbor_source,
+       (nd.lang = qd.lang) AS same_lang
+FROM topk t
+JOIN documents nd ON nd.doc_id = t.neighbor_id
+JOIN documents qd ON qd.doc_id = t.query_id
+"""
+
+
+@_register("pipeline_similar_docs_report", _SIMILAR_DOCS_REPORT_ORACLE)
+def pipeline_similar_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search joined back to document metadata — the
+    composite query an actual corpus investigation runs: top-3 cosine
+    neighbors per query vector, enriched with each neighbor's
+    lang/source and a same-language flag against the query's own doc
+    (vec_id and doc_id align 1:1 in the fixture corpus).
+
+    Plan shape: the exact-kNN broadcast/score/rank core
+    (`topk_cosine`) produces k·|queries| rows, then TWO equi-joins
+    against `documents` on doc id — both probe-sided (the top-k
+    relation is tiny; documents is the big side scanned once per
+    join). At 100 TB this is the right order of operations: similarity
+    first on the slim (id, vector) projection, metadata joined onto
+    the k-sized result — never the reverse (joining metadata onto the
+    corpus BEFORE scoring would drag text columns through the score
+    shuffle).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    topk = topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=3)
+    nd = d.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lang").alias("neighbor_lang"),
+        F.col("source").alias("neighbor_source"),
+    )
+    qd = d.select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("__qlang")
+    )
+    return (
+        topk.join(nd, "neighbor_id")
+        .join(qd, "query_id")
+        .select(
+            "query_id", "neighbor_id", "cos_sim", "rank",
+            "neighbor_lang", "neighbor_source",
+            (F.col("neighbor_lang") == F.col("__qlang")).alias("same_lang"),
+        )
     )
 
 

@@ -157,6 +157,7 @@ NLJ_ALLOWED = {
     "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
     "pipeline_mix_languages",  # one-row global-target scalar broadcast
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
+    "pipeline_similar_docs_report",  # topk_cosine core: != join condition
 }
 
 
