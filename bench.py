@@ -78,6 +78,7 @@ HEADLINE = [
     "pipeline_similar_docs_report",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
     "multimodal_binary_stats",
     # event-time layer
     "event_tumbling_window",

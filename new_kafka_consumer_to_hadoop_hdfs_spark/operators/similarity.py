@@ -479,6 +479,7 @@ def ivf_topk_cosine(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine via an IVF (inverted-file) index.
 
@@ -491,9 +492,14 @@ def ivf_topk_cosine(
     neighbor lives in an unprobed cell.
 
     Centroid choice is deterministic: the first ``n_cells`` corpus
-    vectors by id (a k-means refinement would improve cell balance but
-    adds an iterative job; the index structure — assignment, partition-
-    pruned probe — is identical). At 100 TB the cell id is the
+    vectors by id. ``refine_iterations`` > 0 runs that many Lloyd
+    (k-means) rounds first — per round, one narrow assignment pass plus
+    one partial-agg shuffle of (cell, dim) component sums (corpus×dim
+    rows map-side-combined down to n_cells×dim), then the n_cells×dim
+    mean matrix returns to the driver. Updated centroids are rounded
+    to 9 decimals so cross-partition float-sum ordering can't leak
+    into cell assignment (determinism before last-ulp fidelity; the
+    index is approximate anyway). At 100 TB the cell id is the
     partition/bucket key: writing the corpus bucketed by ``cell`` makes
     a probe read only n_probe/n_cells of the data — genuine partition
     pruning for vector search.
@@ -538,29 +544,65 @@ def ivf_topk_cosine(
     # wall time at sf0.1; the numpy matmul is a rounding error. Stable
     # argsort on -cos preserves the (-cos, cell-asc) tie order of the
     # expression form.
-    n_active_cells = cent_unit.shape[0]
-    exp_dim = cent_unit.shape[1]
+    def _make_cell_ranks(cu):
+        n_active_cells, exp_dim = cu.shape
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def _cell_ranks(v: pd.Series) -> pd.Series:
-        # Same null/ragged guard as _cos_batch: a NULL, wrong-width, or
-        # zero-norm vector gets the default cell order instead of
-        # killing the task with np.stack.
-        vals = v.to_numpy()
-        default = list(range(1, n_active_cells + 1))
-        out = [default] * len(vals)
-        valid = [
-            i for i in range(len(vals))
-            if vals[i] is not None and len(vals[i]) == exp_dim
-        ]
-        if valid:
-            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
-            vn = np.linalg.norm(V, axis=1, keepdims=True)
-            Vu = V / np.where(vn == 0.0, 1.0, vn)
-            order = np.argsort(-(Vu @ cent_unit.T), axis=1, kind="stable") + 1
-            for j, i in enumerate(valid):
-                out[i] = list(order[j].astype("int32"))
-        return pd.Series(out)
+        @pandas_udf(ArrayType(IntegerType()))
+        def _cell_ranks(v: pd.Series) -> pd.Series:
+            # Same null/ragged guard as _cos_batch: a NULL, wrong-width,
+            # or zero-norm vector gets the default cell order instead of
+            # killing the task with np.stack.
+            vals = v.to_numpy()
+            default = list(range(1, n_active_cells + 1))
+            out = [default] * len(vals)
+            valid = [
+                i for i in range(len(vals))
+                if vals[i] is not None and len(vals[i]) == exp_dim
+            ]
+            if valid:
+                V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                Vu = V / np.where(vn == 0.0, 1.0, vn)
+                order = np.argsort(-(Vu @ cu.T), axis=1, kind="stable") + 1
+                for j, i in enumerate(valid):
+                    out[i] = list(order[j].astype("int32"))
+            return pd.Series(out)
+
+        return _cell_ranks
+
+    # Lloyd refinement: assignment pass → per-(cell, dim) partial sums
+    # → n_cells×dim means back to the driver → rounded, renormalized.
+    for _ in range(refine_iterations):
+        ranks_udf = _make_cell_ranks(cent_unit)
+        assigned = (
+            corpus.select(to_double(F.col(vec_col)).alias("__v"))
+            .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+            .select(
+                F.element_at(ranks_udf(F.col("__v")), 1).alias("__cell"), "__v"
+            )
+        )
+        sums = (
+            assigned.select("__cell", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cell", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new_mat = cent_unit.copy()
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in sums:  # Row blocks dunder attrs → index access
+            ci = r["__cell"] - 1
+            vec, _ = acc.setdefault(ci, (np.zeros(dim), 0))
+            vec[r["__pos"]] = r["__s"]
+            acc[ci] = (vec, r["__n"])
+        for ci, (vec, n) in acc.items():
+            if n > 0:
+                mean = np.round(vec / n, 9)
+                nrm = np.linalg.norm(mean)
+                if nrm > 0:
+                    new_mat[ci] = mean / nrm
+        cent_unit = new_mat  # empty cells keep their previous centroid
+
+    _cell_ranks = _make_cell_ranks(cent_unit)
 
     def assign(df: DataFrame, out_id: str, keep_vec: str, top_cells: int) -> DataFrame:
         """Tag each vector with its ``top_cells`` nearest centroid ids —

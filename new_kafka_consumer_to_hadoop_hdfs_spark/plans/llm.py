@@ -1156,6 +1156,23 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@_register("sim_topk_ivf_kmeans")  # no oracle: approximate recall by design
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_topk_ivf` with two Lloyd (k-means) refinement rounds before
+    indexing — the index-quality/build-cost axis of ANN: each round is
+    one assignment pass + one (cell, dim) partial-agg shuffle, and the
+    refined centroids balance cell occupancy so probes waste less work
+    on oversized cells. Deterministic (rounded centroid updates);
+    recall measured against the exact twin in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding",
+        k=10, n_cells=16, n_probe=4, refine_iterations=2,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Corpus management: deterministic splits and samples
 # ---------------------------------------------------------------------------

@@ -431,3 +431,29 @@ def test_mapside_topk_matches_window_with_boundary_ties(spark):
            for r in topk_cosine_mapside(df, q, k=3).orderBy("rank").collect()]
     assert got == want
     assert [g[1] for g in got] == [1, 2, 3]  # tie at rank 2/3 → smaller id first
+
+
+def test_ivf_kmeans_refinement_recall_and_determinism(spark, sf_dir):
+    """Lloyd-refined IVF must stay a valid subset-approximation (scores
+    exact where found, recall not collapsed) and be deterministic
+    across runs (rounded centroid updates)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        ivf_topk_cosine,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in topk_cosine(e, q, k=10).collect()}
+    run1 = ivf_topk_cosine(e, q, k=10, n_cells=16, n_probe=4,
+                           refine_iterations=2).collect()
+    run2 = ivf_topk_cosine(e, q, k=10, n_cells=16, n_probe=4,
+                           refine_iterations=2).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))  # deterministic
+    pairs = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(pairs & set(exact)) / len(exact)
+    assert recall >= 0.3, f"refined-IVF recall collapsed: {recall}"
+    for r in run1:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.cos_sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
