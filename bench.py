@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_near_minhash",
     "pipeline_decontaminate",
     "text_repetition_stats",
+    "pipeline_quality_filter",
     "pipeline_pack_sequences",
     "pipeline_mix_languages",
     "dedup_ngram_jaccard",

@@ -605,6 +605,65 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_FILTER_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, lang, {_SQL_TOKENS} AS t,
+         [array_to_string(x, ' ') FOR x IN [t[i:i+1] FOR i IN range(1, len({_SQL_TOKENS}))]] AS bg
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+         CASE WHEN len(bg) > 0
+              THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+              ELSE 0.0 END AS excess_bigram_frac
+  FROM g
+)
+SELECT doc_id, lang, n_tokens, ROUND(excess_bigram_frac, 6) AS excess_bigram_frac
+FROM m
+WHERE n_tokens BETWEEN 20 AND 90 AND excess_bigram_frac < 0.2
+"""
+
+
+@_register("pipeline_quality_filter", _QUALITY_FILTER_ORACLE)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of corpus cleaning: keep documents passing the
+    length window (20–90 tokens) AND the repetition gate (duplicated
+    bigram occurrences < 20%) — the composite filter the per-signal
+    queries (`text_stats`, `text_repetition_stats`) feed in a real
+    recipe.
+
+    Everything is computed WITHIN the row (token array + bigram array
+    built once as bound columns, dup fraction from array lengths), so
+    the whole filter is one narrow projection + predicate: zero
+    shuffles, trivially parallel at any scale — quality gating must
+    never cost an exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("__t")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("__t") - 1, F.lit(0)))
+    bigrams = F.when(F.size("__t") >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2))
+    )).otherwise(F.array().cast("array<string>"))
+    m = toked.select(
+        "doc_id", "lang", F.size("__t").alias("n_tokens"),
+        bigrams.alias("__bg"),
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        F.when(
+            F.size("__bg") > 0,
+            (F.size("__bg") - F.size(F.array_distinct("__bg")))
+            .cast("double") / F.size("__bg"),
+        ).otherwise(F.lit(0.0)).alias("__dup"),
+    )
+    return m.filter(
+        F.col("n_tokens").between(20, 90) & (F.col("__dup") < 0.2)
+    ).select(
+        "doc_id", "lang", "n_tokens", F.round("__dup", 6).alias("excess_bigram_frac")
+    )
+
+
 _SIMILAR_DOCS_REPORT_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -185,3 +185,11 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_is_exchange_free(spark, registry):
+    """Quality gating must be one narrow projection + predicate —
+    its docstring claims zero shuffles, so the plan may contain no
+    Exchange at all."""
+    plan = _plan(spark, registry, "pipeline_quality_filter")
+    assert "Exchange" not in plan
