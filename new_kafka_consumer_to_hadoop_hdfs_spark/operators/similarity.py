@@ -335,7 +335,12 @@ def topk_cosine_mapside(
             # drop the boundary tie the (cos desc, id asc) total order
             # prefers; the deterministic sort resolves ties later.
             cos[valid_ids[:, None] == q_ids[None, :]] = -np.inf
-            cos = np.nan_to_num(cos, nan=-np.inf)
+            # nan=-inf ONLY: nan_to_num's defaults also rewrite ±inf to
+            # the finite float64 extremes, which would turn the -inf
+            # self-pair sentinel into a "real" score that survives the
+            # != -inf guard below (leaking self-pairs at cos ≈ -1.8e308
+            # whenever a query has fewer than k scoreable neighbors)
+            cos = np.nan_to_num(cos, nan=-np.inf, posinf=np.inf, neginf=-np.inf)
             take = min(k, cos.shape[0])
             kth = -np.partition(-cos, take - 1, axis=0)[take - 1, :]
             for j, qid in enumerate(q_ids):

@@ -64,6 +64,21 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_grams(tokens: Column, n: int = 2) -> Column:
+    """NON-distinct word n-grams in document order (repetition-aware:
+    every occurrence kept — `word_shingles` is the distinct-set
+    variant). Documents with < n tokens yield []. Pass a BOUND token
+    column (materialized in a prior select), not a raw tokenizer
+    expression: the interpreted HOF path re-evaluates outer
+    expressions per element.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-gram shingles. Text shorter than n → []."""
     idx = F.sequence(F.lit(1), F.length(text) - (n - 1))

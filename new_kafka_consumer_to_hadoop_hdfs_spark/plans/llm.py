@@ -45,6 +45,7 @@ from ..operators.text import (
     simhash_near_pairs,
     simhash_signatures,
     whitespace_tokens,
+    word_grams,
 )
 from ..sources.files import load_table
 from ._registry import make_register, persist_bounded
@@ -562,10 +563,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = _persist_bounded(
-        d.select(
+        d.select("doc_id", whitespace_tokens(F.col("text")).alias("__t"))
+        .select(  # bind the token array once; split text ONE time per doc
             "doc_id",
-            F.explode(whitespace_tokens(F.col("text"))).alias("token"),
-            F.size(whitespace_tokens(F.col("text"))).alias("doc_len"),
+            F.explode("__t").alias("token"),
+            F.size("__t").alias("doc_len"),
         )
     )
     tf = toks.groupBy("doc_id", "token", "doc_len").agg(
@@ -642,13 +644,9 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select(
         "doc_id", "lang", whitespace_tokens(F.col("text")).alias("__t")
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("__t") - 1, F.lit(0)))
-    bigrams = F.when(F.size("__t") >= 2, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2))
-    )).otherwise(F.array().cast("array<string>"))
     m = toked.select(
         "doc_id", "lang", F.size("__t").alias("n_tokens"),
-        bigrams.alias("__bg"),
+        word_grams(F.col("__t"), n=2).alias("__bg"),
     ).select(
         "doc_id", "lang", "n_tokens",
         F.when(
@@ -883,10 +881,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", whitespace_tokens(F.col("text")).alias("__t")
     ).filter(F.size("__t") >= 2)
-    idx = F.sequence(F.lit(1), F.size("__t") - 1)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2)))
     ex = toks.select(
-        "doc_id", F.size("__t").alias("n_tokens"), F.explode(grams).alias("__gram")
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        F.explode(word_grams(F.col("__t"), n=2)).alias("__gram"),
     )
     counts = ex.groupBy("doc_id", "n_tokens", "__gram").agg(
         F.count(F.lit(1)).alias("__cnt")

@@ -50,7 +50,10 @@ def decontaminate_batch_fn(
     """Build a ``foreachBatch`` function: probe each micro-batch against
     the (precomputed) benchmark gram index and hand the per-doc hit
     counts to ``sink``. ``benchmark`` is shingled once here, not per
-    trigger."""
+    trigger. The persisted index is exposed as ``fn.bench_grams`` so a
+    caller that restarts streams in one long-lived application can
+    ``fn.bench_grams.unpersist()`` when done — otherwise each build
+    would pin another cached relation for the SparkContext lifetime."""
     bench = benchmark_gram_index(benchmark, text_col, n=n)
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
@@ -59,4 +62,5 @@ def decontaminate_batch_fn(
         )
         sink(hits, epoch_id)
 
+    _probe.bench_grams = bench  # unpersist handle for stream restarts
     return _probe

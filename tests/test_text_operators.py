@@ -457,3 +457,22 @@ def test_ivf_kmeans_refinement_recall_and_determinism(spark, sf_dir):
     for r in run1:
         if (r.query_id, r.neighbor_id) in exact:
             assert abs(r.cos_sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_mapside_topk_no_self_pair_leak_under_k(spark):
+    """A query with fewer than k scoreable neighbors must NOT emit a
+    self-pair with a sentinel score (regression: nan_to_num's default
+    ±inf rewrite turned the -inf self-pair marker into a finite
+    'score')."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        topk_cosine_mapside,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    rows = topk_cosine_mapside(df, q, k=10).collect()
+    assert {r.neighbor_id for r in rows} == {1, 2}  # no self, no sentinel
+    assert all(r.cos_sim > -2.0 for r in rows)
