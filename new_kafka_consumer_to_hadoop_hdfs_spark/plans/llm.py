@@ -46,6 +46,7 @@ from ..operators.text import (
     simhash_signatures,
     whitespace_tokens,
     word_grams,
+    word_shingles,
 )
 from ..sources.files import load_table
 from ._registry import make_register, persist_bounded
@@ -634,25 +635,30 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (`text_stats`, `text_repetition_stats`) feed in a real
     recipe.
 
-    Everything is computed WITHIN the row (token array + bigram array
-    built once as bound columns, dup fraction from array lengths), so
-    the whole filter is one narrow projection + predicate: zero
-    shuffles, trivially parallel at any scale — quality gating must
-    never cost an exchange.
+    Everything is computed WITHIN the row, so the whole filter is one
+    narrow projection + predicate: zero shuffles, trivially parallel
+    at any scale — quality gating must never cost an exchange.
     """
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("__t")
-    )
-    m = toked.select(
-        "doc_id", "lang", F.size("__t").alias("n_tokens"),
-        word_grams(F.col("__t"), n=2).alias("__bg"),
+    # The NON-distinct bigram count is just n_tokens-1, so only the
+    # DISTINCT count needs grams — extracted with ONE codegen regex
+    # pass (the shingle_elements pattern; same single-space-delimiter
+    # contract as the oracle): an earlier HOF formulation re-evaluated
+    # the tokenizer per gram through CollapseProject inlining, 6.1 s →
+    # 1.0 s at sf0.1 for this query.
+    bigram_pat = r"(?:^|(?<= ))(?=(\S+ \S+))"
+    m = d.select(
+        "doc_id", "lang",
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(bigram_pat), 1))
+        ).alias("__nd"),
     ).select(
         "doc_id", "lang", "n_tokens",
         F.when(
-            F.size("__bg") > 0,
-            (F.size("__bg") - F.size(F.array_distinct("__bg")))
-            .cast("double") / F.size("__bg"),
+            F.col("n_tokens") >= 2,
+            (F.col("n_tokens") - 1 - F.col("__nd")).cast("double")
+            / (F.col("n_tokens") - 1),
         ).otherwise(F.lit(0.0)).alias("__dup"),
     )
     return m.filter(
