@@ -43,6 +43,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "agg_count_distinct",
+    "agg_argmax",
     "agg_approx_percentiles",
     "agg_hll_union_rollup",
     "window_running_sum",

@@ -214,6 +214,36 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARGMAX_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       MAX(o_totalprice) AS max_price,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("agg_argmax", _ARGMAX_ORACLE)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregates (`max_by`/`min_by` ≡ DuckDB
+    `arg_max`/`arg_min`): which order carries each priority class's
+    extreme price — the single-pass alternative to the window-rank
+    idiom when only the extremum's companion value is wanted (one
+    partial-aggregating shuffle; no sort, no rank, no self-join).
+    o_totalprice is unique per priority group in this dataset, so the
+    selected keys are deterministic cross-engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
 @_register("agg_approx_percentiles")  # no oracle: t-digest-style sketch,
 # engine-specific estimates; anchored by the exact twin agg_percentiles
 # and the in-query error assertion in tests/test_properties.py
@@ -473,6 +503,29 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
+    )
+
+
+_RIGHT_JOIN_ORACLE = """
+SELECT n_name, COUNT(c_custkey) AS n_customers
+FROM customer RIGHT OUTER JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@_register("join_right_outer", _RIGHT_JOIN_ORACLE)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join preserving nations with zero customers (all 25
+    nations appear; COUNT over a nullable key counts only matches).
+    Catalyst plans right-outer as the mirrored left-outer, broadcasting
+    the 25-row preserved side — completes the inner/left/right/full
+    equi-join surface row."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
     )
 
 
