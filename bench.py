@@ -47,6 +47,7 @@ HEADLINE = [
     "agg_approx_percentiles",
     "agg_hll_union_rollup",
     "window_running_sum",
+    "window_range_frame",
     "window_topk_per_group",
     "kafka_dedup_lww",
     "kafka_parse_project",

@@ -1082,6 +1082,45 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+       ) AS n_similar_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS sum_upto_band
+FROM orders
+"""
+
+
+@_register("window_range_frame", _RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frames — the frame-spec variant the
+    ROWS queries don't cover: each row aggregates over the rows whose
+    ORDER-BY VALUE lies within ±1000 of its own, independent of row
+    position (peer rows with equal values share one frame, which is
+    exactly where RANGE and ROWS semantics diverge). Same single
+    shuffle on the partition key as any window; the frame bound just
+    changes the in-partition scan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1))
+        .over(w.rangeBetween(-1000, 1000))
+        .alias("n_similar_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rangeBetween(-1000, Window.currentRow))
+        .cast("double")
+        .alias("sum_upto_band"),
+    )
+
+
 _LAG_LEAD_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
        LAG(o_totalprice)  OVER w AS prev_price,
