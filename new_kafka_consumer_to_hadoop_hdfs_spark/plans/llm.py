@@ -46,7 +46,6 @@ from ..operators.text import (
     simhash_signatures,
     whitespace_tokens,
     word_grams,
-    word_shingles,
 )
 from ..sources.files import load_table
 from ._registry import make_register, persist_bounded
@@ -642,16 +641,21 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # The NON-distinct bigram count is just n_tokens-1, so only the
     # DISTINCT count needs grams — extracted with ONE codegen regex
-    # pass (the shingle_elements pattern; same single-space-delimiter
-    # contract as the oracle): an earlier HOF formulation re-evaluated
-    # the tokenizer per gram through CollapseProject inlining, 6.1 s →
-    # 1.0 s at sf0.1 for this query.
-    bigram_pat = r"(?:^|(?<= ))(?=(\S+ \S+))"
+    # pass: an earlier HOF formulation re-evaluated the tokenizer per
+    # gram through CollapseProject inlining, 6.1 s → 1.0 s at sf0.1.
+    # The regex runs over concat_ws(' ', tokens) — the NORMALIZED text
+    # (empty tokens dropped, single spaces) — with token class [^ ]
+    # (not \S: a token may contain \n/\t, which \S+ would split), so
+    # the grams are EXACTLY the split-tokenizer's bigrams for any
+    # whitespace shape, not only single-space corpora; equivalence to
+    # the oracle's split+filter tokenization holds by construction.
+    bigram_pat = r"(?:^|(?<= ))(?=([^ ]+ [^ ]+))"
+    normalized = F.concat_ws(" ", whitespace_tokens(F.col("text")))
     m = d.select(
         "doc_id", "lang",
         F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
         F.size(
-            F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(bigram_pat), 1))
+            F.array_distinct(F.regexp_extract_all(normalized, F.lit(bigram_pat), 1))
         ).alias("__nd"),
     ).select(
         "doc_id", "lang", "n_tokens",

@@ -216,9 +216,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARGMAX_ORACLE = """
 SELECT o_orderpriority,
-       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_max(o_orderkey,
+               CAST(o_totalprice * 100 AS BIGINT) * 10000000000 - o_orderkey)
+         AS biggest_order,
        MAX(o_totalprice) AS max_price,
-       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       arg_min(o_orderkey,
+               CAST(o_totalprice * 100 AS BIGINT) * 10000000000 + o_orderkey)
+         AS smallest_order,
        MIN(o_totalprice) AS min_price
 FROM orders
 GROUP BY o_orderpriority
@@ -232,14 +236,28 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme price — the single-pass alternative to the window-rank
     idiom when only the extremum's companion value is wanted (one
     partial-aggregating shuffle; no sort, no rank, no self-join).
-    o_totalprice is unique per priority group in this dataset, so the
-    selected keys are deterministic cross-engine.
+
+    Tied extreme prices DO occur in the fixtures (61 duplicated prices
+    within a priority group at sf0.1), and bare max_by/arg_max break
+    ties arbitrarily — so the ordering key packs (price, orderkey)
+    into ONE exact BIGINT (DuckDB's arg_max accepts only scalar keys):
+    cents·10¹⁰ ∓ orderkey, tie-broken toward the SMALLEST orderkey on
+    both sides. All values stay exact int64 (max cents ~6·10⁷, so the
+    product tops out ~6·10¹⁷ ≪ 2⁶³; orderkey < 10¹⁰ holds through
+    sf ~1000 and the fixture gate's SFs by orders of magnitude).
     """
     o = load_table(spark, sf_dir, "orders")
+    packed = (
+        (F.col("o_totalprice") * 100).cast("bigint") * F.lit(10_000_000_000)
+    )
     return o.groupBy("o_orderpriority").agg(
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.max_by("o_orderkey", packed - F.col("o_orderkey")).alias(
+            "biggest_order"
+        ),
         F.max("o_totalprice").alias("max_price"),
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.min_by("o_orderkey", packed + F.col("o_orderkey")).alias(
+            "smallest_order"
+        ),
         F.min("o_totalprice").alias("min_price"),
     )
 
