@@ -41,13 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as raw nanos and truncate to the
-        # microsecond — the exact conversion DuckDB applies on read, so
-        # oracle comparisons see identical values.
+        # events.ts encoding varies across testdata generations:
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+        # as raw int64 via nanosAsLong) or native TIMESTAMP(MICROS).
+        # Branch on the physical type so both read to identical
+        # microsecond-precision timestamps, matching what DuckDB sees.
+        # nanosAsLong only affects NANOS columns; harmless for MICROS.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
