@@ -36,6 +36,12 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Testdata generations have shipped events.ts as TIMESTAMP(NANOS),
+        # which Spark's parquet reader only accepts surfaced as raw int64
+        # via this flag (sources/files.py then converts to timestamp).
+        # Harmless for MICROS-encoded data; lives here, not in the table
+        # loader, so loading a table never mutates session state.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for k, v in conf.items():
         try:
@@ -63,6 +69,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

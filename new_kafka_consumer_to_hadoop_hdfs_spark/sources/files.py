@@ -43,15 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts encoding varies across testdata generations:
         # TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
-        # as raw int64 via nanosAsLong) or native TIMESTAMP(MICROS).
-        # Branch on the physical type so both read to identical
-        # microsecond-precision timestamps, matching what DuckDB sees.
-        # nanosAsLong only affects NANOS columns; harmless for MICROS.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # as raw int64 via the nanosAsLong conf — set session-wide in
+        # session.apply_runtime_conf/get_spark, NOT here: a loader must
+        # not mutate global session state) or native TIMESTAMP(MICROS).
+        # Branch on the observed type so both read to identical
+        # microsecond-precision timestamps, matching what DuckDB sees —
+        # and fail LOUDLY on any encoding this branch doesn't know,
+        # instead of letting a new testdata generation flow silently
+        # wrong timestamps into every event-time query.
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as raw int64 via nanosAsLong
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type not in ("timestamp", "timestamp_ntz"):
+            raise TypeError(
+                f"events.ts read as {ts_type!r}; expected bigint "
+                "(TIMESTAMP(NANOS) via spark.sql.legacy.parquet.nanosAsLong"
+                " — is session.apply_runtime_conf applied?), timestamp, or "
+                "timestamp_ntz. A new testdata ts encoding must be handled "
+                "here explicitly, not passed through."
+            )
         return df
     return spark.read.parquet(path)
 
