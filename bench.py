@@ -1,4 +1,4 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: EVERY registered query at $SPARK_GRAFT_SF_DIR.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
@@ -34,60 +34,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Headline set: the scan-agg / join / window / dedup / LLM shapes that
-# dominate real workloads. Names not present in the registry (yet) are
-# skipped, so this list can lead the implementation.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "agg_count_distinct",
-    "agg_argmax",
-    "agg_approx_percentiles",
-    "agg_hll_union_rollup",
-    "window_running_sum",
-    "window_range_frame",
-    "window_topk_per_group",
-    "kafka_dedup_lww",
-    "kafka_parse_project",
-    # LLM-data-pipeline layer
-    "text_stats",
-    "text_quality_score",
-    "text_token_count",
-    "text_tfidf_keywords",
-    "dedup_exact_docs",
-    "dedup_near_minhash",
-    "pipeline_decontaminate",
-    "text_repetition_stats",
-    "pipeline_quality_filter",
-    "pipeline_pack_sequences",
-    "pipeline_mix_languages",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "pipeline_corpus_dedup",
-    "pipeline_incremental_dedup",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    # deep TPC-H subquery shapes
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "sim_topk_cosine",
-    "sim_topk_cosine_arrow",
-    "sim_topk_cosine_int8",
-    "sim_topk_cosine_mapside",
-    "pipeline_similar_docs_report",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
-    "multimodal_binary_stats",
-    # event-time layer
-    "event_tumbling_window",
-    "event_sliding_window",
-    "event_session_window",
-]
+# Round 4 on: bench EVERY registered query (r3 covered only 46 of 103,
+# leaving half the surface without regression-visible timing — VERDICT
+# r3 item 2). Sorted by name so per-query rows are comparable across
+# rounds regardless of registry iteration order (which is tuned for the
+# driver's correctness window, see plans/__init__.py).
+BENCH_ALL = True
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -101,10 +53,8 @@ def main() -> None:
 
     spark = get_spark(app_name="nkch-bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries, _ = merged_registry()
-    names = [n for n in HEADLINE if n in queries]
-    skipped = [n for n in HEADLINE if n not in queries]
-    if skipped:
-        print(f"bench: skipping unimplemented {skipped}", file=sys.stderr)
+    names = sorted(queries)
+    print(f"bench: {len(names)} queries at {SF_DIR}", file=sys.stderr)
 
     def materialize(name: str) -> float:
         # time plan construction + execution: iterative queries (e.g.
@@ -116,14 +66,25 @@ def main() -> None:
 
     # Warm-up: run the first query once, discard the timing.
     if names:
-        materialize(names[0])
+        try:
+            materialize(names[0])
+        except Exception as exc:  # noqa: BLE001 — the timed loop reports it
+            print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     # Two timed runs per query, report the min — steady-state timing
     # that damps JIT/page-cache/GC noise so cross-round comparisons
-    # reflect plan changes, not scheduler jitter.
+    # reflect plan changes, not scheduler jitter. A query that errors
+    # is recorded under "errors" instead of killing the whole bench
+    # (round 2 lost its entire bench to one load failure).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        sec = min(materialize(name), materialize(name))
+        try:
+            sec = min(materialize(name), materialize(name))
+        except Exception as exc:  # noqa: BLE001 — survive to report
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(sec, 4)
         print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
 
@@ -134,6 +95,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result), flush=True)
     spark.stop()
 
