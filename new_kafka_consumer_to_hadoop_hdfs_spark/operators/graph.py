@@ -33,6 +33,7 @@ def connected_components_min_label(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with its connected component's minimum node id.
 
@@ -41,8 +42,21 @@ def connected_components_min_label(
 
     Each round: for every node take min(own label, neighbors' labels);
     stop when no label changed (or at ``max_iterations``, far beyond
-    the diameter of dedup graphs). ``localCheckpoint`` truncates plan
+    the diameter of dedup graphs). Per-round checkpoints truncate plan
     lineage so round N's plan doesn't embed rounds 1..N-1.
+
+    Checkpoint durability is a deployment choice. Default
+    (``checkpoint_dir=None``) is ``localCheckpoint``: blocks live on
+    executor local storage — fastest, right for local[N] and tests, but
+    NOT fault-tolerant (losing an executor mid-loop invalidates the
+    blocks and fails the job back to the start). On a cluster pass
+    ``checkpoint_dir`` (an HDFS/object-store path): rounds then use
+    reliable ``DataFrame.checkpoint`` into that directory, so a lost
+    executor only recomputes its partitions from durable storage — at
+    100 TB, paying one distributed write per round is cheap insurance
+    against restarting a multi-round job. The dir is set once via
+    ``sparkContext.setCheckpointDir`` (a no-op if already set to the
+    same path).
 
     Only EDGE-ADJACENT nodes enter the propagation loop: an isolated
     node is its own component by construction, so shuffling it through
@@ -61,8 +75,19 @@ def connected_components_min_label(
     # become a component's min label: the stitch join would then drop
     # it, and the survivor filter (node == label) would silently delete
     # the whole cluster.
+    if checkpoint_dir is not None:
+        sc = nodes.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     node_ids = nodes.select(F.col(id_col).alias("__nid"))
-    sym = (
+    sym = _ckpt(
         edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
         .union(
             edges.select(
@@ -71,13 +96,11 @@ def connected_components_min_label(
         )
         .join(node_ids, F.col("__src") == F.col("__nid"), "left_semi")
         .join(node_ids, F.col("__dst") == F.col("__nid"), "left_semi")
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("__src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -87,7 +110,7 @@ def connected_components_min_label(
         )
         # Carry the change flag through the checkpoint so convergence is
         # a scan of the materialized round output — no old-vs-new join.
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr_min, labels["node"] == nbr_min["__src"], "left")
             .select(
                 "node",
@@ -99,7 +122,6 @@ def connected_components_min_label(
                     < F.col("label")
                 ).alias("__changed"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("node", "label")

@@ -210,6 +210,35 @@ def test_connected_components_chain_clique_singleton(spark):
     assert labels == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 2, 8: 8}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The cluster mode: ``checkpoint_dir`` switches per-round lineage
+    truncation from executor-local blocks to reliable
+    ``DataFrame.checkpoint`` files in the given directory (survives
+    executor loss at scale). Same labels as the local mode, and the
+    checkpoint dir must actually receive RDD checkpoint data."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        connected_components_min_label,
+    )
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    edges = spark.createDataFrame(
+        [(7, 5), (5, 3), (3, 1), (2, 4), (4, 6), (2, 6)],
+        "src long, dst long",
+    )
+    labels = {
+        r.node: r.label
+        for r in connected_components_min_label(
+            nodes, edges, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert labels == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 2, 8: 8}
+    import pathlib
+
+    written = list(pathlib.Path(ckpt).rglob("*"))
+    assert any(p.is_file() for p in written), "no reliable checkpoint files"
+
+
 def test_connected_components_ignores_foreign_endpoints(spark):
     """An edge endpoint absent from the node set (e.g. pairs computed
     before an upstream quality filter dropped the doc) must not become
