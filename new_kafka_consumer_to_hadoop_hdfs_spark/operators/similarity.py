@@ -71,15 +71,22 @@ def topk_cosine(
 
     Deterministic tie-break: (cos_sim DESC, neighbor_id ASC).
     """
+    # Norms are computed ONCE per vector on each side before the join
+    # (|corpus| + |queries| array folds) rather than once per scored
+    # pair (2·|corpus|·|queries| folds); the per-pair work is one dot +
+    # one divide. Same expression tree as `cosine` — dot/(nq·nc) — so
+    # scores are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id")
@@ -399,16 +406,35 @@ def cosine_pairs(
     over a 100 TB corpus is never the answer, which is why this
     function demands an explicit threshold and the callers cap the
     input (documented per query).
+
+    The stream side is round-robin repartitioned to the session's
+    default parallelism first: a small corpus usually arrives as ONE
+    parquet partition, and a broadcast nested-loop join runs one task
+    per stream partition — without the repartition the whole n² scoring
+    pass executes on a single core (measured: minutes instead of
+    seconds at sf0.1). One tiny shuffle buys full-cluster fan-out.
     """
-    a = df.select(
-        F.col(id_col).alias(f"{id_col}_a"), to_double(F.col(vec_col)).alias("__va")
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # Precompute each side's norm ONCE per vector (n rows) instead of
+    # once per pair (n² rows): the per-pair work drops from three
+    # array folds to one dot + one divide. Same expression tree as
+    # `cosine` — dot/(norm_a·norm_b) — so values are bit-identical.
+    a = (
+        df.select(
+            F.col(id_col).alias(f"{id_col}_a"),
+            to_double(F.col(vec_col)).alias("__va"),
+        )
+        .withColumn("__na", l2_norm(F.col("__va")))
+        .repartition(par)
     )
     b = df.select(
         F.col(id_col).alias(f"{id_col}_b"), to_double(F.col(vec_col)).alias("__vb")
-    )
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     return (
         a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "__cos", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
         .filter(F.col("__cos") >= threshold)
         .select(
             f"{id_col}_a",
@@ -434,8 +460,15 @@ def lsh_cosine_pairs(
 
     L2-normalize, then ``approxSimilarityJoin`` at euclidean distance
     √(2·(1-threshold)) (exact translation on the unit sphere); only
-    co-bucketed vectors are compared. Cosines on survivors are exact,
-    recall < 1 by LSH design → rows-only check anchored by the exact
+    co-bucketed vectors are compared. Survivor cosines come straight
+    from the join's distance column — on the unit sphere
+    cos = 1 - d²/2 exactly, so no vector payload rides through the
+    LSH explode/join shuffle and no per-candidate cosine is ever
+    re-evaluated (an earlier draft recomputed a higher-order-function
+    cosine over the raw vectors; Catalyst evaluated it on every
+    CANDIDATE pair before the distance filter — measured ~60 s of pure
+    interpreted expression work at sf0.1 for ~4k surviving pairs).
+    Recall < 1 by LSH design → rows-only check anchored by the exact
     twin. Output schema matches :func:`cosine_pairs`.
     """
     import math
@@ -446,10 +479,9 @@ def lsh_cosine_pairs(
     prepped = Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(
         df.select(
             F.col(id_col),
-            to_double(F.col(vec_col)).alias("__v"),
             array_to_vector(to_double(F.col(vec_col))).alias("__raw"),
         )
-    )
+    ).select(id_col, "features")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="__hashes",
@@ -466,7 +498,10 @@ def lsh_cosine_pairs(
         .select(
             a_id.alias(f"{id_col}_a"),
             b_id.alias(f"{id_col}_b"),
-            cosine(F.col("datasetA.__v"), F.col("datasetB.__v")).alias("__cos"),
+            # unit sphere: cos = 1 - d²/2, exact given normalized inputs
+            (
+                F.lit(1.0) - (F.col("__dist") * F.col("__dist")) / F.lit(2.0)
+            ).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select(
@@ -616,8 +651,12 @@ def ivf_topk_cosine(
             F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
         )
         cells = F.slice(_cell_ranks(F.col(keep_vec)), 1, top_cells)
+        # norm computed once per vector here, not once per probe pair
         return vec.select(
-            out_id, keep_vec, F.explode(cells).alias("__cell")
+            out_id,
+            keep_vec,
+            l2_norm(F.col(keep_vec)).alias(f"{keep_vec}_n"),
+            F.explode(cells).alias("__cell"),
         )
 
     inv_file = assign(corpus, "neighbor_id", "__cv", 1)
@@ -625,7 +664,11 @@ def ivf_topk_cosine(
     scored = (
         probes.join(inv_file, "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qv_n") * F.col("__cv_n")),
+        )
         # a vector can reach a query through only one cell (corpus rows
         # are single-assigned), so no pair dedup is needed
     )
