@@ -155,6 +155,8 @@ NLJ_ALLOWED = {
     "sim_topk_cosine",         # broadcast query side, != join condition
     "sim_topk_cosine_arrow",
     "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
+    "sim_topk_cosine_int8_stored",  # same plan over pre-quantized storage
+    "sim_recall_report",       # topk_cosine core ×3 + one-row count crossJoins
     "pipeline_mix_languages",  # one-row global-target scalar broadcast
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
     "pipeline_similar_docs_report",  # topk_cosine core: != join condition
