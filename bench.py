@@ -34,12 +34,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Round 4 on: bench EVERY registered query (r3 covered only 46 of 103,
-# leaving half the surface without regression-visible timing — VERDICT
-# r3 item 2). Sorted by name so per-query rows are comparable across
-# rounds regardless of registry iteration order (which is tuned for the
-# driver's correctness window, see plans/__init__.py).
-BENCH_ALL = True
+# Round 4 on: bench EVERY registered query, unconditionally (r3 covered
+# only 46 of 103, leaving half the surface without regression-visible
+# timing — VERDICT r3 item 2). Sorted by name so per-query rows are
+# comparable across rounds regardless of registry iteration order
+# (which is tuned for the driver's correctness window, see
+# plans/__init__.py).
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -54,9 +54,16 @@ def connected_components_min_label(
     reliable ``DataFrame.checkpoint`` into that directory, so a lost
     executor only recomputes its partitions from durable storage — at
     100 TB, paying one distributed write per round is cheap insurance
-    against restarting a multi-round job. The dir is set once via
-    ``sparkContext.setCheckpointDir`` (a no-op if already set to the
-    same path).
+    against restarting a multi-round job.
+
+    Retention: Spark writes each session's reliable checkpoints under a
+    fresh UUID subdirectory of ``checkpoint_dir`` and does NOT delete
+    them when the job ends (automatic cleanup of out-of-scope
+    checkpoints needs ``spark.cleaner.referenceTracking.cleanCheckpoints
+    =true``). The files must outlive this function — the returned plan
+    still reads the final round's checkpoint — so the caller owns
+    cleanup: delete ``checkpoint_dir`` (or schedule storage-lifecycle
+    expiry on it) after materializing the result.
 
     Only EDGE-ADJACENT nodes enter the propagation loop: an isolated
     node is its own component by construction, so shuffling it through

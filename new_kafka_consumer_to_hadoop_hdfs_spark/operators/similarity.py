@@ -603,7 +603,17 @@ def ivf_topk_cosine(
                 V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
                 vn = np.linalg.norm(V, axis=1, keepdims=True)
                 Vu = V / np.where(vn == 0.0, 1.0, vn)
-                order = np.argsort(-(Vu @ cu.T), axis=1, kind="stable") + 1
+                # Cell affinity is ROUNDED to 9 decimals before ranking:
+                # numpy's blocked/SIMD matmul and an oracle engine's
+                # sequential-fold cosine agree only to ~1 ulp, and a
+                # near-tie between two centroids must not rank
+                # differently across engines (sim_recall_report oracle-
+                # checks this assignment). Same determinism-over-last-
+                # ulp trade as the Lloyd centroid rounding above; ties
+                # break by cell index (stable argsort = cell asc).
+                order = (
+                    np.argsort(-np.round(Vu @ cu.T, 9), axis=1, kind="stable") + 1
+                )
                 for j, i in enumerate(valid):
                     out[i] = list(order[j].astype("int32"))
             return pd.Series(out)

@@ -1188,22 +1188,41 @@ def _int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the storage layout the int8 path's 4× bandwidth claim is
     about: at 100 TB you quantize at INGEST and every similarity sweep
     scans tinyint vectors. The cache directory stands in for that
-    pre-quantized table; writing it is one narrow pass (no shuffle)."""
+    pre-quantized table; writing it is one narrow pass (no shuffle).
+
+    Cache validity is explicit, not mtime-guessed: the key hashes the
+    RESOLVED source path (two corpora that share a basename don't
+    collide), a write counts only when Spark's ``_SUCCESS`` marker
+    exists (an interrupted first write is rebuilt, not served), and a
+    sidecar records the source's (mtime_ns, size) fingerprint so
+    regenerated testdata — even with preserved mtimes of a different
+    size — invalidates the cache."""
+    import hashlib
+    import json
     import pathlib
 
     src = pathlib.Path(sf_dir) / "embeddings.parquet"
-    dest = (
-        pathlib.Path(__file__).resolve().parents[2]
-        / ".bench_cache"
-        / f"embeddings_int8_{pathlib.Path(sf_dir).name}.parquet"
+    st = src.stat()
+    fingerprint = json.dumps({"mtime_ns": st.st_mtime_ns, "size": st.st_size})
+    key = hashlib.md5(str(src.resolve()).encode()).hexdigest()[:10]
+    cache_root = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
+    dest = cache_root / f"embeddings_int8_{key}.parquet"
+    meta = cache_root / f"embeddings_int8_{key}.src.json"
+    valid = (
+        (dest / "_SUCCESS").exists()
+        and meta.exists()
+        and meta.read_text() == fingerprint
     )
-    if not dest.exists() or dest.stat().st_mtime < src.stat().st_mtime:
+    if not valid:
+        if meta.exists():
+            meta.unlink()
         (
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", quantize_int8(F.col("embedding")).alias("embedding"))
             .write.mode("overwrite")
             .parquet(str(dest))
         )
+        meta.write_text(fingerprint)
     return spark.read.parquet(str(dest))
 
 
@@ -1305,10 +1324,13 @@ cent AS (
   FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 16)
 ),
 cellrank AS (
+  -- affinity rounded to 9 decimals on BOTH engines (see
+  -- operators/similarity.py _cell_ranks): near-tie centroid rankings
+  -- must not flip between numpy matmul and sequential-fold arithmetic
   SELECT e.vec_id, cent.cell,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             list_dot_product(e.v, cent.v)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+             ROUND(list_dot_product(e.v, cent.v)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.v, cent.v))), 9) DESC,
              cent.cell ASC) AS rnk
   FROM e CROSS JOIN cent
 ),
@@ -1339,9 +1361,15 @@ sel AS (
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf10
 ),
 matched AS (
-  SELECT s.method, count(*) AS n_matched
-  FROM sel s JOIN ex10 x USING (query_id, neighbor_id)
-  GROUP BY s.method
+  -- anchored on the VALUES method list so a method with zero matched
+  -- (or zero produced) pairs still yields its row with n_matched = 0,
+  -- mirroring the Spark side's always-one-row aggregate per method
+  SELECT m.method, count(x.query_id) AS n_matched
+  FROM (VALUES ('exact'), ('int8'), ('ivf')) AS m(method)
+  LEFT JOIN sel s ON s.method = m.method
+  LEFT JOIN ex10 x
+    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+  GROUP BY m.method
 ),
 nq AS (SELECT count(DISTINCT query_id) AS n_q FROM ex10)
 SELECT method, n_q AS n_queries,

@@ -51,7 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # and fail LOUDLY on any encoding this branch doesn't know,
         # instead of letting a new testdata generation flow silently
         # wrong timestamps into every event-time query.
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception as exc:
+            if "NANOS" in str(exc):
+                # Registered queries are protected (their wrapper runs
+                # apply_runtime_conf first); this path is a bare session
+                # calling load_table directly on NANOS-encoded data.
+                raise RuntimeError(
+                    "events.parquet carries TIMESTAMP(NANOS), which Spark "
+                    "only reads with spark.sql.legacy.parquet.nanosAsLong="
+                    "true. Apply session.apply_runtime_conf(spark) (or use "
+                    "session.get_spark) before loading tables."
+                ) from exc
+            raise
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
             # TIMESTAMP(NANOS) surfaced as raw int64 via nanosAsLong

@@ -6,8 +6,13 @@ through file-stream twins (tests/test_streaming.py). This test is the
 execution-evidence slot for when an environment DOES provide both:
 
     NKCH_KAFKA_BOOTSTRAP=host:9092 \
-        spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver> \
-        -m pytest tests/test_kafka_integration.py
+    PYSPARK_SUBMIT_ARGS="--packages \
+        org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver> pyspark-shell" \
+        python -m pytest tests/test_kafka_integration.py
+
+(PYSPARK_SUBMIT_ARGS puts the connector on the session's classpath;
+spark-submit itself cannot launch pytest — it takes an application
+file, not Python's -m flag.)
 
 It skips cleanly (reported, not silently passed) everywhere else.
 """
