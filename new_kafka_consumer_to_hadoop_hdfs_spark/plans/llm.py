@@ -964,12 +964,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level near-dup: all pairs with cosine ≥ 0.4.
 
     CORRECTNESS BASELINE ONLY: this is the documented O(n²)
-    brute-force pair scan (broadcast nested-loop self-join), runnable
+    brute-force pair scan (Arrow-batched matmul against the
+    closure-shipped corpus matrix — see `cosine_pairs`), runnable
     because the fixture corpus is small; the synthetic vectors have no
     true near-dups (max pairwise cos ≈ 0.51) so the threshold is set to
     exercise the operator. The 100 TB path for the same predicate is
-    LSH bucketing — see `sim_topk_lsh` — or MinHash over quantized
-    vectors; an all-pairs product is never shipped at scale.
+    LSH bucketing — see `dedup_embedding_lsh` — or MinHash over
+    quantized vectors; an all-pairs product is never shipped at scale.
     """
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(e, id_col="vec_id", vec_col="embedding", threshold=0.4)

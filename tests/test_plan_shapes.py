@@ -151,7 +151,8 @@ NLJ_ALLOWED = {
     "q11_important_value",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
-    "dedup_embedding_cosine",  # documented brute-force baseline
+    # (dedup_embedding_cosine moved off BNLJ entirely: Arrow-batched
+    # matmul against a closure-shipped corpus matrix, no join operator)
     "sim_topk_cosine",         # broadcast query side, != join condition
     "sim_topk_cosine_arrow",
     "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
