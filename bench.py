@@ -88,16 +88,32 @@ def main() -> None:
         timings[name] = round(sec, 4)
         print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
 
+    # The driver records only the LAST ~2000 chars of stdout; a
+    # 105-query line is ~3KB, so the head of the JSON line is lost in
+    # that record no matter what (BENCH_r04.json parsed:null). Three
+    # mitigations: compact separators + 3-decimal rounding (smallest
+    # honest line), per-query entries ordered FASTEST-FIRST so the
+    # slowest — most diagnostic — queries land at the end of the line
+    # and survive tail truncation, and the FULL result persisted to a
+    # committed file (BENCH_local_latest.json) as the canonical record.
+    # tools/bench_compare.py reconstructs per-query timings from a
+    # truncated tail fragment when handed a driver wrapper.
+    timings = {n: round(t, 3) for n, t in sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))}
     result = {
         "metric": "total_wall_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result), flush=True)
+    local_record = pathlib.Path(__file__).resolve().parent / "BENCH_local_latest.json"
+    try:
+        local_record.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
+    except OSError as exc:  # stdout line is still the contract
+        print(f"bench: could not write {local_record}: {exc}", file=sys.stderr)
+    print(json.dumps(result, separators=(",", ":")), flush=True)
     spark.stop()
 
 

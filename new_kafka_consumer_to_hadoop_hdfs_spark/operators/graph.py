@@ -82,8 +82,16 @@ def connected_components_min_label(
     # become a component's min label: the stitch join would then drop
     # it, and the survivor filter (node == label) would silently delete
     # the whole cluster.
+    restore_checkpoint_dir = None
     if checkpoint_dir is not None:
         sc = nodes.sparkSession.sparkContext
+        # The checkpoint dir is session-global state; clobbering a
+        # caller-configured dir for the duration of this loop is fine,
+        # leaving it clobbered after return is not (ADVICE r4). Scala
+        # keeps it as Option[String], and setCheckpointDir(null) maps
+        # back to None, so save/restore round-trips both cases.
+        prev = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
+        restore_checkpoint_dir = (sc, prev.get() if prev.isDefined() else None)
         sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
@@ -93,6 +101,31 @@ def connected_components_min_label(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    try:
+        return _propagate_labels(
+            nodes, edges, _ckpt, id_col, src_col, dst_col, max_iterations
+        )
+    finally:
+        if restore_checkpoint_dir is not None:
+            sc, prev_dir = restore_checkpoint_dir
+            try:
+                # prev_dir None → java null → Option(null) = unset;
+                # guarded because some codepaths outside local mode
+                # touch the path before the Option wrap.
+                sc._jsc.sc().setCheckpointDir(prev_dir)  # noqa: SLF001
+            except Exception:  # pragma: no cover — restore is best-effort
+                pass
+
+
+def _propagate_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    _ckpt,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+) -> DataFrame:
     node_ids = nodes.select(F.col(id_col).alias("__nid"))
     sym = _ckpt(
         edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))

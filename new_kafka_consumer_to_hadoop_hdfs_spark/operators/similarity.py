@@ -396,6 +396,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine ≥ threshold — embedding-level
     near-duplicate detection, exact form.
@@ -408,18 +409,27 @@ def cosine_pairs(
     input (documented per query).
 
     Execution is Arrow-batched matmul (`mapInPandas`), the same kernel
-    shape as :func:`topk_cosine_mapside`: the corpus matrix ships in
-    the task closure — the SAME bytes the earlier broadcast-nested-loop
-    form shipped to every executor, with the same "must fit in one
-    broadcast" cap — and each input partition scores its rows against
-    it in one numpy matmul, emitting only `(id_a < id_b, cos ≥
-    threshold)` survivors. Measured at sf0.1 (2k × 2k, 64-dim): 7.3 s
-    of per-pair interpreted HOF evaluation → well under 1 s; exact
-    same pairs (matmul and sequential-fold cosines agree to ~1 ulp,
-    six decimals after rounding, and the fixture has no pair within
-    1e-9 of the threshold). NULL / ragged / zero-norm vectors score
-    NaN and can never pass a finite threshold — identical drop
-    semantics to the expression form.
+    shape as :func:`topk_cosine_mapside`: the corpus matrix ships via
+    ``sc.broadcast`` (torrent-distributed once per executor, not
+    re-serialized into every task closure) and each input partition
+    scores its rows against it in one numpy matmul, emitting only
+    `(id_a < id_b, cos ≥ threshold)` survivors. Measured at sf0.1
+    (2k × 2k, 64-dim): 7.3 s of per-pair interpreted HOF evaluation →
+    well under 1 s; exact same pairs (matmul and sequential-fold
+    cosines agree to ~1 ulp, six decimals after rounding, and the
+    fixture has no pair within 1e-9 of the threshold). NULL / empty
+    vectors are dropped (they'd score NaN under the expression form
+    too); RAGGED non-empty dimensions raise — silently pairing or
+    dropping mixed-dimension vectors would corrupt the result.
+
+    GUARDRAIL: building the corpus matrix runs an eager Spark job at
+    plan-construction time and materializes up to ``max_rows`` rows on
+    the driver (collect is issued through ``limit(max_rows + 1)``, so
+    an over-cap input short-circuits the scan instead of OOMing the
+    driver first). Inputs larger than ``max_rows`` (default 1e6 —
+    ~0.5 GB at 64-dim float64, and n² pair arithmetic beyond it is the
+    wrong algorithm anyway) raise with a pointer to
+    :func:`lsh_cosine_pairs`, the bucketed scale path.
 
     The stream side is round-robin repartitioned to the session's
     default parallelism first: a small corpus usually arrives as ONE
@@ -434,19 +444,38 @@ def cosine_pairs(
     rows = (
         df.select(F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v"))
         .filter(F.col("__v").isNotNull())
+        .limit(max_rows + 1)
         .collect()
     )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"cosine_pairs: input exceeds max_rows={max_rows} — the "
+            f"brute-force O(n²) pair scan is the correctness baseline for "
+            f"small corpora only. Use lsh_cosine_pairs (bucketed, scales "
+            f"with bucket occupancy) for large inputs, or raise max_rows "
+            f"explicitly if the driver can hold the corpus matrix."
+        )
     rows = [r for r in rows if len(r[1]) > 0]
     if not rows:
         return df.sparkSession.createDataFrame([], out_schema)
-    dim = len(rows[0][1])
-    corpus_ids = np.array([r[0] for r in rows if len(r[1]) == dim])
-    C = np.array([list(r[1]) for r in rows if len(r[1]) == dim], dtype=np.float64)
+    dims = {len(r[1]) for r in rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"cosine_pairs: ragged vector dimensions {sorted(dims)} in "
+            f"column {vec_col!r} — cosine between different-dimension "
+            f"vectors is undefined; normalize the corpus to one dimension "
+            f"(pad/truncate/filter) before pairing."
+        )
+    dim = dims.pop()
+    corpus_ids = np.array([r[0] for r in rows])
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
     C_norm = np.sqrt(np.einsum("ij,ij->i", C, C))
+    bc = df.sparkSession.sparkContext.broadcast((corpus_ids, C, C_norm))
 
     def score(batches):
         import pandas as pd  # noqa: PLC0415 — worker-side import
 
+        corpus_ids, C, C_norm = bc.value
         for pdf in batches:
             ids = pdf["__id"].to_numpy()
             vecs = pdf["__v"].to_numpy()

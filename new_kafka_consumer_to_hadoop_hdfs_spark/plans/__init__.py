@@ -20,10 +20,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the old module-order iteration). The driver's correctness harness
 # only oracle-checks the FIRST 50 entries of the registry per round, so
 # iteration order decides which queries earn hard driver evidence.
-# ``merged_registry`` therefore orders never-driver-checked queries
-# FIRST (oracle-backed before rows-only, so the window spends its slots
-# on hash checks, not run-only checks); the names below ride at the back
-# on their banked green rows.
+#
+# NOTE: these banked greens were last driver-checked in round 3; shared
+# infrastructure they depend on (session confs, sources/files.py
+# loaders) has changed since. Round 5 therefore rotates 45 of them back
+# into the window (see ``merged_registry``); only the five pure
+# built-in-expression scalar queries listed in ``R5_WINDOW_EXCLUDED``
+# stay banked — they touch no custom operator or loader path beyond
+# what every other query exercises, and each is anchored by an
+# "advanced" twin that IS in the window plus the local pytest
+# oracle-diff.
 DRIVER_CHECKED_R2_R3 = frozenset({
     "kafka_dedup_lww", "kafka_dedup_global", "kafka_parse_project",
     "q1_pricing_summary", "q6_forecast_revenue",
@@ -46,6 +52,50 @@ DRIVER_CHECKED_R2_R3 = frozenset({
     "sort_topk_global", "set_operations",
 })
 
+# Queries with driver-green (or, for dedup_simhash, rows-only-by-design)
+# CORRECTNESS rows from round 4 (CORRECTNESS_r04.json: 49 hash-green,
+# dedup_simhash no_oracle with 17 rows / no err). These ride at the back
+# of the round-5 iteration order on their fresh banked evidence.
+DRIVER_CHECKED_R4 = frozenset({
+    "scalar_case_null_handling", "agg_salted_skew", "sql_adhoc_star_join",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_value", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_count", "q20_excess_shipments", "q21_waiting_suppliers",
+    "text_stats", "text_token_histogram", "text_language_id",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "dedup_exact_docs", "dedup_exact_events", "dedup_near_minhash",
+    "dedup_ngram_jaccard", "text_tfidf_keywords", "pipeline_quality_filter",
+    "pipeline_similar_docs_report", "pipeline_mix_languages",
+    "pipeline_pack_sequences", "text_repetition_stats",
+    "pipeline_decontaminate", "dedup_embedding_cosine",
+    "pipeline_corpus_dedup", "scalar_array_functions", "sim_topk_cosine",
+    "sim_topk_cosine_arrow", "sim_topk_cosine_int8",
+    "sim_topk_cosine_int8_stored", "sim_topk_cosine_mapside",
+    "sim_recall_report", "pipeline_train_val_split",
+    "pipeline_stratified_sample", "pipeline_incremental_dedup",
+    "text_winnow_fingerprint", "event_tumbling_window",
+    "event_sliding_window", "event_session_window", "event_time_rollup",
+    "multimodal_binary_stats", "multimodal_resize", "multimodal_frame_sample",
+    "dedup_simhash",
+})
+
+# The five r2/r3 banked greens that round 5's window leaves out (the
+# window holds 50 = 5 never-checked + 45 of the 50 r2/r3 set). Chosen
+# because they are pure built-in-expression queries over a single scan —
+# no custom operator, no loader behavior beyond every other query — and
+# each is covered by an in-window advanced twin + local pytest:
+#   scalar_string_functions -> scalar_string_advanced
+#   scalar_date_functions   -> scalar_date_advanced
+#   scalar_math_functions   -> (pure F.* arithmetic; pytest oracle-diff)
+#   scalar_json_functions   -> scalar_json_struct_map stays in-window
+#   agg_approx_count_distinct -> agg_hll_union_rollup (same HLL sketch
+#                                path) stays in-window
+R5_WINDOW_EXCLUDED = frozenset({
+    "scalar_string_functions", "scalar_date_functions",
+    "scalar_math_functions", "scalar_json_functions",
+    "agg_approx_count_distinct",
+})
+
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import llm, multimodal, reference, relational, tpch_deep, windows
@@ -65,9 +115,19 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"oracles without queries: {unknown}")
 
     def _window_priority(name: str) -> int:
-        if name in DRIVER_CHECKED_R2_R3:
+        # Round-5 window (first 50): the 5 queries that have never
+        # earned a driver CORRECTNESS row in any round, then 45 of the
+        # 50 r2/r3-era banked greens (last driver-checked round 3;
+        # shared loader/session code changed since — re-verify them).
+        # Behind the window: the five excluded pure-expression scalars,
+        # then the 50 queries freshly checked in round 4.
+        if name in DRIVER_CHECKED_R4:
+            return 3
+        if name in R5_WINDOW_EXCLUDED:
             return 2
-        return 0 if name in oracles else 1
+        if name in DRIVER_CHECKED_R2_R3:
+            return 1
+        return 0
 
     # sorted() is stable: within each priority group the module
     # registration order (and thus QUERIES.md's grouping) is preserved.

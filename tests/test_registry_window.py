@@ -2,52 +2,83 @@
 
 The driver's correctness harness oracle-checks only the FIRST 50
 entries of ``merged_registry()`` per round, so iteration order decides
-which queries earn hard driver evidence. Rounds 2-3 checked the same
-50 (``DRIVER_CHECKED_R2_R3``); those hold banked green rows, so the
-registry now leads with the never-driver-checked queries —
-oracle-backed ones first so the window spends its slots on hash
-checks, not run-only checks. These tests lock that ordering so a
-refactor can't silently rotate coverage back.
+which queries earn hard driver evidence. Rounds 2-3 checked one fixed
+set (``DRIVER_CHECKED_R2_R3``); round 4 checked a second disjoint set
+(``DRIVER_CHECKED_R4``). Round 5's window re-verifies the aging r2/r3
+greens (shared loader/session code changed under them in round 4) and
+finally covers the 5 queries that have never earned any driver row.
+These tests lock that ordering so a refactor can't silently rotate
+coverage back.
 """
 
 from __future__ import annotations
 
 WINDOW = 50
 
+# The five queries that, before round 5, never earned a driver
+# CORRECTNESS row in any round. They MUST lead the round-5 window.
+NEVER_DRIVER_CHECKED = {
+    "dedup_embedding_lsh",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "multimodal_feature_extract",
+}
+
 
 def _registry():
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import (
         DRIVER_CHECKED_R2_R3,
+        DRIVER_CHECKED_R4,
+        R5_WINDOW_EXCLUDED,
         merged_registry,
     )
 
     queries, oracles = merged_registry()
-    return list(queries), oracles, DRIVER_CHECKED_R2_R3
-
-
-def test_banked_names_exist():
-    names, _, banked = _registry()
-    missing = banked - set(names)
-    assert not missing, f"DRIVER_CHECKED_R2_R3 names not in registry: {missing}"
-
-
-def test_never_checked_oracle_queries_lead_the_window():
-    names, oracles, banked = _registry()
-    unchecked_oracle = [n for n in names if n not in banked and n in oracles]
-    window = set(names[:WINDOW])
-    missed = [n for n in unchecked_oracle[:WINDOW] if n not in window]
-    assert not missed, (
-        f"oracle-backed never-driver-checked queries outside the first "
-        f"{WINDOW}: {missed}"
+    return (
+        list(queries),
+        oracles,
+        DRIVER_CHECKED_R2_R3,
+        DRIVER_CHECKED_R4,
+        R5_WINDOW_EXCLUDED,
     )
 
 
-def test_window_wastes_no_slot_on_banked_queries():
-    names, _, banked = _registry()
-    unchecked = [n for n in names if n not in banked]
-    if len(unchecked) >= WINDOW:
-        overlap = [n for n in names[:WINDOW] if n in banked]
-        assert not overlap, (
-            f"banked queries occupy window slots while {len(unchecked)} "
-            f"unchecked queries exist: {overlap}"
-        )
+def test_banked_names_exist():
+    names, _, r23, r4, excluded = _registry()
+    for label, banked in (("R2_R3", r23), ("R4", r4)):
+        missing = banked - set(names)
+        assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
+    assert excluded <= r23, "R5_WINDOW_EXCLUDED must be a subset of the r2/r3 set"
+
+
+def test_banked_sets_are_disjoint_and_cover_all_but_five():
+    names, _, r23, r4, _ = _registry()
+    assert not (r23 & r4), "a query can't be banked in both eras"
+    never = set(names) - r23 - r4
+    assert never == NEVER_DRIVER_CHECKED, (
+        f"never-driver-checked set drifted: {never ^ NEVER_DRIVER_CHECKED}"
+    )
+
+
+def test_never_checked_queries_lead_the_window():
+    names, _, _, _, _ = _registry()
+    head = set(names[: len(NEVER_DRIVER_CHECKED)])
+    assert head == NEVER_DRIVER_CHECKED, (
+        f"first {len(NEVER_DRIVER_CHECKED)} registry entries must be the "
+        f"never-driver-checked queries, got {head}"
+    )
+
+
+def test_window_is_never_checked_plus_aging_r2_r3_greens():
+    names, _, r23, r4, excluded = _registry()
+    window = names[:WINDOW]
+    expected = NEVER_DRIVER_CHECKED | (r23 - excluded)
+    assert len(expected) == WINDOW
+    assert set(window) == expected, (
+        f"round-5 window drifted: unexpected={set(window) - expected} "
+        f"missing={expected - set(window)}"
+    )
+    # Freshly r4-checked queries ride at the very back.
+    tail = names[-len(r4):]
+    assert set(tail) == r4, "r4-banked queries must occupy the registry tail"

