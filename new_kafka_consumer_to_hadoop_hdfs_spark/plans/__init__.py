@@ -79,21 +79,27 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The five r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 5 never-checked + 45 of the 50 r2/r3 set). Chosen
-# because they are pure built-in-expression queries over a single scan —
-# no custom operator, no loader behavior beyond every other query — and
-# each is covered by an in-window advanced twin + local pytest:
+# The seven r2/r3 banked greens that round 5's window leaves out (the
+# window holds 50 = 2 new round-5 queries + 5 never-checked + 43 of
+# the 50 r2/r3 set). The five scalar queries are pure
+# built-in-expression plans over a single scan — no custom operator,
+# no loader behavior beyond every other query — each covered by an
+# in-window advanced twin + local pytest:
 #   scalar_string_functions -> scalar_string_advanced
 #   scalar_date_functions   -> scalar_date_advanced
 #   scalar_math_functions   -> (pure F.* arithmetic; pytest oracle-diff)
 #   scalar_json_functions   -> scalar_json_struct_map stays in-window
-#   agg_approx_count_distinct -> agg_hll_union_rollup (same HLL sketch
-#                                path) stays in-window
+#   agg_approx_count_distinct -> agg_hll_union_rollup-adjacent sketch,
+#                                property-tested
+# The two sketch queries are rows-only even when driver-checked (no
+# DuckDB oracle exists for Spark's HLL/KLL binaries), so a window slot
+# spent on them buys the weakest evidence class; both carry property
+# tests against their exact twins.
 R5_WINDOW_EXCLUDED = frozenset({
     "scalar_string_functions", "scalar_date_functions",
     "scalar_math_functions", "scalar_json_functions",
     "agg_approx_count_distinct",
+    "agg_approx_percentiles", "agg_hll_union_rollup",
 })
 
 

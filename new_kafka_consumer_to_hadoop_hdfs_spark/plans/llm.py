@@ -1668,3 +1668,119 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+
+
+_SPAN_DUP_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         [substr(md5(substr(text, i, 8)), 1, 8)
+          for i in range(1, length(text) - 6)] AS h
+  FROM documents WHERE length(text) >= 8
+),
+fp AS (
+  SELECT DISTINCT doc_id, fpr
+  FROM (
+    SELECT doc_id,
+           unnest([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]) AS fpr
+    FROM g WHERE len(h) >= 4
+  )
+),
+c AS (SELECT doc_id, fpr, COUNT(*) OVER (PARTITION BY fpr) AS nd FROM fp)
+SELECT doc_id,
+       COUNT(*) AS n_fingerprints,
+       COUNT(CASE WHEN nd >= 2 THEN 1 END) AS n_shared,
+       ROUND(COUNT(CASE WHEN nd >= 2 THEN 1 END) / COUNT(*), 6) AS dup_fraction
+FROM c GROUP BY doc_id
+"""
+
+
+@_register("dedup_span_duplication", _SPAN_DUP_ORACLE)
+def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN fraction: of each doc's winnowing
+    fingerprints (k=8, w=4 — every shared substring ≥ 11 chars is
+    guaranteed to collide on ≥ 1 fingerprint), what share also appears
+    in at least one OTHER document. The Spark-shaped counterpart of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22): rank docs by
+    cross-corpus copied-text fraction, then gate or strip the worst —
+    finer-grained than whole-doc near-dup (MinHash/Jaccard find
+    mostly-identical DOCS; this finds boilerplate and quoted SPANS
+    inside otherwise-distinct docs). The reference's surface has no
+    text analysis at all (650-line Kafka→HDFS relay,
+    HadoopKafkaConsumer.java:1-650); this extends SURVEY §2.5's
+    dedup family.
+
+    Scale shape: the fingerprint relation is winnowed map-side (zero
+    shuffle, see winnow_fingerprints), the sharing count is a window
+    over fingerprint hash partitions (content-uniform md5 keys — no
+    skew), and the per-doc rollup shuffles one row per (doc,
+    fingerprint). Nothing is ever self-joined; cost is two bounded
+    shuffles of the fingerprint relation.
+    """
+    from ..operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+    shared = F.count(F.when(F.col("__nd") >= 2, 1))
+    return (
+        fps.withColumn(
+            "__nd", F.count("*").over(Window.partitionBy("fingerprint"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents),
+cnt AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token) AS r
+  FROM cnt
+)
+SELECT lang, COUNT(*) AS n_types,
+       ROUND(regr_slope(ln(c), ln(r)), 6) AS zipf_slope
+FROM ranked GROUP BY lang
+"""
+
+
+@_register("text_zipf_slope", _ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: regression slope of log(frequency)
+    on log(rank) over the token frequency table (natural text ≈ −1;
+    templated/boilerplate corpora flatten toward 0, a corpus-health
+    number next to text_quality_score's per-doc gates). Exercises the
+    regr_* aggregate family (Spark ≥ 3.4 and DuckDB share the
+    definition) — covered nowhere else in the registry.
+
+    Scale shape: wordcount (map-side partial agg, shuffle of |vocab|
+    rows keyed by (lang, token)), rank window partitioned BY LANGUAGE
+    (each partition sorts one language's vocabulary — bounded by
+    |vocab|, not |corpus|), single-row-per-lang regression aggregate.
+    Slope rounded to 6 decimals so cross-engine float-sum ordering in
+    the covariance sums can't leak into the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("token"))
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(
+                F.regr_slope(F.log(F.col("c")), F.log(F.col("r"))), 6
+            ).alias("zipf_slope"),
+        )
+    )

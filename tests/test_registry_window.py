@@ -25,6 +25,13 @@ NEVER_DRIVER_CHECKED = {
     "multimodal_feature_extract",
 }
 
+# Oracle-backed queries ADDED in round 5 — no banked evidence exists,
+# so they also claim window slots.
+NEW_IN_R5 = {
+    "dedup_span_duplication",
+    "text_zipf_slope",
+}
+
 
 def _registry():
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import (
@@ -52,28 +59,30 @@ def test_banked_names_exist():
     assert excluded <= r23, "R5_WINDOW_EXCLUDED must be a subset of the r2/r3 set"
 
 
-def test_banked_sets_are_disjoint_and_cover_all_but_five():
+def test_banked_sets_are_disjoint_and_cover_all_but_unchecked():
     names, _, r23, r4, _ = _registry()
     assert not (r23 & r4), "a query can't be banked in both eras"
     never = set(names) - r23 - r4
-    assert never == NEVER_DRIVER_CHECKED, (
-        f"never-driver-checked set drifted: {never ^ NEVER_DRIVER_CHECKED}"
+    expected = NEVER_DRIVER_CHECKED | NEW_IN_R5
+    assert never == expected, (
+        f"never-driver-checked set drifted: {never ^ expected}"
     )
 
 
-def test_never_checked_queries_lead_the_window():
+def test_unchecked_queries_lead_the_window():
     names, _, _, _, _ = _registry()
-    head = set(names[: len(NEVER_DRIVER_CHECKED)])
-    assert head == NEVER_DRIVER_CHECKED, (
-        f"first {len(NEVER_DRIVER_CHECKED)} registry entries must be the "
-        f"never-driver-checked queries, got {head}"
+    lead = NEVER_DRIVER_CHECKED | NEW_IN_R5
+    head = set(names[: len(lead)])
+    assert head == lead, (
+        f"first {len(lead)} registry entries must be the queries without "
+        f"any driver row, got {head}"
     )
 
 
-def test_window_is_never_checked_plus_aging_r2_r3_greens():
+def test_window_is_unchecked_plus_aging_r2_r3_greens():
     names, _, r23, r4, excluded = _registry()
     window = names[:WINDOW]
-    expected = NEVER_DRIVER_CHECKED | (r23 - excluded)
+    expected = NEVER_DRIVER_CHECKED | NEW_IN_R5 | (r23 - excluded)
     assert len(expected) == WINDOW
     assert set(window) == expected, (
         f"round-5 window drifted: unexpected={set(window) - expected} "
