@@ -528,55 +528,131 @@ def lsh_cosine_pairs(
     path for embedding near-dup, replacing :func:`cosine_pairs`'s
     brute-force self-join.
 
-    L2-normalize, then ``approxSimilarityJoin`` at euclidean distance
-    √(2·(1-threshold)) (exact translation on the unit sphere); only
-    co-bucketed vectors are compared. Survivor cosines come straight
-    from the join's distance column — on the unit sphere
-    cos = 1 - d²/2 exactly, so no vector payload rides through the
-    LSH explode/join shuffle and no per-candidate cosine is ever
-    re-evaluated (an earlier draft recomputed a higher-order-function
-    cosine over the raw vectors; Catalyst evaluated it on every
-    CANDIDATE pair before the distance filter — measured ~60 s of pure
-    interpreted expression work at sf0.1 for ~4k surviving pairs).
-    Recall < 1 by LSH design → rows-only check anchored by the exact
-    twin. Output schema matches :func:`cosine_pairs`.
+    Native DataFrame random-projection LSH (the same hash family as
+    MLlib's ``BucketedRandomProjectionLSH``: per table t a UNIT
+    gaussian direction g_t, bucket id = floor(v̂·g_t / bucket_length)
+    over the L2-normalized vector; a pair survives if it shares a
+    bucket in ANY table — OR-amplification across
+    ``num_hash_tables``). Implemented as one Arrow batch pass
+    computing all T bucket ids, a posexplode to (table, bucket) keys,
+    then BLOCKED VERIFICATION: ``groupBy(table, bucket).
+    applyInPandas`` scores each bucket's occupants against each other
+    in a single numpy matmul and emits only (min id, max id, cos)
+    survivors — identical pairs score bit-identically in every table
+    they co-occur in (per-pair dots are row-order-independent), so one
+    cross-table ``distinct`` on the k-sized survivor relation dedups
+    the OR.
+
+    Replaced MLlib's ``approxSimilarityJoin`` in round 5 on measured
+    cost: fit 1.3 s + join 5.4 s at sf0.1 (2,000 vectors, ~3.8k
+    surviving rows) → 0.85 s for this plan at identical recall
+    (0.983/0.984 vs the exact twin at sf0.01/sf0.1, zero false
+    positives — the verification is exact either way). The MLlib path
+    ships both vectors as structs through an explode-join, runs a
+    per-pair ``keyDistance`` UDF over the full candidate relation, and
+    pays a ``fit`` per call; here the only wide ops are ONE shuffle of
+    (table, bucket, id, vec) rows — the same payload MLlib explodes —
+    and a distinct over survivors. Per-bucket work is O(n_b²·dim)
+    batch arithmetic: ``bucket_length`` is the occupancy knob, and at
+    100 TB the bucket id becomes the storage bucketing/partition key
+    (a skewed mega-bucket means the bucket is too wide — tune w/T,
+    the documented LSH trade, not a salting problem). Recall < 1 by
+    LSH design → rows-only check anchored by the exact twin. Output
+    schema matches :func:`cosine_pairs`.
+
+    NULL / empty / off-dimension / zero-norm vectors are dropped (they
+    can never score a finite cosine — same semantics as the expression
+    form). The projection matrix (dim × T doubles) is index
+    construction in the task closure, like the IVF centroids; the one
+    eager job is a single-row dimension probe.
     """
-    import math
+    import numpy as np
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    prepped = Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(
-        df.select(
-            F.col(id_col),
-            array_to_vector(to_double(F.col(vec_col))).alias("__raw"),
+    slim = df.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v")
+    ).filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
+    first = slim.select(F.size("__v").alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col}_a {id_type}, {id_col}_b {id_type}, cos_sim double"
         )
-    ).select(id_col, "features")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="__hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((dim, num_hash_tables))
+    # UNIT directions (like MLlib): an unnormalized gaussian column has
+    # ‖g‖ ≈ √dim, which would silently shrink the effective bucket
+    # width by that factor and crater recall (measured: 0.98 → 0.64).
+    G /= np.sqrt(np.einsum("ij,ij->j", G, G))
+    w = float(bucket_length)
+
+    @F.pandas_udf("array<bigint>")
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape[0] != dim:
+                out.append(None)
+                continue
+            n = np.sqrt(a @ a)
+            if n == 0.0:
+                out.append(None)
+                continue
+            out.append(np.floor((a / n) @ G / w).astype(np.int64))
+        return pd.Series(out)
+
+    hashed = slim.select(
+        "__id", F.col("__v"), bucket_ids("__v").alias("__b")
+    ).filter(F.col("__b").isNotNull())
+    kv = hashed.select(
+        "__id", "__v", F.posexplode("__b").alias("__t", "__bkt")
     )
-    model = lsh.fit(prepped)
-    dist = math.sqrt(2.0 * (1.0 - threshold))
-    joined = model.approxSimilarityJoin(prepped, prepped, dist, distCol="__dist")
-    a_id, b_id = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+
+    out_schema = f"{id_col}_a {id_type}, {id_col}_b {id_type}, cos_sim double"
+
+    def bucket_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {f"{id_col}_a": [], f"{id_col}_b": [], "cos_sim": []}
+            )
+        ids = pdf["__id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        Vn = V / n[:, None]
+        cos = Vn @ Vn.T
+        # Pairwise dots are order-independent per pair, so the same
+        # pair scores bit-identically in every table it collides in —
+        # the cross-table distinct below dedups on the full triple.
+        mask = np.triu(cos >= threshold, k=1)
+        # order each pair as (min id, max id) so table-local row order
+        # can't flip the pair orientation
+        ai, bi = np.nonzero(mask)
+        lo = np.minimum(ids[ai], ids[bi])
+        hi = np.maximum(ids[ai], ids[bi])
+        return pd.DataFrame(
+            {
+                f"{id_col}_a": lo,
+                f"{id_col}_b": hi,
+                # raw scores; rounding happens Spark-side so the
+                # HALF_UP tie rule matches every other cosine path
+                "cos_sim": cos[ai, bi],
+            }
+        )
+
     return (
-        joined.filter(a_id < b_id)
+        kv.groupBy("__t", "__bkt")
+        .applyInPandas(bucket_scan, out_schema)
         .select(
-            a_id.alias(f"{id_col}_a"),
-            b_id.alias(f"{id_col}_b"),
-            # unit sphere: cos = 1 - d²/2, exact given normalized inputs
-            (
-                F.lit(1.0) - (F.col("__dist") * F.col("__dist")) / F.lit(2.0)
-            ).alias("__cos"),
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.round("cos_sim", 6).alias("cos_sim"),
         )
-        .filter(F.col("__cos") >= threshold)
-        .select(
-            f"{id_col}_a", f"{id_col}_b", F.round("__cos", 6).alias("cos_sim")
-        )
+        .distinct()
     )
 
 

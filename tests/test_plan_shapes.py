@@ -107,11 +107,12 @@ def test_q13_broadcast_join_two_exchanges(spark, registry):
 def test_embedding_lsh_has_no_global_sort(spark, registry):
     """The LSH pair relation is unbounded (data-dependent output), so a
     presentation sort would be a full range-shuffle of the largest
-    intermediate at scale. The plan must carry no global Sort /
-    range-partitioning exchange (round-5 fix: VERDICT r4 item 4)."""
+    intermediate at scale. The plan must carry no range-partitioning
+    exchange (round-5 fix: VERDICT r4 item 4). A partition-LOCAL sort
+    is fine — groupBy().applyInPandas sorts within hash partitions to
+    delimit groups; that never globally orders the relation."""
     plan = _plan(spark, registry, "dedup_embedding_lsh")
     assert "rangepartitioning" not in plan.lower(), plan
-    assert "Sort (" not in plan, plan
 
 
 def test_kafka_dedup_single_shuffle(spark, registry):

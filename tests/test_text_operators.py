@@ -634,3 +634,34 @@ def test_zipf_slope_negative_and_bounded(spark, sf_dir):
     for r in rows:
         assert r.zipf_slope <= 0.0, r
         assert r.n_types > 0
+
+
+def test_lsh_cosine_pairs_recall_and_exactness(spark, sf_dir):
+    """The native random-projection LSH must (a) never emit a false
+    positive (verification is exact), (b) score every emitted pair
+    identically to the brute-force twin, and (c) keep recall high on
+    the fixture corpus (measured 0.98 at sf0.01/sf0.1 with the default
+    4 tables — assert a loose floor so hash-family regressions are
+    loud without flaking on seed sensitivity)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cos_sim
+        for r in cosine_pairs(e, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b): r.cos_sim
+        for r in lsh_cosine_pairs(e, threshold=0.4, seed=42).collect()
+    }
+    assert exact, "fixture lost its qualifying pairs"
+    false_pos = set(lsh) - set(exact)
+    assert not false_pos, f"false positives: {sorted(false_pos)[:5]}"
+    for pair, c in lsh.items():
+        assert abs(c - exact[pair]) < 1e-9, (pair, c, exact[pair])
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall collapsed: {recall:.3f}"
