@@ -625,6 +625,105 @@ def jaccard_verify_elements(
     )
 
 
+def containment_candidate_pairs(
+    ex: DataFrame, id_col: str, *, threshold: float
+) -> DataFrame:
+    """Exact-recall candidates for OVERLAP COEFFICIENT ≥ t —
+    |A∩B| / min(|A|,|B|) — via the ASYMMETRIC prefix filter of the
+    set-containment-join literature (Bayardo et al. WWW'07 prefix
+    principle, applied one-sided).
+
+    Jaccard's symmetric prefix filter cannot serve here: a tiny doc
+    fully contained in a huge one has containment 1.0 but Jaccard
+    ≈ |A|/|B| → 0, so no Jaccard threshold bounds the pair. Instead:
+    for the SMALLER set A of a qualifying pair, |A∩B| ≥ ⌈t·|A|⌉, so
+    the shared elements cannot all hide in A's last ⌈t·|A|⌉−1
+    elements under any global order — A's frequency-ordered prefix of
+    length |A|−⌈t·|A|⌉+1 must share ≥ 1 element with B's FULL set.
+    The join is therefore probe-prefix × full-index on the element
+    hash, oriented smaller→larger (equal sizes tie-break on id), then
+    normalized to (min id, max id) and deduped. No recall loss.
+
+    Scale shape: the index side is the whole element relation, but the
+    probe side carries only prefixes — and frequency order makes those
+    prefixes the RAREST shingles of each doc, so per-element join
+    groups pair short probe posting lists against the index. The
+    shuffle key is the shingle hash; nothing is ever all-pairs. The
+    document-frequency relation adds one |vocab|-row aggregate, the
+    same cost :func:`prefix_filter_candidate_pairs` already pays.
+    """
+    from pyspark.sql import Window
+
+    sizes = element_set_sizes(ex, id_col)
+    freq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
+    # minimum overlap when this doc is the smaller side: ⌈t·|S|⌉, with
+    # the same one-ulp epsilon backoff prefix_filter_candidate_pairs
+    # documents (pre-rounded t·|S| can push ceil one integer too high
+    # and silently drop boundary pairs).
+    min_overlap = F.ceil(F.col("__sz") * F.lit(threshold) - F.lit(1e-9))
+    sized = ex.join(sizes, id_col)
+    pref = (
+        sized.join(freq, "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
+        .select(id_col, "__h", F.col("__sz").alias("__psz"))
+    )
+    p = pref.alias("p")
+    i = sized.alias("i")
+    joined = p.join(
+        i,
+        (F.col("p.__h") == F.col("i.__h"))
+        & (
+            (F.col("p.__psz") < F.col("i.__sz"))
+            | (
+                (F.col("p.__psz") == F.col("i.__sz"))
+                & (F.col(f"p.{id_col}") != F.col(f"i.{id_col}"))
+            )
+        ),
+    )
+    pa, pb = F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+    return joined.select(
+        F.least(pa, pb).alias(f"{id_col}_a"),
+        F.greatest(pa, pb).alias(f"{id_col}_b"),
+    ).distinct()
+
+
+def overlap_verify_elements(
+    cands: DataFrame,
+    ex: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    out_col: str = "containment",
+) -> DataFrame:
+    """Exact overlap coefficient |A∩B| / min(|A|,|B|) for candidate
+    pairs — :func:`jaccard_verify_elements` with the min-size
+    denominator. All codegen; touches only the candidate relation."""
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    sizes = element_set_sizes(ex, id_col)
+    inter = (
+        cands.join(ex.withColumnRenamed(id_col, ida), ida)
+        .join(ex.withColumnRenamed(id_col, idb), [idb, "__h"])
+        .groupBy(ida, idb)
+        .agg(F.count("*").alias("__inter"))
+    )
+    oc = F.col("__inter").cast("double") / F.least(
+        F.col("__sza"), F.col("__szb")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias(ida), F.col("__sz").alias("__sza")), ida
+        )
+        .join(
+            sizes.select(F.col(id_col).alias(idb), F.col("__sz").alias("__szb")), idb
+        )
+        .withColumn(out_col, oc)
+        .filter(F.col(out_col) >= threshold)
+        .select(ida, idb, F.round(out_col, 6).alias(out_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

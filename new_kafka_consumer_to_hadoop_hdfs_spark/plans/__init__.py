@@ -79,8 +79,8 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The seven r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 2 new round-5 queries + 5 never-checked + 43 of
+# The eleven r2/r3 banked greens that round 5's window leaves out (the
+# window holds 50 = 6 new round-5 queries + 5 never-checked + 39 of
 # the 50 r2/r3 set). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
 # no loader behavior beyond every other query — each covered by an
@@ -95,11 +95,20 @@ DRIVER_CHECKED_R4 = frozenset({
 # DuckDB oracle exists for Spark's HLL/KLL binaries), so a window slot
 # spent on them buys the weakest evidence class; both carry property
 # tests against their exact twins.
+# The last four made room for round 5's second batch of new queries
+# (containment/outlier/weighted-sample/PII) — each is the structural
+# mirror or strict subset of a query that keeps a fresher row:
+#   agg_rollup        -> agg_cube + agg_grouping_sets stay in-window
+#   agg_unpivot       -> agg_pivot stays in-window
+#   join_right_outer  -> join_left_outer + join_full_outer stay
+#   scalar_null_semantics -> scalar_case_null_handling is r4-fresh
 R5_WINDOW_EXCLUDED = frozenset({
     "scalar_string_functions", "scalar_date_functions",
     "scalar_math_functions", "scalar_json_functions",
     "agg_approx_count_distinct",
     "agg_approx_percentiles", "agg_hll_union_rollup",
+    "agg_rollup", "agg_unpivot", "join_right_outer",
+    "scalar_null_semantics",
 })
 
 

@@ -39,8 +39,10 @@ from ..operators.similarity import (
 from ..operators.text import (
     contamination_hits,
     bpe_ish_tokens,
+    containment_candidate_pairs,
     jaccard_verify_elements,
     minhash_candidate_pairs,
+    overlap_verify_elements,
     prefix_filter_candidate_pairs,
     shingle_elements,
     simhash_near_pairs,
@@ -1783,4 +1785,199 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regr_slope(F.log(F.col("c")), F.log(F.col("r"))), 6
             ).alias("zipf_slope"),
         )
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / least(len(a.sh), len(b.sh))::DOUBLE, 6) AS containment
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / least(len(a.sh), len(b.sh))::DOUBLE >= 0.9
+"""
+
+
+@_register("dedup_containment", _CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-CONTAINMENT near-dup pairs: overlap coefficient
+    |A∩B| / min(|A|,|B|) ≥ 0.9 over word-3-gram shingles — the dedup
+    predicate Jaccard structurally misses: a paragraph pasted whole
+    into a much longer document has containment ≈ 1 but Jaccard
+    ≈ |A|/|B| → 0, so no Jaccard threshold finds it. Quote/boilerplate
+    inclusion is the dominant dup mode in scraped training corpora
+    (the doc-level complement of `dedup_span_duplication`'s span
+    ranking). The reference has no text analysis (650-line Kafka→HDFS
+    relay, HadoopKafkaConsumer.java); this extends SURVEY §2.5 dedup.
+
+    Exact recall via the ASYMMETRIC prefix filter (probe-prefix ×
+    full-index, smaller→larger orientation — see
+    containment_candidate_pairs): unlike MinHash-LSH there is no
+    probabilistic miss, so the brute-force DuckDB oracle must match
+    hash-exactly. Scale shape: shuffle keyed on rare-shingle hashes,
+    verification touches only candidates, nothing all-pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
+    cands = containment_candidate_pairs(ex, "doc_id", threshold=0.9)
+    return overlap_verify_elements(cands, ex, "doc_id", threshold=0.9)
+
+
+_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT lang, median(n_chars)::DOUBLE AS med
+  FROM documents GROUP BY lang
+),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars, abs(d.n_chars - m.med) AS adev, m.med
+  FROM documents d JOIN med m USING (lang)
+),
+mad AS (SELECT lang, median(adev)::DOUBLE AS mad FROM dev GROUP BY lang)
+SELECT v.doc_id, v.lang, v.n_chars,
+       ROUND((v.n_chars - v.med) / NULLIF(x.mad, 0), 6) AS mad_score
+FROM dev v JOIN mad x USING (lang)
+WHERE abs(v.n_chars - v.med) > 2 * x.mad
+"""
+
+
+@_register("pipeline_outlier_filter", _OUTLIER_ORACLE)
+def pipeline_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier gate: flag documents whose
+    |n_chars − median| exceeds 2 MAD (median absolute deviation) for
+    their language — the standard robust alternative to mean/stddev
+    z-scores (one pathological 100 MB doc drags a mean, not a
+    median). Truncation-artifact and concatenation-blob detection is a
+    stock corpus-hygiene gate next to `pipeline_quality_filter`'s
+    content heuristics. (k=2 rather than the textbook 3 because the
+    fixture's length distribution is tight — max |dev|/MAD ≈ 2.4-3.0
+    across SFs; a 3-MAD gate would be an always-empty no-op query.)
+
+    Scale shape and the MAD=0 degenerate contract: see
+    operators.stats.mad_outliers (two |langs|-row aggregates broadcast
+    back; the corpus is only ever scanned narrowly).
+    """
+    from ..operators.stats import mad_outliers
+
+    d = load_table(spark, sf_dir, "documents")
+    return mad_outliers(
+        d.select("doc_id", "lang", "n_chars"),
+        group_col="lang",
+        value_col="n_chars",
+        k=2.0,
+    ).select("doc_id", "lang", "n_chars", "mad_score")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, lang,
+       ROUND(least(1.0, n_chars / 400.0), 6) AS keep_prob
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
+      < least(1.0, n_chars / 400.0)
+"""
+
+
+@_register("pipeline_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED document sampling: keep each doc with
+    probability proportional to a quality weight (here length-derived,
+    capped at 1) — the "sample 10% but prefer substantive documents"
+    step of corpus assembly, done re-run-stably: membership is a pure
+    function of doc_id (md5-prefix uniform vs the weight), never of
+    partitioning, ordering, or an RNG seed, so incremental ingest and
+    retries keep/drop the SAME documents (the property
+    `pipeline_train_val_split` establishes for unweighted splits).
+
+    Scale shape: one narrow projection+filter, zero shuffle,
+    embarrassingly parallel; the weight needs no global statistics
+    (contrast `pipeline_mix_languages`, which broadcasts per-group
+    rates). `F.sample` cannot express per-row probabilities and is
+    partition-layout-dependent; rand(seed) is re-run-unstable under
+    repartitioning — the hash-uniform is the production answer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") / F.lit(65536.0)
+    )
+    keep_prob = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return (
+        d.filter(frac < keep_prob)
+        .select("doc_id", "lang", F.round(keep_prob, 6).alias("keep_prob"))
+    )
+
+
+# The fixture corpus contains no PII (no digits at all), so the scrub
+# query PLANTS deterministic markers derived from doc_id before
+# scrubbing — same trade as dedup_embedding_cosine's lowered
+# threshold: exercise the operator for real on data that lacks the
+# phenomenon. Both engines build byte-identical input, so detection
+# counts and the md5 of the scrubbed text are hash-comparable.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_SCRUB_ORACLE = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+         regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM planted
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{_PII_IPV4}')) AS n_ips,
+       md5(regexp_replace(t1, '{_PII_IPV4}', '[IP]', 'g')) AS scrub_hash
+FROM scrubbed
+"""
+
+
+@_register("pipeline_pii_scrub", _PII_SCRUB_ORACLE)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and replace email addresses
+    and IPv4 literals with typed placeholders, emitting the scrubbed
+    text's md5 so the oracle verifies the REDACTED BYTES, not just the
+    counts. The mandatory compliance pass of any shipped training
+    corpus; patterns are deliberately alternation-free so Java regex
+    (leftmost-first) and RE2 (leftmost-longest) agree on every match.
+
+    Scale shape: pure codegen string expressions (regexp_count /
+    regexp_replace / md5), one narrow pass, zero shuffle — at 100 TB
+    this runs at scan speed next to `pipeline_quality_filter` in the
+    same stage. Emails scrub before IPs so placeholder text can't
+    shift later match offsets across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]").alias("t1"),
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count(F.col("t1"), F.lit(_PII_IPV4)).alias("n_ips"),
+        F.md5(F.regexp_replace(F.col("t1"), _PII_IPV4, "[IP]")).alias(
+            "scrub_hash"
+        ),
     )

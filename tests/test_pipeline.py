@@ -186,3 +186,97 @@ def test_cli_flags_reference_parity():
     )
     d = p.parse_args(["-o", "/out"])
     assert d.topic == "my_test_kafka_topic" and d.brokers == "localhost:9092" and d.partitions == 3
+
+
+def test_weighted_sample_partition_layout_independent(spark, sf_dir):
+    """Membership must be a pure function of doc_id — identical under
+    any repartitioning (the property rand(seed)/F.sample break)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        pipeline_weighted_sample,
+    )
+
+    base = {r.doc_id for r in pipeline_weighted_sample(spark, sf_dir).collect()}
+    assert base, "sample came back empty"
+    shuffled = pipeline_weighted_sample(spark, sf_dir)
+    shuffled = shuffled.repartition(13).cache()
+    try:
+        assert {r.doc_id for r in shuffled.collect()} == base
+    finally:
+        shuffled.unpersist()
+
+
+def test_pii_scrub_counts_and_redacted_bytes(spark):
+    """Planted markers are found, counted, and byte-identically
+    redacted; text without PII passes through with zero counts."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        _PII_EMAIL,
+        _PII_IPV4,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b-c_d@sub.example.org or 192.168.0.1 ok"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.ai one ip 10.0.0.7"),
+        ],
+        "doc_id long, t string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("t", F.lit(_PII_EMAIL)).alias("n_emails"),
+            F.regexp_count("t", F.lit(_PII_IPV4)).alias("n_ips"),
+            F.regexp_replace(
+                F.regexp_replace("t", _PII_EMAIL, "[EMAIL]"), _PII_IPV4, "[IP]"
+            ).alias("red"),
+        ).collect()
+    }
+    assert (out[1].n_emails, out[1].n_ips) == (1, 1)
+    assert out[1].red == "reach me at [EMAIL] or [IP] ok"
+    assert (out[2].n_emails, out[2].n_ips) == (0, 0) and out[2].red == "no pii here"
+    assert (out[3].n_emails, out[3].n_ips) == (2, 1)
+    assert out[3].red == "two mails [EMAIL] [EMAIL] one ip [IP]"
+
+
+def test_outlier_filter_mad_zero_degenerate(spark):
+    """When >half a group sits at the exact median, MAD=0: nothing can
+    be scored (every deviation is 'infinitely' many MADs out) — the
+    gate must flag rows but emit NULL scores, not divide-by-zero, and
+    flag nothing when ALL rows are identical."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.stats import mad_outliers
+
+    docs = spark.createDataFrame(
+        [(i, "en", 100) for i in range(5)] + [(9, "en", 900)],
+        "doc_id long, lang string, n_chars int",
+    )
+    out = mad_outliers(
+        docs, group_col="lang", value_col="n_chars", k=2.0
+    ).collect()
+    assert [r.doc_id for r in out] == [9]
+    assert out[0].mad_score is None
+
+    uniform = spark.createDataFrame(
+        [(i, "en", 100) for i in range(4)], "doc_id long, lang string, n_chars int"
+    )
+    assert (
+        mad_outliers(uniform, group_col="lang", value_col="n_chars", k=2.0).count()
+        == 0
+    )
+
+
+def test_mad_outliers_scored_path(spark):
+    """Non-degenerate groups get finite signed MAD scores."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.stats import mad_outliers
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "en", 200), (5, "en", -100)],
+        "doc_id long, lang string, n_chars int",
+    )
+    # median=20, adevs=[10,0,10,180,120] -> MAD=10 (odd count, middle)
+    out = {r.doc_id: r.mad_score for r in mad_outliers(
+        docs, group_col="lang", value_col="n_chars", k=3.0
+    ).collect()}
+    assert out == {4: 18.0, 5: -12.0}

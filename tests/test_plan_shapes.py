@@ -86,7 +86,12 @@ def test_near_dup_never_plans_cartesian(spark, registry):
     """The bucketed near-dup pipeline must never degenerate into an
     all-pairs join — candidate generation is equi-join on band/shingle
     buckets by construction."""
-    for name in ("dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash"):
+    for name in (
+        "dedup_near_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_containment",
+    ):
         plan = _plan(spark, registry, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -30,6 +30,10 @@ NEVER_DRIVER_CHECKED = {
 NEW_IN_R5 = {
     "dedup_span_duplication",
     "text_zipf_slope",
+    "dedup_containment",
+    "pipeline_outlier_filter",
+    "pipeline_weighted_sample",
+    "pipeline_pii_scrub",
 }
 
 

@@ -665,3 +665,68 @@ def test_lsh_cosine_pairs_recall_and_exactness(spark, sf_dir):
         assert abs(c - exact[pair]) < 1e-9, (pair, c, exact[pair])
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_containment_finds_small_doc_inside_big_doc(spark):
+    """The case Jaccard structurally misses: a short doc pasted whole
+    into a much longer one has overlap coefficient 1.0 but Jaccard
+    ≈ |A|/|B|, far below any useful threshold. The asymmetric prefix
+    filter must surface it; the symmetric Jaccard prefix filter at the
+    same 0.9 bar must not (documents the two operators' distinct
+    semantics, not a defect in either)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        containment_candidate_pairs,
+        overlap_verify_elements,
+        prefix_filter_candidate_pairs,
+        shingle_elements,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler), (3, filler)],
+        "doc_id long, text string",
+    )
+    ex = shingle_elements(docs, "doc_id", "text", n=3)
+    cands = containment_candidate_pairs(ex, "doc_id", threshold=0.9)
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in overlap_verify_elements(
+            cands, ex, "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0, got
+    # doc 3 ⊂ doc 2 as well (filler is a verbatim suffix of doc 2)
+    assert (2, 3) in got and got[(2, 3)] == 1.0, got
+    assert (1, 3) not in got
+    jacc = set(
+        (r.doc_id_a, r.doc_id_b)
+        for r in prefix_filter_candidate_pairs(
+            ex, "doc_id", threshold=0.9
+        ).collect()
+    )
+    assert (1, 2) not in jacc, "Jaccard prefix filter should size-prune this pair"
+
+
+def test_containment_boundary_threshold_exact_recall(spark):
+    """A pair sitting exactly AT the threshold must survive the prefix
+    filter's ceil arithmetic (the epsilon-backoff contract). 10 shingles
+    in the small doc, 9 shared -> oc = 0.9 exactly at t=0.9."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        containment_candidate_pairs,
+        overlap_verify_elements,
+    )
+
+    # synthetic element relation: doc 1 has elements 0..9, doc 2 has
+    # 1..9 plus 100..140 (shares 9 of doc 1's 10 -> oc 0.9 w.r.t. doc 1)
+    rows = [(1, h) for h in range(10)]
+    rows += [(2, h) for h in range(1, 10)]
+    rows += [(2, h) for h in range(100, 141)]
+    ex = spark.createDataFrame(rows, "doc_id long, __h long")
+    out = overlap_verify_elements(
+        containment_candidate_pairs(ex, "doc_id", threshold=0.9),
+        ex,
+        "doc_id",
+        threshold=0.9,
+    ).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.containment) for r in out] == [(1, 2, 0.9)]
