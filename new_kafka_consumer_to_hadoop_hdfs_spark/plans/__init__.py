@@ -95,13 +95,18 @@ DRIVER_CHECKED_R4 = frozenset({
 # DuckDB oracle exists for Spark's HLL/KLL binaries), so a window slot
 # spent on them buys the weakest evidence class; both carry property
 # tests against their exact twins.
-# The last four made room for round 5's second batch of new queries
-# (containment/outlier/weighted-sample/PII) — each is the structural
-# mirror or strict subset of a query that keeps a fresher row:
+# The last six made room for round 5's second batch of new queries
+# (containment/outlier/weighted-sample/PII/token-budget pair) — each
+# is the structural mirror or strict subset of a query that keeps a
+# fresher row:
 #   agg_rollup        -> agg_cube + agg_grouping_sets stay in-window
 #   agg_unpivot       -> agg_pivot stays in-window
 #   join_right_outer  -> join_left_outer + join_full_outer stay
 #   scalar_null_semantics -> scalar_case_null_handling is r4-fresh
+#   agg_percentiles   -> exact percentile now also exercised in-window
+#                        by pipeline_outlier_filter's median/MAD
+#   window_running_sum -> strict frame-subset of window_range_frame,
+#                         which stays in-window
 R5_WINDOW_EXCLUDED = frozenset({
     "scalar_string_functions", "scalar_date_functions",
     "scalar_math_functions", "scalar_json_functions",
@@ -109,6 +114,7 @@ R5_WINDOW_EXCLUDED = frozenset({
     "agg_approx_percentiles", "agg_hll_union_rollup",
     "agg_rollup", "agg_unpivot", "join_right_outer",
     "scalar_null_semantics",
+    "agg_percentiles", "window_running_sum",
 })
 
 

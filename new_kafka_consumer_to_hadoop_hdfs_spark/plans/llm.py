@@ -1981,3 +1981,147 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrub_hash"
         ),
     )
+
+
+# Shared quality weight for the token-budget pair: type-token ratio
+# (distinct tokens / tokens — templated boilerplate repeats itself, so
+# low TTR ≈ low information density). Rounded to 6 decimals BEFORE
+# ordering so cross-engine float noise can't reorder the greedy rank.
+_SQL_TTR_TOK = f"""
+  SELECT doc_id, lang, len(t) AS n_tokens,
+         ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS ttr
+  FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) > 0
+"""
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH tok AS ({_SQL_TTR_TOK}),
+b AS (SELECT lang, 0.5 * SUM(n_tokens) AS budget FROM tok GROUP BY lang),
+r AS (
+  SELECT tok.*,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY ttr DESC, doc_id
+         ) AS cum
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens, ttr
+FROM r JOIN b USING (lang)
+WHERE cum <= budget
+"""
+
+
+@_register("pipeline_token_budget_select", _TOKEN_BUDGET_ORACLE)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection, EXACT greedy form: per language,
+    keep the highest-quality documents (quality = type-token ratio,
+    ties → doc_id) until the running token count reaches the budget
+    (here 50% of that language's tokens — scale-free, so the query
+    means the same thing at every SF). "Give me the best N-token
+    corpus" is the final assembly step of every training-data
+    pipeline; this is its deterministic knapsack-greedy.
+
+    Scale shape: like `pipeline_stratified_sample`, the rank-and-cumsum
+    window is partitioned by a LOW-cardinality stratum (lang), so each
+    partition sorts one language's documents — the documented limit for
+    hot groups. The scale twin that never sorts the corpus is
+    `pipeline_token_budget_threshold` (binned two-phase, same greedy
+    direction); this exact form is its oracle-anchored reference.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+    budget = tok.groupBy("lang").agg(
+        (F.lit(0.5) * F.sum("n_tokens")).alias("__budget")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("ttr").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.withColumn("__cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budget), "lang")
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .select("doc_id", "lang", "n_tokens", "ttr")
+    )
+
+
+_TOKEN_BUDGET_THRESHOLD_ORACLE = f"""
+WITH tok AS ({_SQL_TTR_TOK}),
+b AS (SELECT lang, 0.5 * SUM(n_tokens) AS budget FROM tok GROUP BY lang),
+binned AS (
+  SELECT lang, CAST(floor(ttr * 100) AS BIGINT) AS bin,
+         SUM(n_tokens) AS bin_tokens
+  FROM tok GROUP BY lang, bin
+),
+cum AS (
+  SELECT lang, bin,
+         SUM(bin_tokens) OVER (
+           PARTITION BY lang ORDER BY bin DESC
+         ) AS cum_tokens
+  FROM binned
+),
+keep AS (
+  SELECT lang, bin FROM cum JOIN b USING (lang)
+  WHERE cum_tokens <= budget
+)
+SELECT t.doc_id, t.lang, t.n_tokens, t.ttr
+FROM tok t JOIN keep k
+  ON t.lang = k.lang AND CAST(floor(t.ttr * 100) AS BIGINT) = k.bin
+"""
+
+
+@_register("pipeline_token_budget_threshold", _TOKEN_BUDGET_THRESHOLD_ORACLE)
+def pipeline_token_budget_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget corpus selection, BINNED two-phase form — the
+    100 TB twin of `pipeline_token_budget_select` that never sorts the
+    corpus: quantize quality to 101 bins (floor(ttr·100)), aggregate
+    tokens per (lang, bin) — map-side partial agg collapsing to
+    |langs|·101 rows — take the top-down cumulative sum over that TINY
+    relation, keep every bin that fits entirely inside the budget, and
+    BROADCAST the kept-bin set back as a semi-join. The corpus is
+    scanned narrowly twice; no window or sort ever touches it. The
+    trade (documented, deterministic) is budget UNDERSHOOT by at most
+    one boundary bin's tokens — the standard histogram answer to
+    weighted-quantile selection; tighten with narrower bins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+    tok = tok.withColumn("__bin", F.floor(F.col("ttr") * 100).cast("bigint"))
+    budget = tok.groupBy("lang").agg(
+        (F.lit(0.5) * F.sum("n_tokens")).alias("__budget")
+    )
+    binned = tok.groupBy("lang", "__bin").agg(
+        F.sum("n_tokens").alias("__bin_tokens")
+    )
+    wbin = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = (
+        binned.withColumn("__cum", F.sum("__bin_tokens").over(wbin))
+        .join(F.broadcast(budget), "lang")
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .select("lang", "__bin")
+    )
+    return tok.join(F.broadcast(keep), ["lang", "__bin"], "left_semi").select(
+        "doc_id", "lang", "n_tokens", "ttr"
+    )

@@ -280,3 +280,21 @@ def test_mad_outliers_scored_path(spark):
         docs, group_col="lang", value_col="n_chars", k=3.0
     ).collect()}
     assert out == {4: 18.0, 5: -12.0}
+
+
+def test_token_budget_threshold_is_subset_of_exact_greedy(spark, sf_dir):
+    """The binned threshold twin must keep a SUBSET of the exact
+    greedy selection (whole bins that fit are, by rank order, the
+    first documents the exact form also takes) and undershoot the
+    budget by at most one boundary bin — never overshoot."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        pipeline_token_budget_select,
+        pipeline_token_budget_threshold,
+    )
+
+    exact = {r.doc_id for r in pipeline_token_budget_select(spark, sf_dir).collect()}
+    binned = {
+        r.doc_id for r in pipeline_token_budget_threshold(spark, sf_dir).collect()
+    }
+    assert binned, "threshold selection came back empty"
+    assert binned <= exact, f"threshold kept docs the exact greedy drops: {sorted(binned - exact)[:5]}"

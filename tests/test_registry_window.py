@@ -34,6 +34,8 @@ NEW_IN_R5 = {
     "pipeline_outlier_filter",
     "pipeline_weighted_sample",
     "pipeline_pii_scrub",
+    "pipeline_token_budget_select",
+    "pipeline_token_budget_threshold",
 }
 
 
