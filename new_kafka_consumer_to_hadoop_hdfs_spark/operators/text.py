@@ -27,6 +27,7 @@ driver-side loops, so every operator scales with the cluster:
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
 import pandas as pd
@@ -965,4 +966,62 @@ def doc_grams(
     return toked.select(
         *[c for c in toked.columns if c != "__t"],
         F.explode(word_shingles(F.col("__t"), n=n)).alias("__gram"),
+    )
+
+
+def bigram_surprisal_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    persist: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document mean/max token surprisal −ln P(w2|w1) under the
+    corpus's OWN bigram model: P(w2|w1) = C(w1 w2) / C(w1 ·) counted
+    over df itself (self-perplexity; no smoothing needed — every
+    scored bigram has count ≥ 1 by construction). Swapping df for an
+    external reference count table turns this into the CCNet/KenLM
+    perplexity gate (Wenzek et al. 2020) with the identical plan.
+
+    Semantics note: self-surprisal penalizes rare CONTINUATIONS of
+    common contexts (boilerplate scores near 0, spliced/garbled text
+    high); a doc of globally-unique vocabulary also scores 0 because
+    its 1/1 transitions are fully predictable to a self-trained model
+    — vocabulary rarity is text_quality_score / text_zipf_slope's
+    department, not this gate's.
+
+    Returns (id_col, n_bigrams, avg_surprisal, max_surprisal), docs
+    with < 2 tokens omitted; surprisal values rounded to 6 decimals.
+
+    Scale shape: the LM is one map-side-combinable wordcount (shuffle
+    = |bigram vocab|), the context totals a second agg over that tiny
+    relation, the scoring ONE hash-join of the gram stream against
+    the count table (AQE skew-join absorbs head-gram skew), then a
+    per-doc rollup. The gram relation feeds both the count build and
+    the probe; pass ``persist`` (e.g. plans' ``persist_bounded``) to
+    materialize it once instead of re-deriving it on each side —
+    caching policy stays with the caller so this operator can't leak
+    executor storage.
+    """
+    toks = df.select(
+        id_col, whitespace_tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    grams = toks.select(
+        id_col, F.explode(word_grams(F.col("__t"), n=2)).alias("__gram")
+    )
+    if persist is not None:
+        grams = persist(grams)
+    cb = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
+    w1 = F.split(F.col("__gram"), " ").getItem(0)
+    cw = cb.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
+    counts = cb.withColumn("__w1", w1).join(cw, "__w1")
+    s = -F.log(F.col("__c2").cast("double") / F.col("__c1").cast("double"))
+    return (
+        grams.join(counts.select("__gram", "__c2", "__c1"), "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(s), 6).alias("avg_surprisal"),
+            F.round(F.max(s), 6).alias("max_surprisal"),
+        )
     )

@@ -79,9 +79,9 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The eleven r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 6 new round-5 queries + 5 never-checked + 39 of
-# the 50 r2/r3 set). The five scalar queries are pure
+# The fifteen r2/r3 banked greens that round 5's window leaves out
+# (the window holds 50 = 10 new round-5 queries + 5 never-checked +
+# 35 of the 50 r2/r3 set). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
 # no loader behavior beyond every other query — each covered by an
 # in-window advanced twin + local pytest:
@@ -115,6 +115,12 @@ R5_WINDOW_EXCLUDED = frozenset({
     "agg_rollup", "agg_unpivot", "join_right_outer",
     "scalar_null_semantics",
     "agg_percentiles", "window_running_sum",
+    # Rotated out to make window room for text_bigram_surprisal and
+    # pipeline_dedup_keep_best: both join shapes run structurally
+    # inside in-window pipeline queries (pipeline_incremental_dedup
+    # ends in a left_anti, pipeline_token_budget_threshold in a
+    # left_semi) and both remain in the local pytest oracle-diff.
+    "join_semi", "join_anti",
 })
 
 

@@ -2125,3 +2125,128 @@ def pipeline_token_budget_threshold(
     return tok.join(F.broadcast(keep), ["lang", "__bin"], "left_semi").select(
         "doc_id", "lang", "n_tokens", "ttr"
     )
+
+
+_BIGRAM_SURPRISAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+cb AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+cw AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c2) AS c1 FROM cb GROUP BY w1),
+scored AS (
+  SELECT g.doc_id, -ln(cb.c2::DOUBLE / cw.c1::DOUBLE) AS s
+  FROM g JOIN cb USING (gram)
+         JOIN cw ON string_split(g.gram, ' ')[1] = cw.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(s), 6) AS avg_surprisal,
+       ROUND(MAX(s), 6) AS max_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+@_register("text_bigram_surprisal", _BIGRAM_SURPRISAL_ORACLE)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document self-surprisal under the corpus's own bigram LM —
+    the statistical quality score the heuristic gates
+    (text_quality_score, text_repetition_stats) approximate: train
+    P(w2|w1) = C(w1 w2)/C(w1·) by counting the corpus itself, then
+    score each doc by its mean (and max) token surprisal −ln P. Low
+    mean ⇒ templated/boilerplate text; high mean ⇒ rare-junk — both
+    tails get gated before training (the CCNet/KenLM perplexity
+    filter, Wenzek et al. 2020, with the corpus itself standing in
+    for the external LM; swapping in a reference count table is the
+    same join). No smoothing needed: every scored bigram has count
+    ≥ 1 by construction. The reference has no text surface at all
+    (650-line Kafka→HDFS relay, HadoopKafkaConsumer.java); this
+    extends SURVEY §2.5's quality-scoring family.
+
+    Scale shape: see ``operators.text.bigram_surprisal_scores`` — one
+    vocab-sized wordcount shuffle, one gram-stream hash-join, one
+    per-doc rollup. Both engines compute the identical −ln(c2/c1)
+    expression so only ulp-level libm noise reaches the ROUND(·, 6).
+    """
+    from ..operators.text import bigram_surprisal_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal_scores(
+        d, "doc_id", "text", persist=_persist_bounded
+    )
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+s AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM t WHERE len(t) >= 3),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE {_SQL_JACCARD} >= 0.8),
+edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS label
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+ranked AS (
+  SELECT c.label, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.label ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rn
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT n_chars, doc_id, label AS cluster_id FROM ranked WHERE rn = 1
+"""
+
+
+@_register("pipeline_dedup_keep_best", _KEEP_BEST_ORACLE)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus near-dedup keeping the BEST doc per duplicate cluster —
+    what production pipelines actually keep (the longest / highest-
+    quality variant), where `pipeline_corpus_dedup` keeps the min-id
+    representative. Same scale-safe composition (MinHash-LSH pairs →
+    exact Jaccard ≥ 0.8 verify → min-label connected components), then
+    an argmax by (n_chars DESC, doc_id ASC) per component.
+
+    The argmax is a lexicographic struct MAX — a map-side-combinable
+    aggregate, NOT a row_number window — so a pathological mega-cluster
+    (shared boilerplate collapsing millions of docs into one component)
+    costs a partial-agg merge instead of a single-task sort; ties on
+    n_chars break deterministically to the smallest doc_id via the
+    negated-id struct field (Spark's max_by leaves ties arbitrary,
+    SURVEY §7 hazard 1).
+    """
+    from ..operators.graph import connected_components_min_label
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = _persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
+    cands = minhash_candidate_pairs(ex, "doc_id", num_hashes=16, rows_per_band=2)
+    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.8)
+    labels = connected_components_min_label(
+        d.select("doc_id"),
+        pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        ),
+        id_col="doc_id",
+    )
+    joined = labels.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    best = joined.groupBy("label").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("node")).alias("__neg"))
+        ).alias("__b")
+    )
+    return best.select(
+        F.col("__b.n_chars").alias("n_chars"),
+        (-F.col("__b.__neg")).alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+    )

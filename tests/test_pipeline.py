@@ -298,3 +298,31 @@ def test_token_budget_threshold_is_subset_of_exact_greedy(spark, sf_dir):
     }
     assert binned, "threshold selection came back empty"
     assert binned <= exact, f"threshold kept docs the exact greedy drops: {sorted(binned - exact)[:5]}"
+
+
+def test_dedup_keep_best_same_clusters_longer_survivors(spark, sf_dir):
+    """keep-best must partition the corpus into the SAME duplicate
+    clusters as pipeline_corpus_dedup (cluster_id = the min-label
+    component id = exactly the doc corpus_dedup keeps) and its
+    survivor can only be the min-id doc or a strictly longer one."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        pipeline_corpus_dedup,
+        pipeline_dedup_keep_best,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    min_ids = {r.doc_id for r in pipeline_corpus_dedup(spark, sf_dir).collect()}
+    best = pipeline_dedup_keep_best(spark, sf_dir).collect()
+    assert {r.cluster_id for r in best} == min_ids
+    assert len(best) == len(min_ids)
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in best:
+        assert r.n_chars == n_chars[r.doc_id]
+        assert r.n_chars >= n_chars[r.cluster_id], (
+            f"cluster {r.cluster_id}: survivor {r.doc_id} shorter than min-id doc"
+        )

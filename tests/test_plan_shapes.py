@@ -224,3 +224,21 @@ def test_quality_filter_is_exchange_free(spark, registry):
     Exchange at all."""
     plan = _plan(spark, registry, "pipeline_quality_filter")
     assert "Exchange" not in plan
+
+
+def test_keep_best_argmax_is_agg_not_window(spark, registry):
+    """keep-best's survivor pick must stay a map-side-combinable
+    struct-MAX aggregate — its docstring's mega-cluster promise. A
+    refactor to row_number() would show up as a Window operator."""
+    plan = _plan(spark, registry, "pipeline_dedup_keep_best")
+    assert "Window" not in plan, "survivor argmax regressed to a window sort"
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_has_no_window_and_partial_aggs(spark, registry):
+    """The bigram-LM build must be a partial-agg wordcount (vocab-sized
+    shuffle), and scoring a join + rollup — never a per-gram window
+    over the corpus stream."""
+    plan = _plan(spark, registry, "text_bigram_surprisal")
+    assert "Window" not in plan
+    assert "partial_count" in plan, "gram count lost its map-side combine"

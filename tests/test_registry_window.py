@@ -36,6 +36,8 @@ NEW_IN_R5 = {
     "pipeline_pii_scrub",
     "pipeline_token_budget_select",
     "pipeline_token_budget_threshold",
+    "text_bigram_surprisal",
+    "pipeline_dedup_keep_best",
 }
 
 

@@ -730,3 +730,52 @@ def test_containment_boundary_threshold_exact_recall(spark):
         threshold=0.9,
     ).collect()
     assert [(r.doc_id_a, r.doc_id_b, r.containment) for r in out] == [(1, 2, 0.9)]
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Tiny corpus where the bigram LM is computable by hand:
+    C('a b')=3, C('b a')=1, C('b c')=1; contexts C(a .)=3, C(b .)=2.
+    P(b|a)=1 -> surprisal 0; P(a|b)=P(c|b)=1/2 -> ln 2."""
+    import math
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_surprisal_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in bigram_surprisal_scores(df, "doc_id", "text").collect()
+    }
+    ln2 = math.log(2.0)
+    assert set(out) == {1, 2}, "single-token doc must be omitted"
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_surprisal == round(ln2 / 3, 6)
+    assert out[1].max_surprisal == round(ln2, 6)
+    assert out[2].n_bigrams == 2
+    assert out[2].avg_surprisal == round(ln2 / 2, 6)
+    assert out[2].max_surprisal == round(ln2, 6)
+
+
+def test_bigram_surprisal_templated_text_scores_low(spark):
+    """The gate's purpose: a doc assembled from the corpus's dominant
+    template must score strictly lower mean surprisal than a doc of
+    corpus-rare transitions."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_surprisal_scores,
+    )
+
+    template = "click here to subscribe now"
+    rows = [(i, template) for i in range(10)]
+    # Rare doc reuses the COMMON context words with unseen
+    # continuations — the case the LM penalizes. (A doc of globally
+    # unique words scores 0: its 1/1 transitions are 'predictable'
+    # to a self-trained model; self-surprisal measures transition
+    # oddity given context frequency, not vocabulary rarity.)
+    rows.append((100, "click quantum here hedgehog to marble"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_surprisal for r in
+           bigram_surprisal_scores(df, "doc_id", "text").collect()}
+    assert out[0] < out[100]
