@@ -79,9 +79,9 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The fifteen r2/r3 banked greens that round 5's window leaves out
-# (the window holds 50 = 10 new round-5 queries + 5 never-checked +
-# 35 of the 50 r2/r3 set). The five scalar queries are pure
+# The sixteen r2/r3 banked greens that round 5's window leaves out
+# (the window holds 50 = 11 new round-5 queries + 5 never-checked +
+# 34 of the 50 r2/r3 set). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
 # no loader behavior beyond every other query — each covered by an
 # in-window advanced twin + local pytest:
@@ -121,6 +121,10 @@ R5_WINDOW_EXCLUDED = frozenset({
     # ends in a left_anti, pipeline_token_budget_threshold in a
     # left_semi) and both remain in the local pytest oracle-diff.
     "join_semi", "join_anti",
+    # Rotated out for pipeline_quality_buckets: grouping-sets
+    # semantics are a strict subset of agg_cube, which stays
+    # in-window (CUBE expands to the full grouping-set lattice).
+    "agg_grouping_sets",
 })
 
 

@@ -2127,8 +2127,11 @@ def pipeline_token_budget_threshold(
     )
 
 
-_BIGRAM_SURPRISAL_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+# Bigram-LM surprisal CTE chain, shared by text_bigram_surprisal and
+# pipeline_quality_buckets so the two oracles can never drift on
+# tokenization, count semantics, or the -ln(c2/c1) expression.
+_SQL_SURPRISAL_CTES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
 g AS (
   SELECT doc_id,
          unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS gram
@@ -2141,6 +2144,10 @@ scored AS (
   FROM g JOIN cb USING (gram)
          JOIN cw ON string_split(g.gram, ' ')[1] = cw.w1
 )
+"""
+
+_BIGRAM_SURPRISAL_ORACLE = f"""
+WITH {_SQL_SURPRISAL_CTES}
 SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(AVG(s), 6) AS avg_surprisal,
        ROUND(MAX(s), 6) AS max_surprisal
@@ -2249,4 +2256,88 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__b.n_chars").alias("n_chars"),
         (-F.col("__b.__neg")).alias("doc_id"),
         F.col("label").alias("cluster_id"),
+    )
+
+
+_QUALITY_BUCKETS_ORACLE = f"""
+WITH {_SQL_SURPRISAL_CTES},
+sc AS (SELECT doc_id, ROUND(AVG(s), 6) AS avg_surprisal
+       FROM scored GROUP BY doc_id),
+d AS (
+  SELECT sc.doc_id, dd.lang, sc.avg_surprisal,
+         CAST(floor(sc.avg_surprisal * 100) AS BIGINT) AS bin
+  FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
+),
+hist AS (SELECT lang, bin, COUNT(*) AS c FROM d GROUP BY lang, bin),
+cum AS (
+  SELECT lang, bin,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cumc
+  FROM hist
+),
+tot AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+buck AS (
+  SELECT lang, bin,
+         CASE WHEN cumc <= n / 3.0 THEN 'head'
+              WHEN cumc <= 2 * n / 3.0 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM cum JOIN tot USING (lang)
+)
+SELECT d.doc_id, d.lang, d.avg_surprisal, b.bucket
+FROM d JOIN buck b ON d.lang = b.lang AND d.bin = b.bin
+"""
+
+
+@_register("pipeline_quality_buckets", _QUALITY_BUCKETS_ORACLE)
+def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets per language
+    (Wenzek et al. 2020: partition each language's corpus into
+    perplexity terciles; train preferentially on the head). Scores
+    come from the shared bigram-LM self-surprisal
+    (`operators.text.bigram_surprisal_scores`); tercile boundaries are
+    assigned at BIN granularity with the same histogram-quantile
+    pattern as `pipeline_token_budget_threshold`: quantize the score
+    to centinat bins (floor(avg_surprisal·100) over 6dp-rounded
+    values, so both engines bin identically), build the tiny
+    (lang, bin) histogram map-side, cumulative-sum over that ~100-row
+    relation, and broadcast the bin→bucket map back. The corpus is
+    never sorted and no window ever touches it; whole-bin assignment
+    makes the tercile split deterministic (bin boundaries shift a
+    bucket by at most one bin's docs — the documented histogram
+    trade, same as the token-budget twin; tighten with finer bins).
+
+    100 TB note: exact per-language percentile of a score column
+    would buffer each language's scores in one aggregation buffer;
+    the bin histogram is the mergeable, bounded-memory form of the
+    same quantile question.
+    """
+    from ..operators.text import bigram_surprisal_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = bigram_surprisal_scores(
+        d, "doc_id", "text", persist=_persist_bounded
+    ).select("doc_id", "avg_surprisal")
+    scored = sc.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "__bin", F.floor(F.col("avg_surprisal") * 100).cast("bigint")
+    )
+    hist = scored.groupBy("lang", "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    tot = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    wbin = (
+        Window.partitionBy("lang")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buck = (
+        hist.withColumn("__cum", F.sum("__c").over(wbin))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "__bin",
+            F.when(F.col("__cum") <= F.col("__n") / 3.0, "head")
+            .when(F.col("__cum") <= 2 * F.col("__n") / 3.0, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return scored.join(F.broadcast(buck), ["lang", "__bin"]).select(
+        "doc_id", "lang", "avg_surprisal", "bucket"
     )

@@ -326,3 +326,33 @@ def test_dedup_keep_best_same_clusters_longer_survivors(spark, sf_dir):
         assert r.n_chars >= n_chars[r.cluster_id], (
             f"cluster {r.cluster_id}: survivor {r.doc_id} shorter than min-id doc"
         )
+
+
+def test_quality_buckets_ordered_and_balanced(spark, sf_dir):
+    """Within each language, head/middle/tail must be score-ordered at
+    bin granularity (every head doc's centinat bin strictly below every
+    middle doc's, etc.) and roughly tercile-sized (whole-bin assignment
+    may shift a boundary by one bin's docs)."""
+    import collections
+    import math
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        pipeline_quality_buckets,
+    )
+
+    rows = pipeline_quality_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = collections.defaultdict(lambda: collections.defaultdict(list))
+    for r in rows:
+        by_lang[r.lang][r.bucket].append(math.floor(r.avg_surprisal * 100))
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        if "head" in buckets and "middle" in buckets:
+            assert max(buckets["head"]) < min(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert max(buckets["middle"]) < min(buckets["tail"]), lang
+        n = sum(len(v) for v in buckets.values())
+        if n >= 30 and len(buckets) == 3:
+            # no bucket should be wildly off a tercile
+            for name, v in buckets.items():
+                assert len(v) / n < 0.75, (lang, name, len(v), n)

@@ -38,6 +38,7 @@ NEW_IN_R5 = {
     "pipeline_token_budget_threshold",
     "text_bigram_surprisal",
     "pipeline_dedup_keep_best",
+    "pipeline_quality_buckets",
 }
 
 
