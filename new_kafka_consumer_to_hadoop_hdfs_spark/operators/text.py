@@ -1003,25 +1003,89 @@ def bigram_surprisal_scores(
     caching policy stays with the caller so this operator can't leak
     executor storage.
     """
-    toks = df.select(
-        id_col, whitespace_tokens(F.col(text_col)).alias("__t")
-    ).filter(F.size("__t") >= 2)
-    grams = toks.select(
-        id_col, F.explode(word_grams(F.col("__t"), n=2)).alias("__gram")
-    )
+    grams = _doc_bigrams(df, id_col, text_col)
     if persist is not None:
         grams = persist(grams)
-    cb = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
-    w1 = F.split(F.col("__gram"), " ").getItem(0)
-    cw = cb.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
-    counts = cb.withColumn("__w1", w1).join(cw, "__w1")
+    counts = _bigram_counts(grams.select("__gram"))
     s = -F.log(F.col("__c2").cast("double") / F.col("__c1").cast("double"))
     return (
-        grams.join(counts.select("__gram", "__c2", "__c1"), "__gram")
+        grams.join(counts, "__gram")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(s), 6).alias("avg_surprisal"),
             F.round(F.max(s), 6).alias("max_surprisal"),
         )
+    )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """(id?, __gram) non-distinct bigram rows — the one gram stream
+    shared by self-scoring, index building, and index probing, so LM
+    and probe can never drift on tokenization or gram shape."""
+    cols = [F.col(id_col)] if id_col is not None else []
+    toks = df.select(
+        *cols, whitespace_tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    return toks.select(
+        *[c for c in toks.columns if c != "__t"],
+        F.explode(word_grams(F.col("__t"), n=2)).alias("__gram"),
+    )
+
+
+def _bigram_counts(grams: DataFrame) -> DataFrame:
+    """(__gram, __c2, __c1) from a __gram stream: bigram count and
+    context (first-word) total — the corpus bigram LM in relational
+    form. Both aggs are map-side combinable; the context table derives
+    from the already vocab-sized count table."""
+    cb = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
+    w1 = F.split(F.col("__gram"), " ").getItem(0)
+    cw = cb.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
+    return cb.withColumn("__w1", w1).join(cw, "__w1").drop("__w1")
+
+
+def bigram_count_index(df: DataFrame, text_col: str) -> DataFrame:
+    """The bigram LM of a REFERENCE corpus as a (__gram, __c2, __c1)
+    relation — precompute (and persist/write) once, then score any
+    other corpus against it with `score_against_bigram_index`. This is
+    the external-LM form of the CCNet/KenLM perplexity gate: the
+    reference corpus plays the role of the trained LM."""
+    return _bigram_counts(_doc_bigrams(df, None, text_col))
+
+
+def score_against_bigram_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    *,
+    n_index_bigrams: int,
+) -> DataFrame:
+    """Per-document surprisal of ``docs`` under a FIXED bigram LM
+    (``index`` from `bigram_count_index`; ``n_index_bigrams`` = its
+    total bigram occurrences, i.e. ``sum(__c2)``). Unlike the
+    self-scoring twin, probe bigrams can be out-of-vocabulary: an
+    unseen bigram takes the escape probability 1/(n_index_bigrams+1)
+    (surprisal ln(N+1) — a deterministic add-one-style floor), and the
+    per-doc OOV count is reported so callers can gate on it directly.
+
+    Returns (id_col, n_bigrams, n_oov, avg_surprisal, max_surprisal).
+
+    Scale shape: the index is built once and reused (persist it, or
+    broadcast when the reference vocabulary is small); each probe is
+    one narrow gram pass + one hash-join + a per-doc rollup — the
+    probe-vs-index asymmetry of streaming/hygiene.py, which wraps this
+    for micro-batch ingest."""
+    grams = _doc_bigrams(docs, id_col, text_col)
+    joined = grams.join(index, "__gram", "left")
+    escape = float(n_index_bigrams) + 1.0
+    s = F.when(
+        F.col("__c2").isNotNull(),
+        -F.log(F.col("__c2").cast("double") / F.col("__c1").cast("double")),
+    ).otherwise(F.log(F.lit(escape)))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("__c2").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(F.avg(s), 6).alias("avg_surprisal"),
+        F.round(F.max(s), 6).alias("max_surprisal"),
     )

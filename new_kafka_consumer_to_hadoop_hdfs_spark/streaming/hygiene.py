@@ -64,3 +64,38 @@ def decontaminate_batch_fn(
 
     _probe.bench_grams = bench  # unpersist handle for stream restarts
     return _probe
+
+
+def quality_score_batch_fn(
+    reference: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function that scores each arriving
+    micro-batch of documents against a FIXED bigram LM built once from
+    ``reference`` — the streaming form of the CCNet/KenLM perplexity
+    gate (the external-LM variant of
+    ``operators.text.bigram_surprisal_scores``). Same probe-vs-index
+    asymmetry as ``decontaminate_batch_fn``: the LM index and its
+    total-bigram constant are computed here, NOT per trigger; each
+    micro-batch costs one narrow gram pass + one hash-join + a per-doc
+    rollup, and results never cross documents, so stream == batch
+    (asserted in tests/test_streaming.py). The persisted index is
+    exposed as ``fn.lm_index`` for callers to unpersist."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import bigram_count_index, score_against_bigram_index
+
+    index = bigram_count_index(reference, text_col).persist()
+    n_total = index.agg(F.sum("__c2")).first()[0] or 0
+
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        scores = score_against_bigram_index(
+            batch_df, id_col, text_col, index, n_index_bigrams=int(n_total)
+        )
+        sink(scores, epoch_id)
+
+    _score.lm_index = index  # type: ignore[attr-defined]
+    return _score

@@ -199,3 +199,58 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
             last_token = r.start_offset + max(r.n_tokens, 1) - 1
             assert r.spans_boundary == (last_token // 128 != r.chunk_id)
             expected_offset += r.n_tokens
+
+
+texts_for_lm = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=16),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=texts_for_lm)
+@_SETTINGS
+def test_self_surprisal_invariants(spark, texts):
+    """For ANY corpus: self-scored surprisal is non-negative, max ≥ avg,
+    n_bigrams = n_tokens − 1, and docs with < 2 tokens are omitted —
+    and external scoring against the corpus's own index reports zero
+    OOV with identical values (the self/external twin contract)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_count_index,
+        bigram_surprisal_scores,
+        score_against_bigram_index,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    n_tokens = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("n"),
+        ).collect()
+    }
+    got = {r.doc_id: r for r in bigram_surprisal_scores(df, "doc_id", "text").collect()}
+    for doc_id, n in n_tokens.items():
+        if n < 2:
+            assert doc_id not in got
+        else:
+            r = got[doc_id]
+            assert r.n_bigrams == n - 1
+            assert 0.0 <= r.avg_surprisal <= r.max_surprisal
+
+    index = bigram_count_index(df, "text")
+    total = index.agg(F.sum("__c2")).first()[0]
+    if total:
+        ext = {
+            r.doc_id: r
+            for r in score_against_bigram_index(
+                df, "doc_id", "text", index, n_index_bigrams=int(total)
+            ).collect()
+        }
+        assert set(ext) == set(got)
+        for doc_id, r in ext.items():
+            assert r.n_oov == 0
+            assert r.avg_surprisal == got[doc_id].avg_surprisal
+            assert r.max_surprisal == got[doc_id].max_surprisal

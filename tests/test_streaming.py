@@ -424,3 +424,65 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path, sf_dir):
     assert len(epochs) >= 2  # the run really was incremental
     assert set(got) == expected
     assert len(got) == len(expected)  # no doc reported twice across batches
+
+
+def test_streaming_quality_score_equals_batch(spark, tmp_path, sf_dir):
+    """Micro-batch surprisal scoring against a FIXED reference LM must
+    settle to exactly the batch sweep (scores never cross documents),
+    and the reference/probe split must actually exercise the OOV
+    escape path."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_count_index,
+        score_against_bigram_index,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.hygiene import (
+        quality_score_batch_fn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+
+    src = tmp_path / "qsrc"
+    corpus.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    got: list[tuple] = []
+    epochs: set[int] = set()
+
+    def sink(scores_df, epoch_id):
+        epochs.add(epoch_id)
+        got.extend(
+            (r.doc_id, r.n_bigrams, r.n_oov, r.avg_surprisal, r.max_surprisal)
+            for r in scores_df.collect()
+        )
+
+    fn = quality_score_batch_fn(reference, sink)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    fn.lm_index.unpersist()
+
+    index = bigram_count_index(reference, "text")
+    n_total = int(index.agg(F.sum("__c2")).first()[0])
+    expected = {
+        (r.doc_id, r.n_bigrams, r.n_oov, r.avg_surprisal, r.max_surprisal)
+        for r in score_against_bigram_index(
+            corpus, "doc_id", "text", index, n_index_bigrams=n_total
+        ).collect()
+    }
+    assert len(epochs) >= 2  # genuinely incremental
+    assert set(got) == expected
+    assert len(got) == len(expected)  # no doc scored twice across batches
+    assert any(t[2] > 0 for t in got)  # OOV escape actually exercised

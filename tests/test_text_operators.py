@@ -779,3 +779,58 @@ def test_bigram_surprisal_templated_text_scores_low(spark):
     out = {r.doc_id: r.avg_surprisal for r in
            bigram_surprisal_scores(df, "doc_id", "text").collect()}
     assert out[0] < out[100]
+
+
+def test_score_against_index_oov_escape(spark):
+    """External-LM scoring with hand-computed counts. Reference
+    'a b a c': C(a b)=C(b a)=C(a c)=1, contexts C(a .)=2, C(b .)=1,
+    N=3 -> escape surprisal ln(4). Probe 'a b z q': 'a b' seen at
+    -ln(1/2), 'b z' and 'z q' unseen."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_count_index,
+        score_against_bigram_index,
+    )
+
+    ref = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    index = bigram_count_index(ref, "text")
+    n_total = index.agg(F.sum("__c2")).first()[0]
+    assert n_total == 3
+    probe = spark.createDataFrame([(9, "a b z q")], "doc_id long, text string")
+    out = score_against_bigram_index(
+        probe, "doc_id", "text", index, n_index_bigrams=int(n_total)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    ln2, ln4 = math.log(2.0), math.log(4.0)
+    assert r.n_bigrams == 3 and r.n_oov == 2
+    assert r.avg_surprisal == round((ln2 + 2 * ln4) / 3, 6)
+    assert r.max_surprisal == round(ln4, 6)
+
+
+def test_self_scoring_unchanged_by_index_refactor(spark):
+    """bigram_surprisal_scores must equal index-scoring against its own
+    corpus (zero OOV, identical values) — the self/external twins share
+    one gram builder and count core."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_count_index,
+        bigram_surprisal_scores,
+        score_against_bigram_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    self_scores = {
+        (r.doc_id, r.n_bigrams, r.avg_surprisal, r.max_surprisal)
+        for r in bigram_surprisal_scores(df, "doc_id", "text").collect()
+    }
+    index = bigram_count_index(df, "text")
+    n_total = index.agg(F.sum("__c2")).first()[0]
+    ext = score_against_bigram_index(
+        df, "doc_id", "text", index, n_index_bigrams=int(n_total)
+    ).collect()
+    assert all(r.n_oov == 0 for r in ext)
+    ext_scores = {
+        (r.doc_id, r.n_bigrams, r.avg_surprisal, r.max_surprisal) for r in ext
+    }
+    assert ext_scores == self_scores
