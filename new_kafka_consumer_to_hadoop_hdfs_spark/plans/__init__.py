@@ -79,9 +79,9 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The sixteen r2/r3 banked greens that round 5's window leaves out
-# (the window holds 50 = 11 new round-5 queries + 5 never-checked +
-# 34 of the 50 r2/r3 set). The five scalar queries are pure
+# The seventeen r2/r3 banked greens that round 5's window leaves out
+# (the window holds 50 = 12 new round-5 queries + 5 never-checked +
+# 33 of the 50 r2/r3 set). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
 # no loader behavior beyond every other query — each covered by an
 # in-window advanced twin + local pytest:
@@ -125,6 +125,10 @@ R5_WINDOW_EXCLUDED = frozenset({
     # semantics are a strict subset of agg_cube, which stays
     # in-window (CUBE expands to the full grouping-set lattice).
     "agg_grouping_sets",
+    # Rotated out for pipeline_corpus_diff: global top-k is anchored
+    # by in-window window_topk_per_group plus its own
+    # TakeOrderedAndProject plan-shape test.
+    "sort_topk_global",
 })
 
 

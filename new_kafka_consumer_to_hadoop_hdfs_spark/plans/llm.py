@@ -2341,3 +2341,77 @@ def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(buck), ["lang", "__bin"]).select(
         "doc_id", "lang", "avg_surprisal", "bucket"
     )
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0
+                  THEN substr(text, 1, greatest(length(text) - 1, 0))
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 != 0
+),
+cur AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 9 != 0
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM base b FULL OUTER JOIN cur c ON b.doc_id = c.doc_id
+WHERE b.doc_id IS NULL OR c.doc_id IS NULL OR b.fp != c.fp
+"""
+
+
+@_register("pipeline_corpus_diff", _CORPUS_DIFF_ORACLE)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: the added / removed / changed
+    report a dataset-versioning pipeline runs between crawls before
+    deciding what to re-process (re-embed, re-dedup, re-score only the
+    delta — the input to `pipeline_incremental_dedup`'s probe side).
+    Two snapshots are derived deterministically from the one documents
+    table (base = doc_id % 10 != 0 with a simulated trailing-char edit
+    on % 7 == 0 docs; current = % 9 != 0), then compared by content
+    fingerprint (md5 — engine-portable) under a FULL OUTER join on the
+    id: left-null ⇒ added, right-null ⇒ removed, fingerprint mismatch
+    ⇒ changed; unchanged rows are filtered out before any rollup.
+
+    Scale shape: fingerprints are narrow per-row projections computed
+    at scan; the diff is ONE co-partitioned equi-join on doc_id — the
+    canonical snapshot-diff plan — and with both snapshots bucketed by
+    id (sources/bucketed.py) it is exchange-free. The reference's only
+    versioning behavior is blind output overwrite
+    (HadoopKafkaConsumer.java:55-76, delete-then-write); this gives
+    the delta view that makes incremental runs possible.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.substring(
+                    F.col("text"),
+                    1,
+                    F.greatest(F.length("text") - 1, F.lit(0)),
+                ),
+            ).otherwise(F.col("text"))
+        ).alias("__fp_b"),
+    )
+    cur = d.filter(F.col("doc_id") % 9 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("__fp_c")
+    )
+    joined = base.join(cur, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__fp_b").isNull(), "added")
+        .when(F.col("__fp_c").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        joined.filter(
+            F.col("__fp_b").isNull()
+            | F.col("__fp_c").isNull()
+            | (F.col("__fp_b") != F.col("__fp_c"))
+        )
+        .select("doc_id", status.alias("status"))
+    )

@@ -356,3 +356,34 @@ def test_quality_buckets_ordered_and_balanced(spark, sf_dir):
             # no bucket should be wildly off a tercile
             for name, v in buckets.items():
                 assert len(v) / n < 0.75, (lang, name, len(v), n)
+
+
+def test_corpus_diff_statuses_partition_correctly(spark, sf_dir):
+    """Diff statuses must match the deterministic snapshot derivation:
+    added = in current only (doc_id%10==0 and %9!=0), removed = in base
+    only (%9==0 and %10!=0), changed = in both with the simulated edit
+    (%7==0, text non-empty, edit actually alters the fingerprint)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        pipeline_corpus_diff,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    got = {r.doc_id: r.status for r in pipeline_corpus_diff(spark, sf_dir).collect()}
+    ids = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    for doc_id, n in ids.items():
+        in_base = doc_id % 10 != 0
+        in_cur = doc_id % 9 != 0
+        edited = in_base and doc_id % 7 == 0 and n > 0
+        if in_cur and not in_base:
+            assert got.get(doc_id) == "added", doc_id
+        elif in_base and not in_cur:
+            assert got.get(doc_id) == "removed", doc_id
+        elif in_base and in_cur and edited:
+            assert got.get(doc_id) == "changed", doc_id
+        elif in_base and in_cur:
+            assert doc_id not in got, doc_id  # unchanged rows excluded

@@ -39,6 +39,7 @@ NEW_IN_R5 = {
     "text_bigram_surprisal",
     "pipeline_dedup_keep_best",
     "pipeline_quality_buckets",
+    "pipeline_corpus_diff",
 }
 
 
