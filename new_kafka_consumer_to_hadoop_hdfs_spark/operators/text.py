@@ -1076,6 +1076,16 @@ def score_against_bigram_index(
     one narrow gram pass + one hash-join + a per-doc rollup — the
     probe-vs-index asymmetry of streaming/hygiene.py, which wraps this
     for micro-batch ingest."""
+    if n_index_bigrams <= 0:
+        # An empty reference LM would give escape = ln(1) = 0: every
+        # probe bigram OOV yet scored 'perfectly predictable', turning
+        # a downstream perplexity gate into a silent no-op. Fail fast.
+        raise ValueError(
+            "bigram index is empty (n_index_bigrams <= 0) — the "
+            "reference corpus has no document with >= 2 tokens; "
+            "scoring against it would assign surprisal 0 to every "
+            "out-of-vocabulary bigram"
+        )
     grams = _doc_bigrams(docs, id_col, text_col)
     joined = grams.join(index, "__gram", "left")
     escape = float(n_index_bigrams) + 1.0

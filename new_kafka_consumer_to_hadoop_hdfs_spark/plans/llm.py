@@ -2313,14 +2313,23 @@ def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_surprisal_scores
 
     d = load_table(spark, sf_dir, "documents")
-    sc = bigram_surprisal_scores(
-        d, "doc_id", "text", persist=_persist_bounded
-    ).select("doc_id", "avg_surprisal")
+    # Persist the PER-DOC score relation (one slim row per doc): it is
+    # referenced twice (histogram build + final bucket join), and each
+    # un-cached reference would re-run the whole LM build + gram probe
+    # — the dominant cost. The gram relation inside the operator is
+    # left un-persisted (the bounded-persist slot is better spent on
+    # the smaller, more-reused relation).
+    sc = _persist_bounded(
+        bigram_surprisal_scores(d, "doc_id", "text").select(
+            "doc_id", "avg_surprisal"
+        )
+    )
     scored = sc.join(d.select("doc_id", "lang"), "doc_id").withColumn(
         "__bin", F.floor(F.col("avg_surprisal") * 100).cast("bigint")
     )
     hist = scored.groupBy("lang", "__bin").agg(F.count(F.lit(1)).alias("__c"))
-    tot = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    # per-lang totals derive from the tiny histogram, not the corpus
+    tot = hist.groupBy("lang").agg(F.sum("__c").alias("__n"))
     wbin = (
         Window.partitionBy("lang")
         .orderBy("__bin")
@@ -2359,7 +2368,8 @@ SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
             WHEN c.doc_id IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM base b FULL OUTER JOIN cur c ON b.doc_id = c.doc_id
-WHERE b.doc_id IS NULL OR c.doc_id IS NULL OR b.fp != c.fp
+WHERE b.doc_id IS NULL OR c.doc_id IS NULL
+   OR (b.fp IS DISTINCT FROM c.fp)
 """
 
 
@@ -2373,8 +2383,12 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (base = doc_id % 10 != 0 with a simulated trailing-char edit
     on % 7 == 0 docs; current = % 9 != 0), then compared by content
     fingerprint (md5 — engine-portable) under a FULL OUTER join on the
-    id: left-null ⇒ added, right-null ⇒ removed, fingerprint mismatch
-    ⇒ changed; unchanged rows are filtered out before any rollup.
+    id: left-absent ⇒ added, right-absent ⇒ removed, fingerprint
+    mismatch ⇒ changed; unchanged rows are filtered out before any
+    rollup. Presence is tracked with explicit marker columns and the
+    fingerprint compare is NULL-safe (`eqNullSafe` / IS DISTINCT
+    FROM), so a NULL-text document — whose md5 is NULL — still
+    classifies by row presence, not by fingerprint nullness.
 
     Scale shape: fingerprints are narrow per-row projections computed
     at scan; the diff is ONE co-partitioned equi-join on doc_id — the
@@ -2397,21 +2411,24 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.col("text"))
         ).alias("__fp_b"),
+        F.lit(True).alias("__in_b"),
     )
     cur = d.filter(F.col("doc_id") % 9 != 0).select(
-        "doc_id", F.md5(F.col("text")).alias("__fp_c")
+        "doc_id",
+        F.md5(F.col("text")).alias("__fp_c"),
+        F.lit(True).alias("__in_c"),
     )
     joined = base.join(cur, "doc_id", "full_outer")
     status = (
-        F.when(F.col("__fp_b").isNull(), "added")
-        .when(F.col("__fp_c").isNull(), "removed")
+        F.when(F.col("__in_b").isNull(), "added")
+        .when(F.col("__in_c").isNull(), "removed")
         .otherwise("changed")
     )
     return (
         joined.filter(
-            F.col("__fp_b").isNull()
-            | F.col("__fp_c").isNull()
-            | (F.col("__fp_b") != F.col("__fp_c"))
+            F.col("__in_b").isNull()
+            | F.col("__in_c").isNull()
+            | ~F.col("__fp_b").eqNullSafe(F.col("__fp_c"))
         )
         .select("doc_id", status.alias("status"))
     )

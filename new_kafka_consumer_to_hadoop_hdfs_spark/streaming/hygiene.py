@@ -90,6 +90,15 @@ def quality_score_batch_fn(
 
     index = bigram_count_index(reference, text_col).persist()
     n_total = index.agg(F.sum("__c2")).first()[0] or 0
+    if n_total <= 0:
+        # Fail at stream-construction time, not at the first trigger:
+        # an empty reference LM would score every OOV bigram 0 (see
+        # score_against_bigram_index's guard).
+        index.unpersist()
+        raise ValueError(
+            "reference corpus yields an empty bigram LM (no document "
+            "with >= 2 tokens)"
+        )
 
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
         scores = score_against_bigram_index(

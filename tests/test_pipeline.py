@@ -387,3 +387,64 @@ def test_corpus_diff_statuses_partition_correctly(spark, sf_dir):
             assert got.get(doc_id) == "changed", doc_id
         elif in_base and in_cur:
             assert doc_id not in got, doc_id  # unchanged rows excluded
+
+
+def test_corpus_diff_null_text_classifies_by_presence(spark, tmp_path, sf_dir):
+    """A NULL-text document must classify by row PRESENCE, not by its
+    NULL fingerprint: present in both snapshots and unedited -> absent
+    from the diff; present only in base -> 'removed'. Also re-checks
+    the oracle contract on the null-bearing corpus."""
+    import shutil
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.llm import (
+        _CORPUS_DIFF_ORACLE,
+        pipeline_corpus_diff,
+    )
+
+    from ._diff import compare, run_oracle
+
+    custom = tmp_path / "sfnull"
+    custom.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", custom / f"{t}.parquet")
+    # doc 11: null text, in base (%10!=0) and cur (%9!=0), not edited
+    #   (%7!=0) -> both fps NULL -> unchanged, must NOT appear
+    # doc 7: null text, %7==0 so base side is "edited" (edit of NULL
+    #   is NULL) -> fps both NULL -> unchanged, must NOT appear
+    # doc 27: null text, %9==0 so in base only -> 'removed'
+    # doc 40: null text, %10==0 so in cur only -> 'added'
+    # doc 13: real text, unedited, in both -> absent
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (11, None, "en", "web", 0),
+        (7, None, "en", "web", 0),
+        (27, None, "en", "web", 0),
+        (40, None, "en", "web", 0),
+        (13, "plain stable text", "en", "web", 17),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(custom / "documents.parquet"))
+
+    got = {
+        r.doc_id: r.status
+        for r in pipeline_corpus_diff(spark, str(custom)).collect()
+    }
+    assert got == {27: "removed", 40: "added"}
+    oracle = run_oracle(_CORPUS_DIFF_ORACLE, str(custom))
+    probs = compare(
+        "pipeline_corpus_diff",
+        pipeline_corpus_diff(spark, str(custom)).toPandas(),
+        oracle,
+    )
+    assert not probs, probs

@@ -834,3 +834,20 @@ def test_self_scoring_unchanged_by_index_refactor(spark):
         (r.doc_id, r.n_bigrams, r.avg_surprisal, r.max_surprisal) for r in ext
     }
     assert ext_scores == self_scores
+
+
+def test_empty_bigram_index_raises(spark):
+    """Scoring against an empty reference LM must fail fast, not score
+    every OOV bigram as 'perfectly predictable' (escape ln(1) = 0)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        bigram_count_index,
+        score_against_bigram_index,
+    )
+
+    ref = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    index = bigram_count_index(ref, "text")
+    probe = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        score_against_bigram_index(
+            probe, "doc_id", "text", index, n_index_bigrams=0
+        )

@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
+    if not names:
+        raise SystemExit("--queries resolved to an empty list")
+    if args.runs < 1:
+        raise SystemExit("--runs must be >= 1")
 
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
     from new_kafka_consumer_to_hadoop_hdfs_spark.session import get_spark
@@ -97,7 +101,9 @@ def main() -> None:
         slope = math.log10(t_big / t_mid) if t_mid > 0 else float("nan")
         rows.append((name, t_small, t_mid, t_big, slope))
 
-    rows.sort(key=lambda r: -r[4])
+    # NaN slopes (degenerate zero timing) sort to the bottom,
+    # deterministically
+    rows.sort(key=lambda r: (math.isnan(r[4]), -(r[4] if not math.isnan(r[4]) else 0.0)))
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | decade slope |")
     print("|---|---|---|---|---|")
     for name, a, b, c, s in rows:
