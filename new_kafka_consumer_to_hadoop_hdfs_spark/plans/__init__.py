@@ -129,13 +129,36 @@ R5_WINDOW_EXCLUDED = frozenset({
     # by in-window window_topk_per_group plus its own
     # TakeOrderedAndProject plan-shape test.
     "sort_topk_global",
+    # Rotated out for round 5's corpus/event-analytics batch
+    # (pipeline_cdc_merge, pipeline_chunk_sliding, text_heavy_hitters,
+    # event_funnel_stages, event_retention_cohorts). Each displaced
+    # query's shape stays exercised in-window:
+    #   join_left_outer   -> join_full_outer stays (null-extends BOTH
+    #                        sides; left is a strict subset) and
+    #                        pipeline_cdc_merge's compaction join lands
+    #                        in-window
+    #   window_lag_lead_rank -> window_distribution_functions stays;
+    #                        row_number ranking also runs in-window via
+    #                        text_heavy_hitters
+    #   q10_returned_items -> same customer⋈orders⋈lineitem agg shape
+    #                        as in-window q3_shipping_priority
+    #   q19_disjunctive_predicates -> scan-level pushdown is asserted
+    #                        by plan-shape tests; in-window q6 (pushed
+    #                        range predicates) + q14 (part⋈lineitem
+    #                        filter-agg) cover the execution shape
+    #   agg_count_distinct -> exact distinct aggregation runs in-window
+    #                        via event_retention_cohorts
+    #                        (count_distinct over a co-partitioned
+    #                        join) and agg_cube stays in-window
+    "join_left_outer", "window_lag_lead_rank", "q10_returned_items",
+    "q19_disjunctive_predicates", "agg_count_distinct",
 })
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import llm, multimodal, reference, relational, tpch_deep, windows
+    from . import corpus, llm, multimodal, reference, relational, tpch_deep, windows
 
-    modules = [reference, relational, tpch_deep, llm, windows, multimodal]
+    modules = [reference, relational, tpch_deep, llm, windows, multimodal, corpus]
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

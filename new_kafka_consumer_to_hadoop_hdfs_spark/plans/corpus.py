@@ -1,0 +1,364 @@
+"""Corpus-engineering and event-analytics query surface (round 5).
+
+Five operators a training-data / product-analytics team runs daily
+that the registry did not yet cover:
+
+- ``pipeline_cdc_merge``      — changelog upsert/delete merge (CDC
+  compaction: the batch equivalent of the reference's Kafka LWW dedup
+  generalized to delete markers, cf. KafkaContext.java README "last
+  write wins" = highest offset).
+- ``pipeline_chunk_sliding``  — RAG-style sliding-window document
+  chunking (fixed width, fixed stride, overlap = width - stride).
+- ``text_heavy_hitters``      — per-language top-k token frequencies
+  (the two-stage vocabulary-bounded heavy-hitters shape).
+- ``event_funnel_stages``     — ordered conversion funnel on first
+  event occurrences (signup -> view -> click -> purchase).
+- ``event_retention_cohorts`` — weekly cohort retention triangle.
+
+Scale contract (100 TB): every query here is either narrow
+(chunking: zero shuffle) or shuffles once on a uniform key
+(user_id / (lang, token)), with all aggregation partial-agg
+friendly; nothing materializes a per-document cross product and no
+window function runs over a corpus-sized relation (heavy-hitters
+ranks the vocabulary-sized count relation, funnel pivots to one row
+per user before comparing timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import whitespace_tokens
+from ..sources.files import load_table
+from ._registry import make_register
+
+QUERIES = {}
+ORACLES = {}
+_register = make_register(QUERIES, ORACLES)
+
+# Mirrors llm._SQL_TOKENS (single-space split, empty tokens dropped) —
+# imported, not re-typed, so the two modules can never drift.
+from .llm import _SQL_TOKENS  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (changelog compaction)
+# ---------------------------------------------------------------------------
+
+_CDC_MERGE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+counts AS (
+  SELECT user_id,
+         COUNT(*) AS n_ops,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS n_deletes
+  FROM events GROUP BY user_id
+)
+SELECT r.user_id,
+       r.ts AS last_ts,
+       ROUND(r.value, 6) AS last_value,
+       c.n_ops,
+       c.n_deletes
+FROM ranked r JOIN counts c USING (user_id)
+WHERE r.rn = 1 AND r.event_type != 'error'
+"""
+
+
+@_register("pipeline_cdc_merge", _CDC_MERGE_ORACLE)
+def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: apply a CDC stream of upserts and deletes
+    ('error' events are delete markers, everything else upserts) and
+    emit the live post-merge state per key, with op counts.
+
+    This is the reference's last-write-wins dedup
+    (KafkaContext.java:59 seekToBeginning + highest-offset-wins)
+    generalized to MERGE semantics: the final state of a key is decided
+    solely by its LAST change in (ts, event_id) order — a delete marker
+    last means the key is gone; any other op last means its value
+    survives.
+
+    Plan: ONE hash shuffle on user_id. The winner is an argmax via
+    ``max(struct(ts, event_id, is_delete, value))`` — partial-agg
+    friendly (each map task pre-reduces to one candidate per key), no
+    window function, no per-key sort. (ts, event_id) is a total order,
+    so the struct max is deterministic. At 100 TB this is the
+    compaction shape: map-side combine collapses the changelog before
+    the exchange, and the post-filter drops deleted keys for free.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__is_del", (F.col("event_type") == "error").cast("int")
+    )
+    merged = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("__is_del"), F.col("value")
+            )
+        ).alias("__last"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum("__is_del").cast("long").alias("n_deletes"),
+    )
+    return merged.filter(F.col("__last.__is_del") == 0).select(
+        "user_id",
+        F.col("__last.ts").alias("last_ts"),
+        F.round(F.col("__last.value"), 6).alias("last_value"),
+        "n_ops",
+        "n_deletes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (RAG ingestion)
+# ---------------------------------------------------------------------------
+
+_CHUNK_WIDTH = 200  # characters per chunk
+_CHUNK_STRIDE = 150  # overlap = width - stride = 50
+
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+     s AS (
+       SELECT doc_id, text,
+              unnest(range(1, greatest(len, 1) + 1, {_CHUNK_STRIDE}))
+                AS chunk_start
+       FROM d
+     )
+SELECT doc_id,
+       ((chunk_start - 1) // {_CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       chunk_start,
+       length(substring(text, chunk_start::INT, {_CHUNK_WIDTH}))::BIGINT
+         AS chunk_len,
+       md5(substring(text, chunk_start::INT, {_CHUNK_WIDTH})) AS chunk_md5
+FROM s
+"""
+
+
+@_register("pipeline_chunk_sliding", _CHUNK_ORACLE)
+def pipeline_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking: split every document into fixed-width
+    character chunks (width 200, stride 150, so consecutive chunks
+    overlap by 50 chars), emitting per-chunk position metadata and a
+    content digest instead of shipping the chunk text twice.
+
+    Both engines' ``substring``/``length`` are character-based (not
+    byte-based), so multibyte zh documents chunk identically.
+
+    Plan: ZERO shuffle — sequence + posexplode + substring is a narrow
+    per-row expansion inside one whole-stage-codegen span; output rows
+    ≈ input chars / stride. At 100 TB the chunker is a pure map over
+    the corpus scan and parallelism follows input splits; downstream
+    embedding/indexing stages repartition as they see fit.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("__len")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__len"), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    exploded = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start"), F.lit(_CHUNK_WIDTH))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language heavy hitters
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_K = 10
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, token) AS rnk
+  FROM counts
+)
+SELECT lang, token, cnt, rnk::INT AS rnk
+FROM ranked WHERE rnk <= {_HEAVY_HITTERS_K}
+"""
+
+
+@_register("text_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens per language (exact heavy hitters),
+    deterministic tie-break on token text.
+
+    The corpus-health report every pretraining run starts with: which
+    tokens dominate each language slice (stopword sanity, boilerplate
+    smells, tokenizer drift between snapshots).
+
+    Plan: explode is narrow; the ONLY corpus-sized shuffle is the
+    (lang, token) count — partial-agg friendly, so map-side combine
+    collapses each task to its local vocabulary before the exchange.
+    The rank window then runs over the vocabulary-sized count relation
+    (|langs| x |vocab| rows, millions not billions at 100 TB), never
+    over the token stream itself. For truly unbounded key domains the
+    same shape degrades gracefully: cap with a per-partition top-k
+    before the final window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HEAVY_HITTERS_K)
+        .select("lang", "token", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH m AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT
+    COALESCE((t_signup IS NOT NULL)::INT, 0) AS r1,
+    COALESCE((t_signup IS NOT NULL AND t_view > t_signup)::INT, 0) AS r2,
+    COALESCE((t_signup IS NOT NULL AND t_view > t_signup
+              AND t_click > t_view)::INT, 0) AS r3,
+    COALESCE((t_signup IS NOT NULL AND t_view > t_signup
+              AND t_click > t_view AND t_purchase > t_click)::INT, 0) AS r4
+  FROM m
+)
+SELECT 1 AS stage_idx, 'signup' AS stage, SUM(r1)::BIGINT AS n_users FROM f
+UNION ALL
+SELECT 2, 'view', SUM(r2)::BIGINT FROM f
+UNION ALL
+SELECT 3, 'click', SUM(r3)::BIGINT FROM f
+UNION ALL
+SELECT 4, 'purchase', SUM(r4)::BIGINT FROM f
+"""
+
+
+@_register("event_funnel_stages", _FUNNEL_ORACLE)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel on FIRST occurrences: a user reaches
+    stage k when their first signup, first view, first click, first
+    purchase timestamps are strictly increasing through stage k.
+
+    Plan: one shuffle on user_id producing a pivoted min-timestamp row
+    per user (conditional-min aggregation — partial-agg friendly, the
+    pivot never widens beyond the 4 known stages), then the stage
+    predicates are pure row-local expressions and the final count is a
+    4-value global aggregate. No window functions, no self-joins; at
+    100 TB the cost is one exchange of |users| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL_STAGES
+        ]
+    )
+    r1 = F.col("t_signup").isNotNull()
+    r2 = r1 & (F.col("t_view") > F.col("t_signup"))
+    r3 = r2 & (F.col("t_click") > F.col("t_view"))
+    r4 = r3 & (F.col("t_purchase") > F.col("t_click"))
+    flags = mins.select(
+        *[
+            F.when(c, 1).otherwise(0).alias(f"r{i}")
+            for i, c in enumerate((r1, r2, r3, r4), 1)
+        ]
+    )
+    totals = flags.agg(
+        *[F.sum(f"r{i}").cast("long").alias(f"n{i}") for i in range(1, 5)]
+    )
+    stack_expr = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(_FUNNEL_STAGES, 1)
+    )
+    return totals.select(
+        F.expr(f"stack(4, {stack_expr}) AS (stage_idx, stage, n_users)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       (date_diff('day', f.cohort_week, a.active_week) // 7)::BIGINT
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@_register("event_retention_cohorts", _RETENTION_ORACLE)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the ISO week
+    of their first event; each cell counts distinct cohort members
+    active N weeks later (week 0 = the cohort week itself).
+
+    Plan: ONE corpus-sized shuffle. A single groupBy(user_id) computes
+    the cohort week (min ts) AND the distinct active-week set
+    (``collect_set`` over week-truncated timestamps — bounded by
+    calendar weeks per user, so state never grows with event volume).
+    Exploding the set yields exactly one row per (user, active week),
+    so the per-cell user count needs no count-distinct — a plain
+    count over the tiny (cohort_week, week_offset) domain. This beats
+    the textbook firsts⋈actives formulation, which shuffles the corpus
+    twice on different keys and re-shuffles for the join. Spark and
+    DuckDB both truncate weeks to Monday, so cohort boundaries agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("__weeks"),
+    )
+    return (
+        per_user.select(
+            "cohort_week", F.explode("__weeks").alias("active_week")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

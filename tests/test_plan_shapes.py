@@ -242,3 +242,55 @@ def test_bigram_surprisal_has_no_window_and_partial_aggs(spark, registry):
     plan = _plan(spark, registry, "text_bigram_surprisal")
     assert "Window" not in plan
     assert "partial_count" in plan, "gram count lost its map-side combine"
+
+
+def test_cdc_merge_is_single_shuffle_argmax(spark, registry):
+    """CDC compaction must stay a map-side-combinable struct-MAX
+    aggregate with ONE corpus shuffle on user_id — never a per-key
+    window sort over the changelog."""
+    plan = _plan(spark, registry, "pipeline_cdc_merge")
+    assert "Window" not in plan, "CDC winner pick regressed to a window"
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_chunk_sliding_is_exchange_free(spark, registry):
+    """The RAG chunker is a pure narrow expansion (sequence +
+    posexplode + substring): zero Exchange, one codegen span over the
+    scan."""
+    plan = _plan(spark, registry, "pipeline_chunk_sliding")
+    assert "Exchange" not in plan, plan
+
+
+def test_heavy_hitters_windows_only_the_vocabulary(spark, registry):
+    """The token count must keep its map-side combine (partial_count),
+    and the rank window may only run AFTER the aggregate — i.e. over
+    the vocabulary-sized count relation, never the raw token stream."""
+    plan = _plan(spark, registry, "text_heavy_hitters")
+    assert "partial_count" in plan, "token count lost its map-side combine"
+    # formatted plans list tree nodes top-down; the Window node must sit
+    # above (= earlier in the tree than) the HashAggregate pair.
+    tree = plan.split("== Physical Plan ==", 1)[1]
+    assert tree.index("Window") < tree.index("HashAggregate"), (
+        "rank window ran below the aggregate — it would sort the "
+        "corpus-sized token stream at scale"
+    )
+
+
+def test_funnel_has_no_window_and_two_exchanges(spark, registry):
+    """The funnel is one conditional-min pivot shuffle on user_id plus
+    the 4-value global total — no window functions, no join, no
+    per-user sort."""
+    plan = _plan(spark, registry, "event_funnel_stages")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_retention_single_corpus_shuffle(spark, registry):
+    """Retention must shuffle the event stream exactly once (user_id);
+    the second exchange regroups the exploded week set — a relation
+    bounded by |users| x calendar-weeks, never joined back to the
+    corpus."""
+    plan = _plan(spark, registry, "event_retention_cohorts")
+    assert "Join" not in plan, "cohort join crept back in"
+    assert plan.count("hashpartitioning(") == 2, plan

@@ -40,6 +40,11 @@ NEW_IN_R5 = {
     "pipeline_dedup_keep_best",
     "pipeline_quality_buckets",
     "pipeline_corpus_diff",
+    "pipeline_cdc_merge",
+    "pipeline_chunk_sliding",
+    "text_heavy_hitters",
+    "event_funnel_stages",
+    "event_retention_cohorts",
 }
 
 
