@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import whitespace_tokens
+from ..sources.cache import cached_materialization
 from ..sources.files import load_table
-from ._registry import make_register
+from ._registry import dsum, make_register
 
 QUERIES = {}
 ORACLES = {}
@@ -361,4 +362,245 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sink roundtrips — the reference's output format under the oracle gate
+# ---------------------------------------------------------------------------
+
+# Both roundtrips aggregate to the same shape, and the oracle reads the
+# ORIGINAL parquet — so a hash match proves the write→read cycle
+# preserved every doc_id and every text byte (XOR of md5-prefix
+# checksums is order-insensitive and collision-hostile).
+_ROUNDTRIP_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents GROUP BY lang, source
+"""
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _roundtrip_checksums(back: DataFrame) -> DataFrame:
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(doc_id)").alias("id_checksum"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("text_checksum"),
+    )
+
+
+@_register("sink_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JSON-lines sink (HadoopKafkaConsumer.java:152-155
+    TextOutputFormat, one compact JSON object per line) driven through
+    the full write→read cycle and verified against the ORIGINAL table:
+    documents are written with :func:`sources.sinks.write_json_lines`,
+    read back with an explicit schema, and checksummed per (lang,
+    source) — the oracle computes the same checksums from the parquet,
+    so a hash match proves byte-exact sink fidelity, not just "a file
+    appeared" (the evidence S5/S6 previously had only from pytest).
+
+    The materialization is cached per sf_dir (atomic fingerprinted
+    install, `sources/cache.py`), so steady-state cost is the JSON
+    parse + one (lang, source) shuffle. At 100 TB: text sinks write
+    one file per partition; schema-on-read with an EXPLICIT schema
+    skips Spark's whole-dataset inference scan — inference over
+    billions of lines is a silent second job.
+    """
+    import pathlib
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        from ..sources.sinks import write_json_lines
+
+        write_json_lines(docs, tmp)
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_jsonl", build
+    )
+    back = spark.read.schema(_DOC_SCHEMA).json(dest)
+    return _roundtrip_checksums(back)
+
+
+@_register("sink_csv_roundtrip", _ROUNDTRIP_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write→read roundtrip under the same checksum gate as the
+    JSON-lines sink — the interchange format every downstream
+    spreadsheet/warehouse import still asks for.
+
+    RFC-4180 conventions pinned on BOTH sides (quote='"', escape='"'
+    i.e. doubled quotes, explicit column order — CSV is positional):
+    defaults differ between writers, and a quoting mismatch silently
+    corrupts any corpus whose text contains commas or quotes. Reading
+    uses ``multiLine=false`` deliberately: embedded newlines would
+    need multiLine=true, which makes files unsplittable (one task per
+    file at 100 TB) — corpora with newline-bearing text belong in the
+    JSON-lines or parquet sink instead; this one's contract is
+    line-per-record.
+    """
+    import pathlib
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    opts = {"header": "false", "sep": ",", "quote": '"', "escape": '"'}
+
+    def build(tmp: str) -> None:
+        docs.write.mode("overwrite").options(**opts).csv(tmp)
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_csv", build
+    )
+    back = spark.read.schema(_DOC_SCHEMA).options(**opts, multiLine="false").csv(dest)
+    return _roundtrip_checksums(back)
+
+
+# ---------------------------------------------------------------------------
+# Clickstream transition matrix
+# ---------------------------------------------------------------------------
+
+_USER_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event
+  FROM events
+),
+trans AS (
+  SELECT prev_event, event_type AS next_event, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY prev_event, next_event
+)
+SELECT prev_event, next_event, n_transitions,
+       ROUND(n_transitions::DOUBLE
+             / SUM(n_transitions) OVER (PARTITION BY prev_event), 6) AS share
+FROM trans
+"""
+
+
+@_register("event_user_paths", _USER_PATHS_ORACLE)
+def event_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (previous event, next event) pair, the
+    transition count and its share of all transitions leaving the
+    previous state — the clickstream path-analysis primitive.
+
+    Plan: the lag window is THE canonical sequence-analytics shape —
+    one shuffle of the event stream on user_id, per-user sort inside
+    partitions (bounded by per-user history, not corpus size). The
+    transition relation that everything downstream touches is
+    |event_types|² rows, so the count aggregation is map-side-combined
+    into almost nothing and the share window runs over a constant-size
+    relation. Holds at 100 TB; skew only if one user owns a
+    pathological share of events (then: pre-split by (user_id, day)).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_event")
+    ).filter(F.col("prev_event").isNotNull())
+    trans = seq.groupBy(
+        "prev_event", F.col("event_type").alias("next_event")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    share_w = Window.partitionBy("prev_event")
+    return trans.select(
+        "prev_event",
+        "next_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(share_w), 6
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the storage layout under the oracle gate
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority, l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority, l_returnflag
+"""
+
+_BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, table: str, key: str
+) -> str:
+    """Ensure a catalog table named ``{table}_bkt_{hash(sf_dir)}``
+    exists over a cached bucketed-by-``key`` copy of ``table``; return
+    its name. Data is written once per sf_dir (atomic fingerprinted
+    install via sources/cache.py); later sessions attach with pure DDL
+    (CLUSTERED BY ... LOCATION), no data movement.
+    """
+    import hashlib
+    import pathlib
+    import uuid
+
+    skey = hashlib.md5(str(pathlib.Path(sf_dir).resolve()).encode()).hexdigest()[:10]
+    tname = f"{table}_bkt_{skey}"
+    if spark.catalog.tableExists(tname):
+        return tname
+    df = load_table(spark, sf_dir, table)
+
+    def build(tmp: str) -> None:
+        from ..sources.bucketed import write_bucketed_table
+
+        scratch = f"__bkt_build_{uuid.uuid4().hex[:8]}"
+        write_bucketed_table(df, scratch, [key], num_buckets=_BUCKETS, path=tmp)
+        # external table: DROP removes only the catalog entry, the
+        # bucket-named files stay for the DDL attach below
+        spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / f"{table}.parquet", f"{table}_bkt{_BUCKETS}", build
+    )
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tname} ({cols}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {_BUCKETS} BUCKETS "
+        f"LOCATION '{dest}'"
+    )
+    return tname
+
+
+@_register("join_bucketed_colocated", _BUCKETED_JOIN_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem on orderkey over BUCKETED storage — the
+    write-once-shuffle-never layout (sources/bucketed.py) running
+    under the driver's oracle gate instead of only pytest.
+
+    Both sides are persisted bucketed+sorted by the join key into the
+    same bucket count, so the join itself plans with ZERO Exchange and
+    zero per-task Sort (asserted by plan test with broadcast disabled;
+    at fixture scale AQE may still pick a broadcast join — equally
+    exchange-free on the fact side). The only shuffle in the query is
+    the final aggregate's tiny (priority, returnflag) domain. At
+    100 TB this is THE join strategy for repeated fact-fact joins: the
+    shuffle is amortized into the one-time write.
+
+    Reference parity: the reference's only layout decision is one
+    output file per reducer (HadoopKafkaConsumer.java:55-76); a keyed
+    persisted layout is part of the §2.5 scale mandate.
+    """
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    joined = spark.table(o).join(
+        spark.table(li), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
     )

@@ -50,6 +50,7 @@ from ..operators.text import (
     whitespace_tokens,
     word_grams,
 )
+from ..sources.cache import cached_materialization
 from ..sources.files import load_table
 from ._registry import make_register, persist_bounded
 
@@ -1193,85 +1194,32 @@ def _int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes) the embeddings table quantized to ``array<tinyint>`` and
     return a reader over the quantized file.
 
-    This is the storage layout the int8 path's 4× bandwidth claim is
+    This is the storage layout the int8 path's 4x bandwidth claim is
     about: at 100 TB you quantize at INGEST and every similarity sweep
     scans tinyint vectors. The cache directory stands in for that
     pre-quantized table; writing it is one narrow pass (no shuffle).
 
-    Cache validity is explicit, not mtime-guessed: the key hashes the
-    RESOLVED source path (two corpora that share a basename don't
-    collide), a write counts only when Spark's ``_SUCCESS`` marker
-    exists (an interrupted first write is rebuilt, not served), and an
-    in-directory sidecar (``_SRC_FINGERPRINT.json`` — underscore
-    prefix, so Spark's file index treats it as hidden) records the
-    source's (mtime_ns, size) fingerprint so regenerated testdata —
-    even with preserved mtimes of a different size — invalidates the
-    cache.
-
-    Concurrency-safe install (ADVICE r4): the cache dir is only ever
-    created by an ATOMIC rename of a fully-written temp dir whose
-    sidecar was written before the rename — a reader can never observe
-    a half-overwritten directory or a ``_SUCCESS``-present /
-    sidecar-missing window. If a concurrent writer wins the rename
-    race, its (identical-fingerprint) cache is served and our temp dir
-    is discarded."""
-    import hashlib
-    import json
-    import os
+    Validity + concurrency: delegated to
+    :func:`sources.cache.cached_materialization` — explicit
+    (mtime_ns, size) source fingerprint, ``_SUCCESS``-gated, atomic
+    temp-dir rename install (ADVICE r4; the protocol this cache
+    pioneered now lives there, shared with the sink-roundtrip
+    queries).
+    """
     import pathlib
-    import shutil
-    import uuid
 
-    src = pathlib.Path(sf_dir) / "embeddings.parquet"
-    st = src.stat()
-    fingerprint = json.dumps({"mtime_ns": st.st_mtime_ns, "size": st.st_size})
-    key = hashlib.md5(str(src.resolve()).encode()).hexdigest()[:10]
-    cache_root = pathlib.Path(__file__).resolve().parents[2] / ".bench_cache"
-    dest = cache_root / f"embeddings_int8_{key}.parquet"
-    sidecar = "_SRC_FINGERPRINT.json"
-
-    def _valid(d: pathlib.Path) -> bool:
-        try:
-            return (d / "_SUCCESS").exists() and (
-                d / sidecar
-            ).read_text() == fingerprint
-        except OSError:
-            return False
-
-    if not _valid(dest):
-        nonce = uuid.uuid4().hex[:8]
-        tmp = cache_root / f"embeddings_int8_{key}.tmp.{nonce}"
+    def build(tmp: str) -> None:
         (
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", quantize_int8(F.col("embedding")).alias("embedding"))
             .write.mode("overwrite")
-            .parquet(str(tmp))
+            .parquet(tmp)
         )
-        # Fingerprint BEFORE the rename: once dest exists it is always
-        # complete-with-sidecar.
-        (tmp / sidecar).write_text(fingerprint)
-        # Retire a stale dest out of the way first (rename is atomic;
-        # readers of the old path hold open fds, never a half state).
-        if dest.exists():
-            trash = cache_root / f"embeddings_int8_{key}.trash.{nonce}"
-            try:
-                os.rename(dest, trash)
-                shutil.rmtree(trash, ignore_errors=True)
-            except OSError:
-                pass  # another process already retired it
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            # Lost the install race. The winner's dir was installed
-            # complete (same protocol, same fingerprint) — serve it.
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not _valid(dest):
-                raise
-        # Drop the pre-round-5 external sidecar if one lingers.
-        legacy_meta = cache_root / f"embeddings_int8_{key}.src.json"
-        if legacy_meta.exists():
-            legacy_meta.unlink()
-    return spark.read.parquet(str(dest))
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "embeddings.parquet", "embeddings_int8", build
+    )
+    return spark.read.parquet(dest)
 
 
 @_register("sim_topk_cosine_int8_stored", _TOPK_COSINE_INT8_ORACLE)

@@ -294,3 +294,30 @@ def test_retention_single_corpus_shuffle(spark, registry):
     plan = _plan(spark, registry, "event_retention_cohorts")
     assert "Join" not in plan, "cohort join crept back in"
     assert plan.count("hashpartitioning(") == 2, plan
+
+
+def test_bucketed_join_query_no_fact_exchange(spark, registry):
+    """With broadcast disabled, the registered bucketed join must read
+    both fact sides exchange-free (the layout carries the partitioning)
+    — the only Exchange allowed is the final tiny-domain aggregate.
+    Bypasses the module plan cache: this assertion needs its own conf.
+    """
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry["join_bucketed_colocated"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning(o_orderpriority" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_user_paths_single_corpus_shuffle(spark, registry):
+    """The lag window is the only corpus-sized shuffle (user_id); the
+    transition count and share window run over the |event_types|²
+    relation. Three exchanges total, the first on user_id."""
+    plan = _plan(spark, registry, "event_user_paths")
+    assert plan.count("hashpartitioning(") <= 3, plan
+    first_key = plan.split("hashpartitioning(", 1)[1][:30]
+    assert "user_id" in first_key, plan

@@ -45,6 +45,10 @@ NEW_IN_R5 = {
     "text_heavy_hitters",
     "event_funnel_stages",
     "event_retention_cohorts",
+    "sink_jsonl_roundtrip",
+    "sink_csv_roundtrip",
+    "event_user_paths",
+    "join_bucketed_colocated",
 }
 
 
