@@ -80,7 +80,7 @@ DRIVER_CHECKED_R4 = frozenset({
 })
 
 # The r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 21 new round-5 queries + 5 never-checked + 24 of
+# window holds 50 = 23 new round-5 queries + 5 never-checked + 22 of
 # the 50 r2/r3 set; each batch of new queries below documents which
 # banked greens made room). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
@@ -172,6 +172,16 @@ R5_WINDOW_EXCLUDED = frozenset({
     #                CASE aggregation by event_funnel_stages and
     #                pipeline_cdc_merge's delete counting
     "agg_pivot", "q12_shiplag_priority",
+    # Rotated out for event_gapfill_locf and scan_partition_pruned:
+    #   q4_order_priority -> EXISTS/semi shape: in-window
+    #                pipeline_token_budget_threshold ends in a
+    #                left_semi; r4-fresh q21 covers EXISTS + NOT
+    #                EXISTS in their deepest correlated form
+    #   q17_small_quantity_revenue -> scalar-subquery shape: in-window
+    #                q22 (scalar agg subquery + anti) and r4-fresh q2
+    #                (correlated scalar-MIN decorrelation) hold the
+    #                fresher evidence
+    "q4_order_priority", "q17_small_quantity_revenue",
 })
 
 

@@ -188,6 +188,7 @@ NLJ_ALLOWED = {
     "sim_recall_report",       # topk_cosine core ×3 + one-row count crossJoins
     "pipeline_mix_languages",  # one-row global-target scalar broadcast
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
+    "event_gapfill_locf",      # one-row global min/max range crossJoin
     "pipeline_similar_docs_report",  # topk_cosine core: != join condition
 }
 
@@ -321,3 +322,25 @@ def test_user_paths_single_corpus_shuffle(spark, registry):
     assert plan.count("hashpartitioning(") <= 3, plan
     first_key = plan.split("hashpartitioning(", 1)[1][:30]
     assert "user_id" in first_key, plan
+
+
+def test_pruned_scan_filter_is_partition_level(spark, registry):
+    """The event_type predicate must land in PartitionFilters (metadata
+    skip — other partitions' files are never opened), NOT merely in
+    PushedFilters (row-group skip after opening). The scan must also
+    not read the partition column's siblings' data."""
+    plan = _plan(spark, registry, "scan_partition_pruned")
+    assert "PartitionFilters" in plan, plan
+    part = plan.split("PartitionFilters", 1)[1][:200]
+    assert "event_type" in part and "purchase" in part, part
+
+
+def test_gapfill_single_corpus_shuffle(spark, registry):
+    """Only the hourly aggregate may touch the corpus; the grid build
+    must be a 1-row broadcast cross join (never data x data), and the
+    LOCF window runs over the grid-sized relation."""
+    plan = _plan(spark, registry, "event_gapfill_locf")
+    assert "CartesianProduct" not in plan, plan
+    # the corpus-sized exchanges: hourly agg + global min/max agg
+    # (single-partition); the join/window exchanges are grid-sized
+    assert plan.count("hashpartitioning(") <= 3, plan

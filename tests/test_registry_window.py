@@ -49,6 +49,8 @@ NEW_IN_R5 = {
     "sink_csv_roundtrip",
     "event_user_paths",
     "join_bucketed_colocated",
+    "event_gapfill_locf",
+    "scan_partition_pruned",
 }
 
 
