@@ -1,7 +1,8 @@
-"""Corpus-engineering and event-analytics query surface (round 5).
+"""Corpus-engineering, event-analytics, and storage-layout queries
+(round 5).
 
-Five operators a training-data / product-analytics team runs daily
-that the registry did not yet cover:
+Operators a training-data / product-analytics team runs daily that
+the registry did not previously cover:
 
 - ``pipeline_cdc_merge``      — changelog upsert/delete merge (CDC
   compaction: the batch equivalent of the reference's Kafka LWW dedup
@@ -14,14 +15,27 @@ that the registry did not yet cover:
 - ``event_funnel_stages``     — ordered conversion funnel on first
   event occurrences (signup -> view -> click -> purchase).
 - ``event_retention_cohorts`` — weekly cohort retention triangle.
+- ``event_user_paths``        — first-order Markov transition matrix
+  over per-user event sequences.
+- ``event_gapfill_locf``      — dense hourly rollup with gap rows and
+  last-observation-carried-forward values.
+- ``sink_jsonl_roundtrip`` / ``sink_csv_roundtrip`` — the reference's
+  S5/S6 output surface under the oracle gate (write→read→checksum
+  against the original table).
+- ``join_bucketed_colocated`` — the bucketed write-once-shuffle-never
+  join layout under the oracle gate.
+- ``scan_partition_pruned``   — hive-layout partition pruning under
+  the oracle gate.
 
 Scale contract (100 TB): every query here is either narrow
-(chunking: zero shuffle) or shuffles once on a uniform key
-(user_id / (lang, token)), with all aggregation partial-agg
-friendly; nothing materializes a per-document cross product and no
-window function runs over a corpus-sized relation (heavy-hitters
-ranks the vocabulary-sized count relation, funnel pivots to one row
-per user before comparing timestamps).
+(chunking: zero shuffle) or shuffles the corpus at most once on a
+uniform key (user_id / (lang, token) / the agg domain), with all
+aggregation partial-agg friendly; grids and transition matrices are
+calendar- or domain-bounded, never event-volume-sized; nothing
+materializes a per-document cross product, and the storage-layout
+queries (bucketed join, pruned scan) exist precisely to show the
+shuffle/scan being REMOVED by layout. Each docstring carries its own
+plan contract; tests/test_plan_shapes.py locks them.
 """
 
 from __future__ import annotations

@@ -486,3 +486,138 @@ def test_streaming_quality_score_equals_batch(spark, tmp_path, sf_dir):
     assert set(got) == expected
     assert len(got) == len(expected)  # no doc scored twice across batches
     assert any(t[2] > 0 for t in got)  # OOV escape actually exercised
+
+
+def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
+    """A delete marker must emit a tombstone, and an upsert OLDER than
+    the delete (same or earlier batch) must stay suppressed — dropping
+    state on delete would resurrect the key."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.cdc import (
+        CDC_INPUT_SCHEMA,
+        stateful_cdc_merge,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 100, 1, "U", 10.0), (2, 100, 2, "U", 20.0)], CDC_INPUT_SCHEMA
+    ).write.parquet(str(src / "batch0"))
+    spark.createDataFrame(
+        [
+            (1, 300, 3, "D", 0.0),   # delete wins for key 1
+            (1, 200, 4, "U", 11.0),  # older than the delete: suppressed
+            (2, 50, 5, "U", 21.0),   # stale for key 2: no emission
+        ],
+        CDC_INPUT_SCHEMA,
+    ).write.parquet(str(src / "batch1"))
+
+    stream = spark.readStream.schema(CDC_INPUT_SCHEMA).parquet(str(src / "*"))
+    out = stateful_cdc_merge(stream)
+    captured: list = []
+
+    def sink(df, epoch_id):
+        pdf = df.toPandas()
+        pdf["epoch"] = epoch_id
+        captured.append(pdf)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    all_rows = pd.concat(captured, ignore_index=True)
+    # final state per key = its row in the highest epoch that emitted it
+    final = (
+        all_rows.sort_values("epoch").groupby("key").tail(1).set_index("key")
+    )
+    assert bool(final.loc[1, "is_tombstone"]) is True
+    assert final.loc[1, "seq"] == 3
+    assert pd.isna(final.loc[1, "value"])
+    assert bool(final.loc[2, "is_tombstone"]) is False
+    assert final.loc[2, "value"] == 20.0  # the stale 21.0 never won
+    # key 2 must not have emitted anything in the second epoch
+    k2 = all_rows[all_rows["key"] == 2]
+    assert len(k2) == 1
+
+
+def test_cdc_merge_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming the events changelog through stateful_cdc_merge in two
+    micro-batches must converge to the batch pipeline_cdc_merge state:
+    same survivor keys and values, tombstones exactly for the keys the
+    batch query drops."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.corpus import (
+        pipeline_cdc_merge,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.cdc import (
+        CDC_INPUT_SCHEMA,
+        stateful_cdc_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC in tests, so the cast
+        # gives the same epoch the pandas .value comparison below uses
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("double").alias("value"),
+    )
+    src = tmp_path / "cdc_events"
+    src.mkdir()
+    ev.filter(F.col("seq") % 2 == 0).write.parquet(str(src / "b0"))
+    ev.filter(F.col("seq") % 2 == 1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(CDC_INPUT_SCHEMA).parquet(str(src / "*"))
+    captured: list = []
+
+    def sink(df, epoch_id):
+        pdf = df.toPandas()
+        pdf["epoch"] = epoch_id
+        captured.append(pdf)
+
+    q = (
+        stateful_cdc_merge(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    all_rows = pd.concat(captured, ignore_index=True)
+    final = all_rows.sort_values("epoch").groupby("key").tail(1)
+    stream_live = {
+        int(r.key): (int(r.ts_us), round(float(r.value), 6))
+        for r in final.itertuples()
+        if not r.is_tombstone
+    }
+    batch = pipeline_cdc_merge(spark, sf_dir).toPandas()
+    batch_live = {
+        int(r.user_id): (
+            int(pd.Timestamp(r.last_ts).value // 1000),
+            round(float(r.last_value), 6),
+        )
+        for r in batch.itertuples()
+    }
+    assert stream_live == batch_live
+    # every key must appear in the stream output; tombstoned keys are
+    # exactly the all-keys minus batch survivors
+    all_keys = {int(k) for k in final["key"]}
+    tombstoned = all_keys - set(stream_live)
+    batch_all = {
+        int(r[0])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert all_keys == batch_all
+    assert tombstoned == batch_all - set(batch_live)
