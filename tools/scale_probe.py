@@ -51,6 +51,12 @@ DEFAULT_QUERIES = [
     "sim_topk_cosine",
     "sql_adhoc_star_join",
     "kafka_dedup_lww",
+    # round-5 corpus/event/storage additions
+    "pipeline_chunk_sliding",
+    "pipeline_cdc_merge",
+    "event_user_paths",
+    "event_gapfill_locf",
+    "join_bucketed_colocated",
 ]
 
 
@@ -109,10 +115,23 @@ def main() -> None:
     for name, a, b, c, s in rows:
         print(f"| `{name}` | {a:.2f} | {b:.2f} | {c:.2f} | {s:+.2f} |")
 
+    # MERGE into the existing record: a partial --queries re-probe
+    # (e.g. re-measuring one noisy entry) must not discard the rest.
     out = pathlib.Path(__file__).resolve().parent.parent / "SCALING.json"
+    merged_results: dict = {}
+    merged_slopes: dict = {}
+    if out.exists():
+        try:
+            prev = json.loads(out.read_text())
+            merged_results = prev.get("results", {})
+            merged_slopes = prev.get("decade_slope_sf0.01_to_sf0.1", {})
+        except (json.JSONDecodeError, OSError):
+            pass
+    merged_results.update(results)
+    merged_slopes.update({r[0]: round(r[4], 3) for r in rows})
     out.write_text(json.dumps(
-        {"runs": args.runs, "results": results,
-         "decade_slope_sf0.01_to_sf0.1": {r[0]: round(r[4], 3) for r in rows}},
+        {"runs": args.runs, "results": merged_results,
+         "decade_slope_sf0.01_to_sf0.1": merged_slopes},
         indent=1, sort_keys=True,
     ))
     print(f"wrote {out}", file=sys.stderr)
