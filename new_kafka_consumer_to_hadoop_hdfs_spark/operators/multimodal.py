@@ -69,18 +69,11 @@ FEATURE_SCHEMA = StructType(
 
 
 def _ship_module_by_value() -> None:
-    """Ship this module by value inside UDF closures: executor Python
-    workers don't necessarily have the repo on sys.path (the driver
-    harness imports us via a path hack), so by-reference pickling of
-    module-level functions would raise ModuleNotFoundError there."""
-    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
-        import sys
+    """UDF bodies in this module run inside Spark tasks — ship the
+    module by value (shared impl: new_kafka_consumer_to_hadoop_hdfs_spark/shipping.py)."""
+    from ..shipping import ship_module_by_value
 
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    ship_module_by_value(__name__)
 
 
 def decode_stub(payload: bytes, media_type: str):  # pragma: no cover

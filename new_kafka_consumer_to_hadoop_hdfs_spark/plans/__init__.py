@@ -23,13 +23,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # NOTE: these banked greens were last driver-checked in round 3; shared
 # infrastructure they depend on (session confs, sources/files.py
-# loaders) has changed since. Round 5 therefore rotates 45 of them back
-# into the window (see ``merged_registry``); only the five pure
-# built-in-expression scalar queries listed in ``R5_WINDOW_EXCLUDED``
-# stay banked — they touch no custom operator or loader path beyond
-# what every other query exercises, and each is anchored by an
-# "advanced" twin that IS in the window plus the local pytest
-# oracle-diff.
+# loaders) has changed since. Round 5 rotates as many of them back into
+# the window as the new-query additions leave room for — see the
+# ``R5_WINDOW_EXCLUDED`` header comment for the live 50-slot
+# arithmetic; every excluded query's justification (an in-window or
+# r4-fresh structural twin plus the local pytest oracle-diff) is
+# documented inline there.
 DRIVER_CHECKED_R2_R3 = frozenset({
     "kafka_dedup_lww", "kafka_dedup_global", "kafka_parse_project",
     "q1_pricing_summary", "q6_forecast_revenue",
@@ -203,12 +202,12 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"oracles without queries: {unknown}")
 
     def _window_priority(name: str) -> int:
-        # Round-5 window (first 50): the 5 queries that have never
-        # earned a driver CORRECTNESS row in any round, then 45 of the
-        # 50 r2/r3-era banked greens (last driver-checked round 3;
-        # shared loader/session code changed since — re-verify them).
-        # Behind the window: the five excluded pure-expression scalars,
-        # then the 50 queries freshly checked in round 4.
+        # Round-5 window (first 50): queries with no driver row ever
+        # (the 5 never-checked + every query added this round), then
+        # the r2/r3-era banked greens not in R5_WINDOW_EXCLUDED (see
+        # that constant's header for the live arithmetic). Behind the
+        # window: the excluded r2/r3 queries (each with a documented
+        # twin), then the 50 queries freshly checked in round 4.
         if name in DRIVER_CHECKED_R4:
             return 3
         if name in R5_WINDOW_EXCLUDED:

@@ -464,13 +464,27 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pathlib
 
     docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
-    opts = {"header": "false", "sep": ",", "quote": '"', "escape": '"'}
+    # Whitespace handling must be pinned too: Spark's WRITER trims
+    # unquoted leading/trailing whitespace by default (silently turning
+    # ' padded ' into 'padded'), and the reader's default nullValue ''
+    # reads an empty field as NULL. Pinning ignore*WhiteSpace=false and
+    # a sentinel nullValue keeps padded and empty strings byte-exact —
+    # latent on this corpus (no such text), load-bearing on real ones.
+    opts = {
+        "header": "false",
+        "sep": ",",
+        "quote": '"',
+        "escape": '"',
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+        "nullValue": "\\N",
+    }
 
     def build(tmp: str) -> None:
         docs.write.mode("overwrite").options(**opts).csv(tmp)
 
     dest = cached_materialization(
-        pathlib.Path(sf_dir) / "documents.parquet", "documents_csv", build
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_csv2", build
     )
     back = spark.read.schema(_DOC_SCHEMA).options(**opts, multiLine="false").csv(dest)
     return _roundtrip_checksums(back)
@@ -565,8 +579,6 @@ def _bucketed_table(
 
     skey = hashlib.md5(str(pathlib.Path(sf_dir).resolve()).encode()).hexdigest()[:10]
     tname = f"{table}_bkt_{skey}"
-    if spark.catalog.tableExists(tname):
-        return tname
     df = load_table(spark, sf_dir, table)
 
     def build(tmp: str) -> None:
@@ -578,15 +590,27 @@ def _bucketed_table(
         # bucket-named files stay for the DDL attach below
         spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
+    # ALWAYS validate the cache (cheap stat + sidecar read when warm)
+    # BEFORE the catalog check: a tableExists fast path would skip the
+    # fingerprint for the rest of the session, silently serving stale
+    # bucketed data after the source parquet is regenerated. The
+    # catalog entry points at the stable dest path, so an in-place
+    # rebuild refreshes what the existing table reads.
     dest = cached_materialization(
         pathlib.Path(sf_dir) / f"{table}.parquet", f"{table}_bkt{_BUCKETS}", build
     )
-    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {tname} ({cols}) USING parquet "
-        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {_BUCKETS} BUCKETS "
-        f"LOCATION '{dest}'"
-    )
+    if not spark.catalog.tableExists(tname):
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tname} ({cols}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {_BUCKETS} BUCKETS "
+            f"LOCATION '{dest}'"
+        )
+    # drop any cached file listing so an in-place cache rebuild is
+    # visible to subsequent spark.table() reads in this session
+    spark.catalog.refreshTable(tname)
     return tname
 
 

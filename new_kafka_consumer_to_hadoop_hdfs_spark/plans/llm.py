@@ -1219,6 +1219,21 @@ def _int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "embeddings.parquet", "embeddings_int8", build
     )
+    # retire pre-refactor cache layouts (old '<key>.parquet' dir name
+    # and the external '.src.json' sidecar) so multi-GB duplicates
+    # don't linger in .bench_cache with nothing left to reclaim them
+    import shutil
+
+    dest_p = pathlib.Path(dest)
+    for legacy in (
+        dest_p.with_name(dest_p.name + ".parquet"),
+        dest_p.with_name(dest_p.name + ".src.json"),
+    ):
+        if legacy.exists():
+            if legacy.is_dir():
+                shutil.rmtree(legacy, ignore_errors=True)
+            else:
+                legacy.unlink(missing_ok=True)
     return spark.read.parquet(dest)
 
 

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..shipping import ship_module_by_value
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -111,17 +113,20 @@ def stateful_cdc_merge(changes: DataFrame) -> DataFrame:
     Arrow batches to Python (the documented last-resort path — custom
     delete-marker semantics are not expressible with built-in
     streaming dedup, which only keeps-first).
+
+    Malformed changelog rows (NULL ts_us/seq/op — no position in the
+    total order, or no op) are DROPPED before the stateful operator,
+    mirroring the reference's drop-corrupt parse convention
+    (HadoopKafkaConsumer.java:64-67): a null ordering key would
+    otherwise crash the per-key fold mid-stream.
     """
-    try:  # ship by value: executor workers may lack the repo on sys.path
-        import sys
+    ship_module_by_value(__name__)
 
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
-
-    grouped = changes.select(
+    grouped = changes.filter(
+        F.col("ts_us").isNotNull()
+        & F.col("seq").isNotNull()
+        & F.col("op").isNotNull()
+    ).select(
         F.col("key").cast("long"),
         F.col("ts_us").cast("long"),
         F.col("seq").cast("long"),

@@ -47,6 +47,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..shipping import ship_module_by_value
+
 
 def rocksdb_state_conf() -> dict[str, str]:
     """Session confs for RocksDB-backed streaming state (bounded memory
@@ -142,17 +144,7 @@ def stateful_lww_dedup(parsed: DataFrame) -> DataFrame:
     required for custom stateful logic until Spark exposes built-in
     argmax dedup.
     """
-    # Ship this module by value: executor Python workers may not have
-    # the repo on sys.path (driver harnesses import via path hacks), so
-    # the state-update function must not require importing us there.
-    try:  # pragma: no cover - exercised only on misconfigured PYTHONPATH
-        import sys
-
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    ship_module_by_value(__name__)
 
     grouped = parsed.select(
         F.col("partition").cast("long"),

@@ -499,9 +499,12 @@ def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
 
     src = tmp_path / "cdc_src"
     src.mkdir()
+    # one FILE per logical batch + maxFilesPerTrigger=1 below: without
+    # this, availableNow ingests every file in a single epoch and the
+    # cross-batch state path (state.exists) is never exercised
     spark.createDataFrame(
         [(1, 100, 1, "U", 10.0), (2, 100, 2, "U", 20.0)], CDC_INPUT_SCHEMA
-    ).write.parquet(str(src / "batch0"))
+    ).coalesce(1).write.parquet(str(src / "batch0"))
     spark.createDataFrame(
         [
             (1, 300, 3, "D", 0.0),   # delete wins for key 1
@@ -509,9 +512,13 @@ def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
             (2, 50, 5, "U", 21.0),   # stale for key 2: no emission
         ],
         CDC_INPUT_SCHEMA,
-    ).write.parquet(str(src / "batch1"))
+    ).coalesce(1).write.parquet(str(src / "batch1"))
 
-    stream = spark.readStream.schema(CDC_INPUT_SCHEMA).parquet(str(src / "*"))
+    stream = (
+        spark.readStream.schema(CDC_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
     out = stateful_cdc_merge(stream)
     captured: list = []
 
@@ -531,6 +538,8 @@ def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
     import pandas as pd
 
     all_rows = pd.concat(captured, ignore_index=True)
+    # the invariant is CROSS-batch: the run must really have had >1 epoch
+    assert all_rows["epoch"].nunique() >= 2, all_rows
     # final state per key = its row in the highest epoch that emitted it
     final = (
         all_rows.sort_values("epoch").groupby("key").tail(1).set_index("key")
@@ -570,10 +579,16 @@ def test_cdc_merge_stream_equals_batch(spark, tmp_path, sf_dir):
     )
     src = tmp_path / "cdc_events"
     src.mkdir()
-    ev.filter(F.col("seq") % 2 == 0).write.parquet(str(src / "b0"))
-    ev.filter(F.col("seq") % 2 == 1).write.parquet(str(src / "b1"))
+    # one file per half + maxFilesPerTrigger=1 → two real epochs, so
+    # convergence is tested across state carried between micro-batches
+    ev.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(str(src / "b0"))
+    ev.filter(F.col("seq") % 2 == 1).coalesce(1).write.parquet(str(src / "b1"))
 
-    stream = spark.readStream.schema(CDC_INPUT_SCHEMA).parquet(str(src / "*"))
+    stream = (
+        spark.readStream.schema(CDC_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
     captured: list = []
 
     def sink(df, epoch_id):
@@ -593,6 +608,7 @@ def test_cdc_merge_stream_equals_batch(spark, tmp_path, sf_dir):
     import pandas as pd
 
     all_rows = pd.concat(captured, ignore_index=True)
+    assert all_rows["epoch"].nunique() >= 2, "convergence must span epochs"
     final = all_rows.sort_values("epoch").groupby("key").tail(1)
     stream_live = {
         int(r.key): (int(r.ts_us), round(float(r.value), 6))

@@ -120,17 +120,27 @@ def main() -> None:
     out = pathlib.Path(__file__).resolve().parent.parent / "SCALING.json"
     merged_results: dict = {}
     merged_slopes: dict = {}
+    merged_runs: dict = {}
     if out.exists():
         try:
             prev = json.loads(out.read_text())
             merged_results = prev.get("results", {})
             merged_slopes = prev.get("decade_slope_sf0.01_to_sf0.1", {})
+            prev_runs = prev.get("runs", {})
+            # legacy records carried one global runs int — attribute it
+            # to the entries it actually measured
+            merged_runs = (
+                prev_runs
+                if isinstance(prev_runs, dict)
+                else {n: prev_runs for n in merged_results}
+            )
         except (json.JSONDecodeError, OSError):
             pass
     merged_results.update(results)
     merged_slopes.update({r[0]: round(r[4], 3) for r in rows})
+    merged_runs.update({n: args.runs for n in results})
     out.write_text(json.dumps(
-        {"runs": args.runs, "results": merged_results,
+        {"runs": merged_runs, "results": merged_results,
          "decade_slope_sf0.01_to_sf0.1": merged_slopes},
         indent=1, sort_keys=True,
     ))
