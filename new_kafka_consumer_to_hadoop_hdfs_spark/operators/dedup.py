@@ -79,3 +79,47 @@ def dedup_exact(
         return df.dropDuplicates([c for c in keys if isinstance(c, str)])
     agg = [F.first(c).alias(c) for c in value_cols]
     return df.groupBy(*keys).agg(*agg).select(*cols)
+
+
+def cdc_compact(
+    df: DataFrame,
+    key_col: str,
+    *,
+    ts_col: str,
+    seq_col: str,
+    is_delete: Column,
+    value_col: str,
+) -> DataFrame:
+    """Batch changelog compaction (MERGE semantics): each key's final
+    state is decided solely by its LAST change in (ts, seq) order — a
+    delete marker last removes the key; any other op last survives
+    with its value. Host query: pipeline_cdc_merge; streaming twin:
+    streaming/cdc.stateful_cdc_merge.
+
+    ONE hash shuffle on the key; the winner is a map-side-combinable
+    ``max(struct(ts, seq, is_delete, value))`` argmax (no window, no
+    per-key sort). (ts, seq) must be a total order per key.
+
+    Columns: (key_col, last_ts, last_value rounded to 6, n_ops,
+    n_deletes).
+    """
+    marked = df.withColumn("__is_del", is_delete.cast("int"))
+    merged = marked.groupBy(key_col).agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(seq_col).alias("seq"),
+                F.col("__is_del"),
+                F.col(value_col).alias("value"),
+            )
+        ).alias("__last"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum("__is_del").cast("long").alias("n_deletes"),
+    )
+    return merged.filter(F.col("__last.__is_del") == 0).select(
+        key_col,
+        F.col("__last.ts").alias("last_ts"),
+        F.round(F.col("__last.value"), 6).alias("last_value"),
+        "n_ops",
+        "n_deletes",
+    )

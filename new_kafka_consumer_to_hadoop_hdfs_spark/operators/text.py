@@ -1099,3 +1099,44 @@ def score_against_bigram_index(
         F.round(F.avg(s), 6).alias("avg_surprisal"),
         F.round(F.max(s), 6).alias("max_surprisal"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    width: int,
+    stride: int,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks starting
+    every ``stride`` characters (overlap = width - stride), emitting
+    position metadata and an md5 content digest per chunk — the RAG
+    ingestion chunker (host query: pipeline_chunk_sliding).
+
+    Columns: (id_col, chunk_idx, chunk_start, chunk_len, chunk_md5);
+    chunk_start is 1-based (both Spark's and standard SQL substring
+    indexing), chunk_idx is 0-based. Zero shuffle: sequence +
+    posexplode + substring is a narrow per-row expansion.
+    """
+    if stride < 1 or width < 1:
+        raise ValueError("width and stride must be >= 1")
+    d = df.select(
+        id_col, text_col, F.length(text_col).alias("__len")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__len"), F.lit(1)), F.lit(stride)
+    )
+    exploded = d.select(
+        id_col,
+        text_col,
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start"), F.lit(width))
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -43,7 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import whitespace_tokens
+from ..operators.dedup import cdc_compact
+from ..operators.text import sliding_chunks, whitespace_tokens
 from ..sources.cache import cached_materialization
 from ..sources.files import load_table
 from ._registry import dsum, make_register
@@ -106,24 +107,14 @@ def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction shape: map-side combine collapses the changelog before
     the exchange, and the post-filter drops deleted keys for free.
     """
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "__is_del", (F.col("event_type") == "error").cast("int")
-    )
-    merged = ev.groupBy("user_id").agg(
-        F.max(
-            F.struct(
-                F.col("ts"), F.col("event_id"), F.col("__is_del"), F.col("value")
-            )
-        ).alias("__last"),
-        F.count(F.lit(1)).alias("n_ops"),
-        F.sum("__is_del").cast("long").alias("n_deletes"),
-    )
-    return merged.filter(F.col("__last.__is_del") == 0).select(
+    ev = load_table(spark, sf_dir, "events")
+    return cdc_compact(
+        ev,
         "user_id",
-        F.col("__last.ts").alias("last_ts"),
-        F.round(F.col("__last.value"), 6).alias("last_value"),
-        "n_ops",
-        "n_deletes",
+        ts_col="ts",
+        seq_col="event_id",
+        is_delete=F.col("event_type") == "error",
+        value_col="value",
     )
 
 
@@ -168,26 +159,9 @@ def pipeline_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan and parallelism follows input splits; downstream
     embedding/indexing stages repartition as they see fit.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("__len")
-    )
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.col("__len"), F.lit(1)),
-        F.lit(_CHUNK_STRIDE),
-    )
-    exploded = d.select(
-        "doc_id",
-        "text",
-        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
-    )
-    chunk = F.substring(F.col("text"), F.col("chunk_start"), F.lit(_CHUNK_WIDTH))
-    return exploded.select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("chunk_start").cast("long").alias("chunk_start"),
-        F.length(chunk).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
+    d = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(
+        d, "doc_id", "text", width=_CHUNK_WIDTH, stride=_CHUNK_STRIDE
     )
 
 

@@ -254,3 +254,102 @@ def test_self_surprisal_invariants(spark, texts):
             assert r.n_oov == 0
             assert r.avg_surprisal == got[doc_id].avg_surprisal
             assert r.max_surprisal == got[doc_id].max_surprisal
+
+
+# ---------------------------------------------------------------------------
+# Round-5 corpus operators: sliding chunker and CDC compaction
+# ---------------------------------------------------------------------------
+
+_CHUNK_TEXTS = st.lists(
+    st.text(
+        # BMP chars incl. multibyte CJK — exercises char-vs-byte indexing
+        alphabet=st.sampled_from(list("ab c.€中文ß\t")),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=_CHUNK_TEXTS, width=st.integers(2, 12), stride=st.integers(1, 10))
+@_SETTINGS
+def test_sliding_chunks_match_python_slicing(spark, texts, width, stride):
+    """Every chunk must equal the Python slice text[start-1:start-1+width]
+    (code-point semantics), starts must be 1, 1+stride, ..., and the
+    chunk set must cover the full text when stride <= width."""
+    import hashlib
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        sliding_chunks,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sliding_chunks(df, "doc_id", "text", width=width, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in got.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        expected_starts = list(range(1, max(len(text), 1) + 1, stride))
+        assert [c.chunk_start for c in chunks] == expected_starts, (
+            doc_id, text
+        )
+        for c in chunks:
+            py = text[c.chunk_start - 1 : c.chunk_start - 1 + width]
+            assert c.chunk_len == len(py)
+            assert c.chunk_md5 == hashlib.md5(py.encode("utf-8")).hexdigest()
+        if stride <= width and text:
+            covered = len(text) >= 1 and (
+                chunks[-1].chunk_start - 1 + width >= len(text)
+            )
+            assert covered, "chunks must reach the end of the text"
+
+
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 4),           # key
+        st.integers(0, 20),          # ts
+        st.booleans(),               # is delete
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_CDC_OPS)
+@_SETTINGS
+def test_cdc_compact_matches_python_fold(spark, ops):
+    """cdc_compact == a trivial per-key python fold over (ts, seq)
+    order: last op wins, delete removes the key, counts are exact."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.dedup import (
+        cdc_compact,
+    )
+
+    rows = [
+        (k, ts, seq, "D" if d else "U", float(v))
+        for seq, (k, ts, d, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(rows, "key int, ts int, seq int, op string, value double")
+    got = {
+        r.key: (r.last_ts, round(r.last_value, 6), r.n_ops, r.n_deletes)
+        for r in cdc_compact(
+            df,
+            "key",
+            ts_col="ts",
+            seq_col="seq",
+            is_delete=F.col("op") == "D",
+            value_col="value",
+        ).collect()
+    }
+    expected = {}
+    for k in {r[0] for r in rows}:
+        key_rows = sorted((r for r in rows if r[0] == k), key=lambda r: (r[1], r[2]))
+        last = key_rows[-1]
+        n_ops = len(key_rows)
+        n_del = sum(1 for r in key_rows if r[3] == "D")
+        if last[3] != "D":
+            expected[k] = (last[1], round(last[4], 6), n_ops, n_del)
+    assert got == expected

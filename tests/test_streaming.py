@@ -637,3 +637,74 @@ def test_cdc_merge_stream_equals_batch(spark, tmp_path, sf_dir):
     }
     assert all_keys == batch_all
     assert tombstoned == batch_all - set(batch_live)
+
+
+def test_trending_tokens_stream_equals_batch(spark, tmp_path):
+    """Streaming windowed token counts (append mode, watermark-closed
+    windows) + foreachBatch top-k must equal the batch twin on the
+    same documents. A sentinel doc far in the future advances the
+    watermark so both content windows close under availableNow."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.trending import (
+        batch_trending_tokens,
+        topk_per_window,
+        windowed_token_counts,
+    )
+
+    t0 = dt.datetime.fromisoformat("2024-03-01 00:10:00")
+    t1 = dt.datetime.fromisoformat("2024-03-01 01:10:00")
+    far = dt.datetime.fromisoformat("2024-03-02 00:00:00")
+    rows = [
+        (t0, "a a a b c"),
+        (t0, "b b c"),
+        (t1, "x y y"),
+        (t1, "y x x x"),
+        (far, "zzz"),  # watermark pusher; its own window never closes
+    ]
+    schema = "ts timestamp, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    counts = windowed_token_counts(
+        stream, window="1 hour", watermark="10 minutes"
+    )
+    captured: list = []
+
+    def sink(df, epoch_id):
+        captured.append(topk_per_window(df, 2).toPandas())
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(captured, ignore_index=True)
+    # append mode emits each closed window exactly once, so per-window
+    # top-k inside foreachBatch is computed over complete counts
+    batch = batch_trending_tokens(
+        spark.createDataFrame(rows[:4], schema), window="1 hour", k=2
+    ).toPandas()
+    key = ["window_start", "token"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[["window_start", "token", "cnt", "rnk"]],
+        batch_s[["window_start", "token", "cnt", "rnk"]],
+    )
