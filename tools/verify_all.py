@@ -1,0 +1,76 @@
+"""Full driver-style verification sweep: every registered query vs its
+DuckDB oracle at the driver's correctness SF, from THIS process.
+
+This is the same comparison the round driver runs (row count + schema +
+order-insensitive canonical values, tests/_diff.py), but over ALL
+queries instead of the driver's 50-entry window — run it before ending
+a round to know the whole registry is green, not just the window:
+
+    python tools/verify_all.py                 # sf0.01, hostile tz
+    python tools/verify_all.py --sf-dir /root/testdata/sf0.001
+
+The session is deliberately HOSTILE (non-UTC timezone, small
+parallelism): query builders must not rely on session state —
+`apply_runtime_conf` inside each registered wrapper has to do the work,
+exactly as under the driver's session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", help="comma-separated subset of query names")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from _diff import compare, run_oracle  # tests/_diff.py
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    smoke = entrymod.entry(spark)
+    assert smoke.count() >= 0, "entry() smoke failed"
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = sorted(args.only.split(",")) if args.only else sorted(qs)
+    bad = 0
+    for name in names:
+        try:
+            spdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as exc:  # sweep survives individual failures
+            print(f"ERROR     {name}: {str(exc)[:160]}")
+            bad += 1
+            continue
+        if name in oracles:
+            problems = compare(name, spdf, run_oracle(oracles[name], args.sf_dir))
+            if problems:
+                print(f"MISMATCH  {name}: {problems}")
+                bad += 1
+            else:
+                print(f"OK        {name}")
+        else:
+            print(f"ROWS-ONLY {name} ({len(spdf)} rows)")
+    print(f"DONE bad={bad} total={len(names)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
