@@ -79,7 +79,7 @@ DRIVER_CHECKED_R4 = frozenset({
 })
 
 # The r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 23 new round-5 queries + 5 never-checked + 22 of
+# window holds 50 = 24 new round-5 queries + 5 never-checked + 21 of
 # the 50 r2/r3 set; each batch of new queries below documents which
 # banked greens made room). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
@@ -181,6 +181,13 @@ R5_WINDOW_EXCLUDED = frozenset({
     #                (correlated scalar-MIN decorrelation) hold the
     #                fresher evidence
     "q4_order_priority", "q17_small_quantity_revenue",
+    # Rotated out for pipeline_dataset_card:
+    #   q14_promo_effect -> CASE-sum share-of-total over a join:
+    #                in-window q3/q5 hold the part/lineitem join-agg
+    #                shape, event_funnel_stages the CASE-sum, and
+    #                r4-fresh q8 computes exactly a share-of-total
+    #                CASE ratio in a deeper plan
+    "q14_promo_effect",
 })
 
 

@@ -756,3 +756,61 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — per-source release summary
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, n_chars, md5(text) AS h, len({_SQL_TOKENS}) AS n_tok
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(n_tok)::BIGINT AS total_tokens,
+       ROUND(SUM(n_tok)::DOUBLE / COUNT(*), 6) AS avg_tokens,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+       ROUND(1.0 - COUNT(DISTINCT h)::DOUBLE / COUNT(*), 6) AS exact_dup_rate
+FROM d GROUP BY source
+"""
+
+
+@_register("pipeline_dataset_card", _DATASET_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the release-notes summary every corpus
+    snapshot ships — volume (docs, tokens), language breadth, length
+    distribution (exact p50/p95 chars), and the exact-duplicate rate
+    (1 − distinct content hashes / docs).
+
+    Plan: ONE pass over the corpus into a single groupBy(source):
+    token counts and content hashes are computed in the projection
+    (narrow), the two count-distincts (lang, md5) expand under Spark's
+    distinct-aggregate rewrite, and the exact percentiles sort within
+    each source group. At 100 TB the percentile and count-distinct
+    arms are the scale pressure points — swap to `approx_percentile`
+    and `approx_count_distinct` (the mergeable-sketch twins this
+    registry carries as `agg_approx_*`) when a single source no longer
+    fits a task; the card's schema stays identical.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text")).alias("__h"),
+        F.size(whitespace_tokens(F.col("text"))).alias("__n_tok"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("__n_tok").cast("long").alias("total_tokens"),
+        F.round(F.sum("__n_tok") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("__h") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )

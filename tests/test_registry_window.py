@@ -51,6 +51,7 @@ NEW_IN_R5 = {
     "join_bucketed_colocated",
     "event_gapfill_locf",
     "scan_partition_pruned",
+    "pipeline_dataset_card",
 }
 
 
