@@ -708,3 +708,66 @@ def test_trending_tokens_stream_equals_batch(spark, tmp_path):
         got_s[["window_start", "token", "cnt", "rnk"]],
         batch_s[["window_start", "token", "cnt", "rnk"]],
     )
+
+
+def test_stateful_lww_state_survives_query_restart(spark, tmp_path):
+    """State-store recovery: stop the query after batch 0, then start a
+    NEW query from the same checkpoint with more files present. The
+    recovered state must still suppress a stale (lower-offset) update
+    and accept a higher-offset override — cross-RESTART, not just
+    cross-micro-batch."""
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    _rows(
+        spark,
+        [
+            (0, 1, 50, "gen1-id1", dt.datetime(2024, 1, 1, 0, 0)),
+            (0, 2, 60, "gen1-id2", dt.datetime(2024, 1, 1, 0, 1)),
+        ],
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    emitted: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        emitted.extend(
+            (r.partition, r.id, r.offset, r.msg) for r in batch_df.collect()
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stateful_lww_dedup(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # generation 1: only b0
+    assert {(p, i): (o, m) for p, i, o, m in emitted} == {
+        (0, 1): (50, "gen1-id1"),
+        (0, 2): (60, "gen1-id2"),
+    }
+
+    # new files arrive while the query is DOWN
+    _rows(
+        spark,
+        [
+            (0, 1, 99, "gen2-id1-wins", dt.datetime(2024, 1, 1, 0, 2)),
+            (0, 2, 10, "gen2-id2-stale", dt.datetime(2024, 1, 1, 0, 3)),
+        ],
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    emitted.clear()
+    run_once()  # generation 2: must resume from recovered state
+
+    # only the genuine override is emitted; the stale update is
+    # suppressed BY RECOVERED STATE (this generation never saw b0)
+    assert emitted == [(0, 1, 99, "gen2-id1-wins")]
