@@ -814,3 +814,107 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.count_distinct("__h") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the exact near-dup graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERATIONS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB over the SAME exact
+    Jaccard ≥ 0.6 edge set as `dedup_ngram_jaccard`'s oracle. Damping
+    constants appear as the literal strings '0.85'/'0.15' so both
+    engines parse identical doubles."""
+    from .llm import _SQL_JACCARD, _SQL_TOKENS, _SQL_WORD_SHINGLES
+
+    sql = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE {_SQL_JACCARD} >= 0.6
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL
+  SELECT db AS src, da AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes)"""
+    for i in range(1, _PR_ITERATIONS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+         0.15 / (SELECT n FROM params)
+           + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+    sql += f"""
+SELECT node AS doc_id, ROUND(rank, 6) AS pagerank
+FROM r{_PR_ITERATIONS}
+"""
+    return sql
+
+
+@_register("pipeline_graph_pagerank", _pagerank_oracle())
+def pipeline_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the EXACT near-dup graph (word-3-gram
+    Jaccard ≥ 0.6, symmetrized): high-rank documents are the HUBS of
+    duplication — boilerplate/template text that near-matches many
+    other documents — which a corpus pipeline downweights or strips
+    before the pairwise dedup even runs. The registry's second
+    iterative algorithm next to connected components, and — because
+    the iteration count is FIXED — the rare case of an iterative graph
+    computation under the exact value-hash oracle gate (DuckDB unrolls
+    the same 5 iterations; both engines do identical IEEE arithmetic).
+
+    Plan: edge generation is the prefix-filter join (bucketed by rare
+    shingles, no cartesian — same machinery as `dedup_ngram_jaccard`);
+    each PageRank iteration then joins the EDGE relation (pair-graph
+    sized, not corpus sized) with the rank vector and partial-aggs
+    per dst. At 100 TB the pair graph is orders of magnitude smaller
+    than the corpus, and per-iteration checkpointing (see
+    `connected_components_min_label`) bounds lineage.
+    """
+    from ..operators.graph import pagerank_fixed_iterations
+    from ..operators.text import (
+        jaccard_verify_elements,
+        prefix_filter_candidate_pairs,
+        shingle_elements,
+    )
+    from ._registry import persist_bounded
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
+    cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
+    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
+        "doc_id_a", "doc_id_b"
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+        )
+    )
+    ranks = pagerank_fixed_iterations(
+        edges, damping=0.85, iterations=_PR_ITERATIONS
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )

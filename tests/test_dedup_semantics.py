@@ -98,3 +98,25 @@ def test_dedup_exact_arbitrary_keys(spark):
     )
     out = dedup_exact(df, ["k", "s"], keep_order=[F.col("v").desc()])
     assert sorted((r.k, r.s, r.v) for r in out.collect()) == [(1, "a", 20), (2, "b", 30)]
+
+
+def test_pagerank_ranks_sum_to_one_and_hubs_rank_high(spark):
+    """On a symmetric graph PageRank conserves mass (sum = 1), and a
+    star center (the boilerplate-hub case the host query exists for)
+    must outrank its leaves."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        pagerank_fixed_iterations,
+    )
+
+    # star: 0 at the center of 1..4, plus an isolated pair 5-6
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank_fixed_iterations(edges, iterations=5).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[1] > 0
+    assert abs(got[5] - got[6]) < 1e-12  # symmetric pair ties exactly

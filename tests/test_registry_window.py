@@ -52,6 +52,7 @@ NEW_IN_R5 = {
     "event_gapfill_locf",
     "scan_partition_pruned",
     "pipeline_dataset_card",
+    "pipeline_graph_pagerank",
 }
 
 
