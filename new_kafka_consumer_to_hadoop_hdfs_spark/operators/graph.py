@@ -205,9 +205,13 @@ def pagerank_fixed_iterations(
     ``checkpoint(dir)`` on a cluster). Without it the lazy iteration
     DAG re-executes the (potentially expensive) edge-generation
     subtree many times over — measured 63 s → ~2 s at sf0.1 for the
-    Jaccard-graph host query. Each iteration is then one join of the
-    cached pair-graph-sized edges against the rank vector plus one
-    groupBy(dst) partial-agg; no corpus scans inside the loop.
+    Jaccard-graph host query. The derived node set and the
+    edge⋈degree relation are checkpointed too, and |V| is collected
+    to a driver scalar (index-build-style, one tiny job) so no
+    per-iteration crossJoin exists. Each iteration is then one join
+    of the cached pair-graph-sized relations against the rank vector,
+    one groupBy(dst) partial-agg, and one nodes left join; no corpus
+    scans inside the loop.
 
     Returns (node, pagerank) with the raw double rank — callers round
     for hash-stable output. Ranks sum to 1 on a symmetric graph (no
@@ -218,13 +222,18 @@ def pagerank_fixed_iterations(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
-    ed = edges.join(deg, src)
-    ranks = nodes.crossJoin(n_df).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    ed = edges.join(deg, src).localCheckpoint(eager=True)
+    # n as a driver scalar (index-build-style collect, one tiny job):
+    # removes a per-iteration 1-row crossJoin from the plan entirely.
+    n = float(nodes.count())
+    # teleport = 1.0 - damping COMPUTED in IEEE doubles; the oracle
+    # must compute the same subtraction (not parse a decimal literal
+    # like '0.15', which is a different double 1 ulp away).
+    teleport = 1.0 - damping
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
             ed.join(ranks, ed[src] == ranks["node"])
@@ -235,15 +244,11 @@ def pagerank_fixed_iterations(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(n_df)
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("__n")
-                    + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport / n)
+                + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias("rank"),
         )
     return ranks

@@ -825,9 +825,12 @@ _PR_ITERATIONS = 5
 
 def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank in DuckDB over the SAME exact
-    Jaccard ≥ 0.6 edge set as `dedup_ngram_jaccard`'s oracle. Damping
-    constants appear as the literal strings '0.85'/'0.15' so both
-    engines parse identical doubles."""
+    Jaccard ≥ 0.6 edge set as `dedup_ngram_jaccard`'s oracle. The
+    teleport constant is written as the EXPRESSION (1.0 - 0.85), not
+    the literal '0.15': the Spark side computes 1.0 - damping in IEEE
+    doubles (0.1500000000000000222...), which is one ulp away from
+    what parsing the decimal string '0.15' yields — both engines must
+    COMPUTE the same subtraction for bit-identical ranks."""
     from .llm import _SQL_JACCARD, _SQL_TOKENS, _SQL_WORD_SHINGLES
 
     sql = f"""
@@ -854,7 +857,7 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes)"""
         sql += f""",
 r{i} AS (
   SELECT n.node,
-         0.15 / (SELECT n FROM params)
+         (1.0 - 0.85) / (SELECT n FROM params)
            + 0.85 * COALESCE(c.s, 0.0) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS s

@@ -86,20 +86,13 @@ def batch_trending_tokens(
     window: str = "1 hour",
     k: int = 10,
 ) -> DataFrame:
-    """Batch twin: the same window+count+rank over a static frame —
-    the reference the streaming path is tested against."""
-    toks = docs.select(
-        F.col(ts_col),
-        F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+    """Batch twin: the SAME expressions as the streaming path —
+    ``withWatermark`` is a no-op on a batch frame, so the twin
+    literally reuses :func:`windowed_token_counts`; there is exactly
+    one place the window/count expressions live."""
+    return topk_per_window(
+        windowed_token_counts(
+            docs, ts_col=ts_col, text_col=text_col, window=window
+        ),
+        k,
     )
-    counts = (
-        toks.groupBy(F.window(ts_col, window).alias("w"), "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "token",
-            "cnt",
-        )
-    )
-    return topk_per_window(counts, k)

@@ -189,7 +189,6 @@ NLJ_ALLOWED = {
     "pipeline_mix_languages",  # one-row global-target scalar broadcast
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
     "event_gapfill_locf",      # one-row global min/max range crossJoin
-    "pipeline_graph_pagerank", # one-row node-count crossJoin per iteration
     "pipeline_similar_docs_report",  # topk_cosine core: != join condition
 }
 

@@ -683,8 +683,10 @@ def test_trending_tokens_stream_equals_batch(spark, tmp_path):
         stream, window="1 hour", watermark="10 minutes"
     )
     captured: list = []
+    epochs: list = []
 
     def sink(df, epoch_id):
+        epochs.append(epoch_id)
         captured.append(topk_per_window(df, 2).toPandas())
 
     q = (
@@ -695,6 +697,8 @@ def test_trending_tokens_stream_equals_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(300)
+    # the cross-micro-batch claim needs real epochs (SCALE.md rule)
+    assert len(set(epochs)) >= 2, epochs
     got = pd.concat(captured, ignore_index=True)
     # append mode emits each closed window exactly once, so per-window
     # top-k inside foreachBatch is computed over complete counts

@@ -60,7 +60,13 @@ def main() -> int:
             bad += 1
             continue
         if name in oracles:
-            problems = compare(name, spdf, run_oracle(oracles[name], args.sf_dir))
+            try:
+                oracle_pdf = run_oracle(oracles[name], args.sf_dir)
+            except Exception as exc:  # a broken oracle must not kill the sweep
+                print(f"ORACLE-ERROR {name}: {str(exc)[:160]}")
+                bad += 1
+                continue
+            problems = compare(name, spdf, oracle_pdf)
             if problems:
                 print(f"MISMATCH  {name}: {problems}")
                 bad += 1
