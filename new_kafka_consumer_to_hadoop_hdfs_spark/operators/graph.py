@@ -229,6 +229,11 @@ def pagerank_fixed_iterations(
     # n as a driver scalar (index-build-style collect, one tiny job):
     # removes a per-iteration 1-row crossJoin from the plan entirely.
     n = float(nodes.count())
+    if n == 0:
+        # empty graph (no qualifying edges): empty ranks, same schema —
+        # matching what the unrolled-SQL oracle returns, instead of a
+        # ZeroDivisionError at plan-construction time
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     # teleport = 1.0 - damping COMPUTED in IEEE doubles; the oracle
     # must compute the same subtraction (not parse a decimal literal
     # like '0.15', which is a different double 1 ulp away).

@@ -443,7 +443,9 @@ def cosine_pairs(
 
     rows = (
         df.select(F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v"))
-        .filter(F.col("__v").isNotNull())
+        # empty arrays filtered BEFORE the cap so the guard counts the
+        # vectors that would actually enter the corpus matrix
+        .filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
         .limit(max_rows + 1)
         .collect()
     )
@@ -560,11 +562,14 @@ def lsh_cosine_pairs(
     LSH design → rows-only check anchored by the exact twin. Output
     schema matches :func:`cosine_pairs`.
 
-    NULL / empty / off-dimension / zero-norm vectors are dropped (they
-    can never score a finite cosine — same semantics as the expression
-    form). The projection matrix (dim × T doubles) is index
+    NULL / empty / zero-norm vectors are dropped (they can never score
+    a finite cosine — same semantics as the expression form); RAGGED
+    non-empty dimensions RAISE, exactly like the exact twin
+    :func:`cosine_pairs` — silently keeping whichever dimension a
+    `.first()` probe happened to see would make the output depend on
+    partition layout. The projection matrix (dim × T doubles) is index
     construction in the task closure, like the IVF centroids; the one
-    eager job is a single-row dimension probe.
+    eager job is a tiny distinct-dimension probe.
     """
     import numpy as np
 
@@ -573,12 +578,21 @@ def lsh_cosine_pairs(
     slim = df.select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v")
     ).filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
-    first = slim.select(F.size("__v").alias("d")).first()
-    if first is None:
+    dims = [
+        r["d"] for r in slim.select(F.size("__v").alias("d")).distinct().collect()
+    ]
+    if not dims:
         return df.sparkSession.createDataFrame(
             [], f"{id_col}_a {id_type}, {id_col}_b {id_type}, cos_sim double"
         )
-    dim = first["d"]
+    if len(dims) > 1:
+        raise ValueError(
+            f"lsh_cosine_pairs: ragged vector dimensions {sorted(dims)} in "
+            f"column {vec_col!r} — cosine between different-dimension "
+            f"vectors is undefined; normalize the corpus to one dimension "
+            f"(pad/truncate/filter) before pairing."
+        )
+    dim = dims[0]
     rng = np.random.default_rng(seed)
     G = rng.standard_normal((dim, num_hash_tables))
     # UNIT directions (like MLlib): an unnormalized gaussian column has

@@ -1973,6 +1973,24 @@ WHERE cum <= budget
 """
 
 
+def _ttr_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, lang, n_tokens, ttr) projection for the two
+    token-budget twins — ONE definition, mirroring the oracle side's
+    shared _SQL fragment, so the documented subset relationship between
+    `pipeline_token_budget_select` and `pipeline_token_budget_threshold`
+    cannot drift on tokenization or rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+
+
 @_register("pipeline_token_budget_select", _TOKEN_BUDGET_ORACLE)
 def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection, EXACT greedy form: per language,
@@ -1990,16 +2008,7 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pipeline_token_budget_threshold` (binned two-phase, same greedy
     direction); this exact form is its oracle-anchored reference.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.col("text"))
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-        ).alias("ttr"),
-    ).filter(F.col("n_tokens") > 0)
+    tok = _ttr_tokens(spark, sf_dir)
     budget = tok.groupBy("lang").agg(
         (F.lit(0.5) * F.sum("n_tokens")).alias("__budget")
     )
@@ -2057,16 +2066,7 @@ def pipeline_token_budget_threshold(
     one boundary bin's tokens — the standard histogram answer to
     weighted-quantile selection; tighten with narrower bins.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.col("text"))
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-        ).alias("ttr"),
-    ).filter(F.col("n_tokens") > 0)
+    tok = _ttr_tokens(spark, sf_dir)
     tok = tok.withColumn("__bin", F.floor(F.col("ttr") * 100).cast("bigint"))
     budget = tok.groupBy("lang").agg(
         (F.lit(0.5) * F.sum("n_tokens")).alias("__budget")

@@ -67,7 +67,15 @@ def cached_materialization(
         # Fingerprint BEFORE the rename: once dest exists it is always
         # complete-with-sidecar.
         (tmp / _SIDECAR).write_text(fingerprint)
-        # Retire a stale dest first (rename is atomic; readers of the
+        # RE-validate before retiring dest: if a concurrent builder
+        # installed an identical-fingerprint cache while we were
+        # building, destroying it would delete part files under its
+        # active readers (a fresh install has different part-file
+        # names). Serve the winner's cache and discard our tmp.
+        if _valid(dest):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return str(dest)
+        # Retire a STALE dest first (rename is atomic; readers of the
         # old path hold open fds, never a half state).
         if dest.exists():
             trash = cache_root / f"{cache_name}_{key}.trash.{nonce}"

@@ -88,7 +88,11 @@ def _cdc_update(
         ):
             cand = (int(ts_us), int(seq))
             if best is None or cand > (best[0], best[1]):
-                best = (cand[0], cand[1], str(op), float(value))
+                # NULL upsert values stay NULL (pandas delivers NaN) —
+                # the batch twin's struct-max preserves NULL, and
+                # NaN-vs-NULL diverge under Spark semantics downstream
+                val = None if value is None or value != value else float(value)
+                best = (cand[0], cand[1], str(op), val)
                 changed = True
     if changed:
         state.update(best)
