@@ -79,7 +79,7 @@ DRIVER_CHECKED_R4 = frozenset({
 })
 
 # The r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 25 new round-5 queries + 5 never-checked + 20 of
+# window holds 50 = 26 new round-5 queries + 5 never-checked + 19 of
 # the 50 r2/r3 set; each batch of new queries below documents which
 # banked greens made room). The five scalar queries are pure
 # built-in-expression plans over a single scan — no custom operator,
@@ -195,6 +195,13 @@ R5_WINDOW_EXCLUDED = frozenset({
     #                exactly that shape, and r4-fresh q13 covers the
     #                customer⋈orders⋈lineitem stacked-agg join
     "q18_large_volume_customer",
+    # Rotated out for event_anomaly_zscore:
+    #   join_broadcast_dims -> its BroadcastHashJoin contract is
+    #                asserted by its own plan-shape test
+    #                (test_constant_dims_broadcast), and in-window
+    #                q3/q5 join the same constant dims inside full
+    #                TPC-H value checks
+    "join_broadcast_dims",
 })
 
 

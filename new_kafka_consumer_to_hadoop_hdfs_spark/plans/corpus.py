@@ -921,3 +921,65 @@ def pipeline_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume anomaly detection (z-score over hourly buckets)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         AVG(n_events::DOUBLE) AS mu,
+         STDDEV_SAMP(n_events::DOUBLE) AS sigma
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, b.bucket_start, b.n_events,
+       ROUND((b.n_events - s.mu) / s.sigma, 6) AS zscore
+FROM b JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs((b.n_events - s.mu) / s.sigma) >= 2.0
+"""
+
+
+@_register("event_anomaly_zscore", _ANOMALY_ORACLE)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: hourly event counts whose z-score
+    against their event type's own hourly distribution is ≥ 2 — the
+    scraper-loop / outage / spam-flood monitor a continuously-fed
+    corpus pipeline alarms on (the streaming cousin is
+    `streaming/trending.py`'s drift watch; this is the batch
+    retrospective over the full history).
+
+    Plan: ONE corpus-sized shuffle (the hourly count, partial-agg
+    map-side); the per-type mean/stddev reduce the bucket relation
+    (calendar-bounded) to |event_types| rows, broadcast back onto it
+    for the z-score filter. The z-score arithmetic divides count
+    integers (exact in doubles) by per-type moments computed from the
+    SAME bucket relation in both engines, so the ROUND(·, 6) output
+    is hash-stable. Degenerate zero-variance types are excluded
+    explicitly (division would yield ±inf/NaN).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = b.groupBy("event_type").agg(
+        F.avg(F.col("n_events").cast("double")).alias("__mu"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("__sigma"),
+    )
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sigma")
+    return (
+        b.join(F.broadcast(stats), "event_type")
+        .filter((F.col("__sigma") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            "bucket_start",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -53,6 +53,7 @@ NEW_IN_R5 = {
     "scan_partition_pruned",
     "pipeline_dataset_card",
     "pipeline_graph_pagerank",
+    "event_anomaly_zscore",
 }
 
 
