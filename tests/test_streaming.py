@@ -503,7 +503,9 @@ def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
     # this, availableNow ingests every file in a single epoch and the
     # cross-batch state path (state.exists) is never exercised
     spark.createDataFrame(
-        [(1, 100, 1, "U", 10.0), (2, 100, 2, "U", 20.0)], CDC_INPUT_SCHEMA
+        [(1, 100, 1, "U", 10.0), (2, 100, 2, "U", 20.0),
+         (3, 100, 9, "U", None)],  # NULL upsert value must STAY null
+        CDC_INPUT_SCHEMA,
     ).coalesce(1).write.parquet(str(src / "batch0"))
     spark.createDataFrame(
         [
@@ -552,6 +554,10 @@ def test_cdc_merge_tombstone_and_no_resurrection(spark, tmp_path):
     # key 2 must not have emitted anything in the second epoch
     k2 = all_rows[all_rows["key"] == 2]
     assert len(k2) == 1
+    # NULL upsert value preserved as NULL (not NaN-coerced-to-float),
+    # matching the batch twin's struct-max NULL semantics
+    assert bool(final.loc[3, "is_tombstone"]) is False
+    assert pd.isna(final.loc[3, "value"])
 
 
 def test_cdc_merge_stream_equals_batch(spark, tmp_path, sf_dir):
