@@ -1,8 +1,19 @@
 """Benchmark harness: EVERY registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line on stdout:
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+Prints exactly TWO JSON lines on stdout:
+
+1. the FULL record —
+       {"metric": "total_wall_sec", "value": N, "unit": "sec",
+        "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+        "repeat": 3}
+2. a COMPACT summary (guaranteed < 2000 chars, same schema, "queries"
+   holding only the top-20 slowest, plus "n_queries"/"total_sec") —
+   printed LAST because the round driver records only the final ~2000
+   chars of stdout: a 131-query full line is ~4 KB, so its head is
+   lost to tail truncation (BENCH_r04/r05 "parsed": null). With the
+   compact line last, the recorded tail always ENDS with one complete
+   parseable JSON object. `tools/bench_compare.py` accepts both
+   shapes and prefers the full record when present.
 
 Everything else (Spark logs, progress) goes to stderr so the driver's
 stdout parse stays clean.
@@ -14,14 +25,20 @@ Methodology:
   transfer to pandas);
 - a warm-up query runs first (JIT/codegen/parquet footer caches) and
   is excluded from timings;
-- per-query wall time is the MIN OF TWO timed runs (steady-state;
-  damps JIT/page-cache/GC noise). NOTE: rounds benched before this
-  change used single-run timing, so cross-round deltas at the
-  changeover include the methodology shift, not only plan changes.
+- per-query wall time is the MIN OF THREE timed runs (``--repeat`` /
+  $SPARK_GRAFT_BENCH_REPEAT to override). Round 5 adjudicated bench
+  noise manually: single-run timings on this co-tenant host
+  over-report 3-5 queries per sweep by 2-4x, and every apparent >2x
+  regression vanished under min-of-three — so min-of-three IS the
+  round protocol now, recorded in the output as "repeat". NOTE:
+  rounds benched before round 4 used single-run timing and rounds
+  4-5 min-of-two, so cross-round deltas at each changeover include
+  the methodology shift, not only plan changes.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import pathlib
@@ -41,20 +58,67 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (which is tuned for the driver's correctness window, see
 # plans/__init__.py).
 
+# The driver's artifact keeps the last ~2000 stdout chars; leave margin
+# for the trailing newline and any stray control chars.
+_COMPACT_BUDGET = 1900
+_COMPACT_TOP_N = 20
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 
+def _compact_summary(result: dict) -> dict:
+    """Derive the < 2000-char trailing summary from the full record.
+
+    Same top-level schema as the full record (a consumer parsing either
+    line finds "metric"/"value"/"queries"/"sf"), but "queries" holds
+    only the TOP-N SLOWEST — the diagnostic end of the distribution —
+    and "n_queries" says how many the full record (committed to
+    BENCH_local_latest.json) actually holds. Top-N is shrunk further in
+    the unlikely event the line would still exceed the budget.
+    """
+    slowest = sorted(result["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    top_n = _COMPACT_TOP_N
+    while True:
+        compact = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "repeat": result["repeat"],
+            "n_queries": len(result["queries"]),
+            "n_errors": len(result.get("errors", {})),
+            "queries": dict(slowest[:top_n]),
+            "full_record": "BENCH_local_latest.json",
+        }
+        if len(json.dumps(compact, separators=(",", ":"))) <= _COMPACT_BUDGET:
+            return compact
+        top_n -= 1  # pragma: no cover — 20 entries sit far under budget
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
+        help="timed runs per query; the MIN is reported (default 3)",
+    )
+    args = ap.parse_args()
+    repeat = max(1, args.repeat)
+
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
     from new_kafka_consumer_to_hadoop_hdfs_spark.session import get_spark
 
     spark = get_spark(app_name="nkch-bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries, _ = merged_registry()
     names = sorted(queries)
-    print(f"bench: {len(names)} queries at {SF_DIR}", file=sys.stderr)
+    print(
+        f"bench: {len(names)} queries at {SF_DIR}, min of {repeat} runs",
+        file=sys.stderr,
+    )
 
     def materialize(name: str) -> float:
         # time plan construction + execution: iterative queries (e.g.
@@ -71,16 +135,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — the timed loop reports it
             print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
-    # Two timed runs per query, report the min — steady-state timing
-    # that damps JIT/page-cache/GC noise so cross-round comparisons
-    # reflect plan changes, not scheduler jitter. A query that errors
-    # is recorded under "errors" instead of killing the whole bench
-    # (round 2 lost its entire bench to one load failure).
+    # ``repeat`` timed runs per query, report the min — steady-state
+    # timing that damps JIT/page-cache/GC noise so cross-round
+    # comparisons reflect plan changes, not scheduler jitter. A query
+    # that errors is recorded under "errors" instead of killing the
+    # whole bench (round 2 lost its entire bench to one load failure).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         try:
-            sec = min(materialize(name), materialize(name))
+            sec = min(materialize(name) for _ in range(repeat))
         except Exception as exc:  # noqa: BLE001 — survive to report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
@@ -88,16 +152,11 @@ def main() -> None:
         timings[name] = round(sec, 4)
         print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
 
-    # The driver records only the LAST ~2000 chars of stdout; a
-    # 105-query line is ~3KB, so the head of the JSON line is lost in
-    # that record no matter what (BENCH_r04.json parsed:null). Three
-    # mitigations: compact separators + 3-decimal rounding (smallest
-    # honest line), per-query entries ordered FASTEST-FIRST so the
-    # slowest — most diagnostic — queries land at the end of the line
-    # and survive tail truncation, and the FULL result persisted to a
-    # committed file (BENCH_local_latest.json) as the canonical record.
-    # tools/bench_compare.py reconstructs per-query timings from a
-    # truncated tail fragment when handed a driver wrapper.
+    # Per-query entries ordered FASTEST-FIRST so if a consumer tails the
+    # FULL line, the slowest — most diagnostic — queries still land at
+    # the end; the full result is also persisted to a committed file
+    # (BENCH_local_latest.json) as the canonical record, and the compact
+    # line below is the driver-tail-proof contract.
     timings = {n: round(t, 3) for n, t in sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))}
     result = {
         "metric": "total_wall_sec",
@@ -105,15 +164,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "repeat": repeat,
     }
     if errors:
         result["errors"] = errors
     local_record = pathlib.Path(__file__).resolve().parent / "BENCH_local_latest.json"
     try:
         local_record.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
-    except OSError as exc:  # stdout line is still the contract
+    except OSError as exc:  # stdout lines are still the contract
         print(f"bench: could not write {local_record}: {exc}", file=sys.stderr)
     print(json.dumps(result, separators=(",", ":")), flush=True)
+    # Compact summary LAST: the driver's 2000-char stdout tail must end
+    # with one complete parseable JSON object (VERDICT r5 item 1).
+    print(json.dumps(_compact_summary(result), separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -21,8 +21,46 @@ keyed on dst; convergence checks are a cheap count.
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _session_checkpointer(
+    anchor: DataFrame, checkpoint_dir: str | None
+) -> Iterator[Callable[[DataFrame], DataFrame]]:
+    """Yield a ``df -> materialized df`` checkpoint function.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local
+    blocks: fastest, right for local[N] and tests, NOT fault-tolerant).
+    Otherwise → reliable ``DataFrame.checkpoint`` into that directory;
+    the session's checkpoint dir is set for the duration of the block
+    and restored afterwards (it is session-global state — clobbering a
+    caller-configured dir for the loop is fine, leaving it clobbered
+    after return is not; ADVICE r4). Scala keeps it as Option[String],
+    and setCheckpointDir(null) maps back to None, so save/restore
+    round-trips both cases.
+    """
+    if checkpoint_dir is None:
+        yield lambda df: df.localCheckpoint()
+        return
+    sc = anchor.sparkSession.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
+    prev_dir = prev.get() if prev.isDefined() else None
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        yield lambda df: df.checkpoint(eager=True)
+    finally:
+        try:
+            # prev_dir None → java null → Option(null) = unset; guarded
+            # because some codepaths outside local mode touch the path
+            # before the Option wrap.
+            sc._jsc.sc().setCheckpointDir(prev_dir)  # noqa: SLF001
+        except Exception:  # pragma: no cover — restore is best-effort
+            pass
 
 
 def connected_components_min_label(
@@ -82,39 +120,10 @@ def connected_components_min_label(
     # become a component's min label: the stitch join would then drop
     # it, and the survivor filter (node == label) would silently delete
     # the whole cluster.
-    restore_checkpoint_dir = None
-    if checkpoint_dir is not None:
-        sc = nodes.sparkSession.sparkContext
-        # The checkpoint dir is session-global state; clobbering a
-        # caller-configured dir for the duration of this loop is fine,
-        # leaving it clobbered after return is not (ADVICE r4). Scala
-        # keeps it as Option[String], and setCheckpointDir(null) maps
-        # back to None, so save/restore round-trips both cases.
-        prev = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
-        restore_checkpoint_dir = (sc, prev.get() if prev.isDefined() else None)
-        sc.setCheckpointDir(checkpoint_dir)
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-    else:
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
-
-    try:
+    with _session_checkpointer(nodes, checkpoint_dir) as _ckpt:
         return _propagate_labels(
             nodes, edges, _ckpt, id_col, src_col, dst_col, max_iterations
         )
-    finally:
-        if restore_checkpoint_dir is not None:
-            sc, prev_dir = restore_checkpoint_dir
-            try:
-                # prev_dir None → java null → Option(null) = unset;
-                # guarded because some codepaths outside local mode
-                # touch the path before the Option wrap.
-                sc._jsc.sc().setCheckpointDir(prev_dir)  # noqa: SLF001
-            except Exception:  # pragma: no cover — restore is best-effort
-                pass
 
 
 def _propagate_labels(
@@ -190,6 +199,7 @@ def pagerank_fixed_iterations(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count over a directed edge
     relation (symmetrize first for undirected graphs) — deterministic
@@ -199,33 +209,43 @@ def pagerank_fixed_iterations(
     that). Nodes = endpoints of edges; on a symmetrized graph every
     node has out-degree ≥ 1, so no dangling-mass correction is needed.
 
-    Plan: the edge relation is MATERIALIZED once up front
-    (``localCheckpoint(eager=True)`` — same lineage-cutting pattern as
-    :func:`connected_components_min_label`; swap for a reliable
-    ``checkpoint(dir)`` on a cluster). Without it the lazy iteration
-    DAG re-executes the (potentially expensive) edge-generation
-    subtree many times over — measured 63 s → ~2 s at sf0.1 for the
-    Jaccard-graph host query. The derived node set and the
-    edge⋈degree relation are checkpointed too, and |V| is collected
-    to a driver scalar (index-build-style, one tiny job) so no
-    per-iteration crossJoin exists. Each iteration is then one join
-    of the cached pair-graph-sized relations against the rank vector,
-    one groupBy(dst) partial-agg, and one nodes left join; no corpus
-    scans inside the loop.
+    Plan: the edge relation is MATERIALIZED once up front — same
+    lineage-cutting pattern as :func:`connected_components_min_label`.
+    Without it the lazy iteration DAG re-executes the (potentially
+    expensive) edge-generation subtree many times over — measured
+    63 s → ~2 s at sf0.1 for the Jaccard-graph host query. The derived
+    node set and the edge⋈degree relation are checkpointed too, and
+    |V| is collected to a driver scalar (index-build-style, one tiny
+    job) so no per-iteration crossJoin exists. Each iteration is then
+    one join of the cached pair-graph-sized relations against the rank
+    vector, one groupBy(dst) partial-agg, and one nodes left join; no
+    corpus scans inside the loop.
+
+    Checkpoint durability mirrors :func:`connected_components_min_label`:
+    default (``checkpoint_dir=None``) is ``localCheckpoint`` — fastest,
+    right for local[N] and tests, but losing an executor mid-loop
+    invalidates the blocks and fails the job back to the start. On a
+    cluster pass ``checkpoint_dir`` (an HDFS/object-store path) for
+    reliable ``DataFrame.checkpoint`` of the three materializations, so
+    a lost executor only recomputes its partitions from durable
+    storage. Same retention contract as CC: Spark does not delete the
+    checkpoint files when the job ends, and the returned plan still
+    reads them — the caller owns cleanup of ``checkpoint_dir`` after
+    materializing the result.
 
     Returns (node, pagerank) with the raw double rank — callers round
     for hash-stable output. Ranks sum to 1 on a symmetric graph (no
     dangling leakage), which the tests assert.
     """
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
-    ed = edges.join(deg, src).localCheckpoint(eager=True)
+    with _session_checkpointer(edges, checkpoint_dir) as _ckpt:
+        edges = _ckpt(edges)
+        nodes = _ckpt(
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+        ed = _ckpt(edges.join(deg, src))
     # n as a driver scalar (index-build-style collect, one tiny job):
     # removes a per-iteration 1-row crossJoin from the plan entirely.
     n = float(nodes.count())

@@ -434,6 +434,17 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file at 100 TB) — corpora with newline-bearing text belong in the
     JSON-lines or parquet sink instead; this one's contract is
     line-per-record.
+
+    Null-sentinel collision (ADVICE r5): a text field whose content is
+    LITERALLY the nullValue sentinel ``\\N`` is read back as NULL.
+    This is inherent to CSV's untyped surface and quoting does NOT
+    rescue it — verified on this Spark: with ``quoteAll=true`` the
+    writer renders both a NULL and literal ``\\N`` text as ``"\\N"``,
+    and the reader applies nullValue AFTER unquoting, so the two are
+    indistinguishable on the wire. Latent on this corpus (no such
+    text); corpora that may contain the sentinel — like those with
+    newlines — belong in the JSON-lines or parquet sink, whose typed
+    null encoding has no sentinel at all.
     """
     import pathlib
 
@@ -551,8 +562,19 @@ def _bucketed_table(
     import pathlib
     import uuid
 
+    src = pathlib.Path(sf_dir) / f"{table}.parquet"
     skey = hashlib.md5(str(pathlib.Path(sf_dir).resolve()).encode()).hexdigest()[:10]
-    tname = f"{table}_bkt_{skey}"
+    # The table NAME carries the source fingerprint (ADVICE r5): a
+    # catalog entry pins column DDL and (per session) a cached file
+    # listing at CREATE time, so serving a REBUILT cache through the
+    # old name could read stale DDL in any concurrently-open session
+    # that refreshTable here can't reach. A regenerated source ⇒ a new
+    # fingerprint ⇒ a fresh table name created from the new schema; the
+    # old entry turns into a harmless orphan pointing at the retired
+    # cache path.
+    st = src.stat()
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    tname = f"{table}_bkt_{skey}_{fp}"
     df = load_table(spark, sf_dir, table)
 
     def build(tmp: str) -> None:
@@ -570,9 +592,7 @@ def _bucketed_table(
     # bucketed data after the source parquet is regenerated. The
     # catalog entry points at the stable dest path, so an in-place
     # rebuild refreshes what the existing table reads.
-    dest = cached_materialization(
-        pathlib.Path(sf_dir) / f"{table}.parquet", f"{table}_bkt{_BUCKETS}", build
-    )
+    dest = cached_materialization(src, f"{table}_bkt{_BUCKETS}", build)
     if not spark.catalog.tableExists(tname):
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
@@ -892,8 +912,25 @@ def pipeline_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, not corpus sized) with the rank vector and partial-aggs
     per dst. At 100 TB the pair graph is orders of magnitude smaller
     than the corpus, and per-iteration checkpointing (see
-    `connected_components_min_label`) bounds lineage.
+    `connected_components_min_label`) bounds lineage. Set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to an HDFS/object-store path to
+    switch the loop's materializations from ``localCheckpoint`` to
+    reliable checkpoints (cluster fault tolerance; caller owns cleanup
+    of the directory after materializing — see the operator docstring).
+
+    Hash-gate caveat (ADVICE r5): the per-iteration SUM(rank/outdeg)
+    is an order-dependent double sum — Spark's partial-agg merge order
+    varies with partitioning/AQE while DuckDB's unrolled CTE sums in
+    its own order, so a value landing within ~1 ulp of a ROUND(x, 6)
+    boundary could in principle flip the 6th decimal and flake the
+    exact-hash gate. Not observed across rounds 1-6 on this data (the
+    teleport constant is computed identically in both engines and
+    ranks are O(1e-2), far from boundary saturation), but a driver
+    diff for THIS query tolerating a 1e-6 epsilon would be the
+    principled gate; documented rather than silently relied upon.
     """
+    import os
+
     from ..operators.graph import pagerank_fixed_iterations
     from ..operators.text import (
         jaccard_verify_elements,
@@ -916,7 +953,10 @@ def pipeline_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank_fixed_iterations(
-        edges, damping=0.85, iterations=_PR_ITERATIONS
+        edges,
+        damping=0.85,
+        iterations=_PR_ITERATIONS,
+        checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None,
     )
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
@@ -963,6 +1003,17 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME bucket relation in both engines, so the ROUND(·, 6) output
     is hash-stable. Degenerate zero-variance types are excluded
     explicitly (division would yield ±inf/NaN).
+
+    Hash-gate caveat (ADVICE r5): avg/stddev_samp merge per-partition
+    moments in an order that varies with partitioning/AQE, while
+    DuckDB accumulates in its own order — order-dependent double sums,
+    so a z-score landing within ~1 ulp of a ROUND(·, 6) boundary could
+    in principle flip the 6th decimal and flake the exact-hash gate.
+    Not observed across rounds (buckets hold small-integer counts whose
+    moments are far from boundary saturation); an epsilon-tolerant
+    driver diff for this query would be the principled gate —
+    documented rather than silently relied upon (same residual risk
+    class as `pipeline_graph_pagerank`).
     """
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy(

@@ -183,8 +183,21 @@ def per_partition_cap(limit: int, *, state_path: str | None = None):
     Without ``state_path`` the quota is in-memory only and a restart
     re-opens it — acceptable for AvailableNow one-shot runs, wrong for
     long-lived queries; pass a path under the checkpoint dir there.
-    The state file uses driver-local file IO: point it at a
-    driver-accessible path (local disk or a mounted DFS).
+
+    The state file uses driver-local file IO: for exactly-once across
+    DRIVER REPLACEMENT (cluster-manager restarts the app on another
+    node) the path must live WITH the query checkpoint on shared
+    storage (HDFS/object store via a mounted path), not on the old
+    driver's local disk — a replacement driver that cannot read the
+    file silently restarts the quota from zero. The quota and the
+    applied-epoch set are written atomically together AFTER each epoch,
+    so a crash mid-epoch (sink wrote, state didn't) replays that epoch
+    as if new: the identical deterministic row set is re-emitted for
+    the sink's per-epoch overwrite to absorb and counted exactly once
+    (tests/test_streaming.py::test_per_partition_cap_mid_epoch_crash_replay).
+    The per-epoch bookkeeping collect is a partitions-sized relation
+    (tiny); a multi-driver HA deployment would move this state into the
+    checkpoint's state store instead of a side file.
 
     The returned (trimmed) frame is persisted for the epoch so the
     bookkeeping count and the caller's sink write share one evaluation.

@@ -120,3 +120,45 @@ def test_pagerank_ranks_sum_to_one_and_hubs_rank_high(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[0] > got[1] > 0
     assert abs(got[5] - got[6]) < 1e-12  # symmetric pair ties exactly
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """The cluster mode: ``checkpoint_dir`` switches the three up-front
+    materializations (edges / nodes / edge⋈degree) from executor-local
+    blocks to reliable ``DataFrame.checkpoint`` files — durability
+    parity with ``connected_components_min_label``. Ranks must be
+    IDENTICAL to the local mode (same fixed-iteration linear algebra,
+    only the lineage-truncation storage differs), the directory must
+    actually receive checkpoint data, and the session-global checkpoint
+    dir must be restored, not clobbered."""
+    import pathlib
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        pagerank_fixed_iterations,
+    )
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    caller_ckpt = str(tmp_path / "caller_ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(caller_ckpt)
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    local = {
+        r.node: r.rank
+        for r in pagerank_fixed_iterations(edges, iterations=5).collect()
+    }
+    reliable = {
+        r.node: r.rank
+        for r in pagerank_fixed_iterations(
+            edges, iterations=5, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert reliable == local
+    written = list(pathlib.Path(ckpt).rglob("*"))
+    assert any(p.is_file() for p in written), "no reliable checkpoint files"
+    after = sc._jsc.sc().getCheckpointDir()  # noqa: SLF001
+    assert after.isDefined() and pathlib.Path(caller_ckpt).name in pathlib.Path(
+        after.get()
+    ).parts, f"checkpoint dir clobbered: {after}"

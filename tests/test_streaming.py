@@ -256,6 +256,54 @@ def test_per_partition_cap_survives_restart(spark, tmp_path):
     assert cap3(b1, epoch_id=1).count() == 0  # epoch 1 now applied too
 
 
+def test_per_partition_cap_mid_epoch_crash_replay(spark, tmp_path):
+    """A crash AFTER the sink wrote an epoch but BEFORE the cap's state
+    save (the mid-epoch window: state file present, epoch NOT in
+    applied_epochs) must neither double-spend the quota nor stall.
+
+    The quota and the applied-epoch set are saved atomically TOGETHER
+    after the epoch, so the crash leaves the state exactly as of the
+    last completed epoch; the replayed epoch then re-runs as if for the
+    first time, re-emitting the identical deterministic row set (the
+    trim orders by offset) for the sink's per-epoch overwrite to
+    absorb, and is counted exactly once."""
+    import json
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        per_partition_cap,
+    )
+
+    state = str(tmp_path / "cap_state.json")
+    b0 = _rows(
+        spark,
+        [(0, i, i, f"m{i}", dt.datetime(2024, 1, 1)) for i in range(1, 4)],
+    )
+    b1 = _rows(
+        spark,
+        [(0, i, i, f"m{i}", dt.datetime(2024, 1, 1)) for i in range(4, 9)],
+    )
+
+    cap1 = per_partition_cap(4, state_path=state)
+    assert cap1(b0, epoch_id=0).count() == 3
+    pre_epoch1 = open(state).read()  # snapshot: epoch 0 saved, epoch 1 not
+
+    first = sorted(r.offset for r in cap1(b1, epoch_id=1).collect())
+    assert first == [4]  # 1 left of the quota, lowest offset wins
+    # crash before _save would have persisted epoch 1: restore snapshot
+    with open(state, "w") as fh:
+        fh.write(pre_epoch1)
+
+    cap2 = per_partition_cap(4, state_path=state)  # driver replacement
+    replay = sorted(r.offset for r in cap2(b1, epoch_id=1).collect())
+    assert replay == first, "replayed epoch must re-emit the identical rows"
+    saved = json.loads(open(state).read())
+    assert saved["consumed"] == {"0": 4}, "quota counted once, not twice"
+    assert saved["epochs"] == [0, 1]
+    # quota exhausted: a later epoch contributes nothing but doesn't stall
+    b2 = _rows(spark, [(0, 9, 9, "m9", dt.datetime(2024, 1, 1))])
+    assert cap2(b2, epoch_id=2).count() == 0
+
+
 def test_session_window_stream_equals_batch(spark, tmp_path, sf_dir):
     """Streaming session windows (watermarked, update mode) must settle
     to exactly the batch session result once the source drains."""

@@ -3,12 +3,16 @@
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--threshold 1.25]
 
-Accepts either bench.py's raw one-line JSON ({"metric": ..., "queries":
-{...}}) or the driver's BENCH_r{N}.json wrapper (the JSON line is then
-extracted from its "tail" field). Prints regressions (new/old ≥
-threshold), improvements (old/new ≥ threshold), and coverage changes,
-then exits 1 if any regression crossed the threshold — usable as a
-cheap per-round perf gate.
+Accepts any of: bench.py's full-record JSON ({"metric": ...,
+"queries": {...}} — the committed BENCH_local_*.json shape), bench.py's
+raw stdout (full line + trailing compact summary line, round 6 on), or
+the driver's BENCH_r{N}.json wrapper (timings are then recovered from
+its truncated "tail" field: the complete full line if it survived,
+else the trailing compact summary merged with the surviving pairs of
+the truncated full line). Prints regressions (new/old ≥ threshold),
+improvements (old/new ≥ threshold), and coverage changes, then exits 1
+if any regression crossed the threshold — usable as a cheap per-round
+perf gate.
 """
 
 from __future__ import annotations
@@ -21,33 +25,59 @@ import sys
 
 # Keys that appear as "name": number in the bench JSON but are not
 # query timings; excluded when reconstructing from a truncated tail.
-_NON_QUERY_KEYS = {"value", "sf"}
+_NON_QUERY_KEYS = {"value", "sf", "repeat", "n_queries", "n_errors"}
 
 
-def load_timings(path: str) -> dict[str, float]:
-    with open(path) as fh:
-        data = json.load(fh)
-    if "queries" in data:
-        return data["queries"]
-    # driver wrapper: the bench's single JSON line lives in "tail"
-    tail = data.get("tail", "")
-    m = re.search(r'\{"metric".*\}', tail)
-    if m:
-        return json.loads(m.group(0))["queries"]
+def _timings_from_tail(tail: str, path: str) -> dict[str, float]:
+    """Recover per-query timings from a (possibly truncated) stdout tail."""
+    full: dict[str, float] = {}
+    compact: dict[str, float] = {}
+    for line in tail.splitlines():
+        at = line.find('{"metric"')
+        if at < 0:
+            continue
+        try:
+            obj = json.loads(line[at:])
+        except ValueError:  # head-truncated line; pairs pass picks it up
+            continue
+        q = {k: float(v) for k, v in obj.get("queries", {}).items()}
+        if "n_queries" in obj:  # the trailing compact summary (round 6 on)
+            compact = q
+        else:
+            full = q
+    if full:
+        return full
     # The driver keeps only the last ~2000 chars of stdout, so a
-    # 105-query line loses its head (BENCH_r04.json). Reconstruct the
-    # surviving "name": seconds pairs from the fragment — partial but
+    # 131-query full line loses its head. Reconstruct the surviving
+    # "name": seconds pairs from the fragment, overlaying the compact
+    # summary's (complete, authoritative) slowest-N — partial but
     # honest; report how partial.
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
     timings = {k: float(v) for k, v in pairs if k not in _NON_QUERY_KEYS}
+    timings.update(compact)
     if not timings:
         raise SystemExit(f"{path}: no bench JSON found (empty/crashed run?)")
     print(
         f"note: {path} is a truncated driver tail — reconstructed "
-        f"{len(timings)} per-query timings from the fragment",
+        f"{len(timings)} per-query timings from the fragment"
+        + (f" + compact summary ({len(compact)})" if compact else ""),
         file=sys.stderr,
     )
     return timings
+
+
+def load_timings(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        data = json.loads(text)
+    except ValueError:
+        # raw bench stdout: full line + compact summary line
+        return _timings_from_tail(text, path)
+    if "queries" in data:
+        return data["queries"]
+    # driver wrapper: bench stdout lives (truncated) in "tail"
+    return _timings_from_tail(data.get("tail", ""), path)
 
 
 def main(argv: list[str] | None = None) -> int:

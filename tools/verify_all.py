@@ -51,6 +51,12 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = sorted(args.only.split(",")) if args.only else sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        # Clean failure up front (mirrors tools/explain_query.py) instead
+        # of a bare KeyError mid-sweep (ADVICE r5).
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
     bad = 0
     for name in names:
         try:
