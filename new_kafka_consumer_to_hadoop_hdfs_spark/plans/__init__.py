@@ -15,20 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries that already hold driver-green CORRECTNESS rows from rounds 2-3
-# (both rounds checked this identical set: the first 50 registry entries
-# in the old module-order iteration). The driver's correctness harness
-# only oracle-checks the FIRST 50 entries of the registry per round, so
-# iteration order decides which queries earn hard driver evidence.
+# The driver's correctness harness oracle-checks only the FIRST 50
+# entries of ``merged_registry()`` per round, so iteration order decides
+# which queries earn hard driver evidence. Round 6 on, the ordering is a
+# pure STALENESS rotation (VERDICT r5 item 3): queries sort by the round
+# of their most recent driver CORRECTNESS row, oldest first, with
+# never-checked (newly added) queries leading. The ``DRIVER_CHECKED_*``
+# sets below record which round last checked each query; when a round's
+# CORRECTNESS_r{N}.json lands, bank its 50 names as the freshest set and
+# the sort does the rest.
 #
-# NOTE: these banked greens were last driver-checked in round 3; shared
-# infrastructure they depend on (session confs, sources/files.py
-# loaders) has changed since. Round 5 rotates as many of them back into
-# the window as the new-query additions leave room for — see the
-# ``R5_WINDOW_EXCLUDED`` header comment for the live 50-slot
-# arithmetic; every excluded query's justification (an in-window or
-# r4-fresh structural twin plus the local pytest oracle-diff) is
-# documented inline there.
+# Round-6 window arithmetic: 31 queries' latest row is r3-era
+# (R2_R3 minus the 19 re-checked in r5) — they lead, followed by the r4
+# cohort in module order; each NEW query added this round takes one
+# window slot from the r4 cohort's tail, so keep new oracle-backed
+# queries per round ≤ 19 or the stalest cohort starts spilling out.
+
+# Checked in rounds 2-3 (identical set both rounds: the then-first-50).
 DRIVER_CHECKED_R2_R3 = frozenset({
     "kafka_dedup_lww", "kafka_dedup_global", "kafka_parse_project",
     "q1_pricing_summary", "q6_forecast_revenue",
@@ -51,10 +54,8 @@ DRIVER_CHECKED_R2_R3 = frozenset({
     "sort_topk_global", "set_operations",
 })
 
-# Queries with driver-green (or, for dedup_simhash, rows-only-by-design)
-# CORRECTNESS rows from round 4 (CORRECTNESS_r04.json: 49 hash-green,
-# dedup_simhash no_oracle with 17 rows / no err). These ride at the back
-# of the round-5 iteration order on their fresh banked evidence.
+# Checked in round 4 (CORRECTNESS_r04.json: 49 hash-green, dedup_simhash
+# rows-only-by-design with 17 rows / no err).
 DRIVER_CHECKED_R4 = frozenset({
     "scalar_case_null_handling", "agg_salted_skew", "sql_adhoc_star_join",
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
@@ -78,130 +79,29 @@ DRIVER_CHECKED_R4 = frozenset({
     "dedup_simhash",
 })
 
-# The r2/r3 banked greens that round 5's window leaves out (the
-# window holds 50 = 26 new round-5 queries + 5 never-checked + 19 of
-# the 50 r2/r3 set; each batch of new queries below documents which
-# banked greens made room). The five scalar queries are pure
-# built-in-expression plans over a single scan — no custom operator,
-# no loader behavior beyond every other query — each covered by an
-# in-window advanced twin + local pytest:
-#   scalar_string_functions -> scalar_string_advanced
-#   scalar_date_functions   -> scalar_date_advanced
-#   scalar_math_functions   -> (pure F.* arithmetic; pytest oracle-diff)
-#   scalar_json_functions   -> scalar_json_struct_map stays in-window
-#   agg_approx_count_distinct -> agg_hll_union_rollup-adjacent sketch,
-#                                property-tested
-# The two sketch queries are rows-only even when driver-checked (no
-# DuckDB oracle exists for Spark's HLL/KLL binaries), so a window slot
-# spent on them buys the weakest evidence class; both carry property
-# tests against their exact twins.
-# The last six made room for round 5's second batch of new queries
-# (containment/outlier/weighted-sample/PII/token-budget pair) — each
-# is the structural mirror or strict subset of a query that keeps a
-# fresher row:
-#   agg_rollup        -> agg_cube + agg_grouping_sets stay in-window
-#   agg_unpivot       -> agg_pivot stays in-window
-#   join_right_outer  -> join_left_outer + join_full_outer stay
-#   scalar_null_semantics -> scalar_case_null_handling is r4-fresh
-#   agg_percentiles   -> exact percentile now also exercised in-window
-#                        by pipeline_outlier_filter's median/MAD
-#   window_running_sum -> strict frame-subset of window_range_frame,
-#                         which stays in-window
-R5_WINDOW_EXCLUDED = frozenset({
-    "scalar_string_functions", "scalar_date_functions",
-    "scalar_math_functions", "scalar_json_functions",
-    "agg_approx_count_distinct",
-    "agg_approx_percentiles", "agg_hll_union_rollup",
-    "agg_rollup", "agg_unpivot", "join_right_outer",
-    "scalar_null_semantics",
-    "agg_percentiles", "window_running_sum",
-    # Rotated out to make window room for text_bigram_surprisal and
-    # pipeline_dedup_keep_best: both join shapes run structurally
-    # inside in-window pipeline queries (pipeline_incremental_dedup
-    # ends in a left_anti, pipeline_token_budget_threshold in a
-    # left_semi) and both remain in the local pytest oracle-diff.
-    "join_semi", "join_anti",
-    # Rotated out for pipeline_quality_buckets: grouping-sets
-    # semantics are a strict subset of agg_cube, which stays
-    # in-window (CUBE expands to the full grouping-set lattice).
-    "agg_grouping_sets",
-    # Rotated out for pipeline_corpus_diff: global top-k is anchored
-    # by in-window window_topk_per_group plus its own
-    # TakeOrderedAndProject plan-shape test.
-    "sort_topk_global",
-    # Rotated out for round 5's corpus/event-analytics batch
-    # (pipeline_cdc_merge, pipeline_chunk_sliding, text_heavy_hitters,
-    # event_funnel_stages, event_retention_cohorts). Each displaced
-    # query's shape stays exercised in-window:
-    #   join_left_outer   -> join_full_outer stays (null-extends BOTH
-    #                        sides; left is a strict subset) and
-    #                        pipeline_cdc_merge's compaction join lands
-    #                        in-window
-    #   window_lag_lead_rank -> window_distribution_functions stays;
-    #                        row_number ranking also runs in-window via
-    #                        text_heavy_hitters
-    #   q10_returned_items -> same customer⋈orders⋈lineitem agg shape
-    #                        as in-window q3_shipping_priority
-    #   q19_disjunctive_predicates -> scan-level pushdown is asserted
-    #                        by plan-shape tests; in-window q6 (pushed
-    #                        range predicates) + q14 (part⋈lineitem
-    #                        filter-agg) cover the execution shape
-    #   agg_count_distinct -> exact distinct aggregation runs in-window
-    #                        via event_retention_cohorts
-    #                        (count_distinct over a co-partitioned
-    #                        join) and agg_cube stays in-window
-    "join_left_outer", "window_lag_lead_rank", "q10_returned_items",
-    "q19_disjunctive_predicates", "agg_count_distinct",
-    # Rotated out for the sink-roundtrip pair (sink_jsonl_roundtrip,
-    # sink_csv_roundtrip — first driver evidence for the reference's
-    # S5/S6 output surface, previously pytest-only):
-    #   agg_argmax -> the struct-argmax shape runs in-window via BOTH
-    #                 pipeline_cdc_merge and pipeline_dedup_keep_best
-    #   q7_volume_shipping -> in-window q5 covers the multi-join
-    #                 volume-agg shape; r4-fresh q8 exercises the same
-    #                 self-aliased nation-pair join in a deeper plan
-    "agg_argmax", "q7_volume_shipping",
-    # Rotated out for event_user_paths and join_bucketed_colocated:
-    #   agg_pivot -> the conditional-aggregation pivot shape runs
-    #                in-window via event_funnel_stages' min-ts pivot;
-    #                the unpivot direction is already anchored by the
-    #                banked agg_unpivot pair
-    #   q12_shiplag_priority -> CASE-bucketed join-agg: the join side
-    #                is covered in-window by q3/q5, the conditional
-    #                CASE aggregation by event_funnel_stages and
-    #                pipeline_cdc_merge's delete counting
-    "agg_pivot", "q12_shiplag_priority",
-    # Rotated out for event_gapfill_locf and scan_partition_pruned:
-    #   q4_order_priority -> EXISTS/semi shape: in-window
-    #                pipeline_token_budget_threshold ends in a
-    #                left_semi; r4-fresh q21 covers EXISTS + NOT
-    #                EXISTS in their deepest correlated form
-    #   q17_small_quantity_revenue -> scalar-subquery shape: in-window
-    #                q22 (scalar agg subquery + anti) and r4-fresh q2
-    #                (correlated scalar-MIN decorrelation) hold the
-    #                fresher evidence
-    "q4_order_priority", "q17_small_quantity_revenue",
-    # Rotated out for pipeline_dataset_card:
-    #   q14_promo_effect -> CASE-sum share-of-total over a join:
-    #                in-window q3/q5 hold the part/lineitem join-agg
-    #                shape, event_funnel_stages the CASE-sum, and
-    #                r4-fresh q8 computes exactly a share-of-total
-    #                CASE ratio in a deeper plan
-    "q14_promo_effect",
-    # Rotated out for pipeline_graph_pagerank:
-    #   q18_large_volume_customer -> the IN-subquery-with-HAVING
-    #                decorrelates to a semi join on an aggregate —
-    #                in-window pipeline_token_budget_threshold ends in
-    #                exactly that shape, and r4-fresh q13 covers the
-    #                customer⋈orders⋈lineitem stacked-agg join
-    "q18_large_volume_customer",
-    # Rotated out for event_anomaly_zscore:
-    #   join_broadcast_dims -> its BroadcastHashJoin contract is
-    #                asserted by its own plan-shape test
-    #                (test_constant_dims_broadcast), and in-window
-    #                q3/q5 join the same constant dims inside full
-    #                TPC-H value checks
-    "join_broadcast_dims",
+# Checked in round 5 (CORRECTNESS_r05.json: 45 hash-green + 5
+# rows-only-by-design, zero failures) — the freshest driver evidence.
+# 19 of these are r2/r3-era queries rotated back in; the other 31 were
+# round 5's new or never-checked queries.
+DRIVER_CHECKED_R5 = frozenset({
+    "agg_cube", "dedup_containment", "dedup_embedding_lsh",
+    "dedup_span_duplication", "event_anomaly_zscore", "event_funnel_stages",
+    "event_gapfill_locf", "event_retention_cohorts", "event_user_paths",
+    "join_bucketed_colocated", "join_full_outer", "join_range_events",
+    "kafka_dedup_global", "kafka_dedup_lww", "kafka_parse_project",
+    "multimodal_feature_extract", "pipeline_cdc_merge", "pipeline_chunk_sliding",
+    "pipeline_corpus_diff", "pipeline_dataset_card", "pipeline_dedup_keep_best",
+    "pipeline_graph_pagerank", "pipeline_outlier_filter", "pipeline_pii_scrub",
+    "pipeline_quality_buckets", "pipeline_token_budget_select",
+    "pipeline_token_budget_threshold",
+    "pipeline_weighted_sample", "q1_pricing_summary", "q22_global_sales_opportunity",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "scalar_date_advanced", "scalar_json_struct_map", "scalar_string_advanced",
+    "scan_partition_pruned", "set_operations", "sim_topk_ivf",
+    "sim_topk_ivf_kmeans", "sim_topk_lsh", "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip", "text_bigram_surprisal", "text_heavy_hitters",
+    "text_zipf_slope", "window_asof_last_event", "window_distribution_functions",
+    "window_range_frame", "window_topk_per_group",
 })
 
 
@@ -223,15 +123,15 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"oracles without queries: {unknown}")
 
     def _window_priority(name: str) -> int:
-        # Round-5 window (first 50): queries with no driver row ever
-        # (the 5 never-checked + every query added this round), then
-        # the r2/r3-era banked greens not in R5_WINDOW_EXCLUDED (see
-        # that constant's header for the live arithmetic). Behind the
-        # window: the excluded r2/r3 queries (each with a documented
-        # twin), then the 50 queries freshly checked in round 4.
-        if name in DRIVER_CHECKED_R4:
+        # Pure staleness rotation (round 6 on): sort by the round of
+        # each query's most recent driver CORRECTNESS row, oldest
+        # first; never-checked (newly added) queries lead. The r6
+        # window (first 50) is therefore: new queries, then the 31
+        # r3-era queries r5 didn't reach, then the r4 cohort's head in
+        # module order.
+        if name in DRIVER_CHECKED_R5:
             return 3
-        if name in R5_WINDOW_EXCLUDED:
+        if name in DRIVER_CHECKED_R4:
             return 2
         if name in DRIVER_CHECKED_R2_R3:
             return 1

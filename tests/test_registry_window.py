@@ -2,66 +2,31 @@
 
 The driver's correctness harness oracle-checks only the FIRST 50
 entries of ``merged_registry()`` per round, so iteration order decides
-which queries earn hard driver evidence. Rounds 2-3 checked one fixed
-set (``DRIVER_CHECKED_R2_R3``); round 4 checked a second disjoint set
-(``DRIVER_CHECKED_R4``). Round 5's window re-verifies the aging r2/r3
-greens (shared loader/session code changed under them in round 4) and
-finally covers the 5 queries that have never earned any driver row.
-These tests lock that ordering so a refactor can't silently rotate
-coverage back.
+which queries earn hard driver evidence. Round 6 on, ordering is a pure
+STALENESS rotation: never-driver-checked (newly added) queries first,
+then ascending by the round of each query's most recent driver
+CORRECTNESS row (r3-era before r4 before r5). These tests lock that
+ordering so a refactor can't silently rotate coverage back, and force
+every newly added oracle query to be registered in ``NEW_IN_R6`` below
+(it claims a window slot from the r4 cohort's tail — keep new queries
+per round ≤ the number of r4-cohort slots in the window, or the stalest
+cohort starts spilling out).
 """
 
 from __future__ import annotations
 
 WINDOW = 50
 
-# The five queries that, before round 5, never earned a driver
-# CORRECTNESS row in any round. They MUST lead the round-5 window.
-NEVER_DRIVER_CHECKED = {
-    "dedup_embedding_lsh",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
-    "multimodal_feature_extract",
-}
-
-# Oracle-backed queries ADDED in round 5 — no banked evidence exists,
-# so they also claim window slots.
-NEW_IN_R5 = {
-    "dedup_span_duplication",
-    "text_zipf_slope",
-    "dedup_containment",
-    "pipeline_outlier_filter",
-    "pipeline_weighted_sample",
-    "pipeline_pii_scrub",
-    "pipeline_token_budget_select",
-    "pipeline_token_budget_threshold",
-    "text_bigram_surprisal",
-    "pipeline_dedup_keep_best",
-    "pipeline_quality_buckets",
-    "pipeline_corpus_diff",
-    "pipeline_cdc_merge",
-    "pipeline_chunk_sliding",
-    "text_heavy_hitters",
-    "event_funnel_stages",
-    "event_retention_cohorts",
-    "sink_jsonl_roundtrip",
-    "sink_csv_roundtrip",
-    "event_user_paths",
-    "join_bucketed_colocated",
-    "event_gapfill_locf",
-    "scan_partition_pruned",
-    "pipeline_dataset_card",
-    "pipeline_graph_pagerank",
-    "event_anomaly_zscore",
-}
+# Oracle-backed queries ADDED in round 6 — no banked evidence exists,
+# so they lead the window.
+NEW_IN_R6: set[str] = set()
 
 
 def _registry():
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import (
         DRIVER_CHECKED_R2_R3,
         DRIVER_CHECKED_R4,
-        R5_WINDOW_EXCLUDED,
+        DRIVER_CHECKED_R5,
         merged_registry,
     )
 
@@ -71,47 +36,51 @@ def _registry():
         oracles,
         DRIVER_CHECKED_R2_R3,
         DRIVER_CHECKED_R4,
-        R5_WINDOW_EXCLUDED,
+        DRIVER_CHECKED_R5,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, excluded = _registry()
-    for label, banked in (("R2_R3", r23), ("R4", r4)):
+    names, _, r23, r4, r5 = _registry()
+    for label, banked in (("R2_R3", r23), ("R4", r4), ("R5", r5)):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
-    assert excluded <= r23, "R5_WINDOW_EXCLUDED must be a subset of the r2/r3 set"
+    assert not (r23 & r4), "a query can't be banked in both r2/r3 and r4"
+    assert not (r4 & r5), "round 5's window re-checked no r4-banked query"
+    # r5 re-checked 19 r2/r3-era queries plus round 5's 31 new/never set
+    assert len(r5) == 50 and len(r5 & r23) == 19
 
 
-def test_banked_sets_are_disjoint_and_cover_all_but_unchecked():
-    names, _, r23, r4, _ = _registry()
-    assert not (r23 & r4), "a query can't be banked in both eras"
-    never = set(names) - r23 - r4
-    expected = NEVER_DRIVER_CHECKED | NEW_IN_R5
-    assert never == expected, (
-        f"never-driver-checked set drifted: {never ^ expected}"
+def test_every_query_has_banked_or_new_status():
+    names, _, r23, r4, r5 = _registry()
+    never = set(names) - r23 - r4 - r5
+    assert never == NEW_IN_R6, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R6} — newly "
+        "added oracle queries must be registered in NEW_IN_R6"
     )
 
 
-def test_unchecked_queries_lead_the_window():
-    names, _, _, _, _ = _registry()
-    lead = NEVER_DRIVER_CHECKED | NEW_IN_R5
-    head = set(names[: len(lead)])
-    assert head == lead, (
-        f"first {len(lead)} registry entries must be the queries without "
-        f"any driver row, got {head}"
-    )
-
-
-def test_window_is_unchecked_plus_aging_r2_r3_greens():
-    names, _, r23, r4, excluded = _registry()
+def test_window_is_staleness_ordered():
+    names, _, r23, r4, r5 = _registry()
+    stale_r3 = r23 - r5  # latest driver row is r3-era
+    assert len(stale_r3) == 31
+    # new queries lead
+    assert set(names[: len(NEW_IN_R6)]) == NEW_IN_R6
+    # then every r3-era query, before any r4- or r5-banked one
+    assert set(names[len(NEW_IN_R6) : len(NEW_IN_R6) + len(stale_r3)]) == stale_r3
+    # the window's remaining slots go to the r4 cohort's head
     window = names[:WINDOW]
-    expected = NEVER_DRIVER_CHECKED | NEW_IN_R5 | (r23 - excluded)
-    assert len(expected) == WINDOW
+    n_r4_slots = WINDOW - len(NEW_IN_R6) - len(stale_r3)
+    assert n_r4_slots > 0, "new-query additions overflowed the window"
+    expected = (
+        NEW_IN_R6
+        | stale_r3
+        | set([n for n in names if n in r4][:n_r4_slots])
+    )
     assert set(window) == expected, (
-        f"round-5 window drifted: unexpected={set(window) - expected} "
+        f"round-6 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # Freshly r4-checked queries ride at the very back.
-    tail = names[-len(r4):]
-    assert set(tail) == r4, "r4-banked queries must occupy the registry tail"
+    # freshest evidence (r5-checked) rides at the very back
+    tail = names[-len(r5):]
+    assert set(tail) == r5, "r5-banked queries must occupy the registry tail"

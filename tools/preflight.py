@@ -1,0 +1,88 @@
+"""Pre-round gate: regenerate the three hard signals in one command.
+
+    python tools/preflight.py                # sweep + pytest + bench+compare
+    python tools/preflight.py --skip-bench   # the two fast signals only
+
+Runs, in order, failing fast with a nonzero exit on the first broken
+signal:
+
+1. **Correctness sweep** — `tools/verify_all.py`: every registered
+   query vs its DuckDB oracle at sf0.01 under a hostile session.
+2. **pytest** — `python -m pytest tests/ -x -q`.
+3. **Bench + regression compare** — snapshot the previous
+   `BENCH_local_latest.json` as the baseline, run `bench.py`
+   (min-of-three, writes a fresh BENCH_local_latest.json), then
+   `tools/bench_compare.py baseline new --threshold 2.0`: with
+   min-of-three on both sides, a >2x per-query movement is a plan
+   change, not host noise (memory: bench-noise-host-variance), so it
+   fails the gate. First run (no baseline) benches without comparing.
+
+Every round should ship with this command's output in its evidence
+(VERDICT r5 item 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import shutil
+import subprocess
+import sys
+import tempfile
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(label: str, cmd: list[str], **kw) -> int:
+    print(f"\npreflight: === {label}: {' '.join(cmd)} ===", flush=True)
+    rc = subprocess.call(cmd, cwd=str(_REPO), **kw)
+    print(f"preflight: {label} {'OK' if rc == 0 else f'FAILED (rc={rc})'}", flush=True)
+    return rc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="correctness-sweep scale factor dir")
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="skip the bench + regression-compare signal")
+    ap.add_argument("--threshold", type=float, default=2.0,
+                    help="bench_compare regression ratio (default 2.0)")
+    args = ap.parse_args()
+
+    py = sys.executable
+    if _run("sweep", [py, "tools/verify_all.py", "--sf-dir", args.sf_dir]):
+        return 1
+    if _run("pytest", [py, "-m", "pytest", "tests/", "-x", "-q"]):
+        return 1
+    if args.skip_bench:
+        print("preflight: bench skipped (--skip-bench)")
+        print("\npreflight: ALL GREEN (2 of 3 signals; bench skipped)")
+        return 0
+
+    latest = _REPO / "BENCH_local_latest.json"
+    baseline = None
+    if latest.exists():
+        tmp = tempfile.NamedTemporaryFile(
+            prefix="bench_baseline_", suffix=".json", delete=False
+        )
+        tmp.close()
+        shutil.copyfile(latest, tmp.name)
+        baseline = tmp.name
+    if _run("bench", [py, "bench.py"]):
+        return 1
+    if baseline is None:
+        print("preflight: no prior BENCH_local_latest.json — bench ran, "
+              "nothing to compare against")
+    elif _run(
+        "bench_compare",
+        [py, "tools/bench_compare.py", baseline, str(latest),
+         "--threshold", str(args.threshold)],
+    ):
+        return 1
+    print("\npreflight: ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
