@@ -277,3 +277,65 @@ def pagerank_fixed_iterations(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Triangles are the smallest clique signal: in a near-dup graph a
+    node with many triangles sits inside a dense template/boilerplate
+    CLUSTER (everything similar to everything), while a triangle-free
+    node chains through drift pairs — the distinction an audit uses to
+    pick cluster-level vs pair-level dedup treatment (the same role
+    the local clustering coefficient plays in the graph literature).
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    (a < b) and deduplicated first. The count uses the standard
+    ordered-wedge closure: wedge (a<b<c) from e(a,b) ⋈ e(b,c), closed
+    by e(a,c) — each triangle found exactly once, so per-node counts
+    sum to 3× the global triangle count. Returns (node, n_triangles)
+    for nodes in ≥ 1 triangle.
+
+    Scale: two hash-shuffle joins of the EDGE relation (pair-graph
+    sized, never corpus sized), no cartesian anywhere. Skew lives in
+    high-degree hubs (a degree-d node contributes O(d²) wedges); the
+    canonical a<b<c ordering already halves hub fan-out vs naive
+    wedge counting, and the degree-ordering refinement (orient edges
+    low-degree → high-degree) is the documented next step if a 100 TB
+    pair graph grows a pathological hub. The edge relation should
+    arrive materialized (localCheckpoint/persist) when it derives from
+    an expensive candidate-generation subtree — it is scanned three
+    times here.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))  # drops self-loops
+        .distinct()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    e3 = canon.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("wa"),
+        F.col("e1.b").alias("wb"),
+        F.col("e2.b").alias("wc"),
+    )
+    triangles = wedges.join(
+        e3,
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+        "left_semi",
+    )
+    member = (
+        triangles.select(F.col("wa").alias("node"))
+        .unionAll(triangles.select(F.col("wb").alias("node")))
+        .unionAll(triangles.select(F.col("wc").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -69,3 +69,47 @@ def salted_aggregate(
             for fn, _, alias in aggs
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side, replicate the SMALL side.
+
+    A shuffle join on a hot key funnels that key's rows into one reduce
+    task regardless of cluster size (one event_type holding 20% of a
+    100 TB fact table = one task processing 20 TB). The classic fix
+    when the small side is too big to broadcast outright but small
+    enough to replicate ``salt_buckets``-fold: the big side gets a
+    deterministic salt in [0, salt_buckets), the small side is exploded
+    once per salt value, and the join runs on (keys + salt) — every hot
+    key is now spread across ``salt_buckets`` tasks. Join semantics for
+    inner/left are unchanged (each big row matches exactly the salt
+    replica it carries; small-side multiplicity per key is preserved
+    within each replica). ``right``/``full`` are rejected: an unmatched
+    SMALL row would surface once per replica.
+
+    The salt is derived from ``xxhash64`` of the big side's columns,
+    not ``rand()``, so speculative task re-execution salts identically.
+    AQE's skew-join split handles moderate skew on its own; use this
+    when one key's payload exceeds what a single split can hold, and
+    prefer ``F.broadcast(small)`` whenever the small side simply fits.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: an unmatched "
+            "small-side row would appear once per salt replica"
+        )
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    big_salted = big.withColumn("__salt", salt)
+    replicas = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    return big_salted.join(replicas, [*keys, "__salt"], how).drop("__salt")

@@ -106,9 +106,21 @@ DRIVER_CHECKED_R5 = frozenset({
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import corpus, llm, multimodal, reference, relational, tpch_deep, windows
+    from . import (
+        analytics,
+        corpus,
+        llm,
+        multimodal,
+        reference,
+        relational,
+        tpch_deep,
+        windows,
+    )
 
-    modules = [reference, relational, tpch_deep, llm, windows, multimodal, corpus]
+    modules = [
+        reference, relational, tpch_deep, llm, windows, multimodal, corpus,
+        analytics,
+    ]
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,140 @@
+"""Unit tests for the round-6 analytics operators and queries
+(triangles, salted join, SCD2 islands, centroid, curriculum) on
+synthetic micro-fixtures with hand-computable answers — the oracle
+gate proves engine agreement, these prove the SEMANTICS."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triangle_counts_k4_square_and_noise(spark):
+    """K4 holds C(4,3)=4 triangles with every node in 3; a 4-cycle
+    without diagonals holds none; duplicate, reversed, and self-loop
+    edges must not inflate counts."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    noise = [(1, 0), (0, 1), (2, 2)]  # reversed dup, dup, self-loop
+    edges = spark.createDataFrame(k4 + square + noise, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # per-node counts sum to 3x the triangle count
+    assert sum(got.values()) == 3 * 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Inner and left salted joins must equal the unsalted joins row
+    for row — including small-side multiplicity and left-side rows
+    with no match."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, i) for k in ("a", "b", "c") for i in range(7)], "k string, v int"
+    )
+    small = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, w int"  # a matches TWICE
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for how in ("inner", "left"):
+        got = rows(salted_join(big, small, ["k"], salt_buckets=4, how=how))
+        want = rows(big.join(small, ["k"], how))
+        assert got == want, how
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_scd2_islands_collapse_and_current_flag(spark):
+    """Consecutive same-state runs collapse into one interval; a state
+    REVISITED later opens a new interval; the last interval per user is
+    open-ended and flagged current."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.analytics import (
+        pipeline_scd2_intervals,
+    )
+    import datetime as dt
+
+    rows = [
+        # user 1: A A B A  -> intervals A(2), B(1), A(1)
+        (1, dt.datetime(2024, 1, 1, 0), 1, "A", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "A", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2), 1, "B", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 3), 1, "A", 0.0, "{}"),
+        # user 2: single event -> one current interval
+        (5, dt.datetime(2024, 1, 2, 0), 2, "C", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.createOrReplaceTempView("__scd2_fixture")
+
+    import new_kafka_consumer_to_hadoop_hdfs_spark.plans.analytics as mod
+
+    orig = mod.load_table
+    mod.load_table = lambda spark, sf_dir, name: spark.table("__scd2_fixture")
+    try:
+        out = sorted(
+            (r.user_id, r.event_type, r.n_events, r.is_current)
+            for r in pipeline_scd2_intervals(spark, SF).collect()
+        )
+    finally:
+        mod.load_table = orig
+    # the revisited A is a NEW interval (currently open), not merged
+    # into the first A run
+    assert out == sorted(
+        [(1, "A", 2, 0), (1, "B", 1, 0), (1, "A", 1, 1), (2, "C", 1, 1)]
+    )
+
+
+def test_centroid_matches_numpy_mean(spark):
+    """The decimal-sum centroid equals the numpy float64 mean to 1e-6
+    (the output rounding) on a small fixture."""
+    import numpy as np
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    queries, _ = merged_registry()
+    out = queries["embedding_centroid_per_label"](spark, SF).toPandas()
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for label, grp in emb.groupby("label"):
+        want = np.mean(np.stack(grp["embedding"].to_numpy()).astype("float64"), axis=0)
+        got = (
+            out[out.label == label]
+            .sort_values("dim")["centroid_val"]
+            .to_numpy()
+        )
+        assert np.allclose(got, want, atol=1.5e-6), label
+
+
+def test_curriculum_positions_are_a_stage_ordered_permutation(spark):
+    """curriculum_pos must be a permutation of 0..n-1 and
+    non-decreasing in stage (all stage-0 docs before all stage-1 docs,
+    etc.) — the contract a sequential trainer consumes."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    queries, _ = merged_registry()
+    pdf = (
+        queries["pipeline_curriculum_order"](spark, SF)
+        .toPandas()
+        .sort_values("curriculum_pos")
+    )
+    n = len(pdf)
+    assert list(pdf["curriculum_pos"]) == list(range(n))
+    assert list(pdf["stage"]) == sorted(pdf["stage"]), "stages interleaved"
+    # within a stage, positions are hash-shuffled, not doc_id-ordered
+    s0 = pdf[pdf.stage == pdf.stage.min()]["doc_id"].tolist()
+    assert s0 != sorted(s0), "within-stage order suspiciously sorted"

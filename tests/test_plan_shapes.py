@@ -344,3 +344,55 @@ def test_gapfill_single_corpus_shuffle(spark, registry):
     # the corpus-sized exchanges: hourly agg + global min/max agg
     # (single-partition); the join/window exchanges are grid-sized
     assert plan.count("hashpartitioning(") <= 3, plan
+
+
+def test_scd2_single_corpus_shuffle(spark, registry):
+    """SCD2 shuffles the event stream exactly once, on user_id: the
+    change-flag window, the island window, the island aggregation
+    (grouping on a SUPERSET of the partitioning key satisfies its
+    clustered distribution), and the valid_to lead window all reuse
+    that one exchange."""
+    plan = _plan(spark, registry, "pipeline_scd2_intervals")
+    assert plan.count("hashpartitioning(") == 1, plan
+    key = plan.split("hashpartitioning(", 1)[1][:30]
+    assert "user_id" in key, plan
+
+
+def test_centroid_single_mapside_combined_exchange(spark, registry):
+    """The per-label centroid is ONE aggregation: partial aggregates
+    collapse the exploded (label, dim, val) rows map-side, so the only
+    exchange carries |labels| x dim partial sums."""
+    plan = _plan(spark, registry, "embedding_centroid_per_label")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark, registry):
+    """With broadcast disabled, the salted join's fact-side exchange
+    must partition on (event_type, __salt) — the whole point: a hot
+    event_type spreads over salt_buckets reduce tasks instead of one.
+    Bypasses the module plan cache: needs its own conf."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry["join_salted_skew"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        # several exchanges exist (the dim-build aggregate partitions on
+        # event_type alone); the JOIN's fact-side exchange is the one
+        # that must carry the salt
+        keys = [
+            chunk[:120]
+            for chunk in plan.split("hashpartitioning(")[1:]
+        ]
+        assert any(
+            "event_type" in k and "__salt" in k for k in keys
+        ), f"no (event_type, __salt) exchange found in: {keys}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_curriculum_never_globally_sorts(spark, registry):
+    """The total order is assigned through (stage, shard)-partitioned
+    windows + broadcast offsets: NO range partitioning (the global-sort
+    exchange) anywhere in the plan."""
+    plan = _plan(spark, registry, "pipeline_curriculum_order")
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -19,7 +19,14 @@ WINDOW = 50
 
 # Oracle-backed queries ADDED in round 6 — no banked evidence exists,
 # so they lead the window.
-NEW_IN_R6: set[str] = set()
+NEW_IN_R6: set[str] = {
+    "sink_orc_roundtrip",
+    "pipeline_scd2_intervals",
+    "pipeline_graph_triangles",
+    "embedding_centroid_per_label",
+    "join_salted_skew",
+    "pipeline_curriculum_order",
+}
 
 
 def _registry():
