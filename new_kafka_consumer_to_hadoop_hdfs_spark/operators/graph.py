@@ -319,6 +319,13 @@ def triangle_counts(
         )
         .filter(F.col("a") < F.col("b"))  # drops self-loops
         .distinct()
+        # The canonical edge relation is scanned THREE times (e1/e2/e3);
+        # without materialization each scan re-executes the upstream
+        # edge-generation subtree — for the near-dup host query that is
+        # the whole candidate+verify pipeline, measured 15.8 s → ~5 s at
+        # sf0.1. Same lineage-cutting pattern as pagerank/CC; the edge
+        # relation is pair-graph sized, so the materialization is cheap.
+        .localCheckpoint(eager=True)
     )
     e1 = canon.alias("e1")
     e2 = canon.alias("e2")

@@ -923,3 +923,241 @@ def lsh_topk_cosine(
             "rank",
         )
     )
+
+
+def pq_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """Approximate top-k cosine via PRODUCT QUANTIZATION with
+    asymmetric-distance computation (ADC) — Jégou et al. 2011, the
+    third classic ANN family next to LSH bucketing
+    (:func:`lsh_topk_cosine`) and IVF partitioning
+    (:func:`ivf_topk_cosine`). LSH and IVF shrink the CANDIDATE SET;
+    PQ shrinks the BYTES PER VECTOR: each L2-normalized vector is
+    split into ``n_subspaces`` subvectors, each quantized to the
+    nearest of ``n_codes`` codewords, so a 64-dim float32 vector
+    (256 B) becomes ``n_subspaces`` uint8 codes (8 B) — a 32× scan-
+    bandwidth cut (the extreme end of the axis `sim_topk_cosine_int8`
+    measures at 4×). Queries stay UNQUANTIZED: per query a
+    (n_subspaces × n_codes) lookup table of subvector·codeword dot
+    products is precomputed, and a corpus vector's approximate cosine
+    is n_subspaces table lookups summed — no decode, no float vector
+    read.
+
+    Codebook training is deterministic: seeded from the first
+    ``n_codes`` corpus vectors by id (the IVF seeding rule), then
+    ``refine_iterations`` Lloyd rounds per subspace — one narrow
+    encode pass + one partial-agg shuffle of (subspace, code, dim)
+    component sums per round, means returned to the driver and
+    ROUNDED to 9 decimals so float-sum ordering cannot leak into code
+    assignment (the `ivf_topk_cosine` determinism-over-last-ulp
+    trade). Codebooks and the per-query LUT tensor are index-build
+    collects: n_subspaces·n_codes·sub_dim + |queries|·n_subspaces·
+    n_codes doubles — kilobytes.
+
+    Search mirrors :func:`topk_cosine_mapside`: mapInPandas over the
+    CODES relation, per-partition bounded top-k pools per query (numpy
+    gather per Arrow batch), exchange carries ≤ k·|queries|·partitions
+    candidates, global window rank on that tiny relation. Recall < 1
+    from quantization error alone (every vector is scored — no
+    candidate misses, unlike LSH/IVF); the pytest property test pins
+    recall@k against the exact scorer. Rows-only under the driver
+    gate: the seeded codebook training has no DuckDB twin — evidence
+    pattern of `sim_topk_lsh` / `sim_topk_ivf`.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    seed_rows = (
+        corpus.orderBy(id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(n_codes)
+        .select(to_double(F.col(vec_col)))
+        .collect()
+    )
+    if not seed_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    dim = len(seed_rows[0][0])
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub_dim = dim // n_subspaces
+
+    def _unit(mat: "np.ndarray") -> "np.ndarray":
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(n == 0.0, 1.0, n)
+
+    seed = _unit(np.array([list(r[0]) for r in seed_rows], dtype=np.float64))
+    # codebooks[s]: (n_codes, sub_dim), trained on normalized subvectors
+    books = np.stack(
+        [seed[:, s * sub_dim : (s + 1) * sub_dim] for s in range(n_subspaces)]
+    )
+
+    def _make_encoder(bk):
+        @pandas_udf(ArrayType(IntegerType()))
+        def _encode(v: pd.Series) -> pd.Series:
+            import numpy as np  # noqa: PLC0415 — worker-side
+
+            vals = v.to_numpy()
+            out = [None] * len(vals)
+            valid = [
+                i for i in range(len(vals))
+                if vals[i] is not None and len(vals[i]) == dim
+            ]
+            if valid:
+                V = _unit(
+                    np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+                )
+                codes = np.empty((len(valid), n_subspaces), dtype=np.int32)
+                for s in range(n_subspaces):
+                    sub = V[:, s * sub_dim : (s + 1) * sub_dim]
+                    # squared L2 to each codeword; ROUND before argmin so
+                    # a near-tie can't flip with BLAS blocking; argmin
+                    # breaks exact ties by lowest code index
+                    d2 = np.round(
+                        (sub**2).sum(1)[:, None]
+                        - 2.0 * (sub @ bk[s].T)
+                        + (bk[s] ** 2).sum(1)[None, :],
+                        9,
+                    )
+                    codes[:, s] = np.argmin(d2, axis=1)
+                for j, i in enumerate(valid):
+                    out[i] = [int(c) for c in codes[j]]
+            return pd.Series(out)
+
+        return _encode
+
+    # Lloyd refinement per subspace: encode pass → (sub, code, dim)
+    # partial sums → driver means, rounded for determinism.
+    for _ in range(refine_iterations):
+        enc = _make_encoder(books)
+        assigned = (
+            corpus.select(to_double(F.col(vec_col)).alias("__v"))
+            .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+            .withColumn(
+                "__nrm",
+                F.when(l2_norm(F.col("__v")) == 0.0, F.lit(1.0)).otherwise(
+                    l2_norm(F.col("__v"))
+                ),
+            )
+            .select(
+                enc(F.col("__v")).alias("__codes"),
+                F.expr("transform(__v, x -> x / __nrm)").alias("__u"),
+            )
+            .select(F.posexplode("__u").alias("__pos", "__x"), "__codes")
+            .select(
+                (F.col("__pos") / sub_dim).cast("int").alias("__sub"),
+                (F.col("__pos") % sub_dim).alias("__sdim"),
+                "__x",
+                "__codes",
+            )
+            .select(
+                "__sub",
+                "__sdim",
+                "__x",
+                F.element_at("__codes", F.col("__sub") + 1).alias("__code"),
+            )
+        )
+        sums = (
+            assigned.groupBy("__sub", "__code", "__sdim")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new_books = books.copy()
+        acc: dict[tuple[int, int], tuple["np.ndarray", int]] = {}
+        for r in sums:
+            key = (r["__sub"], r["__code"])
+            vec, _ = acc.setdefault(key, (np.zeros(sub_dim), 0))
+            vec[r["__sdim"]] = r["__s"]
+            acc[key] = (vec, r["__n"])
+        for (s, c), (vec, n) in acc.items():
+            if n > 0:
+                new_books[s, c] = np.round(vec / n, 9)
+        books = new_books  # empty codes keep their previous codeword
+
+    enc = _make_encoder(books)
+    codes_df = corpus.select(
+        F.col(id_col).alias("__nid"),
+        enc(to_double(F.col(vec_col))).alias("__codes"),
+    ).filter(F.col("__codes").isNotNull())
+
+    q_rows = (
+        queries.select(F.col(id_col), to_double(F.col(vec_col)))
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    q_rows = [r for r in q_rows if len(r[1]) == dim]
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = _unit(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    # LUT[q, s, c] = q_sub(s) . codeword(s, c); approx cosine of a coded
+    # vector is sum_s LUT[q, s, code_s] (both sides unit-normalized)
+    lut = np.stack(
+        [
+            Q[:, s * sub_dim : (s + 1) * sub_dim] @ books[s].T
+            for s in range(n_subspaces)
+        ],
+        axis=1,
+    )  # (|queries|, n_subspaces, n_codes)
+
+    def adc(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side
+        import pandas as pd  # noqa: PLC0415
+
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+        for pdf in batches:
+            ids = pdf["__nid"].to_numpy()
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["__codes"].to_numpy()]
+            ) if len(pdf) else np.empty((0, n_subspaces), dtype=np.int64)
+            if not len(ids):
+                continue
+            # gather: scores[q, row] = sum_s lut[q, s, codes[row, s]]
+            scores = lut[:, np.arange(n_subspaces)[None, :], codes].sum(axis=2)
+            scores[q_ids[:, None] == ids[None, :].astype(np.int64)] = -np.inf
+            take = min(k, scores.shape[1])
+            kth = -np.partition(-scores, take - 1, axis=1)[:, take - 1]
+            for qi, qid in enumerate(q_ids):
+                pool = best[int(qid)]
+                for i in np.nonzero(scores[qi] >= kth[qi])[0]:
+                    sc = scores[qi, i]
+                    if sc != -np.inf:
+                        pool.append((float(sc), int(ids[i])))
+                if len(pool) > 4 * k:
+                    best[int(qid)] = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        out = [
+            (int(qid), nid, c)
+            for qid, pool in best.items()
+            for c, nid in sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        ]
+        yield pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "__cos"]
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "__cos": "float64"})
+
+    cands = codes_df.mapInPandas(adc, "query_id long, neighbor_id long, __cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

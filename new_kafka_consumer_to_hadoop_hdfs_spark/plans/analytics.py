@@ -437,3 +437,189 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_us)::BIGINT AS n_gaps,
+       ROUND(SUM(gap_us)::DOUBLE / (COUNT(gap_us) * 1000000.0), 6)
+         AS avg_gap_sec,
+       ROUND(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_gap_sec,
+       ROUND(quantile_cont(gap_us / 1000000.0, 0.95), 6) AS p95_gap_sec
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@_register("event_interarrival_stats", _INTERARRIVAL_ORACLE)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type — the cadence
+    profile behind rate-limit tuning, bot detection (sub-second
+    machine cadence vs human cadence), and session-gap calibration
+    (the 8-hour gap `event_session_window` hard-codes should come FROM
+    this query's p95).
+
+    Plan: the lag window partitions by (user_id, event_type) — per-user
+    sequences, so partition skew is bounded by a single user's history,
+    never by a hot event type (a window partitioned by event_type alone
+    would funnel ~20% of a 100 TB stream through one task). The gap
+    relation then feeds one partial-agg-friendly aggregation over the
+    5-value type domain; exact percentiles over a 5-group domain are
+    fine at any scale because percentile is evaluated per GROUP
+    (`agg_approx_percentiles` is the sketch twin when the group count
+    itself explodes). Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n-1)·p interpolation contract
+    (`agg_percentiles` pins this).
+
+    Float determinism: gaps are computed as INTEGER microseconds in
+    both engines (`unix_micros` diff vs `date_diff('microsecond')`);
+    the average is an exact integer SUM (order-independent) divided
+    once, and the percentile inputs are the identical single division
+    `gap_us / 1e6` — no order-dependent double accumulation anywhere,
+    so ROUND(·, 6) is hash-stable (unlike the residual-risk queries
+    noted on `event_anomaly_zscore`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # unix_micros needs TIMESTAMP (not _NTZ, which the loader may
+    # surface depending on the parquet encoding); the cast is
+    # offset-safe because gaps are DIFFERENCES — any session-timezone
+    # shift cancels (and apply_runtime_conf pins UTC regardless).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    gaps = ev.select(
+        "event_type", (ts_us - prev_us).alias("__gap_us")
+    ).filter(F.col("__gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum("__gap_us").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("avg_gap_sec"),
+        F.round(F.expr("percentile(__gap_us / 1000000.0, 0.5)"), 6).alias(
+            "p50_gap_sec"
+        ),
+        F.round(F.expr("percentile(__gap_us / 1000000.0, 0.95)"), 6).alias(
+            "p95_gap_sec"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users: exact + mergeable-sketch twin
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+)
+SELECT d.day AS window_start,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+FROM days d
+JOIN events e
+  ON e.ts >= d.day AND e.ts < d.day + INTERVAL 7 DAY
+GROUP BY d.day
+"""
+
+
+@_register("event_distinct_sliding", _SLIDING_DISTINCT_ORACLE)
+def event_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling distinct users per day — the trailing-MAU
+    gold standard, and the exact twin anchoring
+    `event_distinct_sliding_hll`. Distinct is NOT algebraic: a rolling
+    window cannot reuse daily distinct counts (users active on several
+    days would double-count), so the exact form first reduces the
+    stream to distinct (day, user) pairs — ONE corpus-sized shuffle,
+    typically orders of magnitude smaller output — then explodes each
+    pair into the ≤ 7 windows it serves (bounded fan-out over the
+    reduced relation, the `event_sliding_window` idiom) and
+    count-distincts per window over that day×user-bounded relation.
+    Window starts come from observed days (matching the oracle's days
+    CTE), so empty windows don't appear.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1000000
+    pairs = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("__day"), "user_id"
+        ).distinct()
+    )
+    # each (day, user) pair serves the 7 windows starting day-6 .. day;
+    # keep only window starts that are themselves observed days so the
+    # output domain matches the oracle's days CTE
+    days = pairs.select("__day").distinct()
+    exploded = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.unix_micros(F.col("__day")) - F.lit(6 * day_us),
+                F.unix_micros(F.col("__day")),
+                F.lit(day_us),
+            )
+        ).alias("__start_us"),
+    ).select("user_id", F.timestamp_micros(F.col("__start_us")).alias("window_start"))
+    return (
+        exploded.join(
+            days.select(F.col("__day").alias("window_start")), "window_start", "left_semi"
+        )
+        .groupBy("window_start")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_register("event_distinct_sliding_hll")
+def event_distinct_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`event_distinct_sliding`'s mergeable-sketch twin: ONE HLL sketch
+    per (day), merged across each 7-day window — the pre-aggregated
+    form that scales when windows are long or many. The daily sketch
+    relation is calendar-bounded (days × ~1.5 KB), so the rolling merge
+    touches kilobytes per window regardless of corpus size; the exact
+    twin re-shuffles (day, user) pairs into every window it serves.
+    Rows-only by design (Spark's HLL binary has no DuckDB oracle, and
+    estimates differ from exact counts); anchored by the exact twin
+    above plus `tests/test_analytics_queries.py`'s relative-error
+    property test — the same evidence pattern as
+    `agg_hll_union_rollup`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1000000
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("__day")).agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    days = daily.select("__day")
+    exploded = daily.select(
+        "__sk",
+        F.explode(
+            F.sequence(
+                F.unix_micros(F.col("__day")) - F.lit(6 * day_us),
+                F.unix_micros(F.col("__day")),
+                F.lit(day_us),
+            )
+        ).alias("__start_us"),
+    ).select("__sk", F.timestamp_micros(F.col("__start_us")).alias("window_start"))
+    return (
+        exploded.join(
+            days.select(F.col("__day").alias("window_start")),
+            "window_start",
+            "left_semi",
+        )
+        .groupBy("window_start")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(
+                "n_users_approx"
+            )
+        )
+    )

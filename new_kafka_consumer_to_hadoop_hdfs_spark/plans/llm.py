@@ -30,6 +30,7 @@ from ..operators.similarity import (
     ivf_topk_cosine,
     lsh_cosine_pairs,
     lsh_topk_cosine,
+    pq_topk_cosine,
     quantize_int8,
     topk_cosine,
     topk_cosine_arrow,
@@ -1293,6 +1294,29 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0)
     return lsh_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10, seed=42
+    ).orderBy("query_id", "rank")
+
+
+@_register("sim_topk_pq")  # no oracle: quantized scores by design
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors via PRODUCT QUANTIZATION +
+    asymmetric distance (8 subspaces × 16 codes, 1 Lloyd round) —
+    completing the classic ANN trio: LSH buckets (`sim_topk_lsh`) and
+    IVF cells (`sim_topk_ivf*`) shrink the candidate set; PQ shrinks
+    bytes-per-vector (64-dim float32 → 8 uint8 codes, a 32× scan-
+    bandwidth cut). Every vector is still SCORED (no candidate
+    misses); recall < 1 comes from quantization error alone, so rank
+    inversions near score ties are the failure mode — pinned by the
+    recall@10 property test against the exact scorer
+    (tests/test_analytics_queries.py). Rows-only by design: the
+    seeded Lloyd codebooks have no DuckDB twin; `sim_topk_cosine` is
+    the correctness anchor.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        n_subspaces=8, n_codes=16, refine_iterations=1,
     ).orderBy("query_id", "rank")
 
 

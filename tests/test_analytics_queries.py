@@ -138,3 +138,61 @@ def test_curriculum_positions_are_a_stage_ordered_permutation(spark):
     # within a stage, positions are hash-shuffled, not doc_id-ordered
     s0 = pdf[pdf.stage == pdf.stage.min()]["doc_id"].tolist()
     assert s0 != sorted(s0), "within-stage order suspiciously sorted"
+
+
+def test_pq_recall_against_exact(spark):
+    """PQ/ADC top-10 must stay close to the exact top-10: quantization
+    error may reorder near-ties but not destroy the neighborhood.
+    recall@10 ≥ 0.5 on the fixture (8 subspaces × 16 codes is a coarse
+    32× compression; LSH/IVF twins are held to the same anchor
+    pattern), and every returned pair's TRUE cosine must be within
+    0.25 of the true k-th best — no wildly-wrong neighbors."""
+    import numpy as np
+    import pandas as pd
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    queries, _ = merged_registry()
+    approx = queries["sim_topk_pq"](spark, SF).toPandas()
+    assert (approx.groupby("query_id")["rank"].max() <= 10).all()
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+    hits = tot = 0
+    for qid in sorted(set(approx["query_id"])):
+        qv = Vu[ids == qid][0]
+        cos = Vu @ qv
+        cos[ids == qid] = -np.inf
+        order = np.lexsort((ids, -np.round(cos, 9)))
+        exact10 = set(ids[order[:10]].tolist())
+        got = approx[approx.query_id == qid]
+        got10 = set(got["neighbor_id"].tolist())
+        hits += len(exact10 & got10)
+        tot += len(exact10)
+        kth_true = np.sort(cos)[::-1][9]
+        for nid in got10:
+            true_cos = cos[ids == nid][0]
+            assert true_cos >= kth_true - 0.25, (qid, nid, true_cos, kth_true)
+    assert hits / tot >= 0.5, f"PQ recall@10 collapsed: {hits / tot:.2f}"
+
+
+def test_hll_sliding_tracks_exact(spark):
+    """The HLL sliding twin must cover the same window starts as the
+    exact query and estimate within HLL's documented error envelope
+    (lgConfigK default 12 → ~1.6% rse; allow 10% on small counts)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    queries, _ = merged_registry()
+    exact = {
+        r.window_start: r.n_users
+        for r in queries["event_distinct_sliding"](spark, SF).collect()
+    }
+    approx = {
+        r.window_start: r.n_users_approx
+        for r in queries["event_distinct_sliding_hll"](spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for ws, n in exact.items():
+        assert abs(approx[ws] - n) <= max(2, 0.1 * n), (ws, n, approx[ws])

@@ -26,6 +26,10 @@ NEW_IN_R6: set[str] = {
     "embedding_centroid_per_label",
     "join_salted_skew",
     "pipeline_curriculum_order",
+    "event_interarrival_stats",
+    "event_distinct_sliding",
+    "event_distinct_sliding_hll",  # rows-only: sketch twin of the above
+    "sim_topk_pq",  # rows-only: PQ/ADC ANN, recall property-tested
 }
 
 
