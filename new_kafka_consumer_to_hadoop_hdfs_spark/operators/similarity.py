@@ -932,9 +932,10 @@ def pq_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_subspaces: int = 8,
-    n_codes: int = 16,
-    refine_iterations: int = 1,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    refine_iterations: int = 3,
+    train_sample: int = 16384,
 ) -> DataFrame:
     """Approximate top-k cosine via PRODUCT QUANTIZATION with
     asymmetric-distance computation (ADC) — Jégou et al. 2011, the
@@ -944,51 +945,67 @@ def pq_topk_cosine(
     PQ shrinks the BYTES PER VECTOR: each L2-normalized vector is
     split into ``n_subspaces`` subvectors, each quantized to the
     nearest of ``n_codes`` codewords, so a 64-dim float32 vector
-    (256 B) becomes ``n_subspaces`` uint8 codes (8 B) — a 32× scan-
-    bandwidth cut (the extreme end of the axis `sim_topk_cosine_int8`
-    measures at 4×). Queries stay UNQUANTIZED: per query a
+    (256 B) becomes ``n_subspaces`` uint8 codes (16 B at the default
+    16×64 config) — a 16× scan-bandwidth cut (the extreme end of the
+    axis `sim_topk_cosine_int8` measures at 4×). Queries stay
+    UNQUANTIZED: per query a
     (n_subspaces × n_codes) lookup table of subvector·codeword dot
     products is precomputed, and a corpus vector's approximate cosine
     is n_subspaces table lookups summed — no decode, no float vector
     read.
 
-    Codebook training is deterministic: seeded from the first
-    ``n_codes`` corpus vectors by id (the IVF seeding rule), then
-    ``refine_iterations`` Lloyd rounds per subspace — one narrow
-    encode pass + one partial-agg shuffle of (subspace, code, dim)
-    component sums per round, means returned to the driver and
-    ROUNDED to 9 decimals so float-sum ordering cannot leak into code
-    assignment (the `ivf_topk_cosine` determinism-over-last-ulp
-    trade). Codebooks and the per-query LUT tensor are index-build
-    collects: n_subspaces·n_codes·sub_dim + |queries|·n_subspaces·
-    n_codes doubles — kilobytes.
+    Codebook training follows the published PQ recipe (Jégou et al.
+    §V.A; FAISS `train` does the same): Lloyd's runs DRIVER-SIDE on a
+    bounded id-ordered sample of ``train_sample`` corpus vectors — a
+    one-time collect of ≤ train_sample·dim doubles (default 16384·64
+    ≈ 8 MB), after which only the cheap distributed ENCODE pass
+    touches the full corpus. Training is deterministic end to end:
+    per subspace, seeds are quantile-stratified — sample subvectors
+    ranked by (first-component value rounded to 9 decimals, then
+    sample order) and the ``n_codes`` evenly-spaced ranks taken — so
+    seeds span the data's range instead of clumping like first-N-by-id
+    would; then ``refine_iterations`` Lloyd rounds with means ROUNDED
+    to 9 decimals and squared distances rounded to 9 before argmin
+    (ties → lowest code index), so float-sum ordering cannot leak into
+    code assignment (the `ivf_topk_cosine` determinism-over-last-ulp
+    trade). Every arithmetic step is replicated by the DuckDB oracle
+    inside `sim_recall_report`'s pq row — the training is simple
+    enough to restate in SQL precisely because it is sample-bounded
+    and deterministic. Codebooks and the per-query LUT tensor are
+    index-build collects: n_subspaces·n_codes·sub_dim +
+    |queries|·n_subspaces·n_codes doubles — kilobytes.
 
     Search mirrors :func:`topk_cosine_mapside`: mapInPandas over the
     CODES relation, per-partition bounded top-k pools per query (numpy
     gather per Arrow batch), exchange carries ≤ k·|queries|·partitions
-    candidates, global window rank on that tiny relation. Recall < 1
-    from quantization error alone (every vector is scored — no
-    candidate misses, unlike LSH/IVF); the pytest property test pins
-    recall@k against the exact scorer. Rows-only under the driver
-    gate: the seeded codebook training has no DuckDB twin — evidence
-    pattern of `sim_topk_lsh` / `sim_topk_ivf`.
+    candidates, global window rank on that tiny relation. ADC scores
+    are rounded to 9 decimals BEFORE ranking so the oracle's
+    sequential-fold sums rank identically to numpy's LUT gathers.
+    Recall < 1 from quantization error alone (every vector is scored —
+    no candidate misses, unlike LSH/IVF); the pytest property test
+    pins recall@k against the exact scorer, and `sim_recall_report`
+    hash-checks recall@10 against a full DuckDB recomputation of the
+    training + encode + ADC pipeline.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    seed_rows = (
+    # Bounded training collect — the published PQ recipe trains on a
+    # sample (Jégou §V.A), so this is index-build scale by design:
+    # ≤ train_sample rows, id-ordered for determinism.
+    train_rows = (
         corpus.orderBy(id_col)
         .filter(F.col(vec_col).isNotNull())
-        .limit(n_codes)
+        .limit(train_sample)
         .select(to_double(F.col(vec_col)))
         .collect()
     )
-    if not seed_rows:
+    if not train_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
-    dim = len(seed_rows[0][0])
+    dim = len(train_rows[0][0])
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub_dim = dim // n_subspaces
@@ -997,11 +1014,47 @@ def pq_topk_cosine(
         n = np.linalg.norm(mat, axis=1, keepdims=True)
         return mat / np.where(n == 0.0, 1.0, n)
 
-    seed = _unit(np.array([list(r[0]) for r in seed_rows], dtype=np.float64))
-    # codebooks[s]: (n_codes, sub_dim), trained on normalized subvectors
-    books = np.stack(
-        [seed[:, s * sub_dim : (s + 1) * sub_dim] for s in range(n_subspaces)]
+    train = _unit(
+        np.array(
+            [list(r[0]) for r in train_rows if len(r[0]) == dim],
+            dtype=np.float64,
+        )
     )
+    # codebooks[s]: (n_codes, sub_dim). Quantile-stratified seeding:
+    # rank the sample's subvectors by (round(first component, 9),
+    # sample order) and take the n_codes evenly-spaced ranks — spread
+    # along one axis beats first-N-by-id clumps, and it is ONE window
+    # function in the oracle's SQL restatement.
+    books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
+    n_t = len(train)
+    for s in range(n_subspaces):
+        sub = train[:, s * sub_dim : (s + 1) * sub_dim]
+        order = np.lexsort((np.arange(n_t), np.round(sub[:, 0], 9)))
+        picks = [order[int((i + 0.5) * n_t / n_codes) % n_t] for i in range(n_codes)]
+        books[s] = sub[picks]
+
+    def _assign(sub: "np.ndarray", bk: "np.ndarray") -> "np.ndarray":
+        # squared L2 rounded to 9 before argmin (ties → lowest code),
+        # mirroring the worker-side encoder and the SQL twin exactly
+        d2 = np.round(
+            (sub**2).sum(1)[:, None] - 2.0 * (sub @ bk.T) + (bk**2).sum(1)[None, :],
+            9,
+        )
+        return np.argmin(d2, axis=1)
+
+    # Lloyd refinement, driver-side over the sample: assignment →
+    # per-(subspace, code) means rounded to 9; empty codes keep their
+    # previous codeword.
+    for _ in range(refine_iterations):
+        new_books = books.copy()
+        for s in range(n_subspaces):
+            sub = train[:, s * sub_dim : (s + 1) * sub_dim]
+            codes = _assign(sub, books[s])
+            for c in range(n_codes):
+                mask = codes == c
+                if mask.any():
+                    new_books[s, c] = np.round(sub[mask].mean(axis=0), 9)
+        books = new_books
 
     def _make_encoder(bk):
         @pandas_udf(ArrayType(IntegerType()))
@@ -1036,54 +1089,6 @@ def pq_topk_cosine(
             return pd.Series(out)
 
         return _encode
-
-    # Lloyd refinement per subspace: encode pass → (sub, code, dim)
-    # partial sums → driver means, rounded for determinism.
-    for _ in range(refine_iterations):
-        enc = _make_encoder(books)
-        assigned = (
-            corpus.select(to_double(F.col(vec_col)).alias("__v"))
-            .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
-            .withColumn(
-                "__nrm",
-                F.when(l2_norm(F.col("__v")) == 0.0, F.lit(1.0)).otherwise(
-                    l2_norm(F.col("__v"))
-                ),
-            )
-            .select(
-                enc(F.col("__v")).alias("__codes"),
-                F.expr("transform(__v, x -> x / __nrm)").alias("__u"),
-            )
-            .select(F.posexplode("__u").alias("__pos", "__x"), "__codes")
-            .select(
-                (F.col("__pos") / sub_dim).cast("int").alias("__sub"),
-                (F.col("__pos") % sub_dim).alias("__sdim"),
-                "__x",
-                "__codes",
-            )
-            .select(
-                "__sub",
-                "__sdim",
-                "__x",
-                F.element_at("__codes", F.col("__sub") + 1).alias("__code"),
-            )
-        )
-        sums = (
-            assigned.groupBy("__sub", "__code", "__sdim")
-            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
-        new_books = books.copy()
-        acc: dict[tuple[int, int], tuple["np.ndarray", int]] = {}
-        for r in sums:
-            key = (r["__sub"], r["__code"])
-            vec, _ = acc.setdefault(key, (np.zeros(sub_dim), 0))
-            vec[r["__sdim"]] = r["__s"]
-            acc[key] = (vec, r["__n"])
-        for (s, c), (vec, n) in acc.items():
-            if n > 0:
-                new_books[s, c] = np.round(vec / n, 9)
-        books = new_books  # empty codes keep their previous codeword
 
     enc = _make_encoder(books)
     codes_df = corpus.select(
@@ -1125,8 +1130,11 @@ def pq_topk_cosine(
             ) if len(pdf) else np.empty((0, n_subspaces), dtype=np.int64)
             if not len(ids):
                 continue
-            # gather: scores[q, row] = sum_s lut[q, s, codes[row, s]]
-            scores = lut[:, np.arange(n_subspaces)[None, :], codes].sum(axis=2)
+            # gather: scores[q, row] = sum_s lut[q, s, codes[row, s]];
+            # rounded to 9 so ranking matches the oracle's SQL sums
+            scores = np.round(
+                lut[:, np.arange(n_subspaces)[None, :], codes].sum(axis=2), 9
+            )
             scores[q_ids[:, None] == ids[None, :].astype(np.int64)] = -np.inf
             take = min(k, scores.shape[1])
             kth = -np.partition(-scores, take - 1, axis=1)[:, take - 1]

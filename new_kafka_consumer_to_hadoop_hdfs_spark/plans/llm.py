@@ -1297,26 +1297,28 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_register("sim_topk_pq")  # no oracle: quantized scores by design
+@_register("sim_topk_pq")  # no oracle: full ranked output is large; the
+# recall twin `sim_recall_report`'s pq row IS hash-checked end to end
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine neighbors via PRODUCT QUANTIZATION +
-    asymmetric distance (8 subspaces × 16 codes, 1 Lloyd round) —
+    asymmetric distance (16 subspaces × 64 codes, quantile-stratified
+    seeding, 3 Lloyd rounds on a bounded id-ordered sample) —
     completing the classic ANN trio: LSH buckets (`sim_topk_lsh`) and
     IVF cells (`sim_topk_ivf*`) shrink the candidate set; PQ shrinks
-    bytes-per-vector (64-dim float32 → 8 uint8 codes, a 32× scan-
+    bytes-per-vector (64-dim float32 → 16 uint8 codes, a 16× scan-
     bandwidth cut). Every vector is still SCORED (no candidate
     misses); recall < 1 comes from quantization error alone, so rank
     inversions near score ties are the failure mode — pinned by the
     recall@10 property test against the exact scorer
-    (tests/test_analytics_queries.py). Rows-only by design: the
-    seeded Lloyd codebooks have no DuckDB twin; `sim_topk_cosine` is
-    the correctness anchor.
+    (tests/test_analytics_queries.py) AND hash-anchored by
+    `sim_recall_report`, whose DuckDB oracle recomputes this exact
+    training + encode + ADC pipeline in SQL.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return pq_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10,
-        n_subspaces=8, n_codes=16, refine_iterations=1,
+        n_subspaces=16, n_codes=64, refine_iterations=3,
     ).orderBy("query_id", "rank")
 
 
@@ -1390,17 +1392,131 @@ ivf10 AS (
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
     FROM ivf_scored) WHERE rnk <= 10
 ),
+-- === pq: full SQL restatement of pq_topk_cosine (operators/similarity.py)
+-- quantile-stratified seeding -> 3 unrolled Lloyd rounds (means rounded
+-- to 9; distances rounded to 9 before argmin, ties -> lowest code) ->
+-- corpus encode -> ADC scores rounded to 9 -> top-10 per query ===
+vn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                                     THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS u
+  FROM e WHERE v IS NOT NULL AND len(v) = 64
+),
+pq_train AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS tpos, u
+  FROM (SELECT vec_id, u FROM vn ORDER BY vec_id LIMIT 16384)
+),
+subs AS (SELECT unnest(range(16)) AS sub),
+tsub AS (
+  SELECT t.tpos, s.sub, list_slice(t.u, s.sub * 4 + 1, s.sub * 4 + 4) AS sv
+  FROM pq_train t CROSS JOIN subs s
+),
+tranked AS (
+  SELECT sub, sv,
+         row_number() OVER (PARTITION BY sub ORDER BY round(sv[1], 9), tpos) - 1 AS rnk,
+         count(*) OVER (PARTITION BY sub) AS n
+  FROM tsub
+),
+codes_dom AS (SELECT unnest(range(64)) AS code),
+books0 AS (
+  SELECT r.sub, c.code, r.sv
+  FROM codes_dom c
+  JOIN tranked r ON r.rnk = CAST(floor((c.code + 0.5) * r.n / 64.0) AS BIGINT)
+),
+asgn1 AS (
+  SELECT tpos, sub, sv, code FROM (
+    SELECT t.tpos, t.sub, t.sv, b.code,
+      row_number() OVER (PARTITION BY t.tpos, t.sub ORDER BY
+        round(list_dot_product(t.sv, t.sv) - 2 * list_dot_product(t.sv, b.sv)
+              + list_dot_product(b.sv, b.sv), 9) ASC, b.code ASC) AS rk
+    FROM tsub t JOIN books0 b USING (sub)) WHERE rk = 1
+),
+means1 AS (
+  SELECT sub, code, [round(avg(sv[1]), 9), round(avg(sv[2]), 9),
+                     round(avg(sv[3]), 9), round(avg(sv[4]), 9)] AS sv
+  FROM asgn1 GROUP BY sub, code
+),
+books1 AS (
+  SELECT b.sub, b.code, COALESCE(m.sv, b.sv) AS sv
+  FROM books0 b LEFT JOIN means1 m ON m.sub = b.sub AND m.code = b.code
+),
+asgn2 AS (
+  SELECT tpos, sub, sv, code FROM (
+    SELECT t.tpos, t.sub, t.sv, b.code,
+      row_number() OVER (PARTITION BY t.tpos, t.sub ORDER BY
+        round(list_dot_product(t.sv, t.sv) - 2 * list_dot_product(t.sv, b.sv)
+              + list_dot_product(b.sv, b.sv), 9) ASC, b.code ASC) AS rk
+    FROM tsub t JOIN books1 b USING (sub)) WHERE rk = 1
+),
+means2 AS (
+  SELECT sub, code, [round(avg(sv[1]), 9), round(avg(sv[2]), 9),
+                     round(avg(sv[3]), 9), round(avg(sv[4]), 9)] AS sv
+  FROM asgn2 GROUP BY sub, code
+),
+books2 AS (
+  SELECT b.sub, b.code, COALESCE(m.sv, b.sv) AS sv
+  FROM books1 b LEFT JOIN means2 m ON m.sub = b.sub AND m.code = b.code
+),
+asgn3 AS (
+  SELECT tpos, sub, sv, code FROM (
+    SELECT t.tpos, t.sub, t.sv, b.code,
+      row_number() OVER (PARTITION BY t.tpos, t.sub ORDER BY
+        round(list_dot_product(t.sv, t.sv) - 2 * list_dot_product(t.sv, b.sv)
+              + list_dot_product(b.sv, b.sv), 9) ASC, b.code ASC) AS rk
+    FROM tsub t JOIN books2 b USING (sub)) WHERE rk = 1
+),
+means3 AS (
+  SELECT sub, code, [round(avg(sv[1]), 9), round(avg(sv[2]), 9),
+                     round(avg(sv[3]), 9), round(avg(sv[4]), 9)] AS sv
+  FROM asgn3 GROUP BY sub, code
+),
+books3 AS (
+  SELECT b.sub, b.code, COALESCE(m.sv, b.sv) AS sv
+  FROM books2 b LEFT JOIN means3 m ON m.sub = b.sub AND m.code = b.code
+),
+csub AS (
+  SELECT vec_id, s.sub, list_slice(u, s.sub * 4 + 1, s.sub * 4 + 4) AS sv
+  FROM vn CROSS JOIN subs s
+),
+cenc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT c.vec_id, c.sub, b.code,
+      row_number() OVER (PARTITION BY c.vec_id, c.sub ORDER BY
+        round(list_dot_product(c.sv, c.sv) - 2 * list_dot_product(c.sv, b.sv)
+              + list_dot_product(b.sv, b.sv), 9) ASC, b.code ASC) AS rk
+    FROM csub c JOIN books3 b USING (sub)) WHERE rk = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, s.sub, list_slice(u, s.sub * 4 + 1, s.sub * 4 + 4) AS qv
+  FROM vn CROSS JOIN subs s WHERE vec_id % 100 = 0
+),
+pq_scored AS (
+  SELECT q.query_id, cn.vec_id AS neighbor_id,
+         round(sum(list_dot_product(q.qv, b.sv)), 9) AS c
+  FROM cenc cn
+  JOIN books3 b ON b.sub = cn.sub AND b.code = cn.code
+  JOIN qsub q ON q.sub = cn.sub
+  WHERE cn.vec_id != q.query_id
+  GROUP BY q.query_id, cn.vec_id
+),
+pq10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM pq_scored) WHERE rnk <= 10
+),
 sel AS (
   SELECT 'exact' AS method, query_id, neighbor_id FROM ex10
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i810
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf10
+  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq10
 ),
 matched AS (
   -- anchored on the VALUES method list so a method with zero matched
   -- (or zero produced) pairs still yields its row with n_matched = 0,
   -- mirroring the Spark side's always-one-row aggregate per method
   SELECT m.method, count(x.query_id) AS n_matched
-  FROM (VALUES ('exact'), ('int8'), ('ivf')) AS m(method)
+  FROM (VALUES ('exact'), ('int8'), ('ivf'), ('pq')) AS m(method)
   LEFT JOIN sel s ON s.method = m.method
   LEFT JOIN ex10 x
     ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
@@ -1423,12 +1539,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Methods: ``exact`` (the float path joined against itself — a 1.0
     sanity row proving the recall arithmetic), ``int8`` (ranking
     fidelity of max-abs quantization), ``ivf`` (16 cells / 4 probes,
-    deterministic first-N centroids). Each is independently recomputed
-    by the DuckDB oracle — possible precisely because these paths are
-    deterministic arithmetic. The remaining ANN variants (`sim_topk_lsh`
-    seeded Java RNG, `sim_topk_ivf_kmeans` iterative refinement) cannot
-    be replicated in SQL; their recall is asserted in
-    tests/test_text_operators.py instead.
+    deterministic first-N centroids), ``pq`` (16 subspaces × 64 codes;
+    the oracle restates the ENTIRE training pipeline — quantile-
+    stratified seeding, three unrolled Lloyd rounds with round-9
+    means/distances, corpus encode, ADC scoring — in SQL, so the
+    codebook itself is hash-anchored, not just the final ranking).
+    Each is independently recomputed by the DuckDB oracle — possible
+    precisely because these paths are deterministic arithmetic. The
+    remaining ANN variants (`sim_topk_lsh` seeded Java RNG,
+    `sim_topk_ivf_kmeans` iterative refinement) cannot be replicated
+    in SQL; their recall is asserted in tests/test_text_operators.py
+    instead.
 
     Scale note: recall evaluation IS a production operator (you run it
     on a sample after every index build); its cost here is three top-k
@@ -1471,10 +1592,15 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
     )
+    pq = pq_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        n_subspaces=16, n_codes=64, refine_iterations=3,
+    )
     return (
         method_row("exact", exact_pairs)
         .unionByName(method_row("int8", int8))
         .unionByName(method_row("ivf", ivf))
+        .unionByName(method_row("pq", pq))
     )
 
 
