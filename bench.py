@@ -6,8 +6,10 @@ Prints exactly TWO JSON lines on stdout:
        {"metric": "total_wall_sec", "value": N, "unit": "sec",
         "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
         "repeat": 3}
-2. a COMPACT summary (guaranteed < 2000 chars, same schema, "queries"
-   holding only the top-20 slowest, plus "n_queries"/"total_sec") —
+2. a COMPACT summary (guaranteed < 2000 chars, same top-level schema —
+   "metric"/"value"/"unit"/"sf"/"repeat" — with "queries" holding only
+   the top-20 slowest, plus "n_queries", "n_errors", and a
+   "full_record" pointer to BENCH_local_latest.json) —
    printed LAST because the round driver records only the final ~2000
    chars of stdout: a 131-query full line is ~4 KB, so its head is
    lost to tail truncation (BENCH_r04/r05 "parsed": null). With the
@@ -93,9 +95,12 @@ def _compact_summary(result: dict) -> dict:
             "queries": dict(slowest[:top_n]),
             "full_record": "BENCH_local_latest.json",
         }
-        if len(json.dumps(compact, separators=(",", ":"))) <= _COMPACT_BUDGET:
+        if (
+            len(json.dumps(compact, separators=(",", ":"))) <= _COMPACT_BUDGET
+            or top_n == 0  # queries-free floor: nothing left to shrink
+        ):
             return compact
-        top_n -= 1  # pragma: no cover — 20 entries sit far under budget
+        top_n = max(0, top_n - 1)  # pragma: no cover — 20 sit far under budget
 
 
 def main() -> None:

@@ -284,6 +284,7 @@ def triangle_counts(
     *,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
@@ -295,54 +296,120 @@ def triangle_counts(
     the local clustering coefficient plays in the graph literature).
 
     Input edges may be directed/duplicated; they are canonicalized to
-    (a < b) and deduplicated first. The count uses the standard
-    ordered-wedge closure: wedge (a<b<c) from e(a,b) ⋈ e(b,c), closed
-    by e(a,c) — each triangle found exactly once, so per-node counts
-    sum to 3× the global triangle count. Returns (node, n_triangles)
-    for nodes in ≥ 1 triangle.
+    (a < b) and deduplicated first. Counting uses DEGREE-ORDERED wedge
+    closure (the node-iterator++ / forward algorithm — Schank &
+    Wagner 2005, same orientation MapReduce triangle counting uses):
+    each undirected edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, a wedge is a pair of out-edges
+    (u→v, u→w) with rank(v) < rank(w), and it closes iff oriented edge
+    v→w exists. Every triangle is found exactly once from its
+    lowest-rank corner, so per-node counts sum to 3× the global
+    triangle count. Returns (node, n_triangles) for nodes in ≥ 1
+    triangle.
 
-    Scale: two hash-shuffle joins of the EDGE relation (pair-graph
-    sized, never corpus sized), no cartesian anywhere. Skew lives in
-    high-degree hubs (a degree-d node contributes O(d²) wedges); the
-    canonical a<b<c ordering already halves hub fan-out vs naive
-    wedge counting, and the degree-ordering refinement (orient edges
-    low-degree → high-degree) is the documented next step if a 100 TB
-    pair graph grows a pathological hub. The edge relation should
-    arrive materialized (localCheckpoint/persist) when it derives from
-    an expensive candidate-generation subtree — it is scanned three
-    times here.
+    Scale: three hash-shuffle joins of the EDGE relation (pair-graph
+    sized, never corpus sized), no cartesian anywhere. The degree
+    orientation is what bounds hub skew: a degree-d hub has out-degree
+    O(√m) under (degree, id) ordering, so total wedge volume is
+    O(m^1.5) regardless of how pathological the degree distribution
+    gets — vs O(Σ d²) for naive a<b<c wedges, where one 10⁶-degree
+    boilerplate hub alone would emit 10¹² wedges
+    (tests/test_dedup_semantics.py pins the star-graph wedge-volume
+    drop).
+
+    Durability mirrors `connected_components_min_label` / `pagerank`:
+    the canonical edge relation and the oriented edge relation are
+    each scanned multiple times (degrees + orientation joins; the
+    o1/o2/closure scans), so both are materialized once.
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (fastest, local/test
+    mode, NOT fault-tolerant); pass an HDFS/object-store path on a
+    cluster for reliable checkpoints that survive executor loss.
     """
+    oriented, wedges = _oriented_wedges(
+        edges, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
+    o3 = oriented.alias("o3")
+    # the (wv, ww) edge, if present, is oriented wv → ww because
+    # rank(wv) < rank(ww) held in the wedge filter
+    triangles = wedges.join(
+        o3,
+        (F.col("wv") == F.col("o3.u")) & (F.col("ww") == F.col("o3.v")),
+        "left_semi",
+    )
+    member = (
+        triangles.select(F.col("wu").alias("node"))
+        .unionAll(triangles.select(F.col("wv").alias("node")))
+        .unionAll(triangles.select(F.col("ww").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _oriented_wedges(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Degree-oriented edge relation (u, v, dv) and its open-wedge
+    relation (wu, wv, ww) with rank(wv) < rank(ww) — the two inputs of
+    `triangle_counts`' closure join, exposed so the hub-skew test can
+    assert the wedge VOLUME bound directly (a star's wedge relation
+    must be empty under degree orientation)."""
     a, b = F.col(src), F.col(dst)
-    canon = (
+    raw_canon = (
         edges.select(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
         )
         .filter(F.col("a") < F.col("b"))  # drops self-loops
         .distinct()
-        # The canonical edge relation is scanned THREE times (e1/e2/e3);
-        # without materialization each scan re-executes the upstream
-        # edge-generation subtree — for the near-dup host query that is
-        # the whole candidate+verify pipeline, measured 15.8 s → ~5 s at
-        # sf0.1. Same lineage-cutting pattern as pagerank/CC; the edge
-        # relation is pair-graph sized, so the materialization is cheap.
-        .localCheckpoint(eager=True)
     )
-    e1 = canon.alias("e1")
-    e2 = canon.alias("e2")
-    e3 = canon.alias("e3")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("wa"),
-        F.col("e1.b").alias("wb"),
-        F.col("e2.b").alias("wc"),
+    with _session_checkpointer(raw_canon, checkpoint_dir) as ckpt:
+        # canon is scanned twice (degree count + orientation join) and
+        # cuts the upstream edge-generation subtree — for the near-dup
+        # host query that is the whole candidate+verify pipeline,
+        # measured 15.8 s → ~5 s at sf0.1.
+        canon = ckpt(raw_canon)
+        deg = (
+            canon.select(F.col("a").alias("node"))
+            .unionAll(canon.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        lo_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+            F.col("db"), F.col("b")
+        )
+        # oriented: u → v with (deg, id)-rank(u) < rank(v); dv carries
+        # v's degree so the wedge filter can compare ranks without a
+        # third degree join. Scanned three times (o1/o2/closure) →
+        # materialized.
+        oriented = ckpt(
+            canon.join(
+                deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+                "a",
+            )
+            .join(
+                deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+                "b",
+            )
+            .select(
+                F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+                F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+            )
+        )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .filter(
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        )
+        .select(
+            F.col("o1.u").alias("wu"),
+            F.col("o1.v").alias("wv"),
+            F.col("o2.v").alias("ww"),
+        )
     )
-    triangles = wedges.join(
-        e3,
-        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
-        "left_semi",
-    )
-    member = (
-        triangles.select(F.col("wa").alias("node"))
-        .unionAll(triangles.select(F.col("wb").alias("node")))
-        .unionAll(triangles.select(F.col("wc").alias("node")))
-    )
-    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return oriented, wedges

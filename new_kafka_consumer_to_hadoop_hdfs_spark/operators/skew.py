@@ -78,6 +78,7 @@ def salted_join(
     *,
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: salt the BIG side, replicate the SMALL side.
 
@@ -94,8 +95,15 @@ def salted_join(
     within each replica). ``right``/``full`` are rejected: an unmatched
     SMALL row would surface once per replica.
 
-    The salt is derived from ``xxhash64`` of the big side's columns,
-    not ``rand()``, so speculative task re-execution salts identically.
+    The salt is derived from ``xxhash64`` over ``salt_cols`` (default:
+    every big-side column), not ``rand()``, so speculative task
+    re-execution salts identically. Two caveats of row-content hashing
+    (ADVICE r6): (a) fully-IDENTICAL duplicate rows of a hot key all
+    hash to one salt bucket, so on duplicate-heavy streams — the exact
+    shape Kafka replays produce — pass ``salt_cols`` naming a column
+    that varies across duplicates (an offset, an ingest timestamp, a
+    monotonic id); (b) ``xxhash64`` raises on map-typed columns, so
+    exclude them via ``salt_cols`` when the big side carries maps.
     AQE's skew-join split handles moderate skew on its own; use this
     when one key's payload exceeds what a single split can hold, and
     prefer ``F.broadcast(small)`` whenever the small side simply fits.
@@ -106,10 +114,92 @@ def salted_join(
             "small-side row would appear once per salt replica"
         )
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    salt_src = list(salt_cols) if salt_cols is not None else list(big.columns)
+    missing = [c for c in salt_src if c not in big.columns]
+    if missing:
+        raise ValueError(f"salt_cols not on the big side: {missing}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     big_salted = big.withColumn("__salt", salt)
     replicas = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
     )
     return big_salted.join(replicas, [*keys, "__salt"], how).drop("__salt")
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    *,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``big`` down to rows whose key MIGHT appear in ``small``,
+    using a Bloom filter built from the small side — the runtime-filter
+    technique (Spark's own `spark.sql.optimizer.runtime.bloomFilter.*`
+    injects the same shape; `bloom_filter_agg` is not exposed to the
+    public function registry, so this builds the filter explicitly
+    from deterministic ``xxhash64`` probes).
+
+    Why not just semi-join? At 100 TB the semi-join itself shuffles the
+    big side; the Bloom filter instead rides into the big side's SCAN
+    stage as a plain projection filter — rows of keys that cannot
+    match are dropped BEFORE the exchange, turning a
+    shuffle-everything join into a shuffle-what-matches join. The
+    filter is a ``n_bits``-bit bitmap packed into ``n_bits/64`` longs
+    and embedded as an array literal (8 KB at the default 2^16 bits —
+    broadcast-by-closure scale, the same class as the IVF centroid
+    table). False positives only ever ADD candidate rows (bounded by
+    ~(1-e^{-kn/m})^k, <1e-4 at 2^16 bits / 3 hashes / ≤1k keys), so
+    correctness comes from the exact join that follows; this operator
+    must be composed with one, never used as a membership oracle.
+
+    The build is a bounded two-shuffle job on the SMALL side (distinct
+    keys → per-word bit_or) plus one driver collect of ≤ n_bits/64
+    rows. Deterministic end to end: xxhash64 is seed-stable, so
+    speculative re-execution and the DuckDB oracle (plain join) agree.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    n_words = n_bits // 64
+    seeds = list(range(n_hashes))
+    key = F.col(small_key)
+    positions = None
+    for s in seeds:
+        pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
+        part = small.filter(key.isNotNull()).select(pos.alias("__pos"))
+        positions = part if positions is None else positions.unionAll(part)
+    # bounded collect: ≤ n_words rows of (word, 64-bit mask)
+    word_rows = (
+        positions.select(
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.expr("bit_or(__bit)").alias("__mask"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["__word"]] = r["__mask"]
+    bitmap = F.lit(words)
+    out = big
+    cond = F.col(big_key).isNotNull()
+    tmp_cols = []
+    for i, s in enumerate(seeds):
+        pos_col = f"__bloom_pos_{i}"
+        out = out.withColumn(
+            pos_col,
+            F.pmod(F.xxhash64(F.col(big_key), F.lit(s)), F.lit(n_bits)),
+        )
+        word = F.element_at(bitmap, (F.col(pos_col) / 64).cast("int") + 1)
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+        tmp_cols.append(pos_col)
+    return out.filter(cond).drop(*tmp_cols)

@@ -105,6 +105,32 @@ DRIVER_CHECKED_R5 = frozenset({
 })
 
 
+# Checked in round 6 (CORRECTNESS_r06.json: 45 hash-green + 5
+# rows-only-by-design, zero failures) — the freshest driver evidence.
+# 41 of these are the r3-era stale cohort + r4 head rotated back in;
+# the other 9 were round 6's new queries.
+DRIVER_CHECKED_R6 = frozenset({
+    "agg_approx_count_distinct", "agg_approx_percentiles", "agg_argmax",
+    "agg_count_distinct", "agg_grouping_sets", "agg_hll_union_rollup",
+    "agg_percentiles", "agg_pivot", "agg_rollup", "agg_salted_skew",
+    "agg_unpivot", "embedding_centroid_per_label", "event_distinct_sliding",
+    "event_distinct_sliding_hll", "event_interarrival_stats", "join_anti",
+    "join_broadcast_dims", "join_left_outer", "join_right_outer",
+    "join_salted_skew", "join_semi", "pipeline_curriculum_order",
+    "pipeline_graph_triangles", "pipeline_scd2_intervals",
+    "q10_returned_items", "q11_important_value", "q12_shiplag_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "scalar_case_null_handling", "scalar_date_functions",
+    "scalar_json_functions", "scalar_math_functions", "scalar_null_semantics",
+    "scalar_string_functions", "sim_topk_pq", "sink_orc_roundtrip",
+    "sort_topk_global", "sql_adhoc_star_join", "window_lag_lead_rank",
+    "window_running_sum",
+})
+
+
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import (
         analytics,
@@ -137,10 +163,12 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     def _window_priority(name: str) -> int:
         # Pure staleness rotation (round 6 on): sort by the round of
         # each query's most recent driver CORRECTNESS row, oldest
-        # first; never-checked (newly added) queries lead. The r6
-        # window (first 50) is therefore: new queries, then the 31
-        # r3-era queries r5 didn't reach, then the r4 cohort's head in
-        # module order.
+        # first; never-checked (newly added) queries lead. The r7
+        # window (first 50) is therefore: new queries, then the 41
+        # queries whose latest row is r4-era, then the r5 cohort's
+        # head in module order.
+        if name in DRIVER_CHECKED_R6:
+            return 4
         if name in DRIVER_CHECKED_R5:
             return 3
         if name in DRIVER_CHECKED_R4:

@@ -1,5 +1,6 @@
-"""Round-6 capability extensions: storage, warehouse-history, graph,
-vector, skew-join, and curriculum queries.
+"""Round-6/7 capability extensions: storage, warehouse-history, graph,
+vector, skew-join, curriculum, runtime-filter, sequence-pattern,
+data-quality, and entropy queries.
 
 Each adds a FAMILY the registry did not previously cover, not another
 shape variant of an existing one:
@@ -22,6 +23,21 @@ shape variant of an existing one:
 - ``pipeline_curriculum_order``  — deterministic global curriculum
   position (easy→hard stages, hash-shuffled within stage) assigned
   WITHOUT a global sort.
+
+Round 7 adds:
+
+- ``join_bloom_prefilter``       — the runtime-filter technique: a
+  deterministic Bloom bitmap from the dim side's qualifying keys
+  dropped into the fact scan, verified against the plain-join oracle.
+- ``event_path_regex``           — MATCH_RECOGNIZE-style sequence
+  pattern matching (sessionize → fold ordered path → regex).
+- ``pipeline_expectations_report`` — the Great-Expectations/dbt-test
+  family: referential, range, enum, uniqueness, non-emptiness checks
+  as one audited report.
+- ``sink_parquet_hive_partitioned`` — partitionBy write + directory-
+  pruned read-back under the checksum gate (the lake-table layout).
+- ``text_char_entropy``          — character-level Shannon entropy +
+  distinct-char ratio, the gibberish/binary-junk quality gate.
 
 Scale contract (100 TB): the sink roundtrip is embarrassingly
 parallel; SCD2 shuffles the event stream once on user_id (both
@@ -149,21 +165,14 @@ def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_type",
-        F.when(
-            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
-        )
-        .otherwise(0)
-        .alias("chg"),
-        F.sum(
-            F.when(
-                ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)),
-                1,
-            ).otherwise(0)
-        )
+        F.sum(chg)
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("island"),
     )
@@ -233,9 +242,13 @@ def pipeline_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian — `dedup_ngram_jaccard`'s machinery); the shingle
     relation is persisted across the candidate/verify branches, and
     the closure joins touch only the pair-graph-sized canonical edge
-    relation (see `operators.graph.triangle_counts` for the wedge
-    ordering and hub-skew notes).
+    relation under degree-ordered orientation (see
+    `operators.graph.triangle_counts` for the O(m^1.5) wedge bound).
+    Durability matches the other graph queries: set
+    SPARK_GRAFT_CHECKPOINT_DIR for reliable checkpoints on a cluster.
     """
+    import os
+
     from ..operators.graph import triangle_counts
     from ..operators.text import (
         jaccard_verify_elements,
@@ -250,9 +263,10 @@ def pipeline_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
-    return triangle_counts(edges).select(
-        F.col("node").alias("node"), "n_triangles"
-    )
+    return triangle_counts(
+        edges,
+        checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None,
+    ).select(F.col("node").alias("node"), "n_triangles")
 
 
 # ---------------------------------------------------------------------------
@@ -622,4 +636,388 @@ def event_distinct_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_users_approx"
             )
         )
+    )
+
+
+# ===========================================================================
+# Round-7 capability extensions: runtime-filter join, sequence pattern
+# matching, data-quality expectations, hive-partitioned storage layout,
+# and character-entropy quality scoring.
+# ===========================================================================
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT s_suppkey, s_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'GERMANY'
+GROUP BY s_suppkey, s_name
+"""
+
+
+@_register("join_bloom_prefilter", _BLOOM_JOIN_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per German supplier with the fact side pre-filtered by a
+    BLOOM FILTER built from the qualifying supplier keys — the
+    runtime-filter technique (Spark's adaptive
+    `runtime.bloomFilter` rule injects the same shape automatically
+    when statistics allow; here it is explicit and deterministic so
+    the plain-join oracle can gate it).
+
+    Semantics are exact by construction: the Bloom filter only ever
+    PASSES a superset of matching keys (false positives, never false
+    negatives), and the exact join downstream removes the strays — so
+    the oracle is the unfiltered 3-table join. What the filter buys at
+    100 TB: lineitem rows whose l_suppkey cannot match are dropped in
+    the SCAN stage, before the join exchange — with a selective dim
+    predicate (1 nation of 25) that is ~96% of the fact table never
+    shuffled, for an 8 KB bitmap shipped in the plan. Honest caveat at
+    fixture scale: the supplier side is broadcast anyway, so the bloom
+    is pure overhead here; the query exists to put the
+    small-side-too-big-to-broadcast technique under the oracle gate
+    (`join_salted_skew`'s evidence pattern).
+    """
+    from ..operators.skew import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    pre = bloom_prefilter(li, s, "l_suppkey", "s_suppkey")
+    return (
+        pre.join(F.broadcast(s), pre.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PATH_REGEX_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+),
+paths AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         COUNT(*)::BIGINT AS n_events,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ids GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, n_events, path
+FROM paths
+WHERE regexp_matches('>' || path || '>',
+                     '>view>(.*>)?purchase>')
+"""
+
+
+@_register("event_path_regex", _PATH_REGEX_ORACLE)
+def event_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions whose ordered event path matches the funnel pattern
+    view → purchase (any events interleaved; the three-stage
+    view→click→purchase variant matches zero sessions in the synthetic
+    data, and a vacuously-empty result would gate nothing) — the
+    MATCH_RECOGNIZE / sequence-pattern family, built from primitives
+    Spark has: sessionize (30-min gap, lag+running-sum islands), fold
+    each session's ordered types into one '>'-joined path string, and
+    regex-match the wrapped path. Unlike `event_funnel_stages` (which
+    counts users reaching each stage) this returns the matching
+    SESSIONS with their full paths — the audit view a growth team
+    reads.
+
+    Determinism: the path is built from `array_sort` over collected
+    (ts, event_id, type) structs — the (ts, event_id) total order both
+    engines agree on — and the pattern is wrapped in '>' delimiters so
+    token boundaries are explicit (adjacent stages still match via the
+    optional `(.*>)?` groups).
+
+    Scale: ONE shuffle of the event stream on user_id shared by the
+    lag window, the island sum, and the per-session fold; per-session
+    state is bounded by session length (collect_list of a session, not
+    a user history). The regex runs on the folded path — one string op
+    per session, not per event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+    return paths.filter(
+        F.concat(F.lit(">"), F.col("path"), F.lit(">")).rlike(
+            ">view>(.*>)?purchase>"
+        )
+    ).select("user_id", "session_start", "n_events", "path")
+
+
+_EXPECTATIONS_ORACLE = """
+SELECT 'orders_custkey_in_customer' AS expectation,
+       (SELECT COUNT(*) FROM orders)::BIGINT AS n_checked,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_failed
+UNION ALL
+SELECT 'lineitem_quantity_in_1_50',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'orders_status_enum',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P'))
+UNION ALL
+SELECT 'events_event_id_unique',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+UNION ALL
+SELECT 'documents_text_nonempty',
+       (SELECT COUNT(*) FROM documents),
+       (SELECT COUNT(*) FROM documents
+        WHERE text IS NULL OR length(text) = 0)
+UNION ALL
+SELECT 'customer_acctbal_nonnegative',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer
+        WHERE c_acctbal IS NULL OR c_acctbal < 0)
+"""
+
+
+@_register("pipeline_expectations_report", _EXPECTATIONS_ORACLE)
+def pipeline_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations audit (the Great-Expectations /
+    dbt-test family): one row per declared expectation with checked
+    and failed counts — referential integrity (orders→customer), range
+    (quantity ∈ [1, 50]), enum membership (order status), uniqueness
+    (event_id), non-emptiness (document text), and one expectation
+    that legitimately FAILS on TPC-H data (acctbal ≥ 0 — customers can
+    carry debt), so the report demonstrably reports failures instead
+    of rubber-stamping.
+
+    A training-data pipeline runs exactly this before every ingest:
+    the report is the contract between upstream landing and downstream
+    consumption. NULLs count as failures everywhere (an unknown value
+    cannot satisfy a constraint — the dbt-test convention).
+
+    Scale: each expectation is one scan + count aggregate over its own
+    table (map-side combinable, no shuffle beyond the 1-row partials);
+    the referential check is a broadcast-able anti-join on the key
+    column only; uniqueness is count vs count-distinct, no join. The
+    union of six 1-row aggregates is driver-trivial.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def expect(name: str, df: DataFrame, fail: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("expectation"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(fail, 1).otherwise(0)).alias("n_failed"),
+        )
+
+    orphans = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    referential = orphans.agg(F.count(F.lit(1)).alias("__orphans")).crossJoin(
+        orders.agg(F.count(F.lit(1)).alias("__total"))
+    ).select(
+        F.lit("orders_custkey_in_customer").alias("expectation"),
+        F.col("__total").alias("n_checked"),
+        F.col("__orphans").alias("n_failed"),
+    )
+    q = F.col("l_quantity")
+    st = F.col("o_orderstatus")
+    tx = F.col("text")
+    ab = F.col("c_acctbal")
+    uniqueness = events.agg(
+        F.lit("events_event_id_unique").alias("expectation"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_failed"),
+    )
+    return (
+        referential
+        .unionByName(
+            expect("lineitem_quantity_in_1_50", lineitem,
+                   q.isNull() | (q < 1) | (q > 50))
+        )
+        .unionByName(
+            expect("orders_status_enum", orders,
+                   st.isNull() | ~st.isin("O", "F", "P"))
+        )
+        .unionByName(uniqueness)
+        .unionByName(
+            expect("documents_text_nonempty", documents,
+                   tx.isNull() | (F.length(tx) == 0))
+        )
+        .unionByName(
+            expect("customer_acctbal_nonnegative", customer,
+                   ab.isNull() | (ab < 0))
+        )
+    )
+
+
+def _hive_partitioned_oracle() -> str:
+    from .corpus import _ROUNDTRIP_ORACLE
+
+    return _ROUNDTRIP_ORACLE.replace(
+        "FROM documents GROUP BY lang, source",
+        "FROM documents WHERE lang IN ('en', 'de') GROUP BY lang, source",
+    )
+
+
+@_register("sink_parquet_hive_partitioned", _hive_partitioned_oracle())
+def sink_parquet_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned parquet: write documents with
+    ``partitionBy("lang")`` (one ``lang=<v>/`` directory per value —
+    the layout every lake table uses for its coarse filter column),
+    read back, and checksum ONLY two languages — so the read is
+    directory-PRUNED: Spark's scan lists lang=en/ and lang=de/ and
+    never opens the other three partitions' files
+    (tests/test_plan_shapes.py pins PartitionFilters on the scan).
+    The oracle computes the same checksums from the original table
+    WHERE lang IN ('en','de'), so a hash match proves both write
+    fidelity AND that pruning did not drop or duplicate rows.
+
+    Completes the sink matrix: jsonl/csv (text), ORC (columnar), and
+    now partitioned parquet (layout). At 100 TB partition pruning IS
+    the first-order scan optimization — a 5-value partition column
+    cuts this read by 3/5 before a single row group is touched; the
+    same layout written per day/source keeps incremental consumers
+    from ever scanning history.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_hivepart", build
+    )
+    back = spark.read.schema(_DOC_SCHEMA).parquet(dest)
+    return _roundtrip_checksums(back.filter(F.col("lang").isin("en", "de")))
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*)::DOUBLE AS c
+  FROM chars WHERE len(ch) > 0 GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS clc,
+         COUNT(*)::BIGINT AS n_distinct
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(ln(n) - clc / n, 6) AS char_entropy_nats,
+       ROUND(n_distinct / n, 6) AS distinct_char_ratio,
+       n::BIGINT AS n_chars_counted
+FROM per_doc
+"""
+
+
+@_register("text_char_entropy", _CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) plus
+    distinct-character ratio — the classic gibberish/binary-junk gate
+    (CCNet/RefinedWeb-style pipelines drop both tails: near-zero
+    entropy = one character repeated, i.e. padding or corrupt decode;
+    abnormally high = base64 blobs, minified code, random bytes).
+    Completes the quality-signal set next to the token-level
+    (`text_quality_score`, Gopher rules) and n-gram-level
+    (`text_repetition_stats`) gates.
+
+    Entropy is computed as ln(n) − Σc·ln(c)/n over per-character
+    counts — the algebraic form whose inputs are INTEGER counts, so
+    both engines take ln of the same exact values and the only
+    cross-engine drift is float summation order, absorbed by the
+    round-6 output (the `text_bigram_surprisal` determinism pattern).
+
+    Scale: explode-to-characters is the corpus's one heavy map-side
+    op (rows × chars), but the (doc_id, ch) partial aggregation
+    combines map-side — the shuffle carries ≤ |alphabet| rows per doc,
+    not one per character; the second aggregation reuses the doc_id
+    clustering. No windows, no joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("clc"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(F.log("n") - F.col("clc") / F.col("n"), 6).alias(
+            "char_entropy_nats"
+        ),
+        F.round(F.col("n_distinct") / F.col("n"), 6).alias(
+            "distinct_char_ratio"
+        ),
+        F.col("n").cast("long").alias("n_chars_counted"),
     )

@@ -28,6 +28,63 @@ def test_triangle_counts_k4_square_and_noise(spark):
     assert sum(got.values()) == 3 * 4
 
 
+def test_triangle_counts_checkpoint_modes_agree(spark, tmp_path):
+    """localCheckpoint (default) and reliable checkpoint_dir modes
+    must produce identical counts — the durability knob cannot change
+    semantics (same parity contract as CC/PageRank)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 7), (7, 9), (9, 3)]  # second triangle sharing node 3
+    edges = spark.createDataFrame(k4 + extra, "src long, dst long")
+    local = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    reliable = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert local == reliable == {0: 3, 1: 3, 2: 3, 3: 4, 7: 1, 9: 1}
+
+
+def test_triangle_star_hub_wedge_volume(spark):
+    """Hub-skew bound: a 1000-leaf star generates ZERO wedges under
+    degree orientation (every edge points leaf → hub, hub out-degree
+    0) where middle-id wedge closure would enumerate 500·500 = 250k —
+    the O(m^1.5) vs O(Σd²) difference that decides whether a 100 TB
+    boilerplate hub is survivable. A single closing edge must still
+    be found as exactly one triangle."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        _oriented_wedges,
+        triangle_counts,
+    )
+
+    hub = 500
+    star = [(x, hub) for x in range(500)] + [(hub, y) for y in range(501, 1001)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    _, wedges = _oriented_wedges(edges)
+    assert wedges.count() == 0
+    # the naive middle-id wedge join this replaced would emit 250k rows
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    naive = canon.alias("e1").join(
+        canon.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    )
+    assert naive.count() == 500 * 500
+    assert triangle_counts(edges).count() == 0
+    # close one leaf-leaf edge: exactly one triangle, found through the hub
+    closed = spark.createDataFrame(
+        star + [(0, 1000)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(closed).collect()}
+    assert got == {0: 1, hub: 1, 1000: 1}
+
+
 def test_salted_join_matches_plain_join(spark):
     """Inner and left salted joins must equal the unsalted joins row
     for row — including small-side multiplicity and left-side rows
@@ -53,6 +110,48 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="full")
+
+
+def test_salted_join_salt_cols_spread_duplicate_rows(spark):
+    """Row-content salting degenerates on fully-identical duplicate
+    rows (they all hash to one bucket — the Kafka-replay shape);
+    salt_cols naming a varying column must spread them, results must
+    stay identical to the plain join either way, and unknown salt_cols
+    must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.skew import (
+        salted_join,
+    )
+
+    # hot key "h": 64 duplicate payloads distinguished only by offset
+    big = spark.createDataFrame(
+        [("h", "same-payload", i) for i in range(64)],
+        "k string, payload string, offset long",
+    )
+    small = spark.createDataFrame([("h", 1)], "k string, w int")
+
+    def n_buckets(cols):
+        salted = big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(8))
+        )
+        return salted.select("__salt").distinct().count()
+
+    assert n_buckets(["k", "payload"]) == 1  # the degenerate shape
+    assert n_buckets(["offset"]) > 4  # varying column actually spreads
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(big.join(small, ["k"], "inner"))
+    got = rows(
+        salted_join(big, small, ["k"], salt_buckets=8, salt_cols=["offset"])
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="salt_cols not on the big side"):
+        salted_join(big, small, ["k"], salt_cols=["nope"])
 
 
 def test_scd2_islands_collapse_and_current_flag(spark):
@@ -196,3 +295,95 @@ def test_hll_sliding_tracks_exact(spark):
     assert set(exact) == set(approx)
     for ws, n in exact.items():
         assert abs(approx[ws] - n) <= max(2, 0.1 * n), (ws, n, approx[ws])
+
+
+def test_bloom_prefilter_superset_and_exact_join(spark):
+    """The Bloom prefilter must pass EVERY matching key (no false
+    negatives), actually filter (false-positive rate far below 1 at
+    2^16 bits for 3 keys), and compose with the exact join to the
+    plain-join result. n_bits must be 64-aligned."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.skew import (
+        bloom_prefilter,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(1000)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(5, "x"), (250, "y"), (777, "z")],
+                                  "k2 long, w string")
+    pre = bloom_prefilter(big, small, "k", "k2")
+    kept = {r.k for r in pre.select("k").collect()}
+    assert {5, 250, 777} <= kept          # never drops a real match
+    assert len(kept) < 100                # and actually filters
+    got = sorted(
+        tuple(r)
+        for r in pre.join(small, pre.k == small.k2).select(
+            "k", "payload", "w"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in big.join(small, big.k == small.k2).select(
+            "k", "payload", "w"
+        ).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_prefilter(big, small, "k", "k2", n_bits=100)
+
+
+def test_char_entropy_hand_computed(spark, tmp_path):
+    """ln-based entropy on hand-checkable strings: 'aab' →
+    ln3 − (2ln2)/3 ≈ 0.636514; 'abcd' → ln4 with ratio 1."""
+    import math
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    docs = spark.createDataFrame(
+        [(1, "aab", "en", "s", 3), (2, "abcd", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    queries, _ = merged_registry()
+    got = {
+        r.doc_id: (r.char_entropy_nats, r.distinct_char_ratio, r.n_chars_counted)
+        for r in queries["text_char_entropy"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (
+        round(math.log(3) - 2 * math.log(2) / 3, 6),
+        round(2 / 3, 6),
+        3,
+    )
+    assert got[2] == (round(math.log(4), 6), 1.0, 4)
+
+
+def test_path_regex_session_and_order_semantics(spark, tmp_path):
+    """The funnel must match only when view precedes purchase WITHIN a
+    30-minute-gap session: reversed order and across-session splits
+    must not match; interleaved noise must."""
+    import datetime as dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "error"), ev(3, 1, 10, "purchase"),
+        ev(4, 2, 0, "purchase"), ev(5, 2, 5, "view"),      # wrong order
+        ev(6, 3, 0, "view"), ev(7, 3, 45, "purchase"),     # 45-min gap splits
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    queries, _ = merged_registry()
+    got = queries["event_path_regex"](spark, str(tmp_path)).collect()
+    assert [(r.user_id, r.n_events, r.path) for r in got] == [
+        (1, 3, "view>error>purchase")
+    ]

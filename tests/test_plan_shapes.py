@@ -186,6 +186,7 @@ NLJ_ALLOWED = {
     "sim_topk_cosine_int8",    # same plan as sim_topk_cosine, quantized
     "sim_topk_cosine_int8_stored",  # same plan over pre-quantized storage
     "sim_recall_report",       # topk_cosine core ×3 + one-row count crossJoins
+    "pipeline_expectations_report",  # two one-row count aggs crossJoined
     "pipeline_mix_languages",  # one-row global-target scalar broadcast
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
     "event_gapfill_locf",      # one-row global min/max range crossJoin
@@ -396,3 +397,37 @@ def test_curriculum_never_globally_sorts(spark, registry):
     exchange) anywhere in the plan."""
     plan = _plan(spark, registry, "pipeline_curriculum_order")
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_hive_partitioned_read_is_directory_pruned(spark, registry):
+    """The partitioned-parquet read-back must carry the lang predicate
+    as a PARTITION filter (directory-level pruning: lang=fr/es/zh are
+    never listed), not a post-scan row filter."""
+    plan = _plan(spark, registry, "sink_parquet_hive_partitioned")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "lang" in pf and ("en" in pf and "de" in pf), pf
+
+
+def test_bloom_prefilter_rides_the_fact_scan_stage(spark, registry):
+    """The Bloom membership test must be a plain projection filter on
+    the lineitem side (xxhash64 + bitmap probes evaluated pre-exchange)
+    — no extra join or shuffle may be introduced to apply it."""
+    plan = _plan(spark, registry, "join_bloom_prefilter")
+    assert "xxhash64" in plan
+    # exactly the two exact joins (supplier⋈nation, fact⋈supplier);
+    # formatted mode lists each node twice (tree + details), so 2
+    # joins → 4 occurrences. The bloom itself adds NO join operator.
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_path_regex_single_corpus_shuffle(spark, registry):
+    """Sessionize + island sum + per-session fold must share ONE
+    user_id exchange of the event stream (the SCD2 contract); the
+    regex adds no shuffle."""
+    plan = _plan(spark, registry, "event_path_regex")
+    # formatted mode renders each exchange's partitioning once, in its
+    # details "Arguments:" line (the kafka_dedup_lww counting idiom)
+    assert plan.count("hashpartitioning(") == 1, plan.count("hashpartitioning(")
+    assert "user_id" in plan.split("hashpartitioning(", 1)[1][:30]

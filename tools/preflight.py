@@ -9,13 +9,21 @@ signal:
 1. **Correctness sweep** — `tools/verify_all.py`: every registered
    query vs its DuckDB oracle at sf0.01 under a hostile session.
 2. **pytest** — `python -m pytest tests/ -x -q`.
-3. **Bench + regression compare** — snapshot the previous
+3. **Plan fingerprints** — `tools/plan_fingerprints.py`: each
+   registered query's normalized physical-plan hash vs the committed
+   `tools/plan_fingerprints.json`; an unexplained plan change fails
+   the gate (regenerate with `--write` when the change is deliberate).
+4. **Bench + regression compare** — snapshot the previous
    `BENCH_local_latest.json` as the baseline, run `bench.py`
    (min-of-three, writes a fresh BENCH_local_latest.json), then
    `tools/bench_compare.py baseline new --threshold 2.0`: with
    min-of-three on both sides, a >2x per-query movement is a plan
    change, not host noise (memory: bench-noise-host-variance), so it
    fails the gate. First run (no baseline) benches without comparing.
+   On a FAILED compare the pre-run baseline is restored over
+   BENCH_local_latest.json (the regressed run is kept in
+   BENCH_local_failed.json), so rerunning the gate cannot launder the
+   regression by comparing it against itself.
 
 Every round should ship with this command's output in its evidence
 (VERDICT r5 item 6).
@@ -55,9 +63,15 @@ def main() -> int:
         return 1
     if _run("pytest", [py, "-m", "pytest", "tests/", "-x", "-q"]):
         return 1
+    if _run("plans", [py, "tools/plan_fingerprints.py", "--sf-dir", args.sf_dir]):
+        print("preflight: a query's physical plan changed without the "
+              "snapshot being regenerated — if the change is intentional, "
+              "run `python tools/plan_fingerprints.py --write` and commit "
+              "tools/plan_fingerprints.json; if not, the plan regressed.")
+        return 1
     if args.skip_bench:
         print("preflight: bench skipped (--skip-bench)")
-        print("\npreflight: ALL GREEN (2 of 3 signals; bench skipped)")
+        print("\npreflight: ALL GREEN (3 of 4 signals; bench skipped)")
         return 0
 
     latest = _REPO / "BENCH_local_latest.json"
@@ -69,17 +83,32 @@ def main() -> int:
         tmp.close()
         shutil.copyfile(latest, tmp.name)
         baseline = tmp.name
-    if _run("bench", [py, "bench.py"]):
-        return 1
-    if baseline is None:
-        print("preflight: no prior BENCH_local_latest.json — bench ran, "
-              "nothing to compare against")
-    elif _run(
-        "bench_compare",
-        [py, "tools/bench_compare.py", baseline, str(latest),
-         "--threshold", str(args.threshold)],
-    ):
-        return 1
+    try:
+        if _run("bench", [py, "bench.py"]):
+            return 1
+        if baseline is None:
+            print("preflight: no prior BENCH_local_latest.json — bench ran, "
+                  "nothing to compare against")
+        elif _run(
+            "bench_compare",
+            [py, "tools/bench_compare.py", baseline, str(latest),
+             "--threshold", str(args.threshold)],
+        ):
+            # Restore the pre-run baseline: bench.py already overwrote
+            # BENCH_local_latest.json with the REGRESSED run, and leaving
+            # that in place would make a simple rerun compare the
+            # regression against itself and go green (ADVICE r6 —
+            # silently laundered regressions on the rerun-after-failure
+            # path). The regressed record is preserved for diagnosis.
+            failed = latest.with_name("BENCH_local_failed.json")
+            shutil.copyfile(latest, failed)
+            shutil.copyfile(baseline, latest)
+            print(f"preflight: bench regression — {latest.name} restored to "
+                  f"the pre-run baseline; regressed run kept at {failed.name}")
+            return 1
+    finally:
+        if baseline is not None:
+            pathlib.Path(baseline).unlink(missing_ok=True)
     print("\npreflight: ALL GREEN")
     return 0
 
