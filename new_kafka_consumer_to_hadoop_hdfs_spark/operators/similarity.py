@@ -948,52 +948,83 @@ def pq_topk_cosine(
     (256 B) becomes ``n_subspaces`` uint8 codes (16 B at the default
     16×64 config) — a 16× scan-bandwidth cut (the extreme end of the
     axis `sim_topk_cosine_int8` measures at 4×). Queries stay
-    UNQUANTIZED: per query a
-    (n_subspaces × n_codes) lookup table of subvector·codeword dot
-    products is precomputed, and a corpus vector's approximate cosine
-    is n_subspaces table lookups summed — no decode, no float vector
-    read.
+    UNQUANTIZED: per query a (n_subspaces × n_codes) lookup table of
+    subvector·codeword dot products is precomputed, and a corpus
+    vector's approximate cosine is n_subspaces table lookups summed —
+    no decode, no float vector read.
 
-    Codebook training follows the published PQ recipe (Jégou et al.
-    §V.A; FAISS `train` does the same): Lloyd's runs DRIVER-SIDE on a
-    bounded id-ordered sample of ``train_sample`` corpus vectors — a
-    one-time collect of ≤ train_sample·dim doubles (default 16384·64
-    ≈ 8 MB), after which only the cheap distributed ENCODE pass
-    touches the full corpus. Training is deterministic end to end:
-    per subspace, seeds are quantile-stratified — sample subvectors
-    ranked by (first-component value rounded to 9 decimals, then
-    sample order) and the ``n_codes`` evenly-spaced ranks taken — so
-    seeds span the data's range instead of clumping like first-N-by-id
-    would; then ``refine_iterations`` Lloyd rounds with means ROUNDED
-    to 9 decimals and squared distances rounded to 9 before argmin
-    (ties → lowest code index), so float-sum ordering cannot leak into
-    code assignment (the `ivf_topk_cosine` determinism-over-last-ulp
-    trade). Every arithmetic step is replicated by the DuckDB oracle
-    inside `sim_recall_report`'s pq row — the training is simple
-    enough to restate in SQL precisely because it is sample-bounded
-    and deterministic. Codebooks and the per-query LUT tensor are
-    index-build collects: n_subspaces·n_codes·sub_dim +
-    |queries|·n_subspaces·n_codes doubles — kilobytes.
+    This is the end-to-end composition — for the index-persistence
+    path (train/encode ONCE, store codes + codebooks as tables, score
+    many query batches against the stored index) use the three stages
+    directly: :func:`train_pq_codebooks` → :func:`encode_pq` →
+    :func:`adc_topk` (`sim_topk_pq_stored` is that path under the
+    oracle gate).
 
-    Search mirrors :func:`topk_cosine_mapside`: mapInPandas over the
-    CODES relation, per-partition bounded top-k pools per query (numpy
-    gather per Arrow batch), exchange carries ≤ k·|queries|·partitions
-    candidates, global window rank on that tiny relation. ADC scores
-    are rounded to 9 decimals BEFORE ranking so the oracle's
-    sequential-fold sums rank identically to numpy's LUT gathers.
-    Recall < 1 from quantization error alone (every vector is scored —
-    no candidate misses, unlike LSH/IVF); the pytest property test
-    pins recall@k against the exact scorer, and `sim_recall_report`
-    hash-checks recall@10 against a full DuckDB recomputation of the
-    training + encode + ADC pipeline.
+    Everything is deterministic end to end (see the stage docstrings
+    for the seeding/rounding contract), which is what lets the DuckDB
+    oracle restate training + encode + ADC in SQL and hash-check BOTH
+    the ranking (`sim_topk_pq` / `sim_topk_pq_stored`) and recall@10
+    (`sim_recall_report`'s pq row). Recall < 1 from quantization error
+    alone (every vector is scored — no candidate misses, unlike
+    LSH/IVF); the pytest property test pins recall@k against the exact
+    scorer.
+    """
+    books = train_pq_codebooks(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        refine_iterations=refine_iterations,
+        train_sample=train_sample,
+    )
+    if books is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    codes = encode_pq(corpus, books, id_col=id_col, vec_col=vec_col)
+    return adc_topk(codes, books, queries, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def _unit_rows(mat):
+    import numpy as np
+
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0.0, 1.0, n)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    refine_iterations: int = 3,
+    train_sample: int = 16384,
+):
+    """Train PQ codebooks driver-side on a bounded id-ordered sample —
+    the published recipe (Jégou §V.A; FAISS ``train`` does the same):
+    a one-time collect of ≤ train_sample·dim doubles (default
+    16384·64 ≈ 8 MB), after which only the cheap distributed ENCODE
+    pass touches the full corpus.
+
+    Deterministic end to end: per subspace, seeds are
+    quantile-stratified — sample subvectors ranked by
+    (round(first component, 9), sample order) and the ``n_codes``
+    evenly-spaced ranks taken — so seeds span the data's range instead
+    of clumping like first-N-by-id would; then ``refine_iterations``
+    Lloyd rounds with means ROUNDED to 9 decimals and squared
+    distances rounded to 9 before argmin (ties → lowest code index),
+    so float-sum ordering cannot leak into code assignment (the
+    `ivf_topk_cosine` determinism-over-last-ulp trade). Every step is
+    restated in SQL by the `sim_recall_report` / `sim_topk_pq` oracle.
+
+    Returns a (n_subspaces, n_codes, sub_dim) float64 ndarray, or
+    ``None`` when the corpus has no valid vectors.
     """
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
 
-    # Bounded training collect — the published PQ recipe trains on a
-    # sample (Jégou §V.A), so this is index-build scale by design:
-    # ≤ train_sample rows, id-ordered for determinism.
     train_rows = (
         corpus.orderBy(id_col)
         .filter(F.col(vec_col).isNotNull())
@@ -1002,29 +1033,18 @@ def pq_topk_cosine(
         .collect()
     )
     if not train_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
-        )
+        return None
     dim = len(train_rows[0][0])
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub_dim = dim // n_subspaces
 
-    def _unit(mat: "np.ndarray") -> "np.ndarray":
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        return mat / np.where(n == 0.0, 1.0, n)
-
-    train = _unit(
+    train = _unit_rows(
         np.array(
             [list(r[0]) for r in train_rows if len(r[0]) == dim],
             dtype=np.float64,
         )
     )
-    # codebooks[s]: (n_codes, sub_dim). Quantile-stratified seeding:
-    # rank the sample's subvectors by (round(first component, 9),
-    # sample order) and take the n_codes evenly-spaced ranks — spread
-    # along one axis beats first-N-by-id clumps, and it is ONE window
-    # function in the oracle's SQL restatement.
     books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
     n_t = len(train)
     for s in range(n_subspaces):
@@ -1033,7 +1053,7 @@ def pq_topk_cosine(
         picks = [order[int((i + 0.5) * n_t / n_codes) % n_t] for i in range(n_codes)]
         books[s] = sub[picks]
 
-    def _assign(sub: "np.ndarray", bk: "np.ndarray") -> "np.ndarray":
+    def _assign(sub, bk):
         # squared L2 rounded to 9 before argmin (ties → lowest code),
         # mirroring the worker-side encoder and the SQL twin exactly
         d2 = np.round(
@@ -1055,47 +1075,91 @@ def pq_topk_cosine(
                 if mask.any():
                     new_books[s, c] = np.round(sub[mask].mean(axis=0), 9)
         books = new_books
+    return books
 
-    def _make_encoder(bk):
-        @pandas_udf(ArrayType(IntegerType()))
-        def _encode(v: pd.Series) -> pd.Series:
-            import numpy as np  # noqa: PLC0415 — worker-side
 
-            vals = v.to_numpy()
-            out = [None] * len(vals)
-            valid = [
-                i for i in range(len(vals))
-                if vals[i] is not None and len(vals[i]) == dim
-            ]
-            if valid:
-                V = _unit(
-                    np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+def encode_pq(
+    corpus: DataFrame,
+    books,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encode: one narrow Arrow-batched pass assigning
+    each vector its ``n_subspaces`` nearest-codeword indices under the
+    trained ``books``. Output: (``id_col``, codes array<int>) — the
+    storable index relation (16 B/vector at the 16×64 default). Rows
+    with null or wrong-dimension vectors are dropped, mirroring the
+    oracle's length filter."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    n_subspaces, _, sub_dim = books.shape
+    dim = n_subspaces * sub_dim
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — worker-side
+
+        vals = v.to_numpy()
+        out = [None] * len(vals)
+        valid = [
+            i for i in range(len(vals))
+            if vals[i] is not None and len(vals[i]) == dim
+        ]
+        if valid:
+            # normalization inlined (NOT _unit_rows): a module-level
+            # helper would make cloudpickle serialize this closure by
+            # MODULE REFERENCE, and the package is not importable on
+            # bare Python workers (driver-only sys.path injection)
+            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.where(nrm == 0.0, 1.0, nrm)
+            codes = np.empty((len(valid), n_subspaces), dtype=np.int32)
+            for s in range(n_subspaces):
+                sub = V[:, s * sub_dim : (s + 1) * sub_dim]
+                # squared L2 to each codeword; ROUND before argmin so
+                # a near-tie can't flip with BLAS blocking; argmin
+                # breaks exact ties by lowest code index
+                d2 = np.round(
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * (sub @ books[s].T)
+                    + (books[s] ** 2).sum(1)[None, :],
+                    9,
                 )
-                codes = np.empty((len(valid), n_subspaces), dtype=np.int32)
-                for s in range(n_subspaces):
-                    sub = V[:, s * sub_dim : (s + 1) * sub_dim]
-                    # squared L2 to each codeword; ROUND before argmin so
-                    # a near-tie can't flip with BLAS blocking; argmin
-                    # breaks exact ties by lowest code index
-                    d2 = np.round(
-                        (sub**2).sum(1)[:, None]
-                        - 2.0 * (sub @ bk[s].T)
-                        + (bk[s] ** 2).sum(1)[None, :],
-                        9,
-                    )
-                    codes[:, s] = np.argmin(d2, axis=1)
-                for j, i in enumerate(valid):
-                    out[i] = [int(c) for c in codes[j]]
-            return pd.Series(out)
+                codes[:, s] = np.argmin(d2, axis=1)
+            for j, i in enumerate(valid):
+                out[i] = [int(c) for c in codes[j]]
+        return pd.Series(out)
 
-        return _encode
-
-    enc = _make_encoder(books)
-    codes_df = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("__nid"),
-        enc(to_double(F.col(vec_col))).alias("__codes"),
+        _encode(to_double(F.col(vec_col))).alias("__codes"),
     ).filter(F.col("__codes").isNotNull())
 
+
+def adc_topk(
+    codes_df: DataFrame,
+    books,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a (possibly stored) PQ codes
+    relation. Mirrors :func:`topk_cosine_mapside`: mapInPandas over
+    the CODES relation, per-partition bounded top-k pools per query
+    (numpy LUT gather per Arrow batch), exchange carries
+    ≤ k·|queries|·partitions candidates, global window rank on that
+    tiny relation. ADC scores are rounded to 9 decimals BEFORE ranking
+    so the oracle's sequential-fold sums rank identically to numpy's
+    gathers. The per-query LUT tensor is an index-build collect:
+    |queries|·n_subspaces·n_codes doubles — kilobytes."""
+    import numpy as np
+
+    n_subspaces, _, sub_dim = books.shape
+    dim = n_subspaces * sub_dim
     q_rows = (
         queries.select(F.col(id_col), to_double(F.col(vec_col)))
         .filter(F.col(vec_col).isNotNull())
@@ -1103,11 +1167,11 @@ def pq_topk_cosine(
     )
     q_rows = [r for r in q_rows if len(r[1]) == dim]
     if not q_rows:
-        return corpus.sparkSession.createDataFrame(
+        return codes_df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = _unit(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    Q = _unit_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
     # LUT[q, s, c] = q_sub(s) . codeword(s, c); approx cosine of a coded
     # vector is sum_s LUT[q, s, code_s] (both sides unit-normalized)
     lut = np.stack(

@@ -38,6 +38,14 @@ Round 7 adds:
   pruned read-back under the checksum gate (the lake-table layout).
 - ``text_char_entropy``          — character-level Shannon entropy +
   distinct-char ratio, the gibberish/binary-junk quality gate.
+- ``join_interval_overlap``      — interval-overlap join with NO equi
+  key, made hash-joinable by temporal binning (explode to hour bins).
+- ``sink_parquet_schema_evolution`` — mergeSchema read across parquet
+  file generations that disagree on columns (the lake-table reality).
+- ``event_ewma_smoothing``      — recursive sequential aggregation
+  (EWMA) as an ordered-list fold, bit-identical across engines.
+- ``sim_topk_pq_stored`` lives in plans/llm.py with the other
+  similarity queries (train/encode once, score from stored codes).
 
 Scale contract (100 TB): the sink roundtrip is embarrassingly
 parallel; SCD2 shuffles the event stream once on user_id (both
@@ -1020,4 +1028,250 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_char_ratio"
         ),
         F.col("n").cast("long").alias("n_chars_counted"),
+    )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM ids GROUP BY user_id, session_id
+),
+incidents AS (
+  SELECT date_trunc('hour', ts) AS incident_hour, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY date_trunc('hour', ts)
+  HAVING COUNT(*) >= 3
+)
+SELECT s.user_id, s.session_start, s.session_end,
+       i.incident_hour, i.n_errors
+FROM sessions s
+JOIN incidents i
+  ON s.session_start < i.incident_hour + INTERVAL '1 hour'
+ AND s.session_end >= i.incident_hour
+"""
+
+
+@_register("join_interval_overlap", _INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key, made shuffle-joinable
+    by TEMPORAL BINNING: which user sessions overlap site-wide error
+    incidents (hours with ≥ 3 error events)? There is no key linking a
+    session to an incident — the naive plan is a BroadcastNestedLoopJoin
+    over the overlap predicate, O(|sessions|·|incidents|) and the
+    canonical way temporal joins die at scale.
+
+    The binning rewrite: each session explodes into the sequence of
+    HOURS it spans, incidents carry their single hour, and the join
+    becomes an EQUI join on the hour bin followed by the exact overlap
+    predicate — the standard interval-join strategy in streaming/
+    temporal engines. Replication factor = interval length / bin width
+    (sessions span a handful of hours; a pathological days-long
+    session is the documented skew knob: widen the bin). Because every
+    incident occupies exactly one bin, each overlapping pair meets in
+    exactly one bin and needs NO post-join dedup — that invariant is
+    what makes the rewrite exchange-minimal (one session-shuffle, one
+    bin-hash join; plan-tested cartesian-free).
+
+    Overlap convention: closed session [start, end] vs half-open
+    incident hour [h, h+1h): start < h+1h AND end >= h — the same
+    half-open-bucket convention as the tumbling-window queries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.sum(is_new)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("incident_hour"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 3)
+    )
+    binned = sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    return (
+        binned.join(incidents, binned.bin == incidents.incident_hour)
+        .filter(
+            (F.col("session_start")
+             < F.col("incident_hour") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("session_end") >= F.col("incident_hour"))
+        )
+        .select(
+            "user_id", "session_start", "session_end",
+            "incident_hour", "n_errors",
+        )
+    )
+
+
+def _schema_evolution_oracle() -> str:
+    return """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       COUNT(quality) AS n_with_quality,
+       CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+FROM (
+  SELECT lang, n_chars, NULL::DOUBLE AS quality
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, n_chars, ROUND(n_chars / 100.0, 6) AS quality
+  FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+"""
+
+
+@_register("sink_parquet_schema_evolution", _schema_evolution_oracle())
+def sink_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 1 wrote
+    documents WITHOUT a quality column (even doc_ids), generation 2
+    added one (odd doc_ids, quality = n_chars/100 rounded) — the
+    read-back with ``mergeSchema`` must union the file schemas, fill
+    the missing column with nulls for old files, and aggregate across
+    both generations. Every long-lived lake table lives this way:
+    columns get added mid-stream and history is never rewritten.
+
+    This is the ONE read in the repo without an explicit schema — the
+    point under test IS Spark's footer-schema merge (explicit-schema
+    reads, the default discipline here, would mask a silently-dropped
+    new column). mergeSchema costs one footer read per FILE, not a
+    data scan; at 100 TB you pay it once per planning pass or pin the
+    merged schema in a metastore after the first read.
+
+    The checksum gate: per-lang counts, char totals, non-null quality
+    counts, and decimal-summed quality — computed from the two-
+    generation directory by Spark, recomputed from the ORIGINAL table
+    by DuckDB — prove no row and no quality value was lost or
+    duplicated by the merge.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(tmp: str) -> None:
+        gen1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("n_chars") / 100.0, 6).alias("quality"),
+        )
+        gen1.write.mode("overwrite").parquet(tmp)
+        gen2.write.mode("append").parquet(tmp)
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_schema_evo",
+        build,
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(dest)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum(F.col("quality").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_quality"),
+    )
+
+
+_EWMA_ORACLE = """
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(list_reduce(list(value::DOUBLE ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma_last
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@_register("event_ewma_smoothing", _EWMA_ORACLE)
+def event_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (α = 0.3, s₀ = x₀, sₜ = 0.7·sₜ₋₁ + 0.3·xₜ) — the RECURSIVE
+    sequential aggregation family: unlike every window frame in the
+    registry, EWMA's step t depends on the ACCUMULATED state, not on a
+    frame of raw rows, so no built-in window function expresses it.
+    It is the standard smoothing primitive behind anomaly baselines
+    (`event_anomaly_zscore`'s static mean/stddev, made adaptive).
+
+    Expressed as an ordered-list FOLD, all JVM-side: per user,
+    ``array_sort(collect_list(struct(ts, event_id, value)))`` fixes
+    the (ts, event_id) total order, then ``F.aggregate`` folds with
+    the first element as init — the exact same left fold DuckDB's
+    ``list_reduce`` performs over ``list(value ORDER BY ts,
+    event_id)``, so per-step arithmetic is bit-identical between
+    engines and the round-6 output is hash-stable (no float-sum
+    reordering exists in a sequential fold by construction).
+
+    Scale: ONE shuffle on user_id; per-user state is the collected
+    history array — bounded by per-user event counts here, and for a
+    pathological mega-user the fold COMPOSES: an EWMA segment is the
+    affine map s_out = 0.7ⁿ·s_in + Σ 0.7^(n-i)·0.3·xᵢ, so segments
+    reduce associatively as (decay, offset) pairs — the documented
+    two-level path (segment folds map-side, affine compose in the
+    merge) if single-user histories outgrow an array.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x["value"].cast("double"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), vals.alias("__vals")
+    )
+    ewma = F.aggregate(
+        F.slice(
+            F.col("__vals"), F.lit(2), F.greatest(F.size("__vals") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return per_user.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma_last")
     )

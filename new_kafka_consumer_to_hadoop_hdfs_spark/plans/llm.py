@@ -1297,105 +1297,15 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_register("sim_topk_pq")  # no oracle: full ranked output is large; the
-# recall twin `sim_recall_report`'s pq row IS hash-checked end to end
-def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 cosine neighbors via PRODUCT QUANTIZATION +
-    asymmetric distance (16 subspaces × 64 codes, quantile-stratified
-    seeding, 3 Lloyd rounds on a bounded id-ordered sample) —
-    completing the classic ANN trio: LSH buckets (`sim_topk_lsh`) and
-    IVF cells (`sim_topk_ivf*`) shrink the candidate set; PQ shrinks
-    bytes-per-vector (64-dim float32 → 16 uint8 codes, a 16× scan-
-    bandwidth cut). Every vector is still SCORED (no candidate
-    misses); recall < 1 comes from quantization error alone, so rank
-    inversions near score ties are the failure mode — pinned by the
-    recall@10 property test against the exact scorer
-    (tests/test_analytics_queries.py) AND hash-anchored by
-    `sim_recall_report`, whose DuckDB oracle recomputes this exact
-    training + encode + ADC pipeline in SQL.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    return pq_topk_cosine(
-        e, q, id_col="vec_id", vec_col="embedding", k=10,
-        n_subspaces=16, n_codes=64, refine_iterations=3,
-    ).orderBy("query_id", "rank")
-
-
-_RECALL_REPORT_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-ex_scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.v, q.qv)
-         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
-  FROM e JOIN q ON e.vec_id != q.query_id
-),
-ex10 AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-    FROM ex_scored) WHERE rnk <= 10
-),
-i8 AS (
-  SELECT vec_id,
-         list_transform(v, x -> round(x * 127.0 / greatest(
-               list_max(list_transform(v, y -> abs(y))), 1e-300))) AS v
-  FROM e
-),
-i8q AS (SELECT vec_id AS query_id, v AS qv FROM i8 WHERE vec_id % 100 = 0),
-i8_scored AS (
-  SELECT i8q.query_id, i8.vec_id AS neighbor_id,
-         list_dot_product(i8.v, i8q.qv)
-         / (sqrt(list_dot_product(i8.v, i8.v)) * sqrt(list_dot_product(i8q.qv, i8q.qv))) AS c
-  FROM i8 JOIN i8q ON i8.vec_id != i8q.query_id
-),
-i810 AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-    FROM i8_scored) WHERE rnk <= 10
-),
-cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v
-  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 16)
-),
-cellrank AS (
-  -- affinity rounded to 9 decimals on BOTH engines (see
-  -- operators/similarity.py _cell_ranks): near-tie centroid rankings
-  -- must not flip between numpy matmul and sequential-fold arithmetic
-  SELECT e.vec_id, cent.cell,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             ROUND(list_dot_product(e.v, cent.v)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.v, cent.v))), 9) DESC,
-             cent.cell ASC) AS rnk
-  FROM e CROSS JOIN cent
-),
-inv AS (SELECT vec_id AS neighbor_id, cell FROM cellrank WHERE rnk = 1),
-probes AS (
-  SELECT vec_id AS query_id, cell FROM cellrank
-  WHERE vec_id % 100 = 0 AND rnk <= 4
-),
-ivf_scored AS (
-  SELECT p.query_id, i.neighbor_id,
-         list_dot_product(en.v, eq.v)
-         / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS c
-  FROM probes p
-  JOIN inv i USING (cell)
-  JOIN e en ON en.vec_id = i.neighbor_id
-  JOIN e eq ON eq.vec_id = p.query_id
-  WHERE i.neighbor_id != p.query_id
-),
-ivf10 AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-    FROM ivf_scored) WHERE rnk <= 10
-),
--- === pq: full SQL restatement of pq_topk_cosine (operators/similarity.py)
--- quantile-stratified seeding -> 3 unrolled Lloyd rounds (means rounded
--- to 9; distances rounded to 9 before argmin, ties -> lowest code) ->
--- corpus encode -> ADC scores rounded to 9 -> top-10 per query ===
+# Shared SQL restatement of the FULL pq_topk_cosine pipeline
+# (operators/similarity.py): quantile-stratified seeding -> 3 unrolled
+# Lloyd rounds (means rounded to 9; distances rounded to 9 before
+# argmin, ties -> lowest code) -> corpus encode -> ADC scores rounded
+# to 9 -> ranked. Used by BOTH the sim_topk_pq / sim_topk_pq_stored
+# ranking oracle and sim_recall_report's pq recall row. Requires a
+# preceding CTE `e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM
+# embeddings)`.
+_PQ_SQL_CTES = """\
 vn AS (
   SELECT vec_id,
          list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) = 0
@@ -1499,12 +1409,191 @@ pq_scored AS (
   WHERE cn.vec_id != q.query_id
   GROUP BY q.query_id, cn.vec_id
 ),
+pq_ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM pq_scored
+),
 pq10 AS (
+  SELECT query_id, neighbor_id FROM pq_ranked WHERE rnk <= 10
+)
+"""
+
+
+_PQ_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_PQ_SQL_CTES}
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim, rnk AS rank
+FROM pq_ranked WHERE rnk <= 10
+"""
+
+
+
+@_register("sim_topk_pq", _PQ_TOPK_ORACLE)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors via PRODUCT QUANTIZATION +
+    asymmetric distance (16 subspaces × 64 codes, quantile-stratified
+    seeding, 3 Lloyd rounds on a bounded id-ordered sample) —
+    completing the classic ANN trio: LSH buckets (`sim_topk_lsh`) and
+    IVF cells (`sim_topk_ivf*`) shrink the candidate set; PQ shrinks
+    bytes-per-vector (64-dim float32 → 16 uint8 codes, a 16× scan-
+    bandwidth cut). Every vector is still SCORED (no candidate
+    misses); recall < 1 comes from quantization error alone, so rank
+    inversions near score ties are the failure mode — pinned by the
+    recall@10 property test against the exact scorer
+    (tests/test_analytics_queries.py). Unlike the LSH/IVF siblings
+    this query IS fully oracle-checked: the pipeline is deterministic
+    arithmetic end to end, so the DuckDB oracle recomputes training +
+    encode + ADC and hash-matches the RANKED OUTPUT itself (round-7
+    upgrade from rows-only; `sim_recall_report`'s pq row additionally
+    hash-checks recall@10, and `sim_topk_pq_stored` is the
+    train-once/score-from-stored-codes path under the same oracle).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        n_subspaces=16, n_codes=64, refine_iterations=3,
+    ).orderBy("query_id", "rank")
+
+
+@_register("sim_topk_pq_stored", _PQ_TOPK_ORACLE)
+def sim_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_topk_pq` scored from a STORED PQ index: codebooks are
+    trained and the corpus encoded ONCE per sf_dir (cached,
+    fingerprint-refreshed), persisted as two parquet tables — codes
+    (vec_id, 16 int codes = 16 B/vector) and codebooks (1024 rows of
+    (sub, code, codeword)) — and each query batch runs pure ADC over
+    the codes table. This is how PQ is actually deployed: FAISS/Milvus
+    separate `train`+`add` (ingest time) from `search` (query time);
+    `sim_topk_cosine_int8_stored` plays the same role for scalar
+    quantization at 4×, this banks the 16× end of the axis — the
+    query-time scan touches 16-byte codes, never the 256-byte float
+    vectors, and the training collect disappears from the query path.
+
+    Same oracle as `sim_topk_pq`: the stored index is the
+    deterministic function of the raw table that the SQL restates, so
+    the DuckDB recomputation from raw embeddings must hash-match the
+    stored-index scoring exactly — which simultaneously proves the
+    index files round-tripped losslessly.
+    """
+    import pathlib
+
+    import numpy as np
+
+    from ..operators.similarity import adc_topk, encode_pq, train_pq_codebooks
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        books = train_pq_codebooks(e)  # defaults: 16 × 64 × 3, 16k sample
+        n_subspaces, n_codes, sub_dim = books.shape
+        encode_pq(e, books).select(
+            F.col("__nid").alias("vec_id"), F.col("__codes").alias("codes")
+        ).write.mode("overwrite").parquet(tmp + "/codes")
+        spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in books[s, c]])
+                for s in range(n_subspaces)
+                for c in range(n_codes)
+            ],
+            "sub int, code int, codeword array<double>",
+        ).write.mode("overwrite").parquet(tmp + "/books")
+        # two sub-tables → the per-table markers live one level down;
+        # surface the install-complete marker where the cache expects it
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "embeddings.parquet", "embeddings_pq", build
+    )
+    book_rows = spark.read.parquet(f"{dest}/books").collect()  # 1024 rows
+    n_subspaces = 1 + max(r["sub"] for r in book_rows)
+    n_codes = 1 + max(r["code"] for r in book_rows)
+    sub_dim = len(book_rows[0]["codeword"])
+    books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
+    for r in book_rows:
+        books[r["sub"], r["code"]] = r["codeword"]
+    codes = spark.read.parquet(f"{dest}/codes").select(
+        F.col("vec_id").alias("__nid"), F.col("codes").alias("__codes")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return adc_topk(
+        codes, books, q, id_col="vec_id", vec_col="embedding", k=10
+    ).orderBy("query_id", "rank")
+
+
+_RECALL_REPORT_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e JOIN q ON e.vec_id != q.query_id
+),
+ex10 AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-    FROM pq_scored) WHERE rnk <= 10
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM ex_scored) WHERE rnk <= 10
 ),
+i8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> round(x * 127.0 / greatest(
+               list_max(list_transform(v, y -> abs(y))), 1e-300))) AS v
+  FROM e
+),
+i8q AS (SELECT vec_id AS query_id, v AS qv FROM i8 WHERE vec_id % 100 = 0),
+i8_scored AS (
+  SELECT i8q.query_id, i8.vec_id AS neighbor_id,
+         list_dot_product(i8.v, i8q.qv)
+         / (sqrt(list_dot_product(i8.v, i8.v)) * sqrt(list_dot_product(i8q.qv, i8q.qv))) AS c
+  FROM i8 JOIN i8q ON i8.vec_id != i8q.query_id
+),
+i810 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM i8_scored) WHERE rnk <= 10
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v
+  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 16)
+),
+cellrank AS (
+  -- affinity rounded to 9 decimals on BOTH engines (see
+  -- operators/similarity.py _cell_ranks): near-tie centroid rankings
+  -- must not flip between numpy matmul and sequential-fold arithmetic
+  SELECT e.vec_id, cent.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(e.v, cent.v)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.v, cent.v))), 9) DESC,
+             cent.cell ASC) AS rnk
+  FROM e CROSS JOIN cent
+),
+inv AS (SELECT vec_id AS neighbor_id, cell FROM cellrank WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM cellrank
+  WHERE vec_id % 100 = 0 AND rnk <= 4
+),
+ivf_scored AS (
+  SELECT p.query_id, i.neighbor_id,
+         list_dot_product(en.v, eq.v)
+         / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS c
+  FROM probes p
+  JOIN inv i USING (cell)
+  JOIN e en ON en.vec_id = i.neighbor_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  WHERE i.neighbor_id != p.query_id
+),
+ivf10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM ivf_scored) WHERE rnk <= 10
+),
+{_PQ_SQL_CTES},
 sel AS (
   SELECT 'exact' AS method, query_id, neighbor_id FROM ex10
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i810

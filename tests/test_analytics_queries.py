@@ -387,3 +387,77 @@ def test_path_regex_session_and_order_semantics(spark, tmp_path):
     assert [(r.user_id, r.n_events, r.path) for r in got] == [
         (1, 3, "view>error>purchase")
     ]
+
+
+def test_interval_overlap_boundary_semantics(spark, tmp_path):
+    """Closed-session vs half-open-hour overlap: a session ENDING
+    exactly at an incident hour's start overlaps (end >= h); one
+    ending just before does not; one starting exactly at h+1h does
+    not (start < h+1h is strict). The bin rewrite must agree with the
+    predicate on all three boundaries."""
+    import datetime as dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    h = dt.datetime(2024, 1, 1, 12, 0, 0)  # incident hour [12:00, 13:00)
+
+    def ev(eid, uid, t, typ):
+        return (eid, t, uid, typ, 1.0, "{}")
+
+    rows = [
+        # three errors inside hour 12 → an incident
+        ev(1, 90, h + dt.timedelta(minutes=1), "error"),
+        ev(2, 91, h + dt.timedelta(minutes=2), "error"),
+        ev(3, 92, h + dt.timedelta(minutes=3), "error"),
+        # user 1: session [11:50, 12:00] — end == h → overlaps
+        ev(10, 1, h - dt.timedelta(minutes=10), "view"),
+        ev(11, 1, h, "click"),
+        # user 2: session [11:30, 11:59] — ends before h → no overlap
+        ev(20, 2, h - dt.timedelta(minutes=30), "view"),
+        ev(21, 2, h - dt.timedelta(minutes=1), "click"),
+        # user 3: session [13:00, 13:05] — starts at h+1h → no overlap
+        ev(30, 3, h + dt.timedelta(hours=1), "view"),
+        ev(31, 3, h + dt.timedelta(hours=1, minutes=5), "click"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    queries, _ = merged_registry()
+    got = queries["join_interval_overlap"](spark, str(tmp_path)).collect()
+    # the error users' own 1-event sessions also overlap the incident
+    by_user = {r.user_id for r in got}
+    assert 1 in by_user and 2 not in by_user and 3 not in by_user
+    assert all(r.incident_hour == h and r.n_errors == 3 for r in got)
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    """EWMA fold semantics on a hand-checkable sequence: values
+    [1, 2, 10] in (ts, event_id) order → s = 1 → 1.3 → 3.91; a
+    single-event user keeps their value; and chronological order must
+    come from (ts, event_id), not insertion order."""
+    import datetime as dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1 deliberately inserted OUT of chronological order
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 10.0, "{}"),
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 2.0, "{}"),
+        (4, t0, 2, "view", 7.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    queries, _ = merged_registry()
+    got = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in queries["event_ewma_smoothing"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, round((1.0 * 0.7 + 2.0 * 0.3) * 0.7 + 10.0 * 0.3, 6)),
+                   2: (1, 7.5)}

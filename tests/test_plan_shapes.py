@@ -431,3 +431,13 @@ def test_path_regex_single_corpus_shuffle(spark, registry):
     # details "Arguments:" line (the kafka_dedup_lww counting idiom)
     assert plan.count("hashpartitioning(") == 1, plan.count("hashpartitioning(")
     assert "user_id" in plan.split("hashpartitioning(", 1)[1][:30]
+
+
+def test_ewma_single_shuffle_and_jvm_fold(spark, registry):
+    """The EWMA fold must ride ONE user_id exchange (collect_list agg)
+    with no Python evaluation — `aggregate` is a JVM higher-order
+    function, not a UDF."""
+    plan = _plan(spark, registry, "event_ewma_smoothing")
+    assert plan.count("hashpartitioning(") == 1
+    assert "user_id" in plan.split("hashpartitioning(", 1)[1][:30]
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -829,3 +829,67 @@ def test_stateful_lww_state_survives_query_restart(spark, tmp_path):
     # only the genuine override is emitted; the stale update is
     # suppressed BY RECOVERED STATE (this generation never saw b0)
     assert emitted == [(0, 1, 99, "gen2-id1-wins")]
+
+
+def test_session_funnel_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming session-funnel detection (watermarked session_window +
+    per-session path fold + foreachBatch regex) must emit exactly the
+    batch twin's CLOSED matching sessions, each exactly once — and the
+    cross-micro-batch path order must be (ts, event_id), not arrival
+    order."""
+    import datetime as _dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.funnel import (
+        funnel_matches,
+        sessionized_paths,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type"
+    )
+    src = tmp_path / "fsrc"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_id long, event_type string"
+    ).parquet(str(src))
+
+    got: list[tuple] = []
+
+    def collect(batch_df, epoch_id):
+        got.extend(
+            (r.user_id, r.session_start, r.n_events, r.path)
+            for r in funnel_matches(batch_df).collect()
+        )
+
+    q = (
+        sessionized_paths(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_rows = funnel_matches(sessionized_paths(events)).collect()
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.path)
+        for r in batch_rows
+    }
+    max_ts = events.agg(F.max("ts")).first()[0]
+    watermark = max_ts - _dt.timedelta(hours=1)
+    # append emits a session exactly when the watermark passed its
+    # close (session_end = last event + gap — the batch twin carries
+    # it); later sessions correctly remain in state, unemitted
+    closed = {
+        (r.user_id, r.session_start): (r.n_events, r.path)
+        for r in batch_rows
+        if r.session_end <= watermark
+    }
+    final = {(uid, ss): (n, p) for uid, ss, n, p in got}
+    assert len(final) == len(got), "a session was emitted more than once"
+    assert final == closed, (
+        set(final) ^ set(closed),
+    )
+    assert final, "no funnel sessions closed — vacuous test"
