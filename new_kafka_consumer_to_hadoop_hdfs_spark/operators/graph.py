@@ -314,8 +314,8 @@ def triangle_counts(
     O(m^1.5) regardless of how pathological the degree distribution
     gets — vs O(Σ d²) for naive a<b<c wedges, where one 10⁶-degree
     boilerplate hub alone would emit 10¹² wedges
-    (tests/test_dedup_semantics.py pins the star-graph wedge-volume
-    drop).
+    (tests/test_analytics_queries.py::test_triangle_star_hub_wedge_volume
+    pins the star-graph wedge-volume drop).
 
     Durability mirrors `connected_components_min_label` / `pagerank`:
     the canonical edge relation and the oriented edge relation are

@@ -1025,25 +1025,36 @@ def train_pq_codebooks(
     """
     import numpy as np
 
+    # dim comes from the first valid vector (one 1-row job); the
+    # length filter must then be applied BEFORE the limit so the
+    # sample is "first train_sample VALID vectors by id" — the oracle
+    # filters len(v) = dim in its vn CTE before LIMIT, and filtering
+    # after the collect would train on a short sample whenever a
+    # wrong-length vector sneaks into the head (ADVICE r7).
+    first = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)  # deterministic dim choice under mixed lengths
+        .select(F.size(vec_col).alias("__d"))
+        .first()
+    )
+    if first is None:
+        return None
+    dim = first["__d"]
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub_dim = dim // n_subspaces
     train_rows = (
         corpus.orderBy(id_col)
-        .filter(F.col(vec_col).isNotNull())
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .limit(train_sample)
         .select(to_double(F.col(vec_col)))
         .collect()
     )
     if not train_rows:
         return None
-    dim = len(train_rows[0][0])
-    if dim % n_subspaces != 0:
-        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
-    sub_dim = dim // n_subspaces
 
     train = _unit_rows(
-        np.array(
-            [list(r[0]) for r in train_rows if len(r[0]) == dim],
-            dtype=np.float64,
-        )
+        np.array([list(r[0]) for r in train_rows], dtype=np.float64)
     )
     books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
     n_t = len(train)

@@ -163,6 +163,19 @@ def bloom_prefilter(
     """
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    big_t = big.schema[big_key].dataType
+    small_t = small.schema[small_key].dataType
+    if big_t != small_t:
+        # xxhash64 hashes INT 5 and BIGINT 5 to DIFFERENT values, so a
+        # type mismatch a plain equi-join would coerce away silently
+        # drops EVERY matching row here — fail loudly instead (a false
+        # NEGATIVE breaks the operator's one contract).
+        raise TypeError(
+            f"bloom_prefilter key types must match exactly: "
+            f"{big_key}:{big_t.simpleString()} vs "
+            f"{small_key}:{small_t.simpleString()} — cast one side first "
+            "(xxhash64 is type-sensitive, a mismatch never matches)"
+        )
     n_words = n_bits // 64
     seeds = list(range(n_hashes))
     key = F.col(small_key)

@@ -715,8 +715,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PATH_REGEX_ORACLE = """
-WITH seq AS (
+# Shared 30-minute-gap sessionization (lag + running-sum islands),
+# used by BOTH `event_path_regex` and `join_interval_overlap` — one
+# definition per engine so a gap or tie-break change cannot
+# desynchronize the two queries or their oracles (ADVICE r7).
+_SESSIONIZE_SQL = """seq AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id)
@@ -730,7 +733,33 @@ ids AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM seq
-),
+)"""
+
+
+def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, ts, event_id, event_type, session_id) under the
+    30-minute inactivity gap — the Spark twin of ``_SESSIONIZE_SQL``.
+    ONE user_id shuffle shared by the lag window and the island sum;
+    downstream projections prune the unused columns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+
+
+_PATH_REGEX_ORACLE = f"""
+WITH {_SESSIONIZE_SQL},
 paths AS (
   SELECT user_id, session_id,
          MIN(ts) AS session_start,
@@ -771,21 +800,7 @@ def event_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user history). The regex runs on the folded path — one string op
     per session, not per event.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = F.when(
-        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
-        1,
-    ).otherwise(0)
-    sess = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("session_id"),
-    )
+    sess = _sessionized_events(spark, sf_dir)
     paths = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
@@ -920,10 +935,17 @@ def pipeline_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hive_partitioned_oracle() -> str:
     from .corpus import _ROUNDTRIP_ORACLE
 
-    return _ROUNDTRIP_ORACLE.replace(
+    filtered = _ROUNDTRIP_ORACLE.replace(
         "FROM documents GROUP BY lang, source",
         "FROM documents WHERE lang IN ('en', 'de') GROUP BY lang, source",
     )
+    # a silent no-op replace (after a rewording of the base oracle)
+    # would quietly compare the PRUNED read against the UNFILTERED
+    # table — fail here, at the dependency, not at a hash mismatch
+    assert filtered != _ROUNDTRIP_ORACLE, (
+        "_ROUNDTRIP_ORACLE reworded: update the WHERE-variant anchor"
+    )
+    return filtered
 
 
 @_register("sink_parquet_hive_partitioned", _hive_partitioned_oracle())
@@ -1031,22 +1053,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INTERVAL_OVERLAP_ORACLE = """
-WITH seq AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)
-                   > INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-),
-ids AS (
-  SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM seq
-),
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH {_SESSIONIZE_SQL},
 sessions AS (
   SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
   FROM ids GROUP BY user_id, session_id
@@ -1092,19 +1100,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open-bucket convention as the tumbling-window queries.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = F.when(
-        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
-        1,
-    ).otherwise(0)
     sessions = (
-        ev.select(
-            "user_id",
-            "ts",
-            F.sum(is_new)
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("session_id"),
-        )
+        _sessionized_events(spark, sf_dir)
         .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("session_start"),

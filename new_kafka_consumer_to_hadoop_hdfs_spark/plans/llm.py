@@ -1488,6 +1488,15 @@ def sim_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> None:
         books = train_pq_codebooks(e)  # defaults: 16 × 64 × 3, 16k sample
+        if books is None:  # no valid vectors: install an EMPTY index
+            spark.createDataFrame(
+                [], "vec_id long, codes array<int>"
+            ).write.mode("overwrite").parquet(tmp + "/codes")
+            spark.createDataFrame(
+                [], "sub int, code int, codeword array<double>"
+            ).write.mode("overwrite").parquet(tmp + "/books")
+            pathlib.Path(tmp, "_SUCCESS").touch()
+            return
         n_subspaces, n_codes, sub_dim = books.shape
         encode_pq(e, books).select(
             F.col("__nid").alias("vec_id"), F.col("__codes").alias("codes")
@@ -1504,10 +1513,19 @@ def sim_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # surface the install-complete marker where the cache expects it
         pathlib.Path(tmp, "_SUCCESS").touch()
 
+    # the cache fingerprint tracks only the SOURCE parquet, so the
+    # index parameters are baked into the cache NAME — changing the
+    # config can never serve a stale index trained under the old one
     dest = cached_materialization(
-        pathlib.Path(sf_dir) / "embeddings.parquet", "embeddings_pq", build
+        pathlib.Path(sf_dir) / "embeddings.parquet",
+        "embeddings_pq16x64r3s16384",
+        build,
     )
     book_rows = spark.read.parquet(f"{dest}/books").collect()  # 1024 rows
+    if not book_rows:  # empty index → the composed path's empty contract
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     n_subspaces = 1 + max(r["sub"] for r in book_rows)
     n_codes = 1 + max(r["code"] for r in book_rows)
     sub_dim = len(book_rows[0]["codeword"])

@@ -332,6 +332,11 @@ def test_bloom_prefilter_superset_and_exact_join(spark):
     assert got == want
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_prefilter(big, small, "k", "k2", n_bits=100)
+    # xxhash64 hashes INT 5 and BIGINT 5 differently — a key-type
+    # mismatch would silently drop every match, so it must raise
+    small_int = small.withColumn("k2", small.k2.cast("int"))
+    with pytest.raises(TypeError, match="key types must match"):
+        bloom_prefilter(big, small_int, "k", "k2")
 
 
 def test_char_entropy_hand_computed(spark, tmp_path):

@@ -893,3 +893,63 @@ def test_session_funnel_stream_equals_batch(spark, tmp_path, sf_dir):
         set(final) ^ set(closed),
     )
     assert final, "no funnel sessions closed — vacuous test"
+
+
+def test_stateful_ewma_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Incrementally-maintained EWMA (applyInPandasWithState, one
+    (ewma, n) pair per user) must converge to EXACTLY the batch
+    ordered-fold result when events arrive time-ordered across
+    micro-batches — the sequential in-batch fold keeps it bit-exact,
+    so the comparison is equality on the rounded values, no
+    tolerance."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.smoothing import (
+        stateful_ewma,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # split into three time-ordered files so state must carry across
+    # micro-batches (maxFilesPerTrigger=1)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src = tmp_path / "esrc"
+    for i in range(3):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + span))
+        )
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    latest: dict[int, tuple] = {}
+
+    def collect(batch_df, epoch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, round(r.ewma_last, 6))
+
+    q = (
+        stateful_ewma(stream)
+        .writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    queries, _ = merged_registry()
+    batch = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in queries["event_ewma_smoothing"](spark, sf_dir).collect()
+    }
+    assert latest == batch
+    assert len(latest) > 3, "too few users — vacuous equivalence"

@@ -63,7 +63,11 @@ def main() -> int:
         return 1
     if _run("pytest", [py, "-m", "pytest", "tests/", "-x", "-q"]):
         return 1
-    if _run("plans", [py, "tools/plan_fingerprints.py", "--sf-dir", args.sf_dir]):
+    # The fingerprint snapshot is pinned to the default sf0.01 recipe —
+    # plan shape legitimately varies with data size (join strategy
+    # flips, AQE coalescing), so comparing a non-default sf-dir against
+    # the committed snapshot would false-fail the gate (ADVICE r7).
+    if _run("plans", [py, "tools/plan_fingerprints.py"]):
         print("preflight: a query's physical plan changed without the "
               "snapshot being regenerated — if the change is intentional, "
               "run `python tools/plan_fingerprints.py --write` and commit "
