@@ -353,3 +353,136 @@ def test_cdc_compact_matches_python_fold(spark, ops):
         if last[3] != "D":
             expected[k] = (last[1], round(last[4], 6), n_ops, n_del)
     assert got == expected
+
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # user_id
+        st.integers(0, 3000),     # minutes offset from base
+        st.sampled_from(["error", "view"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_interval_rows)
+@_SETTINGS
+def test_interval_overlap_matches_python_brute_force(spark, tmp_path, rows):
+    """The binned interval-overlap rewrite must equal the O(n·m)
+    definition — sessionize (30-min strict gap), incident hours
+    (≥ 3 errors), every (session, hour) pair satisfying
+    start < h+1h AND end >= h — on randomized event layouts, including
+    duplicate timestamps and sessions spanning many hour bins."""
+    import datetime as dt
+    import itertools
+    from collections import Counter, defaultdict
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    base = dt.datetime(2024, 1, 1)
+    fixture = [
+        (eid, base + dt.timedelta(minutes=m), uid, et, 1.0, "{}")
+        for eid, (uid, m, et) in enumerate(rows)
+    ]
+    d = tmp_path / f"io_{next(_interval_overlap_counter)}"
+    spark.createDataFrame(
+        fixture,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    queries, _ = merged_registry()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.incident_hour, r.n_errors)
+        for r in queries["join_interval_overlap"](spark, str(d)).collect()
+    }
+
+    by_user = defaultdict(list)
+    for eid, ts, uid, _et, _v, _p in fixture:
+        by_user[uid].append((ts, eid))
+    sessions = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > dt.timedelta(minutes=30):
+                sessions.append((uid, cur[0][0], cur[-1][0]))
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        sessions.append((uid, cur[0][0], cur[-1][0]))
+    hours = Counter(
+        ts.replace(minute=0, second=0, microsecond=0)
+        for _eid, ts, _uid, et, _v, _p in fixture
+        if et == "error"
+    )
+    want = {
+        (uid, s, e, h, n)
+        for (uid, s, e) in sessions
+        for h, n in hours.items()
+        if n >= 3 and s < h + dt.timedelta(hours=1) and e >= h
+    }
+    assert got == want
+
+
+_interval_overlap_counter = iter(range(10**6))
+
+
+_ewma_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # user_id
+        st.integers(0, 500),    # minutes offset
+        st.integers(-10**6, 10**6),  # value scaled /8 → dyadic double
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=_ewma_rows)
+@_SETTINGS
+def test_ewma_matches_python_fold(spark, tmp_path, rows):
+    """The JVM `aggregate` fold must equal a plain Python fold exactly
+    (same IEEE ops in the same order), with HALF_UP 6-decimal rounding
+    replicated via Decimal — duplicate timestamps fall back to
+    event_id order on both sides."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    base = dt.datetime(2024, 1, 1)
+    fixture = [
+        (eid, base + dt.timedelta(minutes=m), uid, "view", v / 8.0, "{}")
+        for eid, (uid, m, v) in enumerate(rows)
+    ]
+    d = tmp_path / f"ew_{next(_ewma_counter)}"
+    spark.createDataFrame(
+        fixture,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    queries, _ = merged_registry()
+    got = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in queries["event_ewma_smoothing"](spark, str(d)).collect()
+    }
+
+    by_user = defaultdict(list)
+    for eid, ts, uid, _et, v, _p in fixture:
+        by_user[uid].append((ts, eid, v))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        s = evs[0][2]
+        for _ts, _eid, v in evs[1:]:
+            s = s * 0.7 + v * 0.3
+        rounded = float(
+            Decimal(s).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        want[uid] = (len(evs), rounded)
+    assert got == want
+
+
+_ewma_counter = iter(range(10**6))

@@ -57,6 +57,17 @@ DEFAULT_QUERIES = [
     "event_user_paths",
     "event_gapfill_locf",
     "join_bucketed_colocated",
+    # round-6/7 graph/ANN/temporal/quality additions
+    "pipeline_graph_triangles",
+    "pipeline_graph_pagerank",
+    "sim_topk_pq",
+    "sim_topk_pq_stored",
+    "join_interval_overlap",
+    "join_bloom_prefilter",
+    "event_path_regex",
+    "event_ewma_smoothing",
+    "text_char_entropy",
+    "pipeline_scd2_intervals",
 ]
 
 
