@@ -1040,6 +1040,14 @@ def train_pq_codebooks(
     if first is None:
         return None
     dim = first["__d"]
+    if dim <= 0:
+        # 0 % n_subspaces == 0 would slip an empty/corrupt lead vector
+        # through the divisibility check and train zero-width codebooks
+        # whose ADC scores are all 0.0 — fail at the cause instead
+        raise ValueError(
+            f"first valid vector (by {id_col}) has length {dim}; "
+            "cannot train PQ codebooks on empty vectors"
+        )
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub_dim = dim // n_subspaces

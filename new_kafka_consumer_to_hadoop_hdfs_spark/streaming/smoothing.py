@@ -68,7 +68,15 @@ def _ewma_update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (ewma, n) = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
+    # a key's micro-batch arrives as MULTIPLE Arrow chunks (split at
+    # arrow.maxRecordsPerBatch) in shuffle-read order — sorting each
+    # chunk independently would fold a >10k-event key out of order, so
+    # concatenate the whole group BEFORE the one sort (review r7).
+    # Bounded: the concat holds one key's one-micro-batch rows, the
+    # same data the per-chunk path held — not unbounded history.
+    chunks = [c for c in pdfs if len(c)]
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
         for v in pdf["value"].to_numpy():
             # sequential fold — bit-exact vs the batch F.aggregate /

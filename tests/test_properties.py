@@ -442,13 +442,18 @@ _ewma_rows = st.lists(
 @given(rows=_ewma_rows)
 @_SETTINGS
 def test_ewma_matches_python_fold(spark, tmp_path, rows):
-    """The JVM `aggregate` fold must equal a plain Python fold exactly
-    (same IEEE ops in the same order), with HALF_UP 6-decimal rounding
-    replicated via Decimal — duplicate timestamps fall back to
-    event_id order on both sides."""
+    """The JVM `aggregate` fold must equal a plain Python fold to
+    within HALF a rounding-grid step (5e-7): the unrounded folds are
+    bit-identical (same IEEE ops in the same order — pinned exactly by
+    test_ewma_hand_computed and the driver oracle), but the final
+    6-decimal rounding can differ by one grid unit on exact-boundary
+    values: Spark's F.round goes through BigDecimal.valueOf(double)
+    (rounds the SHORTEST-STRING decimal repr) while any Python
+    replication rounds either the exact binary expansion or the repr —
+    hypothesis finds dyadic inputs landing exactly on x.xxxxxx5.
+    Duplicate timestamps fall back to event_id order on both sides."""
     import datetime as dt
     from collections import defaultdict
-    from decimal import ROUND_HALF_UP, Decimal
 
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
 
@@ -472,17 +477,15 @@ def test_ewma_matches_python_fold(spark, tmp_path, rows):
     by_user = defaultdict(list)
     for eid, ts, uid, _et, v, _p in fixture:
         by_user[uid].append((ts, eid, v))
-    want = {}
     for uid, evs in by_user.items():
         evs.sort()
         s = evs[0][2]
         for _ts, _eid, v in evs[1:]:
             s = s * 0.7 + v * 0.3
-        rounded = float(
-            Decimal(s).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        )
-        want[uid] = (len(evs), rounded)
-    assert got == want
+        n_got, ewma_got = got.pop(uid)
+        assert n_got == len(evs)
+        assert abs(ewma_got - s) <= 5.000001e-7, (uid, ewma_got, s)
+    assert not got, f"unexpected users: {got}"
 
 
 _ewma_counter = iter(range(10**6))

@@ -953,3 +953,58 @@ def test_stateful_ewma_stream_equals_batch(spark, tmp_path, sf_dir):
     }
     assert latest == batch
     assert len(latest) > 3, "too few users — vacuous equivalence"
+
+
+def test_stateful_ewma_multichunk_group_sorted_once(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks (rows split
+    at arrow.maxRecordsPerBatch) must still fold in (ts, event_id)
+    order — per-chunk sorting would fold shuffle-arrival order and
+    silently diverge (review r7). Rows are written REVERSE-time so the
+    un-concatenated fold is guaranteed wrong."""
+    import datetime as _dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.smoothing import (
+        stateful_ewma,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    n = 100
+    rows = [
+        (0, t0 + _dt.timedelta(minutes=i), i, float(i % 7))
+        for i in reversed(range(n))  # arrival order = reverse time
+    ]
+    src = tmp_path / "mcsrc"
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        ).parquet(str(src / "*"))
+        got: list[tuple] = []
+
+        def collect(batch_df, epoch_id):
+            got.extend(
+                (r.user_id, r.n_events, r.ewma_last) for r in batch_df.collect()
+            )
+
+        q = (
+            stateful_ewma(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "mcckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    s = None
+    for i in range(n):  # chronological fold
+        v = float(i % 7)
+        s = v if s is None else s * 0.7 + v * 0.3
+    assert got == [(0, n, s)]

@@ -19,7 +19,10 @@ Normalization strips the session-dependent parts of the explain text —
 expression/plan ids, checkpointed-RDD names, scan paths, in-memory
 relation serializer noise — keeping operator tree shape, join
 strategies, pushed filters, and partitioning, which is exactly the
-plan surface the round reviews audit.
+plan surface the round reviews audit. The CacheManager is cleared
+before EACH query so a plan never depends on which relation an
+earlier query's construction left persisted — every fingerprint is
+the query's own position-independent plan.
 
 Plan construction is NOT free for every query: index-building queries
 (IVF/PQ/curriculum offsets) run their bounded driver-side collects
@@ -74,17 +77,19 @@ def _normalize(plan: str) -> str:
         # Expand, marked by the gid column) orders the distinct groups
         # from a hash collection — column order in those lines varies
         # per JVM with identical semantics, so canonicalize them as a
-        # sorted token multiset instead of text.
+        # sorted token multiset instead of text. Accepted tradeoff: a
+        # REAL reordering on exactly these lines would also hash equal
+        # — but a semantic change there changes query RESULTS, which
+        # the value oracle catches; this gate guards plan SHAPE
+        # (joins/exchanges/scans), none of which live on gid# lines.
         if "gid#" in ln:
             ln = " ".join(sorted(re.split(r"[\s,\[\]()]+", ln)))
         keep.append(ln)
     return "\n".join(keep)
 
 
-def current_fingerprints(sf_dir: str) -> dict[str, str]:
+def _open_session():
     from pyspark.sql import SparkSession
-
-    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -94,25 +99,28 @@ def current_fingerprints(sf_dir: str) -> dict[str, str]:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _fingerprint_pass(spark, sf_dir: str, names=None) -> dict[str, str]:
+    """One construction+hash pass over ``names`` (default: all)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
     queries, _ = merged_registry()
-    prints: dict[str, str] = {}
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
         "formatted"
     )
-    # SETTLE PASS: constructing a query can rebuild on-disk artifacts
-    # (bucketed warehouse tables, .bench_cache materializations) whose
-    # freshness changes LATER queries' plans via cache/catalog state —
-    # a run started right after bench/sweep activity would otherwise
-    # fingerprint the mid-rebuild state and flap against a run started
-    # from settled state. Build everything once, discard the plans,
-    # then fingerprint the second pass.
-    for name in sorted(queries):
+    prints: dict[str, str] = {}
+    for name in sorted(names if names is not None else queries):
         try:
-            queries[name](spark, sf_dir)
-        except Exception:  # noqa: BLE001,S110 — pass 2 reports it
-            pass
-    for name in sorted(queries):
-        try:
+            # CacheManager substitution makes a plan depend on SESSION
+            # HISTORY: a relation persisted by an earlier query's
+            # construction (persist_bounded keeps one alive) rewrites
+            # matching subtrees of LATER queries into
+            # InMemoryTableScan. Clear it per query so every plan is
+            # the query's OWN plan — position-independent and stable
+            # across sessions (the source of the 12-query text_* flap).
+            spark.catalog.clearCache()
             df = queries[name](spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
@@ -126,7 +134,6 @@ def current_fingerprints(sf_dir: str) -> dict[str, str]:
         if os.environ.get("FP_DUMP") == name:
             pathlib.Path(f"/tmp/fp_{os.getpid()}.txt").write_text(norm)
         prints[name] = hashlib.sha256(norm.encode("utf-8")).hexdigest()[:16]
-    spark.stop()
     return prints
 
 
@@ -137,8 +144,17 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    now = current_fingerprints(args.sf_dir)
+    if not pathlib.Path(args.sf_dir).is_dir():
+        # without this, every query records ERROR:AnalysisException and
+        # the gate misreports a missing data dir as a plan regression
+        print(f"fingerprints: sf-dir {args.sf_dir} does not exist — the "
+              "snapshot recipe needs the default testdata; nothing was "
+              "compared")
+        return 2
+
+    spark = _open_session()
     if args.write:
+        now = _fingerprint_pass(spark, args.sf_dir)
         SNAPSHOT.write_text(json.dumps(now, indent=1, sort_keys=True) + "\n")
         print(f"fingerprints: wrote {len(now)} to {SNAPSHOT}")
         return 0
@@ -147,6 +163,7 @@ def main() -> int:
         print(f"fingerprints: no snapshot at {SNAPSHOT} — run with --write")
         return 1
     old = json.loads(SNAPSHOT.read_text())
+    now = _fingerprint_pass(spark, args.sf_dir)
     changed = sorted(n for n in now if n in old and now[n] != old[n])
     added = sorted(n for n in now if n not in old)
     removed = sorted(n for n in old if n not in now)
