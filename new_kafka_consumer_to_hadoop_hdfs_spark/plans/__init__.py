@@ -131,6 +131,42 @@ DRIVER_CHECKED_R6 = frozenset({
 })
 
 
+# Checked in round 7 (CORRECTNESS_r07.json: 49 hash-green +
+# dedup_simhash rows-only-by-design, zero failures) — the freshest
+# driver evidence. 43 are the r4-era stale cohort + r5 head rotated
+# back in; the other 7 were round 7's new queries.
+DRIVER_CHECKED_R7 = frozenset({
+    "dedup_embedding_cosine", "dedup_exact_docs", "dedup_exact_events",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "event_ewma_smoothing", "event_path_regex", "event_session_window",
+    "event_sliding_window", "event_time_rollup", "event_tumbling_window",
+    "join_bloom_prefilter", "join_interval_overlap",
+    "multimodal_binary_stats", "multimodal_frame_sample", "multimodal_resize",
+    "pipeline_corpus_dedup", "pipeline_decontaminate",
+    "pipeline_expectations_report", "pipeline_incremental_dedup",
+    "pipeline_mix_languages", "pipeline_pack_sequences",
+    "pipeline_quality_filter", "pipeline_similar_docs_report",
+    "pipeline_stratified_sample", "pipeline_train_val_split",
+    "q16_supplier_part_count", "q20_excess_shipments",
+    "q21_waiting_suppliers", "scalar_array_functions", "sim_recall_report",
+    "sim_topk_cosine", "sim_topk_cosine_arrow", "sim_topk_cosine_int8",
+    "sim_topk_cosine_int8_stored", "sim_topk_cosine_mapside",
+    "sim_topk_pq_stored", "sink_parquet_hive_partitioned",
+    "sink_parquet_schema_evolution", "text_char_entropy", "text_fingerprint",
+    "text_language_id", "text_quality_score", "text_repetition_stats",
+    "text_stats", "text_tfidf_keywords", "text_token_count",
+    "text_token_histogram", "text_winnow_fingerprint",
+})
+
+# Queries whose ORACLE was upgraded AFTER their most recent driver row:
+# the banked evidence predates the contract it would vouch for, so the
+# rotation treats them as never-checked until a fresh driver row lands
+# (VERDICT r7 task 1: sim_topk_pq's r6 row is a `no_oracle` rows-only
+# check; its full-training hash oracle landed in r7 with only sweep
+# evidence).
+ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({"sim_topk_pq"})
+
+
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import (
         analytics,
@@ -163,10 +199,15 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     def _window_priority(name: str) -> int:
         # Pure staleness rotation (round 6 on): sort by the round of
         # each query's most recent driver CORRECTNESS row, oldest
-        # first; never-checked (newly added) queries lead. The r7
-        # window (first 50) is therefore: new queries, then the 41
-        # queries whose latest row is r4-era, then the r5 cohort's
-        # head in module order.
+        # first; never-checked (newly added) queries lead, as do
+        # queries whose oracle was upgraded after their last check.
+        # The r8 window (first 50) is therefore: new/upgraded queries,
+        # then the r5 cohort (stalest after the r7 window landed), then
+        # the r6 cohort's head in module order.
+        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK:
+            return 0
+        if name in DRIVER_CHECKED_R7:
+            return 5
         if name in DRIVER_CHECKED_R6:
             return 4
         if name in DRIVER_CHECKED_R5:

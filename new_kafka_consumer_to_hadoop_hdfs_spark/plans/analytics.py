@@ -662,14 +662,14 @@ SELECT s_suppkey, s_name,
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-WHERE n_name = 'GERMANY'
+WHERE n_name = 'NATION_3'
 GROUP BY s_suppkey, s_name
 """
 
 
 @_register("join_bloom_prefilter", _BLOOM_JOIN_ORACLE)
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per German supplier with the fact side pre-filtered by a
+    """Revenue per NATION_3 supplier with the fact side pre-filtered by a
     BLOOM FILTER built from the qualifying supplier keys — the
     runtime-filter technique (Spark's adaptive
     `runtime.bloomFilter` rule injects the same shape automatically
@@ -692,7 +692,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import bloom_prefilter
 
     li = load_table(spark, sf_dir, "lineitem")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     s = (
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

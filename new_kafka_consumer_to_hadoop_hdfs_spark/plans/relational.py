@@ -485,15 +485,27 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANTI_ORACLE = """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
 """
 
 
 @_register("join_anti", _ANTI_ORACLE)
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS (customers with no orders)."""
+    """LEFT ANTI join = NOT EXISTS (customers with no HIGH-VALUE order).
+
+    The filter on the probe side matters for the gate, not just the
+    semantics: the fixture gives every customer at least one order, so
+    an unfiltered NOT EXISTS returns ZERO rows at every SF — a 0=0
+    oracle hash that would prove nothing (the vacuous-gate rule that
+    caught `join_bloom_prefilter` in round 7's ADVICE). With the
+    o_totalprice > 350000 restriction the result is non-empty at every
+    fixture SF (8 / 68 / 762 rows at sf 0.001/0.01/0.1), so the hash
+    actually pins the anti-join semantics. `tools/verify_all.py`
+    now flags any oracle-gated query that comes back empty.
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )

@@ -155,6 +155,15 @@ def main() -> int:
     spark = _open_session()
     if args.write:
         now = _fingerprint_pass(spark, args.sf_dir)
+        # Refuse to bake a construction failure into the snapshot: an
+        # ERROR pseudo-fingerprint would make the later check compare
+        # ERROR==ERROR and report green for a query that cannot even be
+        # built (ADVICE r7-medium).
+        broken = sorted(n for n, v in now.items() if v.startswith("ERROR:"))
+        if broken:
+            print("fingerprints: REFUSING to write — these queries failed "
+                  f"to construct: {', '.join(broken)}")
+            return 1
         SNAPSHOT.write_text(json.dumps(now, indent=1, sort_keys=True) + "\n")
         print(f"fingerprints: wrote {len(now)} to {SNAPSHOT}")
         return 0
@@ -164,6 +173,16 @@ def main() -> int:
         return 1
     old = json.loads(SNAPSHOT.read_text())
     now = _fingerprint_pass(spark, args.sf_dir)
+    # An ERROR-valued fingerprint is a FAILURE even when the snapshot
+    # holds the same ERROR string (legacy snapshots predate the --write
+    # refusal above): a query that cannot construct must never pass the
+    # plan gate (ADVICE r7-medium).
+    errored = sorted(n for n, v in now.items() if v.startswith("ERROR:"))
+    if errored:
+        for n in errored:
+            print(f"fingerprints: BROKEN {n} ({now[n]}) — query failed to "
+                  "construct; plan gate cannot pass")
+        return 1
     changed = sorted(n for n in now if n in old and now[n] != old[n])
     added = sorted(n for n in now if n not in old)
     removed = sorted(n for n in old if n not in now)

@@ -67,11 +67,23 @@ def main() -> int:
     # plan shape legitimately varies with data size (join strategy
     # flips, AQE coalescing), so comparing a non-default sf-dir against
     # the committed snapshot would false-fail the gate (ADVICE r7).
-    if _run("plans", [py, "tools/plan_fingerprints.py"]):
-        print("preflight: a query's physical plan changed without the "
-              "snapshot being regenerated — if the change is intentional, "
-              "run `python tools/plan_fingerprints.py --write` and commit "
-              "tools/plan_fingerprints.json; if not, the plan regressed.")
+    plans_rc = _run("plans", [py, "tools/plan_fingerprints.py"])
+    if plans_rc:
+        # Distinguish the tool's exit codes (ADVICE r7-low): 2 means an
+        # ENVIRONMENT problem (missing sf-dir) — the tool printed its own
+        # diagnostic and nothing was compared; only rc=1 is a genuine
+        # mismatch / missing-snapshot / broken-construction signal.
+        if plans_rc == 2:
+            print("preflight: plan-fingerprint check could not run "
+                  "(environment problem, see the tool's message above) — "
+                  "no plan was compared.")
+        else:
+            print("preflight: plan fingerprints failed — if the tool "
+                  "reported CHANGED/NEW/REMOVED entries and the change is "
+                  "intentional, run `python tools/plan_fingerprints.py "
+                  "--write` and commit tools/plan_fingerprints.json; a "
+                  "missing snapshot or a BROKEN (unconstructable) query is "
+                  "reported verbatim above.")
         return 1
     if args.skip_bench:
         print("preflight: bench skipped (--skip-bench)")

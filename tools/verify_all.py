@@ -58,6 +58,7 @@ def main() -> int:
         print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
         return 2
     bad = 0
+    vacuous = 0
     for name in names:
         try:
             spdf = qs[name](spark, args.sf_dir).toPandas()
@@ -76,11 +77,20 @@ def main() -> int:
             if problems:
                 print(f"MISMATCH  {name}: {problems}")
                 bad += 1
+            elif len(spdf) == 0:
+                # A 0=0 hash match gates nothing — the query could be
+                # arbitrarily wrong and still "pass" (this is how the
+                # round-7 join_bloom_prefilter GERMANY bug hid). Counted
+                # as bad: an oracle-gated query must be non-empty at the
+                # sweep SF or its oracle is theater.
+                print(f"VACUOUS   {name}: oracle gate matches on 0 rows")
+                bad += 1
+                vacuous += 1
             else:
                 print(f"OK        {name}")
         else:
             print(f"ROWS-ONLY {name} ({len(spdf)} rows)")
-    print(f"DONE bad={bad} total={len(names)}")
+    print(f"DONE bad={bad} (vacuous={vacuous}) total={len(names)}")
     return 1 if bad else 0
 
 
