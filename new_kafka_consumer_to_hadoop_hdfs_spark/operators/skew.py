@@ -133,8 +133,9 @@ def bloom_prefilter(
     big_key: str,
     small_key: str,
     *,
-    n_bits: int = 1 << 16,
+    n_bits: int | None = None,
     n_hashes: int = 3,
+    max_bits: int = 1 << 25,
 ) -> DataFrame:
     """Filter ``big`` down to rows whose key MIGHT appear in ``small``,
     using a Bloom filter built from the small side — the runtime-filter
@@ -149,18 +150,45 @@ def bloom_prefilter(
     match are dropped BEFORE the exchange, turning a
     shuffle-everything join into a shuffle-what-matches join. The
     filter is a ``n_bits``-bit bitmap packed into ``n_bits/64`` longs
-    and embedded as an array literal (8 KB at the default 2^16 bits —
+    and embedded as an array literal (8 KB at the 2^16-bit floor —
     broadcast-by-closure scale, the same class as the IVF centroid
-    table). False positives only ever ADD candidate rows (bounded by
-    ~(1-e^{-kn/m})^k, <1e-4 at 2^16 bits / 3 hashes / ≤1k keys), so
+    table). False positives only ever ADD candidate rows, so
     correctness comes from the exact join that follows; this operator
     must be composed with one, never used as a membership oracle.
 
-    The build is a bounded two-shuffle job on the SMALL side (distinct
-    keys → per-word bit_or) plus one driver collect of ≤ n_bits/64
+    ``n_bits`` is AUTO-SIZED by default (ADVICE r7): one bounded
+    distinct-count of the small side's keys (a relation this operator
+    already requires to be bounded) picks ``max(2^16, 13·n_keys)``
+    bits — at the fixed 3 hashes, ~13 bits/key keeps the
+    false-positive rate (1-e^{-kn/m})^k under ~1%, so the filter keeps
+    EARNING its scan cost instead of silently degrading toward
+    pass-everything when a caller feeds a million-key "small" side.
+    Either path raises past ``max_bits`` (default 2^25 = 4 MB bitmap):
+    beyond that the plan-embedded literal is the wrong transport and
+    the key count has outgrown the design load — use a semi-join (or
+    Spark's own runtime rowgroup filters) instead.
+
+    The build is ONE scan of the small side (all ``n_hashes`` probe
+    positions computed per row and exploded — not one scan per seed)
+    into a per-word bit_or, plus one driver collect of ≤ n_bits/64
     rows. Deterministic end to end: xxhash64 is seed-stable, so
     speculative re-execution and the DuckDB oracle (plain join) agree.
     """
+    if n_bits is None:
+        n_keys = (
+            small.filter(F.col(small_key).isNotNull())
+            .select(small_key)
+            .distinct()
+            .count()
+        )
+        n_bits = max(1 << 16, ((13 * max(n_keys, 1) + 63) // 64) * 64)
+    if n_bits > max_bits:
+        raise ValueError(
+            f"bloom_prefilter sized to {n_bits} bits "
+            f"({n_bits >> 23} MB bitmap) exceeds max_bits={max_bits}: the "
+            "small side's key count has outgrown a plan-embedded bitmap — "
+            "use a semi-join or raise max_bits deliberately"
+        )
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
     big_t = big.schema[big_key].dataType
@@ -179,11 +207,19 @@ def bloom_prefilter(
     n_words = n_bits // 64
     seeds = list(range(n_hashes))
     key = F.col(small_key)
-    positions = None
-    for s in seeds:
-        pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
-        part = small.filter(key.isNotNull()).select(pos.alias("__pos"))
-        positions = part if positions is None else positions.unionAll(part)
+    # all n_hashes positions from ONE scan of the small side (an
+    # earlier draft unioned one filtered scan per seed — n_hashes
+    # passes over the dim table for no reason, ADVICE r7)
+    positions = small.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
+                    for s in seeds
+                ]
+            )
+        ).alias("__pos")
+    )
     # bounded collect: ≤ n_words rows of (word, 64-bit mask)
     word_rows = (
         positions.select(

@@ -60,3 +60,93 @@ def mad_outliers(
         )
         .drop("__med", "__adev", "__mad")
     )
+
+
+def ewma_segmented(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    segment=None,
+):
+    """Per-key EWMA (s₀ = x₀, sₜ = (1−α)·sₜ₋₁ + α·xₜ) via a TWO-LEVEL
+    affine segment fold — the mega-key-skew escape hatch for the
+    sequential form (`event_ewma_smoothing`, plans/analytics.py),
+    which collects each key's ENTIRE value history into one array and
+    so puts a 10⁸-event bot user's history in a single task.
+
+    The algebra: an EWMA segment of n values is the affine map
+    ``s_out = (1−α)ⁿ·s_in + o`` where ``o`` is the same left fold run
+    from 0 — so segments compose associatively and a key's history
+    never has to meet in one array. Level 1 groups by (key, segment)
+    and folds each segment to a constant-size (n, decay, offset,
+    standalone) tuple — task memory is bounded by SEGMENT size, which
+    the caller controls via ``segment`` granularity; level 2 groups by
+    key over the |segments|-sized tuple relation and composes in
+    segment order (the first segment contributes its standalone value,
+    honoring the s₀ = x₀ init). Both levels are JVM expression folds —
+    no UDF, no window, no global sort.
+
+    ``segment`` must be a Column that is MONOTONE NON-DECREASING in the
+    (ts, tiebreak) event order and constant across rows with equal ts
+    (otherwise segment boundaries would split the order); default =
+    calendar day of ``ts_col``. Rows with NULL ``value_col`` are
+    dropped, like the sequential form.
+
+    Float caveat — why this is an OPTION, not the registered query's
+    default: ``(1−α)ⁿ`` via ``pow`` and the single multiply-add per
+    segment reorder the rounding of the sequential fold, so results
+    agree to ~1e-12 relative, not bit-exactly; the hash oracle needs
+    the oracle-exact sequential fold. Property-tested against it to
+    1e-9 relative tolerance on random splits
+    (tests/test_analytics_queries.py).
+
+    Output schema matches the sequential form: (key_col, n_events,
+    ewma_last), ewma_last unrounded.
+    """
+    a = F.lit(float(alpha))
+    keep = F.lit(1.0 - float(alpha))
+    seg = segment if segment is not None else F.date_trunc("day", F.col(ts_col))
+    ev = df.filter(F.col(value_col).isNotNull())
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(ts_col, tiebreak_col, value_col))),
+        lambda x: x[value_col].cast("double"),
+    )
+    per_seg = ev.groupBy(F.col(key_col).alias("__k"), seg.alias("__seg")).agg(
+        F.count(F.lit(1)).alias("__n"), vals.alias("__vals")
+    )
+    tail = F.slice(
+        F.col("__vals"), F.lit(2), F.greatest(F.size("__vals") - 1, F.lit(0))
+    )
+    folded = per_seg.select(
+        "__k",
+        "__seg",
+        "__n",
+        F.pow(keep, F.col("__n")).alias("__decay"),
+        F.aggregate(
+            F.col("__vals"), F.lit(0.0), lambda acc, x: acc * keep + x * a
+        ).alias("__offset"),
+        F.aggregate(
+            tail,
+            F.element_at(F.col("__vals"), 1),
+            lambda acc, x: acc * keep + x * a,
+        ).alias("__alone"),
+    )
+    segs = F.array_sort(
+        F.collect_list(F.struct("__seg", "__n", "__decay", "__offset", "__alone"))
+    )
+    per_key = folded.groupBy(F.col("__k").alias(key_col)).agg(
+        F.sum("__n").alias("n_events"), segs.alias("__segs")
+    )
+    rest = F.slice(
+        F.col("__segs"), F.lit(2), F.greatest(F.size("__segs") - 1, F.lit(0))
+    )
+    ewma = F.aggregate(
+        rest,
+        F.element_at(F.col("__segs"), 1)["__alone"],
+        lambda acc, s: acc * s["__decay"] + s["__offset"],
+    )
+    return per_key.select(key_col, "n_events", ewma.alias("ewma_last"))

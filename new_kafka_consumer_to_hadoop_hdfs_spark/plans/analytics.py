@@ -1083,22 +1083,27 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the overlap predicate, O(|sessions|·|incidents|) and the
     canonical way temporal joins die at scale.
 
-    The binning rewrite: each session explodes into the sequence of
-    HOURS it spans, incidents carry their single hour, and the join
-    becomes an EQUI join on the hour bin followed by the exact overlap
-    predicate — the standard interval-join strategy in streaming/
-    temporal engines. Replication factor = interval length / bin width
-    (sessions span a handful of hours; a pathological days-long
-    session is the documented skew knob: widen the bin). Because every
-    incident occupies exactly one bin, each overlapping pair meets in
-    exactly one bin and needs NO post-join dedup — that invariant is
-    what makes the rewrite exchange-minimal (one session-shuffle, one
-    bin-hash join; plan-tested cartesian-free).
+    The binning rewrite (`operators/temporal.binned_interval_join`):
+    each session explodes into the sequence of bins it spans, incidents
+    carry their single bin, and the join becomes an EQUI join on the
+    bin id followed by the exact overlap predicate — the standard
+    interval-join strategy in streaming/temporal engines. Replication
+    factor = interval length / bin width; `bin_width_hours` is the
+    exposed skew knob (a pathological days-long session explodes into
+    hundreds of 1-hour bins but a handful of daily ones — volume
+    arithmetic and result-invariance pinned in
+    tests/test_analytics_queries.py). Because every incident occupies
+    exactly one bin, each overlapping pair meets in exactly one bin
+    and needs NO post-join dedup — that invariant is what makes the
+    rewrite exchange-minimal (one session-shuffle, one bin-hash join;
+    plan-tested cartesian-free).
 
     Overlap convention: closed session [start, end] vs half-open
     incident hour [h, h+1h): start < h+1h AND end >= h — the same
     half-open-bucket convention as the tumbling-window queries.
     """
+    from ..operators.temporal import binned_interval_join
+
     ev = load_table(spark, sf_dir, "events")
     sessions = (
         _sessionized_events(spark, sf_dir)
@@ -1114,29 +1119,16 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .filter(F.col("n_errors") >= 3)
     )
-    binned = sessions.select(
-        "user_id",
-        "session_start",
-        "session_end",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "session_start"),
-                F.date_trunc("hour", "session_end"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bin"),
-    )
-    return (
-        binned.join(incidents, binned.bin == incidents.incident_hour)
-        .filter(
-            (F.col("session_start")
-             < F.col("incident_hour") + F.expr("INTERVAL 1 HOUR"))
-            & (F.col("session_end") >= F.col("incident_hour"))
-        )
-        .select(
-            "user_id", "session_start", "session_end",
-            "incident_hour", "n_errors",
-        )
+    return binned_interval_join(
+        sessions,
+        incidents,
+        start_col="session_start",
+        end_col="session_end",
+        point_col="incident_hour",
+        bin_width_hours=1,
+    ).select(
+        "user_id", "session_start", "session_end",
+        "incident_hour", "n_errors",
     )
 
 
@@ -1250,9 +1242,13 @@ def event_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     history array — bounded by per-user event counts here, and for a
     pathological mega-user the fold COMPOSES: an EWMA segment is the
     affine map s_out = 0.7ⁿ·s_in + Σ 0.7^(n-i)·0.3·xᵢ, so segments
-    reduce associatively as (decay, offset) pairs — the documented
-    two-level path (segment folds map-side, affine compose in the
-    merge) if single-user histories outgrow an array.
+    reduce associatively as (decay, offset) pairs. That two-level path
+    is IMPLEMENTED as `operators/stats.ewma_segmented` (segment folds
+    sized by a caller-chosen time granularity, affine compose per key)
+    — an opt-in, because pow+compose reorders the sequential fold's
+    rounding (~1e-12 relative drift; property-tested to 1e-9 against
+    this query, tests/test_analytics_queries.py); the hash oracle
+    keeps the bit-exact sequential form here.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vals = F.transform(

@@ -1662,11 +1662,12 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     means/distances, corpus encode, ADC scoring — in SQL, so the
     codebook itself is hash-anchored, not just the final ranking).
     Each is independently recomputed by the DuckDB oracle — possible
-    precisely because these paths are deterministic arithmetic. The
-    remaining ANN variants (`sim_topk_lsh` seeded Java RNG,
-    `sim_topk_ivf_kmeans` iterative refinement) cannot be replicated
-    in SQL; their recall is asserted in tests/test_text_operators.py
-    instead.
+    precisely because these paths are deterministic arithmetic (since
+    round 8 the full IVF rankings, k-means refinement included, are
+    ALSO hash-checked — `sim_topk_ivf` / `sim_topk_ivf_kmeans`). The
+    one ANN variant no SQL restatement can reach is `sim_topk_lsh`
+    (MLlib's seeded Java RNG); its recall is asserted in
+    tests/test_text_operators.py instead.
 
     Scale note: recall evaluation IS a production operator (you run it
     on a sample after every index build); its cost here is three top-k
@@ -1723,15 +1724,120 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sim_topk_ivf")  # no oracle: approximate recall by design
+# SQL restatement of the FULL ivf_topk_cosine pipeline
+# (operators/similarity.py:680-) — the PQ-oracle treatment applied to
+# the second ANN family (VERDICT r7 task 2). Deterministic end to end,
+# so DuckDB can recompute it: centroid seeds are the first 16 corpus
+# vectors by id (unit-normalized); each Lloyd round assigns every
+# corpus vector to its nearest centroid by cell AFFINITY rounded to 9
+# decimals (ties → lowest cell index — the same
+# determinism-over-last-ulp contract as PQ's round-9 distances), then
+# recomputes centroids as the per-(cell, component) RAW-vector mean
+# rounded to 9, renormalized (empty / zero-norm cells keep their
+# previous centroid); corpus rows live in their rank-1 cell, queries
+# probe their 4 nearest cells; final cosine is the UNROUNDED exact
+# expression over raw vectors (identical to _TOPK_COSINE_ORACLE's),
+# ranked (cos DESC, neighbor_id), k=10.
+
+
+def _ivf_lloyd_round_sql(i: int) -> str:
+    """One Lloyd round as DuckDB CTEs: assign under cent{i-1} → cent{i}."""
+    prev = f"cent{i - 1}"
+    return f"""\
+aff{i} AS (
+  SELECT vv.vec_id, c.cell,
+         row_number() OVER (PARTITION BY vv.vec_id
+             ORDER BY round(list_dot_product(vv.u, c.cu), 9) DESC,
+                      c.cell ASC) AS crk
+  FROM vrows vv CROSS JOIN {prev} c
+),
+sums{i} AS (
+  SELECT a.cell, p.pos, sum(vv.v[p.pos + 1]) AS s, count(*) AS n
+  FROM (SELECT vec_id, cell FROM aff{i} WHERE crk = 1) a
+  JOIN vrows vv USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+  GROUP BY a.cell, p.pos
+),
+cent{i} AS (
+  SELECT c0.cell,
+         CASE WHEN m.nrm > 0 THEN list_transform(m.mean, x -> x / m.nrm)
+              ELSE c0.cu END AS cu
+  FROM {prev} c0 LEFT JOIN (
+    SELECT cell, mean, sqrt(list_dot_product(mean, mean)) AS nrm
+    FROM (SELECT cell, list(round(s / n, 9) ORDER BY pos) AS mean
+          FROM sums{i} GROUP BY cell)
+  ) m USING (cell)
+),
+"""
+
+
+def _ivf_topk_oracle(refine_iterations: int) -> str:
+    """The full IVF ranking oracle with ``refine_iterations`` unrolled
+    Lloyd rounds (0 = seed centroids as-is, matching
+    `ivf_topk_cosine`'s default)."""
+    rounds = "".join(
+        _ivf_lloyd_round_sql(i) for i in range(1, refine_iterations + 1)
+    )
+    final = f"cent{refine_iterations}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vrows AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         list_transform(v, x -> x /
+             (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                   THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS u
+  FROM e WHERE v IS NOT NULL AND len(v) = 64
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x /
+             (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                   THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS cu
+  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL
+        ORDER BY vec_id LIMIT 16)
+),
+{rounds}afff AS (
+  SELECT vv.vec_id, c.cell,
+         row_number() OVER (PARTITION BY vv.vec_id
+             ORDER BY round(list_dot_product(vv.u, c.cu), 9) DESC,
+                      c.cell ASC) AS crk
+  FROM vrows vv CROSS JOIN {final} c
+),
+inv AS (SELECT vec_id AS neighbor_id, cell FROM afff WHERE crk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM afff
+           WHERE crk <= 4 AND vec_id % 100 = 0),
+scored AS (
+  SELECT p.query_id, i.neighbor_id,
+         list_dot_product(qq.v, nn.v) / (qq.nrm * nn.nrm) AS c
+  FROM probes p JOIN inv i USING (cell)
+  JOIN vrows qq ON qq.vec_id = p.query_id
+  JOIN vrows nn ON nn.vec_id = i.neighbor_id
+  WHERE i.neighbor_id != p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY c DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+_IVF_TOPK_ORACLE = _ivf_topk_oracle(0)
+_IVF_KMEANS_TOPK_ORACLE = _ivf_topk_oracle(2)
+
+
+@_register("sim_topk_ivf", _IVF_TOPK_ORACLE)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine neighbors via an IVF index: corpus
     vectors bucketed by nearest coarse centroid, queries probe their 4
     nearest of 16 cells. The partition-prune ANN path — at scale the
     cell id becomes the storage bucketing key and a probe touches
     n_probe/n_cells of the corpus. Deterministic (fixed centroid
-    choice); recall < 1 → rows-only check, anchored by the exact twin
-    `sim_topk_cosine`.
+    choice + round-9 cell affinities), so since round 8 the DuckDB
+    oracle restates seed → assign → probe → score in SQL and
+    hash-checks the full ranking (the PQ-oracle treatment); recall < 1
+    vs the exact twin `sim_topk_cosine` is measured by
+    `sim_recall_report`'s hash-checked ivf row.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
@@ -1740,14 +1846,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@_register("sim_topk_ivf_kmeans")  # no oracle: approximate recall by design
+@_register("sim_topk_ivf_kmeans", _IVF_KMEANS_TOPK_ORACLE)
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sim_topk_ivf` with two Lloyd (k-means) refinement rounds before
     indexing — the index-quality/build-cost axis of ANN: each round is
     one assignment pass + one (cell, dim) partial-agg shuffle, and the
     refined centroids balance cell occupancy so probes waste less work
-    on oversized cells. Deterministic (rounded centroid updates);
-    recall measured against the exact twin in tests.
+    on oversized cells. Deterministic (round-9 centroid means and cell
+    affinities, empty cells keep their previous centroid), so the
+    DuckDB oracle unrolls BOTH Lloyd rounds in SQL and hash-checks the
+    full ranking — training included, like `sim_topk_pq`'s oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)

@@ -239,20 +239,25 @@ def test_curriculum_positions_are_a_stage_ordered_permutation(spark):
     assert s0 != sorted(s0), "within-stage order suspiciously sorted"
 
 
-def test_pq_recall_against_exact(spark):
+@pytest.mark.parametrize("query_name", ["sim_topk_pq", "sim_topk_pq_stored"])
+def test_pq_recall_against_exact(spark, query_name):
     """PQ/ADC top-10 must stay close to the exact top-10: quantization
     error may reorder near-ties but not destroy the neighborhood.
     recall@10 ≥ 0.5 on the fixture (8 subspaces × 16 codes is a coarse
     32× compression; LSH/IVF twins are held to the same anchor
     pattern), and every returned pair's TRUE cosine must be within
-    0.25 of the true k-th best — no wildly-wrong neighbors."""
+    0.25 of the true k-th best — no wildly-wrong neighbors. The
+    STORED-index twin is held to the same band (VERDICT r7 item 6): the
+    oracle pins its row identity, this pins that the persisted
+    codes+codebooks can't silently drift from the vectors they were
+    trained on."""
     import numpy as np
     import pandas as pd
 
     from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
 
     queries, _ = merged_registry()
-    approx = queries["sim_topk_pq"](spark, SF).toPandas()
+    approx = queries[query_name](spark, SF).toPandas()
     assert (approx.groupby("query_id")["rank"].max() <= 10).all()
 
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
@@ -466,3 +471,195 @@ def test_ewma_hand_computed(spark, tmp_path):
     }
     assert got == {1: (3, round((1.0 * 0.7 + 2.0 * 0.3) * 0.7 + 10.0 * 0.3, 6)),
                    2: (1, 7.5)}
+
+
+def test_ewma_segmented_matches_sequential(spark, tmp_path):
+    """The two-level affine segment fold (`operators/stats.ewma_segmented`
+    — the documented mega-key escape hatch for `event_ewma_smoothing`,
+    VERDICT r7 item 3) must agree with the oracle-exact sequential fold
+    to 1e-9 RELATIVE tolerance at every segmentation granularity, on
+    random data with a mega-user whose history spans many segments.
+
+    Granularities exercised: calendar day (the default), hour (finer
+    splits → more affine compositions), a single all-history segment
+    (degenerate: the composition reduces to the standalone fold, so the
+    result is BIT-equal to sequential), and per-event segments (the
+    other extreme: every step is one affine compose).
+    """
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.stats import ewma_segmented
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+
+    rng = np.random.default_rng(8)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # mega-user 1: 3000 events over ~40 days; users 2-9: short histories
+    for uid, n in [(1, 3000)] + [(u, int(rng.integers(1, 40))) for u in range(2, 10)]:
+        # strictly increasing ts per user; cross-user collisions are fine
+        offs = np.cumsum(rng.integers(1, 2000, size=n))
+        vals = rng.normal(0.0, 50.0, size=n) * rng.choice([1.0, 100.0], size=n)
+        for o, v in zip(offs, vals):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(seconds=int(o)), uid,
+                         "view", float(v), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    queries, _ = merged_registry()
+    seq_rounded = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in queries["event_ewma_smoothing"](spark, str(tmp_path)).collect()
+    }
+    # UNROUNDED reference: the exact per-step fold in Python over the
+    # same (ts, event_id)-ordered values — the registered query rounds
+    # to 6, which would swamp a 1e-9 band
+    by_user: dict[int, list[tuple]] = {}
+    for eid_, ts_, uid_, _et, v_, _p in rows:
+        by_user.setdefault(uid_, []).append((ts_, eid_, v_))
+    seq_exact = {}
+    for uid_, evs in by_user.items():
+        vs = [v for _, _, v in sorted(evs)]
+        s = vs[0]
+        for x in vs[1:]:
+            s = s * 0.7 + x * 0.3
+        seq_exact[uid_] = (len(vs), s)
+    for uid_, (n, s) in seq_exact.items():
+        assert seq_rounded[uid_] == (n, round(s, 6))  # reference sanity
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    def check(segment, bit_exact=False):
+        got = {
+            r.user_id: (r.n_events, r.ewma_last)
+            for r in ewma_segmented(ev, segment=segment).collect()
+        }
+        assert set(got) == set(seq_exact)
+        for uid_, (n_seq, s_seq) in seq_exact.items():
+            n_got, s_got = got[uid_]
+            assert n_got == n_seq, (uid_, n_got, n_seq)
+            if bit_exact:
+                assert s_got == s_seq, (uid_, s_got, s_seq)
+            else:
+                tol = 1e-9 * max(1.0, abs(s_seq), abs(s_got))
+                assert abs(s_got - s_seq) <= tol, (uid_, s_got, s_seq)
+
+    check(None)                                        # calendar day
+    check(F.date_trunc("hour", F.col("ts")))           # finer splits
+    check(F.lit(0), bit_exact=True)                    # one segment
+    check(F.col("ts"))                                 # per-event segments
+
+
+def test_bloom_prefilter_autosizes_for_large_key_sets(spark):
+    """Auto-sized bitmap keeps the false-positive rate bounded on a
+    100k-key small side (VERDICT r7 item 4): before auto-sizing, a
+    2^16-bit bitmap at 100k keys held ~1 set bit per slot and passed
+    ~100% of non-members — a silent no-op. With ~13 bits/key and 3
+    hashes the measured FPP on 200k disjoint probes must stay ~1%
+    (asserted < 3%), and past max_bits the operator must raise rather
+    than degrade."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.skew import (
+        bloom_prefilter,
+    )
+
+    n_keys = 100_000
+    small = spark.range(n_keys).select(F.col("id").alias("k2"))
+    # probes all DISJOINT from the member set: any survivor is a false
+    # positive
+    probes = spark.range(n_keys, n_keys + 200_000).select(F.col("id").alias("k"))
+    kept = bloom_prefilter(probes, small, "k", "k2").count()
+    fpp = kept / 200_000
+    assert fpp < 0.03, f"false-positive rate {fpp:.4f} — auto-sizing failed"
+    # members always pass (no false negatives at any size)
+    members = spark.range(0, n_keys, 1000).select(F.col("id").alias("k"))
+    assert bloom_prefilter(members, small, "k", "k2").count() == members.count()
+    # design-load ceiling: a key set that would need a >max_bits bitmap
+    # raises loudly instead of silently degrading to pass-everything
+    with pytest.raises(ValueError, match="outgrown"):
+        bloom_prefilter(probes, small, "k", "k2", max_bits=1 << 16)
+
+
+def test_interval_join_bin_width_knob(spark):
+    """The interval-join skew knob (VERDICT r7 item 5): a 3-day
+    session's explode volume must equal span/bin_width + 1 bins at each
+    width (73 hourly bins vs 4 daily ones — the replication-factor
+    arithmetic the docstring claims), the join result must be IDENTICAL
+    at every width, and both must equal the naive O(n·m) reference."""
+    import datetime as dt
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.temporal import (
+        binned_interval_join,
+        interval_bins,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 30)  # deliberately off the hour
+    intervals = spark.createDataFrame(
+        [
+            (1, t0, t0 + dt.timedelta(hours=72)),           # the mega-session
+            (2, t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=6, minutes=30)),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    # hourly incident points: inside, at the edges, and outside
+    pts = [
+        dt.datetime(2024, 3, 1, 0),    # session starts 00:30 < 01:00 → overlap
+        dt.datetime(2024, 3, 1, 5),
+        dt.datetime(2024, 3, 2, 12),
+        dt.datetime(2024, 3, 4, 0),    # session ends 00:30 ≥ 00:00 → overlap
+        dt.datetime(2024, 3, 4, 1),    # ends 00:30 < 01:00... end >= point? no
+        dt.datetime(2024, 2, 28, 23),  # before everything
+    ]
+    points = spark.createDataFrame(
+        [(h, i) for i, h in enumerate(pts)], "incident_hour timestamp, pid long"
+    )
+
+    # replication arithmetic: bins touched = floor-grid span + 1
+    assert interval_bins(
+        intervals.filter("user_id = 1"), "session_start", "session_end", 3600
+    ).count() == 73
+    assert interval_bins(
+        intervals.filter("user_id = 1"), "session_start", "session_end", 24 * 3600
+    ).count() == 4
+
+    def run(width):
+        return sorted(
+            (r.user_id, r.pid)
+            for r in binned_interval_join(
+                intervals, points,
+                start_col="session_start", end_col="session_end",
+                point_col="incident_hour", bin_width_hours=width,
+            ).collect()
+        )
+
+    # naive reference: closed interval vs half-open hour bucket
+    rows_i = intervals.collect()
+    rows_p = points.collect()
+    want = sorted(
+        (ri.user_id, rp.pid)
+        for ri in rows_i
+        for rp in rows_p
+        if ri.session_start < rp.incident_hour + dt.timedelta(hours=1)
+        and ri.session_end >= rp.incident_hour
+    )
+    assert (1, 4) not in want and (1, 0) in want and (1, 3) in want
+    for width in (1, 5, 24):
+        assert run(width) == want, f"bin_width_hours={width}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        binned_interval_join(
+            intervals, points,
+            start_col="session_start", end_col="session_end",
+            point_col="incident_hour", bin_width_hours=0,
+        )
