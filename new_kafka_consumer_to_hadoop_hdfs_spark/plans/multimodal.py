@@ -56,27 +56,66 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_feature_extract")  # no oracle: stub decoder, not SQL
+_FEATURE_EXTRACT_ORACLE = """
+SELECT doc_id AS asset_id,
+       'text/fake-image' AS media_type,
+       CAST((length(text) % 640) + 1 AS INT) AS width,
+       CAST((length(text) % 480) + 1 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       CAST(length(text) - length(regexp_replace(text, '[ -/]', '', 'g'))
+            AS BIGINT) AS n_punct_space,
+       CAST(length(text) - length(regexp_replace(text, '[`-o]', '', 'g'))
+            AS BIGINT) AS n_lower_ao,
+       CAST(16 AS INT) AS feature_dim
+FROM documents
+"""
+
+
+@_register("multimodal_feature_extract", _FEATURE_EXTRACT_ORACLE)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/featurize via mapInPandas (stub decoder).
+    """Arrow-batched decode/featurize via mapInPandas (stub decoder),
+    gated END-TO-END by a SQL oracle (round 8 — previously rows-only).
 
     The plumbing under test is real: binary column in, Arrow record
     batches through Python partition-parallel, compact typed features
     out, zero shuffle. Swap the stub for PIL/pyav and the plan is a
     production image featurizer.
+
+    The oracle trick (the `multimodal_resize` content-hash doctrine
+    applied to the featurizer): the corpus is ASCII, so the stub's
+    16-bin high-nibble byte histogram is reproducible in DuckDB as
+    character-class counting — nibble 2 = 0x20-0x2F (space+punct),
+    nibble 6 = 0x60-0x6F (backtick + a-o). The query recovers the
+    INTEGER bin counts from the float32 ratio features
+    (round(ratio · n_bytes) is exact for counts < 2^24), so the gate
+    hashes integers instead of float32-truncated ratios — every byte
+    of the Arrow path (batch shapes, histogram arithmetic, ratio
+    normalization, metadata derivation) must round-trip exactly. Bins
+    2 and 6 are used because they are NON-ZERO on printable-ASCII text
+    (bins 0/15 would hash-match vacuously on an all-zero column —
+    the `join_bloom_prefilter` r7 lesson).
     """
     assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
     feats = extract_features(assets)
-    return feats.select(
-        "asset_id",
-        "media_type",
-        "width",
-        "height",
-        "n_frames",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 16), 6).alias("f15"),
-        F.size("feature").alias("feature_dim"),
-    ).orderBy("asset_id")
+    n = F.col("n_bytes")
+    return (
+        feats.join(assets.select("asset_id", "n_bytes"), "asset_id")
+        .select(
+            "asset_id",
+            "media_type",
+            "width",
+            "height",
+            "n_frames",
+            F.round(F.element_at("feature", 3) * n, 0)
+            .cast("long")
+            .alias("n_punct_space"),
+            F.round(F.element_at("feature", 7) * n, 0)
+            .cast("long")
+            .alias("n_lower_ao"),
+            F.size("feature").alias("feature_dim"),
+        )
+        .orderBy("asset_id")
+    )
 
 
 _RESIZE_ORACLE = """
