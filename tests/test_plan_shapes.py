@@ -441,3 +441,31 @@ def test_ewma_single_shuffle_and_jvm_fold(spark, registry):
     assert plan.count("hashpartitioning(") == 1
     assert "user_id" in plan.split("hashpartitioning(", 1)[1][:30]
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_ewma_segmented_two_level_plan(spark):
+    """The segmented EWMA fold (`operators/stats.ewma_segmented`) must
+    be exactly TWO hash exchanges — (key, segment) partial folds, then
+    the per-key affine compose — with no Window, no global sort, and no
+    Python evaluation (both folds are JVM higher-order functions).
+    This is the plan contract that makes it the mega-key escape hatch:
+    task memory is bounded by segment size at level 1 and by segment
+    COUNT at level 2, never by a key's full history."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.stats import ewma_segmented
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    df = ewma_segmented(load_table(spark, SF, "events"))
+    jvm = spark._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    assert plan.count("hashpartitioning(") == 2, plan
+    first, second = plan.split("hashpartitioning(")[1:]
+    # one exchange carries (key, segment) — the segment expression is
+    # rendered as an internal _groupingexpression alias — the other the
+    # key alone
+    keyed = [seg[:80] for seg in (first, second)]
+    assert (
+        sum("_groupingexpression" in k or "__seg" in k for k in keyed) == 1
+    ), keyed
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -1,0 +1,97 @@
+"""Unit tests for the preflight tooling itself: the plan-fingerprint
+gate's ERROR handling (ADVICE r7-medium — a query that cannot construct
+must never pass, and --write must refuse to bake the failure into the
+snapshot) and bench_compare's host-rate normalization (uniform
+boot-to-boot inflation is not a regression; idiosyncratic and broad
+regressions still are)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+import sys
+
+import pytest
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load(modname: str):
+    spec = importlib.util.spec_from_file_location(
+        modname, _REPO / "tools" / f"{modname}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture()
+def pf(monkeypatch, tmp_path):
+    """plan_fingerprints with session + fingerprint pass stubbed out and
+    the snapshot redirected to a temp file."""
+    mod = _load("plan_fingerprints")
+    monkeypatch.setattr(mod, "_open_session", lambda: None)
+    monkeypatch.setattr(mod, "SNAPSHOT", tmp_path / "snap.json")
+    return mod
+
+
+def _run(pf_mod, monkeypatch, argv, prints):
+    monkeypatch.setattr(pf_mod, "_fingerprint_pass", lambda *_a, **_k: prints)
+    monkeypatch.setattr(sys, "argv", ["plan_fingerprints.py", *argv])
+    return pf_mod.main()
+
+
+def test_fingerprint_write_refuses_error_entries(pf, monkeypatch, capsys):
+    rc = _run(pf, monkeypatch, ["--write"], {"good": "abc123", "bad": "ERROR:ValueError"})
+    assert rc == 1
+    assert not pf.SNAPSHOT.exists(), "snapshot must not be written on ERROR"
+    assert "REFUSING" in capsys.readouterr().out
+
+
+def test_fingerprint_check_fails_on_error_even_when_snapshot_matches(
+    pf, monkeypatch, capsys
+):
+    # legacy snapshot that already contains the ERROR pseudo-fingerprint
+    pf.SNAPSHOT.write_text(json.dumps({"q": "ERROR:AnalysisException"}))
+    rc = _run(pf, monkeypatch, [], {"q": "ERROR:AnalysisException"})
+    assert rc == 1
+    assert "BROKEN" in capsys.readouterr().out
+
+
+def test_fingerprint_check_green_path_and_mismatch(pf, monkeypatch, capsys):
+    pf.SNAPSHOT.write_text(json.dumps({"q": "aaa", "r": "bbb"}))
+    assert _run(pf, monkeypatch, [], {"q": "aaa", "r": "bbb"}) == 0
+    assert _run(pf, monkeypatch, [], {"q": "aaa", "r": "ccc"}) == 1
+    assert "CHANGED r" in capsys.readouterr().out
+
+
+def test_fingerprint_missing_sfdir_is_environment_exit_2(pf, monkeypatch):
+    monkeypatch.setattr(
+        sys, "argv", ["plan_fingerprints.py", "--sf-dir", "/nonexistent/sf"]
+    )
+    assert pf.main() == 2
+
+
+def _bench_files(tmp_path, old_q, new_q):
+    o = tmp_path / "old.json"
+    n = tmp_path / "new.json"
+    o.write_text(json.dumps({"metric": "total_wall_sec", "queries": old_q}))
+    n.write_text(json.dumps({"metric": "total_wall_sec", "queries": new_q}))
+    return str(o), str(n)
+
+
+def test_bench_compare_normalizes_uniform_host_drift(tmp_path):
+    bc = _load("bench_compare")
+    old = {f"q{i}": 0.5 + 0.01 * i for i in range(40)}
+    new = {k: v * 1.3 for k, v in old.items()}  # the documented boot band
+    assert bc.main([*_bench_files(tmp_path, old, new), "--threshold", "2.0"]) == 0
+
+
+def test_bench_compare_flags_idiosyncratic_and_broad_regressions(tmp_path):
+    bc = _load("bench_compare")
+    old = {f"q{i}": 0.5 for i in range(40)}
+    one_slow = dict(old, q7=1.6)  # 3.2x on one query, host rate ~1.05x
+    assert bc.main([*_bench_files(tmp_path, old, one_slow), "--threshold", "2.0"]) == 1
+    broad = {k: v * 2.5 for k, v in old.items()}  # everything regressed
+    assert bc.main([*_bench_files(tmp_path, old, broad), "--threshold", "2.0"]) == 1

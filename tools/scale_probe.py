@@ -68,6 +68,10 @@ DEFAULT_QUERIES = [
     "event_ewma_smoothing",
     "text_char_entropy",
     "pipeline_scd2_intervals",
+    # round-8 oracle upgrades (IVF family, Arrow featurizer)
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "multimodal_feature_extract",
 ]
 
 
