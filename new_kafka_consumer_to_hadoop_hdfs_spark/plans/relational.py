@@ -727,8 +727,8 @@ FROM (
                 JOIN customer ON c_custkey = o_custkey
                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
     AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
@@ -756,9 +756,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # the NATION_3/NATION_2 pair is non-empty at EVERY fixture SF
+    # (5+4 rows even at sf0.001); the original NATION_1/NATION_2 pair
+    # returned zero rows at sf0.001, where the cross-SF sweep's
+    # vacuity check flagged it (the driver-SF 0.01 evidence was always
+    # real — this widens the non-vacuous range to all three SFs)
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
