@@ -88,6 +88,13 @@ def main() -> int:
                 vacuous += 1
             else:
                 print(f"OK        {name}")
+        elif len(spdf) == 0:
+            # same vacuity rule for rows-only queries: an empty result
+            # proves nothing ran — and the rows-only check is already
+            # the weak form, so an empty one is no check at all
+            print(f"VACUOUS   {name}: rows-only check returned 0 rows")
+            bad += 1
+            vacuous += 1
         else:
             print(f"ROWS-ONLY {name} ({len(spdf)} rows)")
     print(f"DONE bad={bad} (vacuous={vacuous}) total={len(names)}")
