@@ -1725,7 +1725,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SQL restatement of the FULL ivf_topk_cosine pipeline
-# (operators/similarity.py:680-) — the PQ-oracle treatment applied to
+# (operators/similarity.py:673-) — the PQ-oracle treatment applied to
 # the second ANN family (VERDICT r7 task 2). Deterministic end to end,
 # so DuckDB can recompute it: centroid seeds are the first 16 corpus
 # vectors by id (unit-normalized); each Lloyd round assigns every
