@@ -559,8 +559,11 @@ def lsh_cosine_pairs(
     100 TB the bucket id becomes the storage bucketing/partition key
     (a skewed mega-bucket means the bucket is too wide — tune w/T,
     the documented LSH trade, not a salting problem). Recall < 1 by
-    LSH design → rows-only check anchored by the exact twin. Output
-    schema matches :func:`cosine_pairs`.
+    LSH design vs the exact twin, but the LSH result itself is FULLY
+    DETERMINISTIC (seeded G, round-9 projection contract), so the
+    DuckDB oracle restates bucketing + verification exactly — see
+    ``_LSH_PAIRS_ORACLE`` in plans/llm.py. Output schema matches
+    :func:`cosine_pairs`.
 
     NULL / empty / zero-norm vectors are dropped (they can never score
     a finite cosine — same semantics as the expression form); RAGGED
@@ -615,7 +618,15 @@ def lsh_cosine_pairs(
             if n == 0.0:
                 out.append(None)
                 continue
-            out.append(np.floor((a / n) @ G / w).astype(np.int64))
+            # round-to-9 before floor: the ORACLE CONTRACT (same as the
+            # PQ path) — the DuckDB restatement computes the identical
+            # projection with list_dot_product, whose summation order
+            # differs in the last ulp; rounding both sides to 9
+            # decimals makes the floor input bit-identical, so bucket
+            # membership can't flip between engines.
+            out.append(
+                np.floor(np.round((a / n) @ G / w, 9)).astype(np.int64)
+            )
         return pd.Series(out)
 
     hashed = slim.select(

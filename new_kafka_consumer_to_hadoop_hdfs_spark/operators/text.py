@@ -761,8 +761,27 @@ def simhash64(tokens: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def md5_token_hash60(t: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — the
+    ORACLE-PORTABLE twin of ``xxhash64`` (DuckDB has no xxhash64, but
+    md5 is bit-identical in both engines; 15 hex chars keep the value
+    inside a signed 64-bit long, so no two's-complement games). Used by
+    the oracle-checked SimHash path; the SQL restatement recovers bit b
+    as ``(hexdigit(15 - b//4) >> (b % 4)) & 1`` via a strpos lookup.
+    md5 costs ~3× xxhash64 per token — acceptable for signature
+    construction, which is one linear pass over the corpus.
+    """
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, token_col: str, *, out_col: str = "simhash"
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    out_col: str = "simhash",
+    n_bits: int = 64,
+    hash_expr: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """64-bit SimHash, ZERO-shuffle: one row per id with the signature
     as a long.
@@ -785,11 +804,16 @@ def simhash_signatures(
 
     Rows whose token array is empty are absent from the output
     (matching the explode form's contract).
+
+    ``n_bits`` / ``hash_expr`` select the bit width and per-token hash:
+    the default (64, xxhash64) is the cheapest JVM-side hash; pass
+    (60, :func:`md5_token_hash60`) for the oracle-portable signature a
+    DuckDB restatement can recompute bit-for-bit.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    bit_idx = np.arange(64, dtype=np.uint64)
+    bit_idx = np.arange(n_bits, dtype=np.uint64)
 
     @pandas_udf("long")
     def _sig(h: pd.Series) -> pd.Series:
@@ -805,23 +829,32 @@ def simhash_signatures(
             out[i] = int(sig_u.astype(np.int64))
         return pd.Series(out)
 
-    hashes = F.transform(F.col(token_col), lambda t: F.xxhash64(t))
+    token_hash = hash_expr if hash_expr is not None else F.xxhash64
+    hashes = F.transform(F.col(token_col), lambda t: token_hash(t))
     return df.filter(F.size(F.col(token_col)) > 0).select(
         F.col(id_col), _sig(hashes).alias(out_col)
     )
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, sig_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming via the
-    standard chunk pigeonhole: split 64 bits into max_hamming+1 chunks;
-    any pair within the Hamming budget must match EXACTLY on ≥1 chunk
-    (pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds all
-    such pairs with zero recall loss, bucketed by chunk value.
+    standard chunk pigeonhole: split ``n_bits`` bits into max_hamming+1
+    chunks; any pair within the Hamming budget must match EXACTLY on ≥1
+    chunk (pigeonhole), so an equi-join on (chunk_idx, chunk_value)
+    finds all such pairs with zero recall loss, bucketed by chunk value.
+
+    ``n_bits`` must match the signature width the input was built with
+    (64 for the xxhash64 default, 60 for the md5 oracle-portable form).
     """
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = n_bits // n_chunks
     chunks = F.array(
         *[
             F.struct(
@@ -830,7 +863,7 @@ def simhash_near_pairs(
                 .bitwiseAND(
                     # the last chunk keeps any leftover high bits too
                     F.lit(
-                        (1 << (64 - i * width)) - 1
+                        (1 << (n_bits - i * width)) - 1
                         if i == n_chunks - 1
                         else (1 << width) - 1
                     )

@@ -499,22 +499,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6)
 
 
-@_register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 64-bit SimHash Hamming distance ≤ 3.
+# SimHash restated in SQL: token hash = first 15 hex chars of md5
+# (60 bits, matching operators.text.md5_token_hash60); bit b of the
+# hash is bit (b % 4) of hex digit (15 - b // 4) recovered via a
+# strpos lookup; per-bit ±1 votes summed per document; signature =
+# Σ (vote_b > 0) · 2^b; pairs = all (a < b) with popcount(xor) ≤ 3.
+# The oracle brute-forces the pair scan (500 docs at sf0.01) — the
+# pigeonhole bucketing is a pure-recall optimization with zero loss,
+# so the result sets are identical by construction.
+_SIMHASH_ORACLE = """
+WITH t AS (SELECT doc_id, {tokens} AS ts FROM documents),
+h AS (SELECT doc_id, substr(md5(unnest(ts)), 1, 15) AS hx
+      FROM t WHERE len(ts) > 0),
+bv AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (strpos('0123456789abcdef',
+                               substr(hx, 15 - b // 4, 1)) - 1)
+                       & (1 << (b % 4)) != 0
+             THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(0, 60)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS s
+        FROM bv GROUP BY doc_id)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY doc_id_a, doc_id_b
+""".format(tokens=_SQL_TOKENS)
 
-    Signature is a single zero-shuffle array pass per document
-    (operators.text.simhash64); candidate pairs come from the 4-chunk
-    pigeonhole equi-join (no recall loss for the Hamming budget, no
-    all-pairs scan). Deterministic (xxhash64 token hashes) but not
-    SQL-expressible in DuckDB → rows-only correctness check.
+
+@_register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 60-bit SimHash Hamming distance ≤ 3,
+    FULLY ORACLE-CHECKED (upgraded from rows-only in round 8).
+
+    Signature is a single zero-shuffle Arrow pass per document
+    (operators.text.simhash_signatures); candidate pairs come from the
+    4-chunk pigeonhole equi-join (no recall loss for the Hamming
+    budget, no all-pairs scan — plan-shape-tested cartesian-free).
+    The token hash is the md5-prefix form (md5_token_hash60) instead
+    of xxhash64 PRECISELY so DuckDB can recompute every signature bit
+    in SQL — the same portability trade text_winnow_fingerprint made.
+    The oracle skips the pigeonhole (brute-force pair scan is fine at
+    oracle scale); identical results because the bucketing loses no
+    recall within the Hamming budget.
     """
+    from ..operators.text import md5_token_hash60
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", whitespace_tokens(F.col("text")).alias("t"))
-    sigs = simhash_signatures(toks, "doc_id", "t")
-    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=3).orderBy(
-        "doc_id_a", "doc_id_b"
+    sigs = simhash_signatures(
+        toks, "doc_id", "t", n_bits=60, hash_expr=md5_token_hash60
     )
+    return simhash_near_pairs(
+        sigs, "doc_id", "simhash", max_hamming=3, n_bits=60
+    ).orderBy("doc_id_a", "doc_id_b")
 
 
 _TFIDF_ORACLE = f"""
@@ -980,19 +1022,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(e, id_col="vec_id", vec_col="embedding", threshold=0.4)
 
 
-@_register("dedup_embedding_lsh")  # no oracle: approximate recall by design
+def _lsh_pairs_oracle_sql(
+    *,
+    dim: int = 64,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    bucket_length: float = 0.5,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB restatement of `lsh_cosine_pairs`: the projection matrix
+    is NOT random at verification time — it is the deterministic output
+    of a seeded generator, so this builder re-runs the IDENTICAL two
+    numpy lines the operator runs (same seed, same normalization) and
+    embeds the resulting unit directions as full-precision SQL literals
+    (repr round-trips doubles exactly; DuckDB parses decimal literals
+    to the nearest double = the same bits). Bucket id = floor(round-9
+    of v̂·g_t / w) per the operator's oracle contract; candidate pairs
+    share any (table, bucket); survivors verified at exact cosine —
+    the oracle brute-forces nothing beyond what the operator computes.
+    ``dim`` is pinned to the fixture's embedding width (the operator
+    probes it from data; an oracle is only ever run on the fixtures).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((dim, num_hash_tables))
+    G /= np.sqrt(np.einsum("ij,ij->j", G, G))
+    tables = ",\n  ".join(
+        "({t}, [{xs}]::DOUBLE[])".format(
+            t=t, xs=", ".join(repr(float(x)) for x in G[:, t])
+        )
+        for t in range(num_hash_tables)
+    )
+    return f"""
+WITH g(t, dir) AS (VALUES
+  {tables}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+nz AS (SELECT vec_id, v, [x / nrm FOR x IN v] AS u FROM n WHERE nrm > 0),
+b AS (SELECT vec_id, t,
+             floor(round(list_dot_product(u, dir) / {bucket_length!r}, 9)) AS bkt
+      FROM nz, g),
+cand AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+         FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt
+                          AND a.vec_id < c.vec_id),
+p AS (SELECT ia, ib,
+             list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))) AS cs
+      FROM cand JOIN e x ON x.vec_id = ia
+                JOIN e y ON y.vec_id = ib)
+SELECT ia AS vec_id_a, ib AS vec_id_b, ROUND(cs, 6) AS cos_sim
+FROM p WHERE cs >= {threshold!r}
+"""
+
+
+_LSH_PAIRS_ORACLE = _lsh_pairs_oracle_sql()
+
+
+@_register("dedup_embedding_lsh", _LSH_PAIRS_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) via LSH bucketing — the
-    100 TB twin of `dedup_embedding_cosine`: approxSimilarityJoin
-    compares only co-bucketed normalized vectors, so the cost follows
-    bucket occupancy instead of |corpus|². Exact cosine recomputed on
-    surviving pairs; recall < 1 → rows-only, anchored by the exact
-    brute-force twin.
+    100 TB twin of `dedup_embedding_cosine`: the cost follows bucket
+    occupancy instead of |corpus|². Exact cosine recomputed on
+    surviving pairs. Recall < 1 vs the exact twin BY DESIGN, but the
+    LSH result itself is deterministic (seeded unit directions, round-9
+    projection contract), so since round 8 the DuckDB oracle restates
+    the bucketing + verification exactly — upgraded from rows-only.
 
     Deliberately UNSORTED: the pair relation is unbounded
     (data-dependent output size), so a presentation ``orderBy`` would
-    be a full range-shuffle of the largest intermediate at scale — and
-    the rows-only check needs no global order.
+    be a full range-shuffle of the largest intermediate at scale — the
+    hash compare is order-insensitive.
     """
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(

@@ -371,6 +371,64 @@ def test_simhash_signatures_match_expression_form(spark, docs):
     assert 6 not in bulk_sigs  # empty-token doc dropped, not scored
 
 
+def test_simhash_md5_60bit_matches_python_reference(spark, docs):
+    """The oracle-portable (60-bit, md5-prefix) SimHash must equal an
+    independent pure-Python recomputation bit for bit — this is the
+    contract the DuckDB oracle for dedup_simhash relies on (token hash
+    = int of the first 15 md5 hex chars, ±1 votes per bit, signature
+    bit b set iff the vote is strictly positive)."""
+    import hashlib
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        md5_token_hash60,
+        simhash_signatures,
+    )
+
+    toks = docs.select("doc_id", whitespace_tokens(F.col("text")).alias("t"))
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(
+            toks, "doc_id", "t", n_bits=60, hash_expr=md5_token_hash60
+        ).collect()
+    }
+
+    def ref_sig(tokens):
+        votes = [0] * 60
+        for tk in tokens:
+            h = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    expected = {
+        r.doc_id: ref_sig(r.t)
+        for r in toks.collect()
+        if len(r.t) > 0
+    }
+    assert got == expected
+    assert all(0 <= s < (1 << 60) for s in got.values())
+
+    # pigeonhole completeness at the 60-bit width: the 4-chunk
+    # equi-join must recover EXACTLY the brute-force Hamming ≤ 3 pairs
+    sig_df = spark.createDataFrame(
+        [(k, v) for k, v in got.items()], "doc_id long, simhash long"
+    )
+    bucketed = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_near_pairs(
+            sig_df, "doc_id", "simhash", max_hamming=3, n_bits=60
+        ).collect()
+    }
+    ids = sorted(got)
+    brute = {
+        (a, b, bin(got[a] ^ got[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(got[a] ^ got[b]).count("1") <= 3
+    }
+    assert bucketed == brute
+
+
 def test_int8_topk_tracks_exact_cosine(spark, sf_dir):
     """Quantized scoring must stay within the rounding-error bound of
     the float path: per-pair |cos_int8 - cos_float| small, and top-10
