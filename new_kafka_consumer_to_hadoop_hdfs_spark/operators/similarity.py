@@ -11,10 +11,17 @@ The reference repo has no vector operations; this is the SURVEY.md
   list_cosine_similarity on DOUBLE[] does). Top-k = broadcast the
   query side, score all pairs, window rank per query. Correct at any
   scale where |queries| is broadcastable; the corpus side streams.
-- **Approximate** (scale grade): BucketedRandomProjectionLSH from
-  pyspark.ml over L2-normalized vectors (on the unit sphere, euclidean
-  distance is monotone in cosine: d² = 2·(1-cos)), so bucketed
-  euclidean LSH answers cosine top-k without the all-pairs product.
+- **Approximate** (scale grade): native seeded random-projection LSH
+  over L2-normalized vectors (the same hash family MLlib's
+  BucketedRandomProjectionLSH implements: on the unit sphere,
+  euclidean distance is monotone in cosine, d² = 2·(1-cos), so
+  bucketed euclidean LSH answers cosine top-k without the all-pairs
+  product). The projections are OUR seeded numpy matrix rather than
+  MLlib's internal Scala RNG, which buys two things: measured speed
+  (see :func:`lsh_cosine_pairs` — the MLlib `approxSimilarityJoin`
+  form was replaced in round 5 at 7× cost, identical recall) and
+  DuckDB-restatable determinism (the directions embed as SQL
+  literals, so the LSH queries are hash-checked, not rows-only).
   At 100 TB the exact path's cost is |corpus|·|queries| dot products —
   fine for dozens of queries, not for corpus×corpus; LSH (or an IVF
   partition prune) is the corpus×corpus answer.
@@ -50,6 +57,63 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def seeded_unit_directions(dim: int, num_hash_tables: int, seed: int):
+    """The LSH projection matrix shared by every seeded-LSH operator
+    here: ``num_hash_tables`` UNIT gaussian directions as a
+    (dim × T) float64 numpy array. An unnormalized gaussian column has
+    ‖g‖ ≈ √dim, which would silently shrink the effective bucket width
+    by that factor and crater recall (measured: 0.98 → 0.64).
+
+    The DuckDB oracle builders in plans/llm.py call THIS function and
+    embed the result as full-precision SQL literals — the construction
+    below is therefore a cross-engine contract: any change here
+    changes bucket membership and must regenerate the oracles (they
+    rebuild automatically, being derived at import) and the plan
+    fingerprints.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((dim, num_hash_tables))
+    G /= np.sqrt(np.einsum("ij,ij->j", G, G))
+    return G
+
+
+def _bucket_ids_udf(dim: int, G, w: float):
+    """Arrow-batched UDF computing all T bucket ids of one vector:
+    bucket_t = floor(round(v̂·g_t / w, 9)). NULL for zero-norm or
+    wrong-dimension vectors (they can never score a finite cosine).
+
+    round-to-9 before floor is the ORACLE CONTRACT (same as the PQ
+    path) — the DuckDB restatement computes the identical projection
+    with list_dot_product, whose summation order differs from numpy's
+    SIMD matmul in the last ulp; rounding both sides to 9 decimals
+    makes the floor input bit-identical, so bucket membership can't
+    flip between engines. The closure captures only (dim, G, w) by
+    value — no package-module references, so it pickles to workers
+    launched from any cwd.
+    """
+
+    @F.pandas_udf("array<bigint>")
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape[0] != dim:
+                out.append(None)
+                continue
+            n = np.sqrt(a @ a)
+            if n == 0.0:
+                out.append(None)
+                continue
+            out.append(np.floor(np.round((a / n) @ G / w, 9)).astype(np.int64))
+        return pd.Series(out)
+
+    return bucket_ids
 
 
 def topk_cosine(
@@ -574,8 +638,6 @@ def lsh_cosine_pairs(
     construction in the task closure, like the IVF centroids; the one
     eager job is a tiny distinct-dimension probe.
     """
-    import numpy as np
-
     id_type = df.schema[id_col].dataType.simpleString()
 
     slim = df.select(
@@ -596,38 +658,8 @@ def lsh_cosine_pairs(
             f"(pad/truncate/filter) before pairing."
         )
     dim = dims[0]
-    rng = np.random.default_rng(seed)
-    G = rng.standard_normal((dim, num_hash_tables))
-    # UNIT directions (like MLlib): an unnormalized gaussian column has
-    # ‖g‖ ≈ √dim, which would silently shrink the effective bucket
-    # width by that factor and crater recall (measured: 0.98 → 0.64).
-    G /= np.sqrt(np.einsum("ij,ij->j", G, G))
-    w = float(bucket_length)
-
-    @F.pandas_udf("array<bigint>")
-    def bucket_ids(vs: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: PLC0415 — worker-side import
-
-        out = []
-        for v in vs:
-            a = np.asarray(v, dtype=np.float64)
-            if a.shape[0] != dim:
-                out.append(None)
-                continue
-            n = np.sqrt(a @ a)
-            if n == 0.0:
-                out.append(None)
-                continue
-            # round-to-9 before floor: the ORACLE CONTRACT (same as the
-            # PQ path) — the DuckDB restatement computes the identical
-            # projection with list_dot_product, whose summation order
-            # differs in the last ulp; rounding both sides to 9
-            # decimals makes the floor input bit-identical, so bucket
-            # membership can't flip between engines.
-            out.append(
-                np.floor(np.round((a / n) @ G / w, 9)).astype(np.int64)
-            )
-        return pd.Series(out)
+    G = seeded_unit_directions(dim, num_hash_tables, seed)
+    bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
 
     hashed = slim.select(
         "__id", F.col("__v"), bucket_ids("__v").alias("__b")
@@ -877,49 +909,103 @@ def lsh_topk_cosine(
     k: int = 10,
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
-    distance_threshold: float = 1.4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k cosine via BucketedRandomProjectionLSH.
+    """Approximate top-k cosine via native seeded random-projection LSH
+    — the top-k sibling of :func:`lsh_cosine_pairs`, sharing its hash
+    family (per table t a UNIT gaussian direction g_t, bucket id =
+    floor(v̂·g_t / bucket_length), OR-amplified across
+    ``num_hash_tables``) and its oracle contract (round-9-before-floor
+    projections, seeded directions restated as SQL literals — see
+    ``_LSH_TOPK_CTES`` in plans/llm.py).
 
-    Vectors are L2-normalized first, so euclidean bucketing answers
-    cosine queries (d² = 2·(1-cos) on the unit sphere;
-    distance_threshold 1.4 ≈ cos ≥ 0.02). approxSimilarityJoin only
-    compares vectors sharing an LSH bucket — the corpus×corpus /
-    corpus×queries cost is bucketed, not all-pairs, which is the
-    100 TB execution story. Fixed seed → deterministic buckets.
+    Plan: bucket both sides with the same projections, broadcast the
+    (small) query side's (table, bucket) keys, equi-join to candidate
+    pairs — each query compares only co-bucketed corpus vectors, so
+    per-query cost follows bucket occupancy instead of |corpus| —
+    score candidates with the exact JVM cosine expression (bit-equal
+    to :func:`topk_cosine`; duplicate cross-table collisions score
+    bit-identically, so one distinct on the scored triple dedups the
+    OR), then rank per query. The only shuffles are candidate-sized:
+    the distinct and the per-query window, both on the collision
+    relation, never the corpus.
 
-    Output schema matches :func:`topk_cosine`; recall < 1 by design
-    (rows-only correctness check).
+    Until round 8 this was MLlib's ``BucketedRandomProjectionLSH`` +
+    ``approxSimilarityJoin``. The decisive reason for the swap is
+    DETERMINISM: MLlib's hash seed feeds an internal Scala RNG no SQL
+    restatement can reproduce, which forced the one remaining ANN
+    query to a rows-only check — with our own projections the full
+    ranking is DuckDB-hash-checked. Cost was measured, not assumed:
+    min-of-three A/B on the same host at sf0.1 is 1.65 s (MLlib) vs
+    1.61 s (native) — parity at fixture candidate volume (unlike the
+    7× `lsh_cosine_pairs` swap in round 5, whose corpus×corpus
+    candidate relation was large enough for MLlib's per-pair
+    ``keyDistance`` UDF to dominate; here |queries| is tiny). The
+    native form still drops MLlib's per-call ``fit`` job and scores
+    candidates with codegen array expressions instead of MLlib's
+    per-pair ``keyDistance`` Scala UDF over exploded vector structs —
+    the part that dominates when the candidate relation grows. Recall < 1 vs :func:`topk_cosine` by LSH design; the
+    result itself is deterministic and fully hash-checked, and its
+    recall@10 is a hash-checked row of `sim_recall_report` (0.96 on
+    the fixture at the default 4 tables / w=0.5).
+
+    Output schema matches :func:`topk_cosine`. NULL/empty/zero-norm
+    vectors drop (never a finite cosine); ragged corpus dimensions
+    RAISE like every cosine operator here.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        vec = df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(to_double(F.col(vec_col))).alias("__raw"),
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("__cv")
+    ).filter(F.col("__cv").isNotNull() & (F.size("__cv") > 0))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
+    ).filter(F.col("__qv").isNotNull() & (F.size("__qv") > 0))
+
+    dims = [r["d"] for r in c.select(F.size("__cv").alias("d")).distinct().collect()]
+    if not dims:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
         )
-        return Normalizer(inputCol="__raw", outputCol="features", p=2.0).transform(vec)
+    if len(dims) > 1:
+        raise ValueError(
+            f"lsh_topk_cosine: ragged vector dimensions {sorted(dims)} in "
+            f"column {vec_col!r} — cosine between different-dimension "
+            f"vectors is undefined; normalize the corpus to one dimension "
+            f"(pad/truncate/filter) before searching."
+        )
+    dim = dims[0]
+    G = seeded_unit_directions(dim, num_hash_tables, seed)
+    bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
 
-    c = prep(corpus, "neighbor_id")
-    q = prep(queries, "query_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="__hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
+    # norms once per vector before the join (not once per candidate)
+    ckv = (
+        c.withColumn("__cn", l2_norm(F.col("__cv")))
+        .withColumn("__b", bucket_ids("__cv"))
+        .filter(F.col("__b").isNotNull())
+        .select("neighbor_id", "__cv", "__cn", F.posexplode("__b").alias("__t", "__bkt"))
     )
-    model = lsh.fit(c)
-    joined = model.approxSimilarityJoin(
-        q, c, distance_threshold, distCol="__dist"
-    ).filter(F.col("datasetA.query_id") != F.col("datasetB.neighbor_id"))
-    # unit sphere: cos = 1 - d²/2 (exact given normalized inputs)
-    scored = joined.select(
-        F.col("datasetA.query_id").alias("query_id"),
-        F.col("datasetB.neighbor_id").alias("neighbor_id"),
-        (F.lit(1.0) - (F.col("__dist") * F.col("__dist")) / F.lit(2.0)).alias("__cos"),
+    qkv = (
+        q.withColumn("__qn", l2_norm(F.col("__qv")))
+        .withColumn("__b", bucket_ids("__qv"))
+        .filter(F.col("__b").isNotNull())
+        .select("query_id", "__qv", "__qn", F.posexplode("__b").alias("__t", "__bkt"))
+    )
+
+    scored = (
+        ckv.join(F.broadcast(qkv), ["__t", "__bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # identical expression tree to topk_cosine → per-pair score
+            # is bit-identical in every table the pair collides in, so
+            # distinct on the triple dedups the OR-amplification
+            (
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+            ).alias("__cos"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id")

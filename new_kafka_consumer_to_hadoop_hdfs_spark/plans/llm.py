@@ -1022,6 +1022,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(e, id_col="vec_id", vec_col="embedding", threshold=0.4)
 
 
+def _lsh_g_values_sql(dim: int, num_hash_tables: int, seed: int) -> str:
+    """The seeded LSH unit directions as a SQL VALUES body: the matrix
+    is NOT random at verification time — it is the deterministic output
+    of `operators.similarity.seeded_unit_directions` (called here, so
+    there is exactly ONE construction in the codebase), embedded as
+    full-precision literals (repr round-trips doubles exactly; DuckDB
+    parses decimal literals to the nearest double = the same bits).
+    """
+    from ..operators.similarity import seeded_unit_directions
+
+    G = seeded_unit_directions(dim, num_hash_tables, seed)
+    return ",\n  ".join(
+        "({t}, [{xs}]::DOUBLE[])".format(
+            t=t, xs=", ".join(repr(float(x)) for x in G[:, t])
+        )
+        for t in range(num_hash_tables)
+    )
+
+
 def _lsh_pairs_oracle_sql(
     *,
     dim: int = 64,
@@ -1030,30 +1049,15 @@ def _lsh_pairs_oracle_sql(
     bucket_length: float = 0.5,
     threshold: float = 0.4,
 ) -> str:
-    """DuckDB restatement of `lsh_cosine_pairs`: the projection matrix
-    is NOT random at verification time — it is the deterministic output
-    of a seeded generator, so this builder re-runs the IDENTICAL two
-    numpy lines the operator runs (same seed, same normalization) and
-    embeds the resulting unit directions as full-precision SQL literals
-    (repr round-trips doubles exactly; DuckDB parses decimal literals
-    to the nearest double = the same bits). Bucket id = floor(round-9
+    """DuckDB restatement of `lsh_cosine_pairs`: seeded unit directions
+    as SQL literals (see `_lsh_g_values_sql`). Bucket id = floor(round-9
     of v̂·g_t / w) per the operator's oracle contract; candidate pairs
     share any (table, bucket); survivors verified at exact cosine —
     the oracle brute-forces nothing beyond what the operator computes.
     ``dim`` is pinned to the fixture's embedding width (the operator
     probes it from data; an oracle is only ever run on the fixtures).
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    G = rng.standard_normal((dim, num_hash_tables))
-    G /= np.sqrt(np.einsum("ij,ij->j", G, G))
-    tables = ",\n  ".join(
-        "({t}, [{xs}]::DOUBLE[])".format(
-            t=t, xs=", ".join(repr(float(x)) for x in G[:, t])
-        )
-        for t in range(num_hash_tables)
-    )
+    tables = _lsh_g_values_sql(dim, num_hash_tables, seed)
     return f"""
 WITH g(t, dir) AS (VALUES
   {tables}
@@ -1383,15 +1387,75 @@ def sim_topk_cosine_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_mapside(e, q, id_col="vec_id", vec_col="embedding", k=10)
 
 
-@_register("sim_topk_lsh")  # no oracle: approximate recall by design
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 cosine neighbors via BucketedRandomProjection
-    LSH over L2-normalized vectors (pyspark.ml; fixed seed).
+def _lsh_topk_ctes_sql(
+    *,
+    dim: int = 64,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    bucket_length: float = 0.5,
+) -> str:
+    """Shared CTE block restating `lsh_topk_cosine` for the fixture
+    query set (vec_id % 100 = 0): seeded unit directions as literals,
+    round-9-before-floor bucketing (both per the `_lsh_g_values_sql` /
+    `_bucket_ids_udf` contract), candidates = co-bucketed (query,
+    corpus) pairs in ANY table, scored at exact cosine. Requires a
+    preceding CTE `e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM
+    embeddings)`; exposes `lsh_scored(query_id, neighbor_id, c)`.
+    Used by BOTH the `sim_topk_lsh` ranking oracle and
+    `sim_recall_report`'s lsh recall row.
+    """
+    tables = _lsh_g_values_sql(dim, num_hash_tables, seed)
+    return f"""\
+lshg(t, dir) AS (VALUES
+  {tables}
+),
+lshn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         WHERE v IS NOT NULL AND len(v) > 0),
+lshnz AS (SELECT vec_id, v, [x / nrm FOR x IN v] AS u FROM lshn WHERE nrm > 0),
+lshb AS (SELECT vec_id, t,
+                floor(round(list_dot_product(u, dir) / {bucket_length!r}, 9)) AS bkt
+         FROM lshnz, lshg),
+lshcand AS (SELECT DISTINCT qq.vec_id AS query_id, cc.vec_id AS neighbor_id
+            FROM lshb qq JOIN lshb cc ON qq.t = cc.t AND qq.bkt = cc.bkt
+                                     AND cc.vec_id != qq.vec_id
+            WHERE qq.vec_id % 100 = 0),
+lsh_scored AS (SELECT query_id, neighbor_id,
+                      list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))) AS c
+               FROM lshcand JOIN e x ON x.vec_id = query_id
+                            JOIN e y ON y.vec_id = neighbor_id)"""
 
-    The scale path for similarity: normalize → hash into
-    num_hash_tables random-projection buckets → approxSimilarityJoin
-    compares only co-bucketed vectors. Recall < 1 → rows-only check;
-    the exact twin (`sim_topk_cosine`) is the correctness anchor.
+
+_LSH_TOPK_CTES = _lsh_topk_ctes_sql()
+
+_LSH_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_LSH_TOPK_CTES}
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+FROM lsh_scored
+QUALIFY rank <= 10
+"""
+
+
+@_register("sim_topk_lsh", _LSH_TOPK_ORACLE)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors via native seeded
+    random-projection LSH over L2-normalized vectors — FULLY
+    ORACLE-CHECKED since round 8 (upgraded from rows-only when the
+    MLlib form, whose internal Scala RNG no SQL can restate, was
+    replaced by the repo's own seeded projections; same swap
+    `dedup_embedding_lsh` runs on, same measured-cost rationale as
+    round 5's `lsh_cosine_pairs` — see `operators/similarity.py`).
+
+    The scale path for similarity: bucket corpus and queries with
+    shared seeded projections, equi-join on (table, bucket) so each
+    query scores only co-bucketed vectors, rank survivors. Recall < 1
+    vs the exact twin (`sim_topk_cosine`) BY LSH DESIGN — that gap is
+    itself hash-measured by `sim_recall_report`'s lsh row — but the
+    result is deterministic, so the DuckDB oracle restates bucketing +
+    scoring + ranking exactly.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
@@ -1725,10 +1789,18 @@ ivf10 AS (
     FROM ivf_scored) WHERE rnk <= 10
 ),
 {_PQ_SQL_CTES},
+{_LSH_TOPK_CTES},
+lsh10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM lsh_scored) WHERE rnk <= 10
+),
 sel AS (
   SELECT 'exact' AS method, query_id, neighbor_id FROM ex10
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i810
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf10
+  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh10
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq10
 ),
 matched AS (
@@ -1736,7 +1808,7 @@ matched AS (
   -- (or zero produced) pairs still yields its row with n_matched = 0,
   -- mirroring the Spark side's always-one-row aggregate per method
   SELECT m.method, count(x.query_id) AS n_matched
-  FROM (VALUES ('exact'), ('int8'), ('ivf'), ('pq')) AS m(method)
+  FROM (VALUES ('exact'), ('int8'), ('ivf'), ('lsh'), ('pq')) AS m(method)
   LEFT JOIN sel s ON s.method = m.method
   LEFT JOIN ex10 x
     ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
@@ -1759,18 +1831,18 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Methods: ``exact`` (the float path joined against itself — a 1.0
     sanity row proving the recall arithmetic), ``int8`` (ranking
     fidelity of max-abs quantization), ``ivf`` (16 cells / 4 probes,
-    deterministic first-N centroids), ``pq`` (16 subspaces × 64 codes;
-    the oracle restates the ENTIRE training pipeline — quantile-
-    stratified seeding, three unrolled Lloyd rounds with round-9
-    means/distances, corpus encode, ADC scoring — in SQL, so the
-    codebook itself is hash-anchored, not just the final ranking).
-    Each is independently recomputed by the DuckDB oracle — possible
-    precisely because these paths are deterministic arithmetic (since
-    round 8 the full IVF rankings, k-means refinement included, are
-    ALSO hash-checked — `sim_topk_ivf` / `sim_topk_ivf_kmeans`). The
-    one ANN variant no SQL restatement can reach is `sim_topk_lsh`
-    (MLlib's seeded Java RNG); its recall is asserted in
-    tests/test_text_operators.py instead.
+    deterministic first-N centroids), ``lsh`` (4 seeded
+    random-projection tables, bucket width 0.5 — added late in round
+    8 when the native seeded form replaced MLlib and made the path
+    restatable), ``pq`` (16 subspaces × 64 codes; the oracle restates
+    the ENTIRE training pipeline — quantile-stratified seeding, three
+    unrolled Lloyd rounds with round-9 means/distances, corpus encode,
+    ADC scoring — in SQL, so the codebook itself is hash-anchored, not
+    just the final ranking). Each is independently recomputed by the
+    DuckDB oracle — possible precisely because these paths are
+    deterministic arithmetic; with the lsh row the classic ANN trio
+    (LSH buckets / IVF cells / PQ codes) is recall-measured in one
+    hash-checked relation.
 
     Scale note: recall evaluation IS a production operator (you run it
     on a sample after every index build); its cost here is three top-k
@@ -1813,6 +1885,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
     )
+    lsh = lsh_topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=10, seed=42)
     # stored-index variant: identical output to the freshly-trained
     # path (the pipeline is deterministic; `sim_topk_pq_stored` is
     # hash-checked against the same SQL restatement), minus the
@@ -1823,6 +1896,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         method_row("exact", exact_pairs)
         .unionByName(method_row("int8", int8))
         .unionByName(method_row("ivf", ivf))
+        .unionByName(method_row("lsh", lsh))
         .unionByName(method_row("pq", pq))
     )
 

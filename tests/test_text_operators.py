@@ -725,6 +725,53 @@ def test_lsh_cosine_pairs_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall collapsed: {recall:.3f}"
 
 
+def test_lsh_topk_cosine_recall_and_exactness(spark, sf_dir):
+    """The native seeded LSH top-k (sim_topk_lsh's operator, replaced
+    MLlib in round 8) must (a) emit only true cosines — every
+    (query, neighbor, cos) it returns appears with the identical score
+    in the exact twin's full ranking, (b) never rank a self-match or
+    exceed k per query, and (c) keep recall@10 high on the fixture
+    (measured 0.96 at sf0.01 with the default 4 tables / w=0.5 —
+    assert a loose floor so hash-family regressions are loud without
+    flaking on seed sensitivity)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        lsh_topk_cosine,
+        topk_cosine,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact10 = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in topk_cosine(e, q, k=10).collect()
+    }
+    # the full exact ranking (large k) anchors score exactness for LSH
+    # hits that fall outside the exact top-10
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in topk_cosine(e, q, k=10**6).collect()
+    }
+    lsh_rows = lsh_topk_cosine(e, q, k=10).collect()
+    assert exact10 and lsh_rows
+    per_query: dict = {}
+    for r in lsh_rows:
+        assert r.query_id != r.neighbor_id
+        assert (r.query_id, r.neighbor_id) in exact_all
+        assert abs(r.cos_sim - exact_all[(r.query_id, r.neighbor_id)]) < 1e-9
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
+        assert len(ranks) <= 10
+    hits = sum(
+        1 for key in ((r.query_id, r.neighbor_id) for r in lsh_rows)
+        if key in exact10
+    )
+    recall = hits / len(exact10)
+    assert recall >= 0.7, f"LSH top-k recall collapsed: {recall:.3f}"
+
+
 def test_containment_finds_small_doc_inside_big_doc(spark):
     """The case Jaccard structurally misses: a short doc pasted whole
     into a much longer one has overlap coefficient 1.0 but Jaccard

@@ -66,6 +66,25 @@ def test_fingerprint_check_green_path_and_mismatch(pf, monkeypatch, capsys):
     assert "CHANGED r" in capsys.readouterr().out
 
 
+def test_fingerprint_normalize_strips_session_counters(pf):
+    """The three known nondeterminism sources must normalize away:
+    expression ids, gid# distinct-group ordering (covered elsewhere),
+    and — diagnosed round 8 — HOF lambda variables, whose `x_<n>`
+    counter is session-global, so an unrelated HOF added earlier in
+    build order renumbers every later plan's lambdas."""
+    a = pf._normalize(
+        "size(filter(split(text#12,  , -1), lambdafunction("
+        "NOT (lambda x_190#190 = ), lambda x_190#190, false)), false)"
+    )
+    b = pf._normalize(
+        "size(filter(split(text#99,  , -1), lambdafunction("
+        "NOT (lambda x_216#216 = ), lambda x_216#216, false)), false)"
+    )
+    assert a == b
+    # but a REAL column swap must still fingerprint differently
+    assert pf._normalize("sum(qty#1)") != pf._normalize("sum(price#1)")
+
+
 def test_fingerprint_missing_sfdir_is_environment_exit_2(pf, monkeypatch):
     monkeypatch.setattr(
         sys, "argv", ["plan_fingerprints.py", "--sf-dir", "/nonexistent/sf"]

@@ -62,6 +62,12 @@ _NORMALIZERS = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
     (re.compile(r"python_udf_\d+"), "python_udf_"),
     (re.compile(r"<lambda>[A-Za-z0-9_]*"), "<lambda>"),
+    # Higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (`lambda x_190`), so adding/removing any HOF expression
+    # earlier in the build order renumbers every later query's lambdas
+    # — diagnosed round 8 when a new LSH operator flapped 22 unrelated
+    # sim_*/text_* fingerprints (every HOF user built after it).
+    (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1_"),
 ]
 
 
