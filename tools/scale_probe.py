@@ -72,6 +72,12 @@ DEFAULT_QUERIES = [
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
     "multimodal_feature_extract",
+    # late-round-8 oracle upgrades (portable SimHash, seeded LSH both
+    # forms, and the recall report that now re-runs four ANN methods)
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_topk_lsh",
+    "sim_recall_report",
 ]
 
 
