@@ -81,6 +81,26 @@ def seeded_unit_directions(dim: int, num_hash_tables: int, seed: int):
     return G
 
 
+def _probe_single_dim(slim: DataFrame, col: str, op: str, vec_col: str):
+    """Distinct-dimension probe shared by the LSH operators: returns
+    the single vector width of ``slim[col]``, or None for an empty
+    relation; RAGGED non-empty dimensions RAISE — silently keeping
+    whichever dimension a ``.first()`` probe happened to see would
+    make the output depend on partition layout. One tiny eager job per
+    call (index construction, like the IVF centroid collect)."""
+    dims = [r["d"] for r in slim.select(F.size(col).alias("d")).distinct().collect()]
+    if not dims:
+        return None
+    if len(dims) > 1:
+        raise ValueError(
+            f"{op}: ragged vector dimensions {sorted(dims)} in "
+            f"column {vec_col!r} — cosine between different-dimension "
+            f"vectors is undefined; normalize the input to one dimension "
+            f"(pad/truncate/filter) first."
+        )
+    return dims[0]
+
+
 def _bucket_ids_udf(dim: int, G, w: float):
     """Arrow-batched UDF computing all T bucket ids of one vector:
     bucket_t = floor(round(v̂·g_t / w, 9)). NULL for zero-norm or
@@ -479,9 +499,11 @@ def cosine_pairs(
     scores its rows against it in one numpy matmul, emitting only
     `(id_a < id_b, cos ≥ threshold)` survivors. Measured at sf0.1
     (2k × 2k, 64-dim): 7.3 s of per-pair interpreted HOF evaluation →
-    well under 1 s; exact same pairs (matmul and sequential-fold
-    cosines agree to ~1 ulp, six decimals after rounding, and the
-    fixture has no pair within 1e-9 of the threshold). NULL / empty
+    well under 1 s; exact same pairs BY CONTRACT, not fixture luck —
+    scores are rounded to 9 decimals before the threshold compare on
+    both engines (matmul and sequential-fold cosines agree to ~1 ulp,
+    so the round-9 values are identical), eliminating the
+    one-engine-survives flake class at thresholds. NULL / empty
     vectors are dropped (they'd score NaN under the expression form
     too); RAGGED non-empty dimensions raise — silently pairing or
     dropping mixed-dimension vectors would corrupt the result.
@@ -555,7 +577,15 @@ def cosine_pairs(
             a_ids = ids[valid]
             A_norm = np.sqrt(np.einsum("ij,ij->i", A, A))
             with np.errstate(invalid="ignore", divide="ignore"):
-                cos = (A @ C.T) / np.outer(A_norm, C_norm)
+                # round-to-9 BEFORE the threshold compare: the ORACLE
+                # CONTRACT (same as the LSH bucketing and PQ paths) —
+                # numpy's SIMD matmul and DuckDB's sequential
+                # list_dot_product differ in the last ulp, so a cosine
+                # within one ulp of the threshold (or of a 6-decimal
+                # rounding boundary) could otherwise survive in exactly
+                # one engine; rounding both sides to 9 decimals first
+                # makes the compared values identical by construction.
+                cos = np.round((A @ C.T) / np.outer(A_norm, C_norm), 9)
             # NaN (null-ish vectors) fails both comparisons below
             mask = (a_ids[:, None] < corpus_ids[None, :]) & (cos >= threshold)
             ai, bi = np.nonzero(mask)
@@ -563,9 +593,8 @@ def cosine_pairs(
                 {
                     f"{id_col}_a": a_ids[ai],
                     f"{id_col}_b": corpus_ids[bi],
-                    # raw scores; rounding happens Spark-side so the
-                    # HALF_UP tie rule matches every other cosine path
-                    # (numpy rounds half-to-even)
+                    # round-9 scores; the final 6-decimal rounding
+                    # happens Spark-side on values both engines share
                     "cos_sim": cos[ai, bi],
                 }
             )
@@ -643,21 +672,11 @@ def lsh_cosine_pairs(
     slim = df.select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v")
     ).filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
-    dims = [
-        r["d"] for r in slim.select(F.size("__v").alias("d")).distinct().collect()
-    ]
-    if not dims:
+    dim = _probe_single_dim(slim, "__v", "lsh_cosine_pairs", vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col}_a {id_type}, {id_col}_b {id_type}, cos_sim double"
         )
-    if len(dims) > 1:
-        raise ValueError(
-            f"lsh_cosine_pairs: ragged vector dimensions {sorted(dims)} in "
-            f"column {vec_col!r} — cosine between different-dimension "
-            f"vectors is undefined; normalize the corpus to one dimension "
-            f"(pad/truncate/filter) before pairing."
-        )
-    dim = dims[0]
     G = seeded_unit_directions(dim, num_hash_tables, seed)
     bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
 
@@ -681,7 +700,13 @@ def lsh_cosine_pairs(
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
         n = np.sqrt(np.einsum("ij,ij->i", V, V))
         Vn = V / n[:, None]
-        cos = Vn @ Vn.T
+        # round-to-9 BEFORE the threshold compare: the ORACLE CONTRACT
+        # (same as the bucket ids above and the PQ path) — the DuckDB
+        # restatement verifies with sequential list_dot_product, which
+        # differs from this matmul in the last ulp, so an unrounded
+        # compare could keep a threshold-adjacent pair in exactly one
+        # engine. Round-9 values are identical on both sides.
+        cos = np.round(Vn @ Vn.T, 9)
         # Pairwise dots are order-independent per pair, so the same
         # pair scores bit-identically in every table it collides in —
         # the cross-table distinct below dedups on the full triple.
@@ -695,8 +720,8 @@ def lsh_cosine_pairs(
             {
                 f"{id_col}_a": lo,
                 f"{id_col}_b": hi,
-                # raw scores; rounding happens Spark-side so the
-                # HALF_UP tie rule matches every other cosine path
+                # round-9 scores; the final 6-decimal rounding happens
+                # Spark-side on values both engines share
                 "cos_sim": cos[ai, bi],
             }
         )
@@ -962,19 +987,21 @@ def lsh_topk_cosine(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
     ).filter(F.col("__qv").isNotNull() & (F.size("__qv") > 0))
 
-    dims = [r["d"] for r in c.select(F.size("__cv").alias("d")).distinct().collect()]
-    if not dims:
+    dim = _probe_single_dim(c, "__cv", "lsh_topk_cosine(corpus)", vec_col)
+    if dim is None:
         return corpus.sparkSession.createDataFrame(
             [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
         )
-    if len(dims) > 1:
+    # Validate the QUERY side too (ragged queries raise inside the
+    # probe): a query set whose width differs from the corpus must fail
+    # loudly, not bucket to NULL and read as "no neighbors found".
+    qdim = _probe_single_dim(q, "__qv", "lsh_topk_cosine(queries)", vec_col)
+    if qdim is not None and qdim != dim:
         raise ValueError(
-            f"lsh_topk_cosine: ragged vector dimensions {sorted(dims)} in "
-            f"column {vec_col!r} — cosine between different-dimension "
-            f"vectors is undefined; normalize the corpus to one dimension "
-            f"(pad/truncate/filter) before searching."
+            f"lsh_topk_cosine: query vectors are {qdim}-dimensional but "
+            f"the corpus is {dim}-dimensional — cosine between "
+            f"different-dimension vectors is undefined."
         )
-    dim = dims[0]
     G = seeded_unit_directions(dim, num_hash_tables, seed)
     bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
 

@@ -995,13 +995,21 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_COSINE_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         -- round-9 before the threshold compare: the Spark kernel is a
+         -- numpy matmul whose summation order differs from DuckDB's
+         -- sequential list_dot_product in the last ulp; both engines
+         -- compare (and then 6-round) the identical round-9 value, so
+         -- a threshold-adjacent pair can't survive in just one engine
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 9) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT ia AS vec_id_a, ib AS vec_id_b, ROUND(cs, 6) AS cos_sim
+FROM p WHERE cs >= 0.4
 """
 
 
@@ -1041,41 +1049,53 @@ def _lsh_g_values_sql(dim: int, num_hash_tables: int, seed: int) -> str:
     )
 
 
-def _lsh_pairs_oracle_sql(
+def _lsh_bucket_ctes_sql(
     *,
     dim: int = 64,
     num_hash_tables: int = 4,
     seed: int = 42,
     bucket_length: float = 0.5,
-    threshold: float = 0.4,
 ) -> str:
-    """DuckDB restatement of `lsh_cosine_pairs`: seeded unit directions
-    as SQL literals (see `_lsh_g_values_sql`). Bucket id = floor(round-9
-    of v̂·g_t / w) per the operator's oracle contract; candidate pairs
-    share any (table, bucket); survivors verified at exact cosine —
-    the oracle brute-forces nothing beyond what the operator computes.
-    ``dim`` is pinned to the fixture's embedding width (the operator
-    probes it from data; an oracle is only ever run on the fixtures).
-    """
+    """The bucketing half of every seeded-LSH restatement, built ONCE
+    so the cross-engine contract — seeded unit directions as SQL
+    literals (`_lsh_g_values_sql`), bucket id = floor(round-9 of
+    v̂·g_t / w) exactly as `_bucket_ids_udf` computes it — lives in a
+    single SQL builder, mirroring the single Python construction in
+    `operators.similarity`. Requires a preceding CTE `e AS (SELECT
+    vec_id, embedding::DOUBLE[] AS v FROM embeddings)`; exposes
+    `lshb(vec_id, t, bkt)`. ``dim`` is pinned to the fixture's
+    embedding width (the operators probe it from data; an oracle is
+    only ever run on the fixtures)."""
     tables = _lsh_g_values_sql(dim, num_hash_tables, seed)
-    return f"""
-WITH g(t, dir) AS (VALUES
+    return f"""\
+lshg(t, dir) AS (VALUES
   {tables}
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-nz AS (SELECT vec_id, v, [x / nrm FOR x IN v] AS u FROM n WHERE nrm > 0),
-b AS (SELECT vec_id, t,
-             floor(round(list_dot_product(u, dir) / {bucket_length!r}, 9)) AS bkt
-      FROM nz, g),
+lshn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         WHERE v IS NOT NULL AND len(v) > 0),
+lshnz AS (SELECT vec_id, v, [x / nrm FOR x IN v] AS u FROM lshn WHERE nrm > 0),
+lshb AS (SELECT vec_id, t,
+                floor(round(list_dot_product(u, dir) / {bucket_length!r}, 9)) AS bkt
+         FROM lshnz, lshg)"""
+
+
+def _lsh_pairs_oracle_sql(*, threshold: float = 0.4, **bucket_kw) -> str:
+    """DuckDB restatement of `lsh_cosine_pairs`: shared bucketing CTEs
+    (`_lsh_bucket_ctes_sql`), candidate pairs sharing any (table,
+    bucket), survivors verified at exact cosine ROUNDED TO 9 DECIMALS
+    before the threshold compare — the operator's verification kernel
+    rounds identically, so a threshold-adjacent pair can't survive in
+    exactly one engine (the same contract the bucket ids use)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lsh_bucket_ctes_sql(**bucket_kw)},
 cand AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
-         FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt
-                          AND a.vec_id < c.vec_id),
+         FROM lshb a JOIN lshb c ON a.t = c.t AND a.bkt = c.bkt
+                                AND a.vec_id < c.vec_id),
 p AS (SELECT ia, ib,
-             list_dot_product(x.v, y.v)
-             / (sqrt(list_dot_product(x.v, x.v))
-                * sqrt(list_dot_product(y.v, y.v))) AS cs
+             round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 9) AS cs
       FROM cand JOIN e x ON x.vec_id = ia
                 JOIN e y ON y.vec_id = ib)
 SELECT ia AS vec_id_a, ib AS vec_id_b, ROUND(cs, 6) AS cos_sim
@@ -1387,34 +1407,22 @@ def sim_topk_cosine_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_mapside(e, q, id_col="vec_id", vec_col="embedding", k=10)
 
 
-def _lsh_topk_ctes_sql(
-    *,
-    dim: int = 64,
-    num_hash_tables: int = 4,
-    seed: int = 42,
-    bucket_length: float = 0.5,
-) -> str:
-    """Shared CTE block restating `lsh_topk_cosine` for the fixture
-    query set (vec_id % 100 = 0): seeded unit directions as literals,
-    round-9-before-floor bucketing (both per the `_lsh_g_values_sql` /
-    `_bucket_ids_udf` contract), candidates = co-bucketed (query,
-    corpus) pairs in ANY table, scored at exact cosine. Requires a
-    preceding CTE `e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM
-    embeddings)`; exposes `lsh_scored(query_id, neighbor_id, c)`.
-    Used by BOTH the `sim_topk_lsh` ranking oracle and
+def _lsh_topk_ctes_sql(**bucket_kw) -> str:
+    """CTE block restating `lsh_topk_cosine` for the fixture query set
+    (vec_id % 100 = 0): shared bucketing CTEs (`_lsh_bucket_ctes_sql` —
+    the single home of the seeded-directions + round-9-before-floor
+    contract), candidates = co-bucketed (query, corpus) pairs in ANY
+    table, scored at exact cosine — UNROUNDED here, unlike the pairs
+    oracle: the top-k operator scores with the JVM sequential fold,
+    which is bit-identical to DuckDB's list_dot_product, and ranking
+    needs the full-precision ordering `_TOPK_COSINE_ORACLE` also uses.
+    Requires a preceding CTE `e AS (SELECT vec_id, embedding::DOUBLE[]
+    AS v FROM embeddings)`; exposes `lsh_scored(query_id, neighbor_id,
+    c)`. Used by BOTH the `sim_topk_lsh` ranking oracle and
     `sim_recall_report`'s lsh recall row.
     """
-    tables = _lsh_g_values_sql(dim, num_hash_tables, seed)
     return f"""\
-lshg(t, dir) AS (VALUES
-  {tables}
-),
-lshn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-         WHERE v IS NOT NULL AND len(v) > 0),
-lshnz AS (SELECT vec_id, v, [x / nrm FOR x IN v] AS u FROM lshn WHERE nrm > 0),
-lshb AS (SELECT vec_id, t,
-                floor(round(list_dot_product(u, dir) / {bucket_length!r}, 9)) AS bkt
-         FROM lshnz, lshg),
+{_lsh_bucket_ctes_sql(**bucket_kw)},
 lshcand AS (SELECT DISTINCT qq.vec_id AS query_id, cc.vec_id AS neighbor_id
             FROM lshb qq JOIN lshb cc ON qq.t = cc.t AND qq.bkt = cc.bkt
                                      AND cc.vec_id != qq.vec_id

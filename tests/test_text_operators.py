@@ -615,6 +615,35 @@ def test_cosine_pairs_ragged_dimensions_raise(spark):
         cosine_pairs(df, threshold=0.5)
 
 
+def test_lsh_topk_query_corpus_dimension_mismatch_raises(spark):
+    """A query set whose vector width differs from the corpus must fail
+    loudly — before round 8's review pass it bucketed to NULL and read
+    as 'no neighbors found' (the corpus-side ragged check existed, the
+    cross-side one didn't)."""
+    import pytest
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        lsh_topk_cosine,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="query vectors are 2-dimensional"):
+        lsh_topk_cosine(corpus, queries, k=5)
+    # ragged queries raise through the shared probe too
+    ragged_q = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0]), (10, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        lsh_topk_cosine(corpus, ragged_q, k=5)
+
+
 def test_cosine_pairs_null_and_empty_vectors_dropped(spark):
     """NULL / empty vectors keep the expression-form drop semantics:
     excluded from pairing, everything else still paired."""
