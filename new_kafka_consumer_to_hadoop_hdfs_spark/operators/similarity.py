@@ -81,6 +81,24 @@ def seeded_unit_directions(dim: int, num_hash_tables: int, seed: int):
     return G
 
 
+def _probe_dims(sides) -> dict:
+    """ONE eager job probing the distinct vector widths of several
+    relations at once — each side a ``(DataFrame, column, label)``
+    triple, unioned under a side tag so multi-input operators pay a
+    single fixed-latency Spark job for validation instead of one per
+    input. Returns ``{label: sorted distinct widths}`` (empty list for
+    an empty relation); error semantics stay with the caller so the
+    message names the operator."""
+    tagged = None
+    for df, col, label in sides:
+        part = df.select(F.lit(label).alias("__side"), F.size(col).alias("__d"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    out: dict = {label: [] for _, _, label in sides}
+    for r in tagged.distinct().collect():
+        out[r["__side"]].append(r["__d"])
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _probe_single_dim(slim: DataFrame, col: str, op: str, vec_col: str):
     """Distinct-dimension probe shared by the LSH operators: returns
     the single vector width of ``slim[col]``, or None for an empty
@@ -88,12 +106,12 @@ def _probe_single_dim(slim: DataFrame, col: str, op: str, vec_col: str):
     whichever dimension a ``.first()`` probe happened to see would
     make the output depend on partition layout. One tiny eager job per
     call (index construction, like the IVF centroid collect)."""
-    dims = [r["d"] for r in slim.select(F.size(col).alias("d")).distinct().collect()]
+    dims = _probe_dims([(slim, col, "in")])["in"]
     if not dims:
         return None
     if len(dims) > 1:
         raise ValueError(
-            f"{op}: ragged vector dimensions {sorted(dims)} in "
+            f"{op}: ragged vector dimensions {dims} in "
             f"column {vec_col!r} — cosine between different-dimension "
             f"vectors is undefined; normalize the input to one dimension "
             f"(pad/truncate/filter) first."
@@ -987,20 +1005,30 @@ def lsh_topk_cosine(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
     ).filter(F.col("__qv").isNotNull() & (F.size("__qv") > 0))
 
-    dim = _probe_single_dim(c, "__cv", "lsh_topk_cosine(corpus)", vec_col)
-    if dim is None:
+    # BOTH sides validated in one eager job: the corpus must have a
+    # single width, and the query side must match it — a query set
+    # whose width differs from the corpus must fail loudly, not bucket
+    # to NULL and read as "no neighbors found".
+    probed = _probe_dims([(c, "__cv", "corpus"), (q, "__qv", "queries")])
+    for side in ("corpus", "queries"):
+        if len(probed[side]) > 1:
+            raise ValueError(
+                f"lsh_topk_cosine: ragged vector dimensions {probed[side]} "
+                f"in the {side} side's column {vec_col!r} — cosine between "
+                f"different-dimension vectors is undefined; normalize to "
+                f"one dimension (pad/truncate/filter) first."
+            )
+    if not probed["corpus"]:
         return corpus.sparkSession.createDataFrame(
             [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
         )
-    # Validate the QUERY side too (ragged queries raise inside the
-    # probe): a query set whose width differs from the corpus must fail
-    # loudly, not bucket to NULL and read as "no neighbors found".
-    qdim = _probe_single_dim(q, "__qv", "lsh_topk_cosine(queries)", vec_col)
-    if qdim is not None and qdim != dim:
+    dim = probed["corpus"][0]
+    if probed["queries"] and probed["queries"][0] != dim:
         raise ValueError(
-            f"lsh_topk_cosine: query vectors are {qdim}-dimensional but "
-            f"the corpus is {dim}-dimensional — cosine between "
-            f"different-dimension vectors is undefined."
+            f"lsh_topk_cosine: query vectors are "
+            f"{probed['queries'][0]}-dimensional but the corpus is "
+            f"{dim}-dimensional — cosine between different-dimension "
+            f"vectors is undefined."
         )
     G = seeded_unit_directions(dim, num_hash_tables, seed)
     bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
