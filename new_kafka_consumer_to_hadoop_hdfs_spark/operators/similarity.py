@@ -953,6 +953,7 @@ def lsh_topk_cosine(
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
     seed: int = 42,
+    probe_width: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine via native seeded random-projection LSH
     — the top-k sibling of :func:`lsh_cosine_pairs`, sharing its hash
@@ -961,6 +962,17 @@ def lsh_topk_cosine(
     ``num_hash_tables``) and its oracle contract (round-9-before-floor
     projections, seeded directions restated as SQL literals — see
     ``_LSH_TOPK_CTES`` in plans/llm.py).
+
+    ``probe_width`` enables MULTI-PROBE search (Lv et al., VLDB 2007):
+    each query additionally probes the ±probe_width neighboring
+    buckets per table, catching true neighbors that landed one bucket
+    over. This is the standard recall lever whose cost lands on the
+    QUERY side only — candidates grow by at most (2·probe_width + 1)×
+    while the corpus-side bucketing, storage layout, and index are
+    untouched — versus adding tables, which re-hashes the corpus. At
+    100 TB you tune probes before tables for exactly that asymmetry.
+    Deterministic like the rest of the operator; the registered query
+    keeps probe_width=0 (the oracle restates single-probe bucketing).
 
     Plan: bucket both sides with the same projections, broadcast the
     (small) query side's (table, bucket) keys, equi-join to candidate
@@ -1046,6 +1058,22 @@ def lsh_topk_cosine(
         .filter(F.col("__b").isNotNull())
         .select("query_id", "__qv", "__qn", F.posexplode("__b").alias("__t", "__bkt"))
     )
+    if probe_width:
+        # multi-probe: the query side also visits the ±probe_width
+        # neighboring buckets (query-side-only cost; corpus bucketing
+        # untouched). Gated so the default plan carries no extra
+        # Generate node.
+        qkv = (
+            qkv.withColumn(
+                "__bkt",
+                F.explode(
+                    F.sequence(
+                        F.col("__bkt") - F.lit(int(probe_width)),
+                        F.col("__bkt") + F.lit(int(probe_width)),
+                    )
+                ),
+            )
+        )
 
     scored = (
         ckv.join(F.broadcast(qkv), ["__t", "__bkt"])

@@ -801,6 +801,41 @@ def test_lsh_topk_cosine_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.7, f"LSH top-k recall collapsed: {recall:.3f}"
 
 
+def test_lsh_topk_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe LSH (probe_width=1: each query also visits the ±1
+    neighboring bucket per table) must dominate single-probe — its
+    candidate set is a superset by construction, so recall@10 can only
+    go up — while every emitted score stays a true cosine (subset of
+    the exact full ranking with identical values)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        lsh_topk_cosine,
+        topk_cosine,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact10 = {
+        (r.query_id, r.neighbor_id) for r in topk_cosine(e, q, k=10).collect()
+    }
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in topk_cosine(e, q, k=10**6).collect()
+    }
+
+    def recall(probe_width):
+        rows = lsh_topk_cosine(e, q, k=10, probe_width=probe_width).collect()
+        for r in rows:
+            assert abs(r.cos_sim - exact_all[(r.query_id, r.neighbor_id)]) < 1e-9
+        hits = {(r.query_id, r.neighbor_id) for r in rows} & exact10
+        return len(hits) / len(exact10)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, (r0, r1)
+    assert r1 >= 0.9, f"multi-probe recall should approach exact: {r1:.3f}"
+
+
 def test_containment_finds_small_doc_inside_big_doc(spark):
     """The case Jaccard structurally misses: a short doc pasted whole
     into a much longer one has overlap coefficient 1.0 but Jaccard
