@@ -92,6 +92,58 @@ def test_fingerprint_missing_sfdir_is_environment_exit_2(pf, monkeypatch):
     assert pf.main() == 2
 
 
+def _preflight_run(tmp_path, monkeypatch, compare_outcomes):
+    """Drive preflight.main() with _run stubbed: sweep/pytest/plans
+    pass, each bench invocation writes a fresh BENCH_local_latest, and
+    bench_compare outcomes come from the given script. Returns
+    (exit_code, labels, repo_dir)."""
+    mod = _load("preflight")
+    monkeypatch.setattr(mod, "_REPO", tmp_path)
+    latest = tmp_path / "BENCH_local_latest.json"
+    latest.write_text('{"run": "BASELINE"}')
+    labels, bench_n = [], [0]
+
+    def fake_run(label, cmd, **_kw):
+        labels.append(label)
+        if label.startswith("bench") and "compare" not in label:
+            bench_n[0] += 1
+            latest.write_text('{"run": "RUN%d"}' % bench_n[0])
+            return 0
+        if "compare" in label:
+            return compare_outcomes.pop(0)
+        return 0
+
+    monkeypatch.setattr(mod, "_run", fake_run)
+    monkeypatch.setattr(sys, "argv", ["preflight.py"])
+    return mod.main(), labels, tmp_path
+
+
+def test_preflight_bench_retry_clears_contention_burst(tmp_path, monkeypatch):
+    """A bench_compare failure that does NOT reproduce on the retry
+    (the round-8 false failure: untouched queries slow under a
+    co-tenant burst, every plan fingerprint unchanged) must pass the
+    gate, with the retry compared against the ORIGINAL baseline."""
+    rc, labels, repo = _preflight_run(tmp_path, monkeypatch, [1, 0])
+    assert rc == 0
+    assert labels == ["sweep", "pytest", "plans", "bench",
+                      "bench_compare", "bench(retry)", "bench_compare(retry)"]
+    # the passing retry's record stays as the new latest
+    assert "RUN2" in (repo / "BENCH_local_latest.json").read_text()
+
+
+def test_preflight_bench_regression_reproduced_fails_and_restores(
+    tmp_path, monkeypatch
+):
+    """A regression that reproduces on the retry fails the gate, the
+    pre-run baseline is restored (no laundering on rerun), and the
+    regressed run is preserved for diagnosis."""
+    rc, labels, repo = _preflight_run(tmp_path, monkeypatch, [1, 1])
+    assert rc == 1
+    assert labels[-1] == "bench_compare(retry)"
+    assert "BASELINE" in (repo / "BENCH_local_latest.json").read_text()
+    assert "RUN2" in (repo / "BENCH_local_failed.json").read_text()
+
+
 def _bench_files(tmp_path, old_q, new_q):
     o = tmp_path / "old.json"
     n = tmp_path / "new.json"

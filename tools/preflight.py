@@ -105,23 +105,43 @@ def main() -> int:
         if baseline is None:
             print("preflight: no prior BENCH_local_latest.json — bench ran, "
                   "nothing to compare against")
-        elif _run(
-            "bench_compare",
-            [py, "tools/bench_compare.py", baseline, str(latest),
-             "--threshold", str(args.threshold)],
-        ):
-            # Restore the pre-run baseline: bench.py already overwrote
-            # BENCH_local_latest.json with the REGRESSED run, and leaving
-            # that in place would make a simple rerun compare the
-            # regression against itself and go green (ADVICE r6 —
-            # silently laundered regressions on the rerun-after-failure
-            # path). The regressed record is preserved for diagnosis.
-            failed = latest.with_name("BENCH_local_failed.json")
-            shutil.copyfile(latest, failed)
-            shutil.copyfile(baseline, latest)
-            print(f"preflight: bench regression — {latest.name} restored to "
-                  f"the pre-run baseline; regressed run kept at {failed.name}")
-            return 1
+        else:
+            compare_cmd = [py, "tools/bench_compare.py", baseline,
+                           str(latest), "--threshold", str(args.threshold)]
+            failed_once = bool(_run("bench_compare", compare_cmd))
+            if failed_once:
+                # ONE retry against the SAME pre-run baseline: a real
+                # regression is a deterministic plan/code property and
+                # fails both runs, while a sustained co-tenant
+                # contention burst (the round-8 false failure: 5
+                # untouched queries 2-4x slow with every plan
+                # fingerprint byte-identical — min-of-three does not
+                # survive a burst longer than the query's three runs)
+                # clears on the rerun. Comparing the retry against the
+                # ORIGINAL baseline keeps the no-laundering guarantee:
+                # the regressed run never becomes the reference.
+                print("preflight: bench_compare failed — retrying once "
+                      "against the same pre-run baseline (a real "
+                      "regression reproduces; a contention burst clears)")
+                if _run("bench(retry)", [py, "bench.py"]) or _run(
+                    "bench_compare(retry)", compare_cmd
+                ):
+                    # Restore the pre-run baseline: bench.py already
+                    # overwrote BENCH_local_latest.json with the
+                    # REGRESSED run, and leaving that in place would
+                    # make a simple rerun compare the regression
+                    # against itself and go green (ADVICE r6 —
+                    # silently laundered regressions on the
+                    # rerun-after-failure path). The regressed record
+                    # is preserved for diagnosis.
+                    failed = latest.with_name("BENCH_local_failed.json")
+                    shutil.copyfile(latest, failed)
+                    shutil.copyfile(baseline, latest)
+                    print(f"preflight: bench regression (reproduced on "
+                          f"retry) — {latest.name} restored to the "
+                          f"pre-run baseline; regressed run kept at "
+                          f"{failed.name}")
+                    return 1
     finally:
         if baseline is not None:
             pathlib.Path(baseline).unlink(missing_ok=True)
