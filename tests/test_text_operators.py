@@ -711,6 +711,37 @@ def test_span_duplication_semantics(spark):
     assert isinstance(out, pd.DataFrame)
 
 
+def test_winnow_guarantee_holds_for_both_hash_families(spark):
+    """The winnowing local-sampling guarantee — any shared substring of
+    length >= k+w-1 yields >= 1 shared fingerprint — depends only on
+    hash determinism, so it must hold under BOTH the oracle-portable
+    md5 default and the production xxhash64 knob (which exists because
+    the per-gram hash dominates this operator: 2.79 s md5 vs 1.46 s
+    xxhash64 at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared_span = "a very specific shared span here"  # len 32 >= k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared_span} suffix alpha"),
+            (2, f"other beginning {shared_span} different tail"),
+            (3, "zw qx vr kp lm on ab cd ef gh ij kl mn op qr st uv"),
+        ],
+        "doc_id long, text string",
+    )
+    for kw in ({}, {"hash_expr": lambda g: F.xxhash64(g)}):
+        rows = winnow_fingerprints(docs, "doc_id", "text", k=8, w=4, **kw).collect()
+        fps = {did: set() for did in (1, 2, 3)}
+        for r in rows:
+            fps[r.doc_id].add(r.fingerprint)
+        assert fps[1] & fps[2], "shared span must collide on >=1 fingerprint"
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_zipf_slope_negative_and_bounded(spark, sf_dir):
     """Frequency must not increase with rank: the fitted slope is <= 0
     for every language, and n_types matches the distinct vocabulary."""
