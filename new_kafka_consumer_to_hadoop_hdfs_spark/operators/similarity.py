@@ -1008,6 +1008,13 @@ def lsh_topk_cosine(
     vectors drop (never a finite cosine); ragged corpus dimensions
     RAISE like every cosine operator here.
     """
+    if probe_width < 0:
+        # F.sequence would silently generate the descending range, so a
+        # sign bug in the caller would behave like +probe_width instead
+        # of failing — validate like every other input here.
+        raise ValueError(
+            f"lsh_topk_cosine: probe_width must be >= 0, got {probe_width}"
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     c = corpus.select(

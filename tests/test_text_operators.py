@@ -845,14 +845,16 @@ def test_lsh_topk_multiprobe_improves_recall(spark, sf_dir):
     from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
     from pyspark.sql import functions as F
 
+    import pytest
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
+    # one full exact scan: its rank column yields both the anchor
+    # ranking and the top-10 reference set
+    exact_rows = topk_cosine(e, q, k=10**6).collect()
+    exact_all = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_rows}
     exact10 = {
-        (r.query_id, r.neighbor_id) for r in topk_cosine(e, q, k=10).collect()
-    }
-    exact_all = {
-        (r.query_id, r.neighbor_id): r.cos_sim
-        for r in topk_cosine(e, q, k=10**6).collect()
+        (r.query_id, r.neighbor_id) for r in exact_rows if r.rank <= 10
     }
 
     def recall(probe_width):
@@ -865,6 +867,8 @@ def test_lsh_topk_multiprobe_improves_recall(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0, (r0, r1)
     assert r1 >= 0.9, f"multi-probe recall should approach exact: {r1:.3f}"
+    with pytest.raises(ValueError, match="probe_width"):
+        lsh_topk_cosine(e, q, k=10, probe_width=-1)
 
 
 def test_containment_finds_small_doc_inside_big_doc(spark):

@@ -92,56 +92,89 @@ def test_fingerprint_missing_sfdir_is_environment_exit_2(pf, monkeypatch):
     assert pf.main() == 2
 
 
-def _preflight_run(tmp_path, monkeypatch, compare_outcomes):
+def _preflight_run(tmp_path, monkeypatch, compare_outcomes, bench_outcomes=None):
     """Drive preflight.main() with _run stubbed: sweep/pytest/plans
-    pass, each bench invocation writes a fresh BENCH_local_latest, and
-    bench_compare outcomes come from the given script. Returns
-    (exit_code, labels, repo_dir)."""
+    pass, each SUCCESSFUL bench invocation writes a fresh
+    BENCH_local_latest, and bench/bench_compare outcomes come from the
+    given scripts. Returns (exit_code, labels, repo_dir, snapshots) —
+    snapshots records BENCH_local_latest's content right after each
+    stage, so tests can assert there is no laundering WINDOW (not just
+    a clean end state)."""
     mod = _load("preflight")
     monkeypatch.setattr(mod, "_REPO", tmp_path)
     latest = tmp_path / "BENCH_local_latest.json"
     latest.write_text('{"run": "BASELINE"}')
-    labels, bench_n = [], [0]
+    labels, snapshots, bench_n = [], [], [0]
+    bench_outcomes = list(bench_outcomes or [])
 
     def fake_run(label, cmd, **_kw):
         labels.append(label)
+        # snapshot at stage ENTRY: what the file held when the stage
+        # launched — the laundering-window property lives here
+        snapshots.append((label, latest.read_text()))
+        rc = 0
         if label.startswith("bench") and "compare" not in label:
-            bench_n[0] += 1
-            latest.write_text('{"run": "RUN%d"}' % bench_n[0])
-            return 0
-        if "compare" in label:
-            return compare_outcomes.pop(0)
-        return 0
+            rc = bench_outcomes.pop(0) if bench_outcomes else 0
+            if rc == 0:
+                bench_n[0] += 1
+                latest.write_text('{"run": "RUN%d"}' % bench_n[0])
+        elif "compare" in label:
+            rc = compare_outcomes.pop(0)
+        return rc
 
     monkeypatch.setattr(mod, "_run", fake_run)
     monkeypatch.setattr(sys, "argv", ["preflight.py"])
-    return mod.main(), labels, tmp_path
+    return mod.main(), labels, tmp_path, snapshots
 
 
 def test_preflight_bench_retry_clears_contention_burst(tmp_path, monkeypatch):
     """A bench_compare failure that does NOT reproduce on the retry
     (the round-8 false failure: untouched queries slow under a
     co-tenant burst, every plan fingerprint unchanged) must pass the
-    gate, with the retry compared against the ORIGINAL baseline."""
-    rc, labels, repo = _preflight_run(tmp_path, monkeypatch, [1, 0])
+    gate, with the retry compared against the ORIGINAL baseline and no
+    stale failed-run artifact left behind."""
+    rc, labels, repo, _snaps = _preflight_run(tmp_path, monkeypatch, [1, 0])
     assert rc == 0
     assert labels == ["sweep", "pytest", "plans", "bench",
                       "bench_compare", "bench(retry)", "bench_compare(retry)"]
     # the passing retry's record stays as the new latest
     assert "RUN2" in (repo / "BENCH_local_latest.json").read_text()
+    assert not (repo / "BENCH_local_failed.json").exists()
 
 
 def test_preflight_bench_regression_reproduced_fails_and_restores(
     tmp_path, monkeypatch
 ):
     """A regression that reproduces on the retry fails the gate, the
-    pre-run baseline is restored (no laundering on rerun), and the
-    regressed run is preserved for diagnosis."""
-    rc, labels, repo = _preflight_run(tmp_path, monkeypatch, [1, 1])
+    pre-run baseline is restored (no laundering on rerun), the
+    regressed run is preserved for diagnosis — and at NO point during
+    the retry does BENCH_local_latest hold the regressed run (an
+    interrupt mid-retry must not leave it in place)."""
+    rc, labels, repo, snaps = _preflight_run(tmp_path, monkeypatch, [1, 1])
     assert rc == 1
     assert labels[-1] == "bench_compare(retry)"
     assert "BASELINE" in (repo / "BENCH_local_latest.json").read_text()
     assert "RUN2" in (repo / "BENCH_local_failed.json").read_text()
+    # no laundering window: when the retry bench LAUNCHES, latest must
+    # already be back to the baseline, not the regressed RUN1
+    assert "BASELINE" in dict(snaps)["bench(retry)"]
+
+
+def test_preflight_retry_bench_crash_is_not_a_confirmed_regression(
+    tmp_path, monkeypatch, capsys
+):
+    """If the retry bench RUN itself crashes, the gate fails but must
+    not claim the regression was reproduced (nothing was compared),
+    and the baseline stays restored."""
+    rc, labels, repo, _snaps = _preflight_run(
+        tmp_path, monkeypatch, [1], bench_outcomes=[0, 1]
+    )
+    assert rc == 1
+    assert labels[-1] == "bench(retry)"  # no retry compare ever ran
+    out = capsys.readouterr().out
+    assert "NOT a confirmed regression" in out
+    assert "reproduced" not in out
+    assert "BASELINE" in (repo / "BENCH_local_latest.json").read_text()
 
 
 def _bench_files(tmp_path, old_q, new_q):

@@ -108,8 +108,19 @@ def main() -> int:
         else:
             compare_cmd = [py, "tools/bench_compare.py", baseline,
                            str(latest), "--threshold", str(args.threshold)]
-            failed_once = bool(_run("bench_compare", compare_cmd))
-            if failed_once:
+            if _run("bench_compare", compare_cmd):
+                # Restore the pre-run baseline IMMEDIATELY (before the
+                # retry): bench.py already overwrote
+                # BENCH_local_latest.json with the REGRESSED run, and
+                # any window where that file holds the regression is a
+                # laundering hazard — an interrupt mid-retry would
+                # leave it in place, and the next preflight would
+                # snapshot it as its own baseline and compare the
+                # regression against itself (ADVICE r6). The regressed
+                # record is preserved for diagnosis.
+                failed = latest.with_name("BENCH_local_failed.json")
+                shutil.copyfile(latest, failed)
+                shutil.copyfile(baseline, latest)
                 # ONE retry against the SAME pre-run baseline: a real
                 # regression is a deterministic plan/code property and
                 # fails both runs, while a sustained co-tenant
@@ -117,24 +128,22 @@ def main() -> int:
                 # untouched queries 2-4x slow with every plan
                 # fingerprint byte-identical — min-of-three does not
                 # survive a burst longer than the query's three runs)
-                # clears on the rerun. Comparing the retry against the
-                # ORIGINAL baseline keeps the no-laundering guarantee:
-                # the regressed run never becomes the reference.
+                # clears on the rerun.
                 print("preflight: bench_compare failed — retrying once "
                       "against the same pre-run baseline (a real "
-                      "regression reproduces; a contention burst clears)")
-                if _run("bench(retry)", [py, "bench.py"]) or _run(
-                    "bench_compare(retry)", compare_cmd
-                ):
-                    # Restore the pre-run baseline: bench.py already
-                    # overwrote BENCH_local_latest.json with the
-                    # REGRESSED run, and leaving that in place would
-                    # make a simple rerun compare the regression
-                    # against itself and go green (ADVICE r6 —
-                    # silently laundered regressions on the
-                    # rerun-after-failure path). The regressed record
-                    # is preserved for diagnosis.
-                    failed = latest.with_name("BENCH_local_failed.json")
+                      "regression reproduces; a contention burst "
+                      f"clears); first run kept at {failed.name}")
+                if _run("bench(retry)", [py, "bench.py"]):
+                    # The retry BENCH itself crashed — that adjudicates
+                    # nothing about the earlier compare failure; don't
+                    # mislabel it a reproduced regression.
+                    shutil.copyfile(baseline, latest)
+                    print("preflight: retry bench run itself failed — "
+                          "gate fails, but this is a bench crash, NOT "
+                          "a confirmed regression; the first compare "
+                          "failure is unadjudicated")
+                    return 1
+                if _run("bench_compare(retry)", compare_cmd):
                     shutil.copyfile(latest, failed)
                     shutil.copyfile(baseline, latest)
                     print(f"preflight: bench regression (reproduced on "
@@ -142,6 +151,10 @@ def main() -> int:
                           f"pre-run baseline; regressed run kept at "
                           f"{failed.name}")
                     return 1
+                # Retry green: the clean retry record is the new
+                # latest; drop the failed artifact so a stale file
+                # can't imply an unresolved regression.
+                failed.unlink(missing_ok=True)
     finally:
         if baseline is not None:
             pathlib.Path(baseline).unlink(missing_ok=True)
