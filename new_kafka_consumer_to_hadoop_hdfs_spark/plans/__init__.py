@@ -158,13 +158,58 @@ DRIVER_CHECKED_R7 = frozenset({
     "text_token_histogram", "text_winnow_fingerprint",
 })
 
+# Checked in round 8 (CORRECTNESS_r08.json: 50/50 green on
+# rows+schema+hash) — the freshest driver evidence. 49 are the r5-era
+# stale cohort rotated back in; sim_topk_pq rode at priority 0 via
+# ORACLE_UPGRADED (its r6 row predated the r7 hash oracle).
+DRIVER_CHECKED_R8 = frozenset({
+    "agg_cube", "dedup_containment", "dedup_embedding_lsh",
+    "dedup_span_duplication", "event_funnel_stages", "event_gapfill_locf",
+    "event_retention_cohorts", "event_user_paths", "join_bucketed_colocated",
+    "join_full_outer", "join_range_events", "kafka_dedup_global",
+    "kafka_dedup_lww", "kafka_parse_project", "multimodal_feature_extract",
+    "pipeline_cdc_merge", "pipeline_chunk_sliding", "pipeline_corpus_diff",
+    "pipeline_dataset_card", "pipeline_dedup_keep_best",
+    "pipeline_graph_pagerank", "pipeline_outlier_filter",
+    "pipeline_pii_scrub", "pipeline_quality_buckets",
+    "pipeline_token_budget_select", "pipeline_token_budget_threshold",
+    "pipeline_weighted_sample", "q1_pricing_summary",
+    "q22_global_sales_opportunity", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "scalar_date_advanced", "scalar_json_struct_map",
+    "scalar_string_advanced", "scan_partition_pruned", "set_operations",
+    "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_lsh", "sim_topk_pq",
+    "sink_csv_roundtrip", "sink_jsonl_roundtrip", "text_bigram_surprisal",
+    "text_heavy_hitters", "text_zipf_slope", "window_asof_last_event",
+    "window_distribution_functions", "window_range_frame",
+    "window_topk_per_group",
+})
+
 # Queries whose ORACLE was upgraded AFTER their most recent driver row:
 # the banked evidence predates the contract it would vouch for, so the
 # rotation treats them as never-checked until a fresh driver row lands
-# (VERDICT r7 task 1: sim_topk_pq's r6 row is a `no_oracle` rows-only
-# check; its full-training hash oracle landed in r7 with only sweep
-# evidence).
-ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({"sim_topk_pq"})
+# (precedent: sim_topk_pq's r6 row was a `no_oracle` rows-only check;
+# its hash oracle landed in r7 and its driver-of-record row in r8).
+# Round-9 reset (ADVICE r8 item 1): three r7-banked queries had their
+# registered output/oracle changed late in round 8 —
+#   dedup_simhash       64-bit xxhash signature -> 60-bit md5-prefix hash
+#   sim_recall_report   gained the `lsh` method row (new native LSH)
+#   join_bloom_prefilter GERMANY -> NATION_3 (de-vacuated gate)
+# — so their r7 rows vouch for different queries; they lead the r9
+# window for fresh driver-of-record evidence.
+ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({
+    "dedup_simhash", "sim_recall_report", "join_bloom_prefilter",
+})
+
+# One-round pins (VERDICT r8 task 1): the seeded-LSH / embedding-LSH /
+# IVF oracle contracts landed late in r8 and earned exactly one driver
+# row each (CORRECTNESS_r08). Give them a second CONSECUTIVE window
+# round to prove the contracts are stable (the "projection contract"
+# note in SURVEY §2.6), then retire this set in r10.
+PINNED_WINDOW_R9 = frozenset({
+    "sim_topk_lsh", "dedup_embedding_lsh", "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+})
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -200,12 +245,15 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # Pure staleness rotation (round 6 on): sort by the round of
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
-        # queries whose oracle was upgraded after their last check.
-        # The r8 window (first 50) is therefore: new/upgraded queries,
-        # then the r5 cohort (stalest after the r7 window landed), then
-        # the r6 cohort's head in module order.
-        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK:
+        # queries whose oracle was upgraded after their last check and
+        # the one-round PINNED set. The r9 window (first 50) is
+        # therefore: new + upgraded + pinned, then event_anomaly_zscore
+        # (the lone r5-era spill from r8), then the r6 cohort's head in
+        # module order.
+        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK or name in PINNED_WINDOW_R9:
             return 0
+        if name in DRIVER_CHECKED_R8:
+            return 6
         if name in DRIVER_CHECKED_R7:
             return 5
         if name in DRIVER_CHECKED_R6:

@@ -5,23 +5,29 @@ entries of ``merged_registry()`` per round, so iteration order decides
 which queries earn hard driver evidence. Round 6 on, ordering is a pure
 STALENESS rotation: never-driver-checked (newly added) queries first,
 then ascending by the round of each query's most recent driver
-CORRECTNESS row (r3-era before r4 before r5 before r6 before r7). These
+CORRECTNESS row (r3-era before r4 … before r8). Round 9 adds two
+priority-0 overrides beyond "new": ``ORACLE_UPGRADED_SINCE_LAST_CHECK``
+(banked evidence predates a late-r8 contract change — ADVICE r8 item 1)
+and ``PINNED_WINDOW_R9`` (VERDICT r8 task 1: the late-r8 seeded
+LSH/IVF oracle contracts get a second consecutive window round). These
 tests lock that ordering so a refactor can't silently rotate coverage
 back, and force every newly added oracle query to be registered in
-``NEW_IN_R8`` below (it claims a window slot from the stale cohort's
-tail — keep new queries per round ≤ the number of fresh-cohort slots
-in the window, or the stalest cohort starts spilling out).
+``NEW_IN_R9`` below (it claims a window slot from the stale cohort's
+tail — keep new queries per round small or the stalest cohort spills).
 """
 
 from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 8 — no banked evidence exists,
-# so they lead the window. Round 8's window budget is already 51
-# candidates for 50 slots (the 50-query r5-stale cohort plus the
-# oracle-upgraded sim_topk_pq), so every name added here pushes one
-# more r5-era query out to round 9 — prefer zero new names this round.
+# Oracle-backed queries ADDED in round 9 — no banked evidence exists,
+# so they lead the window. Every name here pushes one r6-era query out
+# to round 10 (the r9 head already holds 7 upgraded/pinned names).
+NEW_IN_R9: set[str] = {
+    "multimodal_decode_real",  # stdlib BMP decode (VERDICT r8 task 2)
+}
+
+# Round 8's additions (none — r8 spent its budget on oracle upgrades).
 NEW_IN_R8: set[str] = set()
 
 # Round 7's additions, all driver-checked in CORRECTNESS_r07.json.
@@ -59,7 +65,9 @@ def _registry():
         DRIVER_CHECKED_R5,
         DRIVER_CHECKED_R6,
         DRIVER_CHECKED_R7,
+        DRIVER_CHECKED_R8,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
+        PINNED_WINDOW_R9,
         merged_registry,
     )
 
@@ -72,14 +80,17 @@ def _registry():
         DRIVER_CHECKED_R5,
         DRIVER_CHECKED_R6,
         DRIVER_CHECKED_R7,
+        DRIVER_CHECKED_R8,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
+        PINNED_WINDOW_R9,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, r5, r6, r7, upgraded = _registry()
+    names, _, r23, r4, r5, r6, r7, r8, upgraded, pinned = _registry()
     for label, banked in (
-        ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7)
+        ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
+        ("R8", r8),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -99,45 +110,69 @@ def test_banked_names_exist():
     assert not (r5 & r7) and not (r6 & r7), (
         "round 7's window re-checked no r5/r6-banked query"
     )
+    # r8's window: the 49-query r5-stale cohort plus the
+    # oracle-upgraded sim_topk_pq (r6-banked; its r6 row predated the
+    # r7 hash oracle) — no r7-banked re-checks
+    assert len(r8) == 50 and len(r8 & (r5 - r6 - r7)) == 49
+    assert r8 & r6 == {"sim_topk_pq"}
+    assert not (r7 & r8), "round 8's window re-checked no r7-banked query"
     # the oracle-upgraded override only makes sense for names with a
     # stale banked row — a never-checked name is already priority 0
-    assert upgraded <= (r23 | r4 | r5 | r6 | r7)
+    assert upgraded <= (r23 | r4 | r5 | r6 | r7 | r8)
+    # r9's upgraded set: exactly the three r7-banked queries whose
+    # registered output changed late in r8 (ADVICE r8 item 1)
+    assert upgraded == {
+        "dedup_simhash", "sim_recall_report", "join_bloom_prefilter",
+    }
+    assert upgraded <= r7, "the r9 upgraded set is r7-banked by design"
+    # the r9 pins are r8-banked (one driver row under the new contracts;
+    # the pin buys the second consecutive one)
+    assert pinned == {
+        "sim_topk_lsh", "dedup_embedding_lsh", "sim_topk_ivf",
+        "sim_topk_ivf_kmeans",
+    }
+    assert pinned <= r8
 
 
 def test_every_query_has_banked_or_new_status():
-    names, _, r23, r4, r5, r6, r7, _u = _registry()
-    never = set(names) - r23 - r4 - r5 - r6 - r7
-    assert never == NEW_IN_R8, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R8} — newly "
-        "added oracle queries must be registered in NEW_IN_R8"
+    names, _, r23, r4, r5, r6, r7, r8, _u, _p = _registry()
+    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8
+    assert never == NEW_IN_R9, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R9} — newly "
+        "added oracle queries must be registered in NEW_IN_R9"
     )
 
 
 def test_window_is_staleness_ordered():
-    names, _, r23, r4, r5, r6, r7, upgraded = _registry()
-    stale_r5 = r5 - r6 - r7  # latest driver row is r5-era — now the stalest
-    assert len(stale_r5) == 50
-    assert not (r23 - r5 - r6 - r7), "every r3-era query was re-checked"
-    assert not (r4 - r5 - r6 - r7), "every r4-era query was re-checked"
-    # new + oracle-upgraded queries lead
-    head = NEW_IN_R8 | upgraded
+    names, _, r23, r4, r5, r6, r7, r8, upgraded, pinned = _registry()
+    assert not (r23 - r5 - r6 - r7 - r8), "every r3-era query was re-checked"
+    assert not (r4 - r5 - r6 - r7 - r8), "every r4-era query was re-checked"
+    assert (r5 - r6 - r7 - r8) == {"event_anomaly_zscore"}, (
+        "exactly one r5-era query (the r8 spill) awaits re-check"
+    )
+    # new + oracle-upgraded + pinned queries lead
+    head = NEW_IN_R9 | upgraded | pinned
     assert set(names[: len(head)]) == head
-    # the window's remaining slots go to the r5-stale cohort's head in
+    # the lone r5-era spill follows the head
+    assert names[len(head)] == "event_anomaly_zscore"
+    # the window's remaining slots go to the r6-stale cohort's head in
     # module order
     window = names[:WINDOW]
-    n_r5_slots = WINDOW - len(head)
-    assert n_r5_slots >= 0, "new-query additions overflowed the window"
-    expected = head | set([n for n in names if n in stale_r5][:n_r5_slots])
+    stale_r6 = r6 - r7 - r8
+    assert len(stale_r6) == 49
+    n_r6_slots = WINDOW - len(head) - 1
+    assert n_r6_slots >= 0, "new-query additions overflowed the window"
+    expected = (
+        head
+        | {"event_anomaly_zscore"}
+        | set([n for n in names if n in stale_r6][:n_r6_slots])
+    )
     assert set(window) == expected, (
-        f"round-8 window drifted: unexpected={set(window) - expected} "
+        f"round-9 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # with 51 candidates for 50 slots exactly one r5-era query rides
-    # just outside the window (head of the r9 rotation)
-    spilled = stale_r5 - set(window)
-    assert spilled == {"event_anomaly_zscore"}, (
-        f"unexpected window spill: {spilled}"
-    )
-    # freshest evidence (r7-checked) rides at the very back
-    tail = names[-len(r7):]
-    assert set(tail) == r7, "r7-banked queries must occupy the registry tail"
+    # freshest evidence (r8-checked, minus the pinned re-rides) rides
+    # at the very back
+    back = r8 - pinned
+    tail = names[-len(back):]
+    assert set(tail) == back, "r8-banked queries must occupy the registry tail"
