@@ -954,6 +954,7 @@ def lsh_topk_cosine(
     num_hash_tables: int = 4,
     seed: int = 42,
     probe_width: int = 0,
+    assume_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via native seeded random-projection LSH
     — the top-k sibling of :func:`lsh_cosine_pairs`, sharing its hash
@@ -1024,31 +1025,45 @@ def lsh_topk_cosine(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__qv")
     ).filter(F.col("__qv").isNotNull() & (F.size("__qv") > 0))
 
-    # BOTH sides validated in one eager job: the corpus must have a
-    # single width, and the query side must match it — a query set
-    # whose width differs from the corpus must fail loudly, not bucket
-    # to NULL and read as "no neighbors found".
-    probed = _probe_dims([(c, "__cv", "corpus"), (q, "__qv", "queries")])
-    for side in ("corpus", "queries"):
-        if len(probed[side]) > 1:
-            raise ValueError(
-                f"lsh_topk_cosine: ragged vector dimensions {probed[side]} "
-                f"in the {side} side's column {vec_col!r} — cosine between "
-                f"different-dimension vectors is undefined; normalize to "
-                f"one dimension (pad/truncate/filter) first."
+    if assume_dim is None:
+        # BOTH sides validated in one eager job: the corpus must have a
+        # single width, and the query side must match it — a query set
+        # whose width differs from the corpus must fail loudly, not
+        # bucket to NULL and read as "no neighbors found".
+        probed = _probe_dims([(c, "__cv", "corpus"), (q, "__qv", "queries")])
+        for side in ("corpus", "queries"):
+            if len(probed[side]) > 1:
+                raise ValueError(
+                    f"lsh_topk_cosine: ragged vector dimensions {probed[side]} "
+                    f"in the {side} side's column {vec_col!r} — cosine between "
+                    f"different-dimension vectors is undefined; normalize to "
+                    f"one dimension (pad/truncate/filter) first."
+                )
+        if not probed["corpus"]:
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int",
             )
-    if not probed["corpus"]:
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
-        )
-    dim = probed["corpus"][0]
-    if probed["queries"] and probed["queries"][0] != dim:
-        raise ValueError(
-            f"lsh_topk_cosine: query vectors are "
-            f"{probed['queries'][0]}-dimensional but the corpus is "
-            f"{dim}-dimensional — cosine between different-dimension "
-            f"vectors is undefined."
-        )
+        dim = probed["corpus"][0]
+        if probed["queries"] and probed["queries"][0] != dim:
+            raise ValueError(
+                f"lsh_topk_cosine: query vectors are "
+                f"{probed['queries'][0]}-dimensional but the corpus is "
+                f"{dim}-dimensional — cosine between different-dimension "
+                f"vectors is undefined."
+            )
+    else:
+        # Caller-asserted width (a composite like sim_recall_report that
+        # already validated the SAME relation skips re-paying the probe
+        # job). Row-level safety is unchanged — the bucket UDF NULLs any
+        # wrong-width vector — only the loud ragged-input diagnosis is
+        # traded away, so an assume_dim lie degrades to empty buckets,
+        # never to wrong cosines.
+        if assume_dim <= 0:
+            raise ValueError(
+                f"lsh_topk_cosine: assume_dim must be positive, got {assume_dim}"
+            )
+        dim = int(assume_dim)
     G = seeded_unit_directions(dim, num_hash_tables, seed)
     bucket_ids = _bucket_ids_udf(dim, G, float(bucket_length))
 
@@ -1059,12 +1074,38 @@ def lsh_topk_cosine(
         .filter(F.col("__b").isNotNull())
         .select("neighbor_id", "__cv", "__cn", F.posexplode("__b").alias("__t", "__bkt"))
     )
-    qkv = (
-        q.withColumn("__qn", l2_norm(F.col("__qv")))
-        .withColumn("__b", bucket_ids("__qv"))
-        .filter(F.col("__b").isNotNull())
-        .select("query_id", "__qv", "__qn", F.posexplode("__b").alias("__t", "__bkt"))
-    )
+    # Query-side buckets are computed DRIVER-SIDE (round 9): the query
+    # set is broadcast-scale by contract (it ships inside every exact
+    # kNN closure here), so collecting it and bucketing with the SAME
+    # numpy expression `_bucket_ids_udf` runs — floor(round((a/n)·G/w,
+    # 9)) — is bit-identical to the UDF path while deleting a Python
+    # exchange stage AND the broadcast-build job it fed (the local
+    # relation broadcasts without running a stage; measured ~0.4 s off
+    # the sf0.1 critical path). The __qn norm used in SCORING is still
+    # the JVM fold below — driver numpy must never leak into the
+    # cosine the oracle restates with sequential-fold arithmetic.
+    import numpy as np
+
+    q_rows = q.select("query_id", "__qv").collect()
+    q_exploded = []
+    for r in q_rows:
+        a = np.asarray(r["__qv"], dtype=np.float64)
+        if a.shape[0] != dim:
+            continue
+        nrm = np.sqrt(a @ a)
+        if nrm == 0.0:
+            continue
+        bkts = np.floor(
+            np.round((a / nrm) @ G / float(bucket_length), 9)
+        ).astype(np.int64)
+        vec = [float(x) for x in a]
+        q_exploded.extend(
+            (r["query_id"], vec, t, int(b)) for t, b in enumerate(bkts)
+        )
+    qkv = corpus.sparkSession.createDataFrame(
+        q_exploded,
+        f"query_id {id_type}, __qv array<double>, __t int, __bkt long",
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     if probe_width:
         # multi-probe: the query side also visits the ±probe_width
         # neighboring buckets (query-side-only cost; corpus bucketing

@@ -50,12 +50,19 @@ def make_register(queries: dict, oracles: dict):
 _PERSISTED: list = []
 
 
-def persist_bounded(df: DataFrame) -> DataFrame:
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+def persist_bounded(df: DataFrame, *, stack: bool = False) -> DataFrame:
+    """``stack=True`` ADDS a persist without evicting the previous one —
+    for a query that legitimately caches two relations (e.g.
+    sim_recall_report's slim embeddings + the exact reference ranking).
+    Both still land in ``_PERSISTED``, so the NEXT query's first
+    (non-stacked) persist evicts the whole group: the session-wide
+    bound becomes "one query's persists", not strictly one relation."""
+    if not stack:
+        while _PERSISTED:
+            try:
+                _PERSISTED.pop().unpersist()
+            except Exception:
+                pass
     df = df.persist()
     _PERSISTED.append(df)
     return df

@@ -711,6 +711,39 @@ def test_span_duplication_semantics(spark):
     assert isinstance(out, pd.DataFrame)
 
 
+def test_winnow_arrow_twin_is_byte_identical(spark, sf_dir):
+    """`winnow_fingerprints_arrow` (round 9: per-partition gram-memo
+    md5 + uint32 sliding mins) must emit EXACTLY the expression form's
+    (id, fingerprint) set — the md5 oracle contract rides on both. Run
+    over the real fixture corpus plus hand-made edge docs (too-short,
+    exactly-one-window, empty, null, newline-spanning grams — the
+    DOTALL contract)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (9001, "0123456789a"),   # len 11 = k+w-1: exactly one window
+            (9002, "0123456789"),    # len 10: one gram short -> no rows
+            (9003, ""),              # empty
+            (9004, None),            # null
+            (9005, "line one\nline two and more text"),  # \n inside grams
+            (9006, "aaaaaaaaaaaaaaaaaaaaaa"),            # degenerate repeat
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").unionByName(edge)
+    a = winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    b = winnow_fingerprints_arrow(docs, "doc_id", "text", k=8, w=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the short/empty/null docs must be absent from BOTH
+    present = {r.doc_id for r in b.filter(F.col("doc_id") >= 9001).select("doc_id").distinct().collect()}
+    assert present == {9001, 9005, 9006}
+
+
 def test_winnow_guarantee_holds_for_both_hash_families(spark):
     """The winnowing local-sampling guarantee — any shared substring of
     length >= k+w-1 yields >= 1 shared fingerprint — depends only on
