@@ -62,10 +62,13 @@ def binned_interval_join(
     into the ``bin_width_hours``-wide bins they span, points carry
     their single bin, and the join runs on the bin id with the EXACT
     overlap predicate applied after. Correct for any bin width ≥ the
-    point bucket width as long as bins align to point-bucket
-    boundaries (both are epoch-anchored hour multiples here): every
-    overlapping pair meets in the one bin containing the point — and
-    only that bin, so no post-join dedup is needed.
+    point bucket width as long as each point BUCKET fits inside one
+    epoch-anchored bin: every overlapping pair meets in the one bin
+    containing the point — and only that bin, so no post-join dedup is
+    needed. That precondition is ENFORCED in-plan (assert_true on
+    offset(point) + width ≤ bin width, zero extra jobs): a misaligned
+    point fails the query loudly instead of silently missing intervals
+    that only touch its bucket's tail bin (ADVICE r8).
 
     ``bin_width_hours`` is the SKEW knob: replication factor =
     interval span / bin width, so a pathological days-long interval
@@ -82,14 +85,42 @@ def binned_interval_join(
         raise ValueError(f"bin_width_hours must be >= 1, got {bin_width_hours}")
     bin_secs = 3600 * bin_width_hours
     binned = interval_bins(intervals, start_col, end_col, bin_secs)
-    pts = points.withColumn("__bin", _bin_id(F.col(point_col), bin_secs))
+    # The single-meeting-bin argument above needs each point BUCKET to
+    # lie inside one bin: offset(point) + width <= bin width. A
+    # misaligned point (e.g. 00:30 with 1h bins and 1h buckets) would
+    # SILENTLY miss intervals that only touch the bucket's tail bin
+    # (ADVICE r8). Enforced IN-PLAN with assert_true — zero extra jobs,
+    # and an unaligned input fails the query loudly instead of
+    # under-joining. Width is derived per-row from the same INTERVAL
+    # literal the predicate uses, so the check can't drift from it.
+    # (unix_timestamp is second-granular; sub-second points are outside
+    # this operator's contract, like the rest of the second-anchored
+    # bin arithmetic.)
+    point_end = F.col(point_col) + F.expr(f"INTERVAL {point_width}")
+    width_secs = F.unix_timestamp(point_end) - F.unix_timestamp(F.col(point_col))
+    aligned = F.col(point_col).isNull() | (
+        (F.unix_timestamp(F.col(point_col)) % F.lit(bin_secs)) + width_secs
+        <= F.lit(bin_secs)
+    )  # null points keep their old no-join behavior, never a raise
+    pts = points.withColumn("__bin", _bin_id(F.col(point_col), bin_secs)).filter(
+        F.assert_true(
+            aligned,
+            F.concat(
+                F.lit(
+                    "binned_interval_join: point bucket ["
+                ),
+                F.col(point_col).cast("string"),
+                F.lit(
+                    f", +{point_width}) crosses a {bin_secs}s bin boundary — "
+                    "widen bin_width_hours or align points to the bin grid"
+                ),
+            ),
+        ).isNull()
+    )
     return (
         binned.join(pts, "__bin")
         .filter(
-            (
-                F.col(start_col)
-                < F.col(point_col) + F.expr(f"INTERVAL {point_width}")
-            )
+            (F.col(start_col) < point_end)
             & (F.col(end_col) >= F.col(point_col))
         )
         .drop("__bin")

@@ -97,6 +97,18 @@ def _sql_in_list(words: tuple[str, ...]) -> str:
 # call sites.
 _persist_bounded = persist_bounded
 
+# Shared IVF contract constants (ADVICE r8): the oracle f-strings AND
+# the registered ivf_topk_cosine calls read the SAME values, so the SQL
+# restatement and the operator configuration cannot drift independently.
+# _EMB_DIM pins the fixture's embedding width — the operator derives its
+# dim from data, but an oracle only ever runs on the fixtures, and the
+# seed CTE must apply the same wrong-width drop the operator applies.
+_EMB_DIM = 64
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -1789,7 +1801,9 @@ i810 AS (
 ),
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cell, v
-  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL ORDER BY vec_id LIMIT 16)
+  FROM (SELECT vec_id, v FROM e
+        WHERE v IS NOT NULL AND len(v) = {_EMB_DIM}
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
 ),
 cellrank AS (
   -- affinity rounded to 9 decimals on BOTH engines (see
@@ -1805,7 +1819,7 @@ cellrank AS (
 inv AS (SELECT vec_id AS neighbor_id, cell FROM cellrank WHERE rnk = 1),
 probes AS (
   SELECT vec_id AS query_id, cell FROM cellrank
-  WHERE vec_id % 100 = 0 AND rnk <= 4
+  WHERE vec_id % 100 = 0 AND rnk <= {_IVF_PROBE}
 ),
 ivf_scored AS (
   SELECT p.query_id, i.neighbor_id,
@@ -1944,7 +1958,8 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_ivf() -> DataFrame:
         return ivf_topk_cosine(
-            e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
+            e, q, id_col="vec_id", vec_col="embedding", k=10,
+            n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
         )
 
     def build_lsh() -> DataFrame:
@@ -2077,15 +2092,16 @@ vrows AS (
          list_transform(v, x -> x /
              (CASE WHEN sqrt(list_dot_product(v, v)) = 0
                    THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS u
-  FROM e WHERE v IS NOT NULL AND len(v) = 64
+  FROM e WHERE v IS NOT NULL AND len(v) = {_EMB_DIM}
 ),
 cent0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cell,
          list_transform(v, x -> x /
              (CASE WHEN sqrt(list_dot_product(v, v)) = 0
                    THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS cu
-  FROM (SELECT vec_id, v FROM e WHERE v IS NOT NULL
-        ORDER BY vec_id LIMIT 16)
+  FROM (SELECT vec_id, v FROM e
+        WHERE v IS NOT NULL AND len(v) = {_EMB_DIM}
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
 ),
 {rounds}afff AS (
   SELECT vv.vec_id, c.cell,
@@ -2096,7 +2112,7 @@ cent0 AS (
 ),
 inv AS (SELECT vec_id AS neighbor_id, cell FROM afff WHERE crk = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM afff
-           WHERE crk <= 4 AND vec_id % 100 = 0),
+           WHERE crk <= {_IVF_PROBE} AND vec_id % 100 = 0),
 scored AS (
   SELECT p.query_id, i.neighbor_id,
          list_dot_product(qq.v, nn.v) / (qq.nrm * nn.nrm) AS c
@@ -2133,7 +2149,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk_cosine(
-        e, q, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+            n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
     ).orderBy("query_id", "rank")
 
 
@@ -2152,7 +2169,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding",
-        k=10, n_cells=16, n_probe=4, refine_iterations=2,
+        k=10, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, refine_iterations=2,
     ).orderBy("query_id", "rank")
 
 

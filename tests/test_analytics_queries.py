@@ -663,3 +663,62 @@ def test_interval_join_bin_width_knob(spark):
             start_col="session_start", end_col="session_end",
             point_col="incident_hour", bin_width_hours=0,
         )
+
+
+def test_interval_join_rejects_bin_crossing_points(spark):
+    """ADVICE r8: a point whose bucket straddles a bin boundary (00:30
+    with 1h bins and a 1h bucket) would silently MISS intervals that
+    only touch the bucket's tail bin — e.g. one starting 01:15, which
+    overlaps [00:30, 01:30) but shares no bin with the point. The
+    in-plan assert_true must fail the query loudly instead; null
+    points keep their no-join behavior."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.temporal import (
+        binned_interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [
+            (
+                1,
+                dt.datetime(2024, 3, 1, 1, 15),
+                dt.datetime(2024, 3, 1, 2, 0),
+            )
+        ],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    misaligned = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 0, 30), 0)],
+        "incident_hour timestamp, pid long",
+    )
+    joined = binned_interval_join(
+        intervals, misaligned,
+        start_col="session_start", end_col="session_end",
+        point_col="incident_hour", bin_width_hours=1,
+    )
+    with pytest.raises(SparkRuntimeException, match="crosses a 3600s bin"):
+        joined.collect()
+    # the same misaligned point is FINE under a wide-enough bin (the
+    # whole [00:30, 01:30) bucket fits in one 24h bin) and finds the
+    # overlapping interval the 1h plan would have missed
+    wide = binned_interval_join(
+        intervals, misaligned,
+        start_col="session_start", end_col="session_end",
+        point_col="incident_hour", bin_width_hours=24,
+    )
+    assert [(r.user_id, r.pid) for r in wide.collect()] == [(1, 0)]
+    # null points: dropped, never a raise
+    nulls = spark.createDataFrame(
+        [(None, 1)], "incident_hour timestamp, pid long"
+    )
+    assert (
+        binned_interval_join(
+            intervals, nulls,
+            start_col="session_start", end_col="session_end",
+            point_col="incident_hour", bin_width_hours=1,
+        ).count()
+        == 0
+    )

@@ -79,6 +79,89 @@ def test_stateful_lww_across_micro_batches(spark, tmp_path):
     assert (0, 2, 5, "b1-id2-stale") not in updates
 
 
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_stateful_lww_state_store_providers(spark, tmp_path, provider):
+    """The applyInPandasWithState LWW path must be green under BOTH
+    state-store providers (VERDICT r8 task 5): the default HDFS-backed
+    store AND RocksDB (`rocksdb_state_conf`, shipped since r5 but never
+    executed by a test). At 100 TB key cardinality the RocksDB provider
+    is the difference between bounded memory and executor OOM — so the
+    conf set this repo tells operators to apply has to actually run.
+    Same cross-batch override scenario as
+    test_stateful_lww_across_micro_batches; same expected winners."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        rocksdb_state_conf,
+    )
+
+    confs = rocksdb_state_conf() if provider == "rocksdb" else {}
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        src = tmp_path / f"src_{provider}"
+        src.mkdir()
+        _rows(
+            spark,
+            [
+                (0, 1, 10, "b0-id1", dt.datetime.fromisoformat("2024-01-01 00:00:00")),
+                (0, 2, 11, "b0-id2", dt.datetime.fromisoformat("2024-01-01 00:01:00")),
+            ],
+        ).write.parquet(str(src / "batch0"))
+        _rows(
+            spark,
+            [
+                (0, 1, 99, "b1-id1-new", dt.datetime.fromisoformat("2024-01-01 00:02:00")),
+                (0, 2, 5, "b1-id2-stale", dt.datetime.fromisoformat("2024-01-01 00:03:00")),
+            ],
+        ).write.parquet(str(src / "batch1"))
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        updates: list[tuple] = []
+
+        def collect(batch_df, epoch_id):
+            updates.extend(
+                (r.partition, r.id, r.offset, r.msg) for r in batch_df.collect()
+            )
+
+        q = (
+            stateful_lww_dedup(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{provider}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {}
+        for partition, id_, offset, msg in updates:
+            final[(partition, id_)] = (offset, msg)
+        assert final == {(0, 1): (99, "b1-id1-new"), (0, 2): (11, "b0-id2")}
+        if provider == "rocksdb":
+            # the provider conf must actually have been in force — a
+            # typo'd class name fails the START, but make the intent
+            # explicit for future refactors
+            assert "RocksDB" in spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dedup_within_watermark_stream(spark, tmp_path):
     """Duplicate keys within the watermark horizon are dropped; state is
     keyed, so the first arrival wins (keep-first semantics)."""

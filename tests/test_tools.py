@@ -192,6 +192,54 @@ def test_bench_compare_normalizes_uniform_host_drift(tmp_path):
     assert bc.main([*_bench_files(tmp_path, old, new), "--threshold", "2.0"]) == 0
 
 
+def test_verify_all_vacuity_gate_negative_controls():
+    """VERDICT r8 task 7: the VACUOUS classification that caught round
+    7's join_bloom_prefilter bug must itself be regression-proof — a
+    deliberately-empty oracle-gated result and an empty rows-only
+    result are BOTH bad+vacuous, even when the compare finds no
+    mismatch; non-empty results classify OK / ROWS-ONLY."""
+    import pandas as pd
+
+    va = _load("verify_all")
+    sys.path.insert(0, str(_REPO / "tests"))
+    from _diff import compare  # the sweep's real comparator
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64")})
+    full = pd.DataFrame({"a": [1, 2]})
+
+    # empty Spark result + empty oracle: hashes "match" on nothing —
+    # the gate must refuse the free pass
+    line, bad, vac = va.classify("q_empty", empty, empty, compare)
+    assert bad and vac and line.startswith("VACUOUS")
+    # rows-only empty: no check at all
+    line, bad, vac = va.classify("q_rowsonly_empty", empty, None, compare)
+    assert bad and vac and line.startswith("VACUOUS")
+    # honest green paths stay green
+    line, bad, vac = va.classify("q_ok", full, full.copy(), compare)
+    assert (bad, vac) == (False, False) and line.startswith("OK")
+    line, bad, vac = va.classify("q_rowsonly", full, None, compare)
+    assert (bad, vac) == (False, False) and line.startswith("ROWS-ONLY")
+    # a real mismatch is bad but NOT vacuous
+    line, bad, vac = va.classify(
+        "q_bad", full, pd.DataFrame({"a": [1, 3]}), compare
+    )
+    assert bad and not vac and line.startswith("MISMATCH")
+
+
+def test_bench_compare_norm_cap_is_the_observed_boot_band(tmp_path):
+    """ADVICE r8: the normalizer must cap at the MEASURED 1.3x
+    boot-to-boot band, not 1.5x — a ~2.8x raw single-query regression
+    riding a ~1.45x whole-run drift must still be flagged (2.8/1.3 ≈
+    2.15 ≥ 2.0), where a 1.5 cap would have excused it (2.8/1.45 ≈
+    1.93 < 2.0)."""
+    bc = _load("bench_compare")
+    old = {f"q{i}": 1.0 for i in range(40)}
+    # 39 queries drift x1.4 (host-ish), one regresses x2.8 raw
+    new = {k: 1.4 for k in old}
+    new["q7"] = 2.8
+    assert bc.main([*_bench_files(tmp_path, old, new), "--threshold", "2.0"]) == 1
+
+
 def test_bench_compare_flags_idiosyncratic_and_broad_regressions(tmp_path):
     bc = _load("bench_compare")
     old = {f"q{i}": 0.5 for i in range(40)}

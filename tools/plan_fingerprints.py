@@ -56,6 +56,15 @@ _NORMALIZERS = [
     (re.compile(r"cachedrdd-\d+", re.I), "cachedrdd-"),
     (re.compile(r"RDD\[\d+\]"), "RDD[]"),            # checkpointed RDD ids
     (re.compile(r"Scan ExistingRDD\[[^\]]*\]"), "Scan ExistingRDD[]"),
+    # A driver-built local relation's Scan ExistingRDD argument embeds
+    # the RDD's CREATION CALL SITE ("MapPartitionsRDD[] at collect at
+    # similarity.py:1089" vs "... at applySchemaToPythonRDD at
+    # NativeMethodAccessorImpl.java:0") — py4j captures whatever frame
+    # is on top when the relation is materialized, which varies run to
+    # run (diagnosed round 9 when sim_recall_report flapped on the
+    # driver-bucketed LSH query side). The call site is provenance, not
+    # plan shape.
+    (re.compile(r"MapPartitionsRDD\[\]? at [^,\]]*"), "MapPartitionsRDD[]"),
     (re.compile(r"file:[^\s,\])]*"), "<path>"),      # scan locations
     (re.compile(r"/root/testdata/[^\s,\])]*"), "<sf>"),
     (re.compile(r"/tmp/[^\s,\])]*"), "<tmp>"),       # sink roundtrip dirs

@@ -26,6 +26,33 @@ sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tests"))
 
 
+def classify(name: str, spdf, oracle_pdf, compare) -> tuple[str, bool, bool]:
+    """Classify one executed query result the way the sweep reports it:
+    returns (line, counts_as_bad, is_vacuous). Pure — extracted from the
+    sweep loop so the VACUOUS gate that caught round 7's
+    join_bloom_prefilter bug is itself regression-tested
+    (tests/test_tools.py, VERDICT r8 task 7). ``oracle_pdf`` is None
+    for rows-only queries."""
+    if oracle_pdf is not None:
+        problems = compare(name, spdf, oracle_pdf)
+        if problems:
+            return (f"MISMATCH  {name}: {problems}", True, False)
+        if len(spdf) == 0:
+            # A 0=0 hash match gates nothing — the query could be
+            # arbitrarily wrong and still "pass" (this is how the
+            # round-7 join_bloom_prefilter GERMANY bug hid). Counted
+            # as bad: an oracle-gated query must be non-empty at the
+            # sweep SF or its oracle is theater.
+            return (f"VACUOUS   {name}: oracle gate matches on 0 rows", True, True)
+        return (f"OK        {name}", False, False)
+    if len(spdf) == 0:
+        # same vacuity rule for rows-only queries: an empty result
+        # proves nothing ran — and the rows-only check is already
+        # the weak form, so an empty one is no check at all
+        return (f"VACUOUS   {name}: rows-only check returned 0 rows", True, True)
+    return (f"ROWS-ONLY {name} ({len(spdf)} rows)", False, False)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -66,6 +93,7 @@ def main() -> int:
             print(f"ERROR     {name}: {str(exc)[:160]}")
             bad += 1
             continue
+        oracle_pdf = None
         if name in oracles:
             try:
                 oracle_pdf = run_oracle(oracles[name], args.sf_dir)
@@ -73,30 +101,10 @@ def main() -> int:
                 print(f"ORACLE-ERROR {name}: {str(exc)[:160]}")
                 bad += 1
                 continue
-            problems = compare(name, spdf, oracle_pdf)
-            if problems:
-                print(f"MISMATCH  {name}: {problems}")
-                bad += 1
-            elif len(spdf) == 0:
-                # A 0=0 hash match gates nothing — the query could be
-                # arbitrarily wrong and still "pass" (this is how the
-                # round-7 join_bloom_prefilter GERMANY bug hid). Counted
-                # as bad: an oracle-gated query must be non-empty at the
-                # sweep SF or its oracle is theater.
-                print(f"VACUOUS   {name}: oracle gate matches on 0 rows")
-                bad += 1
-                vacuous += 1
-            else:
-                print(f"OK        {name}")
-        elif len(spdf) == 0:
-            # same vacuity rule for rows-only queries: an empty result
-            # proves nothing ran — and the rows-only check is already
-            # the weak form, so an empty one is no check at all
-            print(f"VACUOUS   {name}: rows-only check returned 0 rows")
-            bad += 1
-            vacuous += 1
-        else:
-            print(f"ROWS-ONLY {name} ({len(spdf)} rows)")
+        line, is_bad, is_vacuous = classify(name, spdf, oracle_pdf, compare)
+        print(line)
+        bad += is_bad
+        vacuous += is_vacuous
     print(f"DONE bad={bad} (vacuous={vacuous}) total={len(names)}")
     return 1 if bad else 0
 
