@@ -94,6 +94,14 @@ def decode_stub(payload: bytes, media_type: str):
     if media_type == "image/bmp":
         width, height, pixels = decode_bmp(payload)
         return {"width": width, "height": height, "pixels": pixels}
+    if media_type == "audio/wav":
+        channels, sample_rate, frames, samples = decode_wav(payload)
+        return {
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "frames": frames,
+            "samples": samples,
+        }
     raise NotImplementedError(  # pragma: no cover
         f"decoding {media_type!r} requires PIL/soundfile/pyav, not "
         "available in this environment; fake_decode_features provides "
@@ -362,6 +370,181 @@ BMP_STATS_SCHEMA = StructType(
         StructField("pos_weighted_r", LongType()),
     ]
 )
+
+
+# --- Real stdlib-only WAV (RIFF PCM) codec — the audio sibling of the
+# BMP path. Canonical WAVE file: "RIFF"+size+"WAVE", a 16-byte "fmt "
+# chunk (PCM=1, channels, sample rate, byte rate, block align, 16-bit),
+# then chunks until "data" holding little-endian int16 interleaved
+# samples. Chunks are WALKED per the RIFF spec (unknown chunks skipped,
+# odd-sized chunks padded to even), so the decoder is a real parser,
+# not a fixed-offset mirror of the encoder.
+
+
+def encode_wav(samples, channels: int, sample_rate: int) -> bytes:
+    """Encode interleaved int16 samples as a real RIFF/WAVE PCM file.
+
+    ``len(samples)`` must be a multiple of ``channels``. A 3-byte junk
+    ``LIST`` chunk is written between ``fmt `` and ``data`` — odd-sized
+    on purpose, so any consumer that does not implement real chunk
+    walking (with the RIFF pad byte) mis-locates the sample data.
+    """
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    if len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples do not divide into {channels} channels"
+        )
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    junk = b"r9\x00"  # odd length -> exercises the RIFF pad byte
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"  # pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list]:
+    """Decode a RIFF/WAVE PCM file to (channels, sample_rate, frames,
+    interleaved int16 samples). Walks the chunk list honoring sizes and
+    odd-size padding, skips unknown chunks, and validates magic, PCM
+    format, and 16-bit width before trusting any field."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_info = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8
+        if pos + size > len(payload):
+            raise ValueError(f"truncated WAV: chunk {cid!r} overruns the file")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
+            audio_format, channels, sample_rate, _br, _ba, bits = (
+                struct.unpack_from("<HHIIHH", payload, pos)
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant: format={audio_format} "
+                    f"bits={bits} (only 16-bit PCM)"
+                )
+            fmt_info = (channels, sample_rate)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            channels, sample_rate = fmt_info
+            n = size // 2
+            samples = list(struct.unpack_from(f"<{n}h", payload, pos))
+            if n % channels:
+                raise ValueError(
+                    f"{n} samples do not divide into {channels} channels"
+                )
+            return channels, sample_rate, n // channels, samples
+        pos += size + (size & 1)  # RIFF pads odd chunks to even
+    raise ValueError("WAV has no data chunk")
+
+
+def wav_samples_for_text(text_bytes: bytes) -> tuple[int, int, list]:
+    """Deterministic text→samples rule shared by the fixture encoder
+    and the DuckDB oracle (`multimodal_decode_wav`): channels/rate/
+    frame count from the byte length, sample values from the byte
+    stream. Changing this rule requires changing the oracle SQL in
+    lockstep."""
+    n = len(text_bytes)
+    if n == 0:
+        raise ValueError("empty payload has no sample rule")
+    channels = (n % 2) + 1
+    sample_rate = 8000 * ((n % 3) + 1)
+    frames = (n % 6) + 3
+    samples = [
+        ((text_bytes[p % n] * 31 + p * 17) % 65536) - 32768
+        for p in range(frames * channels)
+    ]
+    return channels, sample_rate, samples
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sum_amp", LongType()),
+        StructField("pos_weighted_amp", LongType()),
+    ]
+)
+
+
+def documents_as_wav_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE PCM files from the documents table —
+    the audio twin of :func:`documents_as_bmp_assets`, same honesty
+    contract: deterministic samples (:func:`wav_samples_for_text`)
+    inside a genuine container whose chunk structure (junk LIST chunk,
+    odd-size padding) the downstream decoder must actually parse."""
+    _ship_module_by_value()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                ch, sr, samples = wav_samples_for_text(text.encode("utf-8"))
+                payloads.append(encode_wav(samples, ch, sr))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        documents.filter(F.octet_length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema=BMP_ASSET_SCHEMA)
+    )
+
+
+def decode_wav_stats(assets: DataFrame) -> DataFrame:
+    """Decode WAV payloads with the real chunk-walking parser and emit
+    per-asset amplitude statistics (1 row in → 1 row out, zero
+    shuffle). ``pos_weighted_amp`` weights each sample by its
+    interleaved position, so a decoder that mis-walks chunks or
+    mis-orders samples cannot cancel out in the sums."""
+    _ship_module_by_value()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = decode_stub(bytes(payload), mt)
+                samples = d["samples"]
+                rows.append(
+                    (
+                        asset_id, d["channels"], d["sample_rate"], d["frames"],
+                        sum(samples),
+                        sum(p * s for p, s in enumerate(samples)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "channels", "sample_rate", "n_frames",
+                    "sum_amp", "pos_weighted_amp",
+                ],
+            )
+
+    return assets.mapInPandas(decode, schema=WAV_STATS_SCHEMA)
 
 
 def documents_as_bmp_assets(documents: DataFrame) -> DataFrame:

@@ -1924,13 +1924,6 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = e.filter(F.col("vec_id") % 100 == 0)
-    exact_pairs = persist_bounded(
-        topk_cosine_mapside(
-            e, q, id_col="vec_id", vec_col="embedding", k=10
-        ).select("query_id", "neighbor_id"),
-        stack=True,
-    )
-    n_q = exact_pairs.agg(F.countDistinct("query_id").alias("n_q"))
 
     # Index-construction jobs run CONCURRENTLY (round 9): each builder
     # below fires 1-2 small eager driver jobs (query-side collects, IVF
@@ -1939,9 +1932,19 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threads by design, so their fixed latencies overlap instead of
     # summing (measured ~1.5 s → ~0.6 s of construction at sf0.1). The
     # returned plans are unchanged; only WHEN the builders' eager jobs
-    # run moves. e is materialized by the exact sweep above, so the
-    # threads read the cache instead of racing to fill it.
+    # run moves. The slim projection is materialized eagerly first so
+    # the threads read the cache instead of racing to fill it.
     from concurrent.futures import ThreadPoolExecutor
+
+    e.count()
+
+    def build_exact() -> DataFrame:
+        return persist_bounded(
+            topk_cosine_mapside(
+                e, q, id_col="vec_id", vec_col="embedding", k=10
+            ).select("query_id", "neighbor_id"),
+            stack=True,
+        )
 
     def build_int8() -> DataFrame:
         e8 = _int8_embeddings(spark, sf_dir)
@@ -1987,11 +1990,13 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for its query-side collect
         return _pq_stored_topk(spark, sf_dir, e=e, ordered=False)
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futures = [
-            pool.submit(b) for b in (build_int8, build_ivf, build_lsh, build_pq)
+            pool.submit(b)
+            for b in (build_exact, build_int8, build_ivf, build_lsh, build_pq)
         ]
-        int8, ivf, lsh, pq = [f.result() for f in futures]
+        exact_pairs, int8, ivf, lsh, pq = [f.result() for f in futures]
+    n_q = exact_pairs.agg(F.countDistinct("query_id").alias("n_q"))
 
     # One union job scores every method against the single cached exact
     # ranking (previously: five independent semi-join→agg→crossJoin

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     decode_bmp_stats,
+    decode_wav_stats,
     documents_as_assets,
     documents_as_bmp_assets,
+    documents_as_wav_assets,
     extract_features,
     resize_assets,
     sample_frames,
@@ -170,6 +172,55 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = documents_as_bmp_assets(docs)
     return decode_bmp_stats(assets).orderBy("asset_id")
+
+
+_DECODE_WAV_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         (length(text) % 2) + 1 AS ch,
+         8000 * ((length(text) % 3) + 1) AS sr,
+         (length(text) % 6) + 3 AS fr
+  FROM documents WHERE length(text) > 0
+),
+smp AS (
+  SELECT doc_id, ch, sr, fr, p,
+         ((unicode(substr(text, CAST(p % L AS INT) + 1, 1)) * 31 + p * 17)
+          % 65536) - 32768 AS s
+  FROM d, UNNEST(range(0, CAST(fr * ch AS BIGINT))) AS t(p)
+)
+SELECT doc_id AS asset_id,
+       CAST(ch AS INT) AS channels,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(fr AS INT) AS n_frames,
+       SUM(s)::BIGINT AS sum_amp,
+       SUM(p * s)::BIGINT AS pos_weighted_amp
+FROM smp
+GROUP BY doc_id, ch, sr, fr
+"""
+
+
+@_register("multimodal_decode_wav", _DECODE_WAV_ORACLE)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end — the WAV sibling of
+    `multimodal_decode_real` (round 9): encode deterministic int16
+    samples as genuine RIFF/WAVE PCM files, decode them with the
+    stdlib-only chunk-walking parser behind the production
+    ``decode_stub`` seam, and hash-check per-asset amplitude
+    statistics.
+
+    Honesty of the gate: the oracle restates only the SAMPLE rule
+    (operators/multimodal.py `wav_samples_for_text`) — it knows
+    nothing about RIFF. The encoder deliberately writes a junk LIST
+    chunk of ODD size between `fmt ` and `data`, so the decoder must
+    implement real chunk walking (sizes, pad bytes, unknown-chunk
+    skip) or every sum diverges; `pos_weighted_amp` is
+    position-sensitive so truncated or reordered samples cannot cancel
+    out. With BMP this makes both pipeline modalities (image + audio)
+    true public-format codecs, not stand-ins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_wav_assets(docs)
+    return decode_wav_stats(assets).orderBy("asset_id")
 
 
 _RESIZE_ORACLE = """

@@ -111,6 +111,100 @@ def test_decode_stub_still_raises_for_undecodable_media():
         decode_stub(b"\x00\x01", "video/mp4")
 
 
+# --- WAV (RIFF PCM) codec ------------------------------------------
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (  # noqa: E402
+    decode_wav,
+    encode_wav,
+    wav_samples_for_text,
+)
+
+GOLDEN_SAMPLES = [100, -200, 300, -32768, 32767, 0]  # 3 frames x 2 ch
+
+
+def _golden_wav(junk_first: bool = False, junk_size: int = 5) -> bytes:
+    """Spec-built 2-channel 8kHz 16-bit PCM WAV — constructed from the
+    RIFF spec with raw struct packing, NOT with encode_wav. Includes a
+    junk chunk (odd-size by default → pad byte) either before or after
+    fmt, so decode must walk chunks for real."""
+    data = struct.pack("<6h", *GOLDEN_SAMPLES)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    junk = b"JUNK" + struct.pack("<I", junk_size) + b"\xaa" * junk_size
+    junk += b"\x00" * (junk_size & 1)
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    body = (
+        b"WAVE" + (junk + fmt_chunk if junk_first else fmt_chunk + junk)
+        + data_chunk
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("junk_first", [False, True])
+def test_decode_wav_golden_walks_chunks(junk_first):
+    ch, sr, frames, samples = decode_wav(_golden_wav(junk_first=junk_first))
+    assert (ch, sr, frames) == (2, 8000, 3)
+    assert samples == GOLDEN_SAMPLES
+
+
+def test_decode_wav_even_junk_chunk_no_pad():
+    ch, sr, frames, samples = decode_wav(_golden_wav(junk_size=4))
+    assert (ch, sr, frames, samples) == (2, 8000, 3, GOLDEN_SAMPLES)
+
+
+def test_wav_roundtrip_and_own_junk_chunk():
+    payload = encode_wav(GOLDEN_SAMPLES, 2, 8000)
+    assert b"LIST" in payload  # the encoder's odd-size chunk is present
+    assert decode_wav(payload) == (2, 8000, 3, GOLDEN_SAMPLES)
+    # mono, extreme values
+    mono = [-32768, 32767, -1, 1, 0]
+    assert decode_wav(encode_wav(mono, 1, 16000)) == (1, 16000, 5, mono)
+
+
+def test_decode_wav_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"RIFX" + _golden_wav()[4:])
+    with pytest.raises(ValueError, match="no data chunk"):
+        g = _golden_wav()
+        decode_wav(g[: g.index(b"data")])
+    with pytest.raises(ValueError, match="data chunk before fmt"):
+        g = _golden_wav()
+        fmt_at = g.index(b"fmt ")
+        data_at = g.index(b"data")
+        rearranged = g[:12] + g[data_at:] + g[fmt_at:data_at]
+        decode_wav(rearranged)
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        g = bytearray(_golden_wav())
+        struct.pack_into("<H", g, g.index(b"fmt ") + 8, 3)  # float PCM
+        decode_wav(bytes(g))
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(_golden_wav()[:-4])
+
+
+def test_encode_wav_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="divide"):
+        encode_wav([1, 2, 3], 2, 8000)
+    with pytest.raises(ValueError, match="channels"):
+        encode_wav([1, 2], 0, 8000)
+
+
+def test_wav_sample_rule_matches_oracle_contract():
+    tb = b"hello spark"  # n=11 -> ch=(11%2)+1=2, sr=8000*((11%3)+1)=24000, fr=(11%6)+3=8
+    ch, sr, samples = wav_samples_for_text(tb)
+    assert (ch, sr, len(samples)) == (2, 24000, 16)
+    p = 13
+    c = tb[p % len(tb)]
+    assert samples[p] == ((c * 31 + p * 17) % 65536) - 32768
+    with pytest.raises(ValueError):
+        wav_samples_for_text(b"")
+
+
+def test_decode_stub_dispatches_wav():
+    d = decode_stub(_golden_wav(), "audio/wav")
+    assert (d["channels"], d["sample_rate"], d["frames"]) == (2, 8000, 3)
+    assert d["samples"] == GOLDEN_SAMPLES
+
+
 def test_pixel_rule_matches_oracle_contract():
     # the DuckDB oracle restates exactly this rule; pin it here too
     tb = b"hello spark"  # n=11 -> w=(11%5)+2=3, h=(11%3)+2=4

@@ -25,6 +25,7 @@ WINDOW = 50
 # to round 10 (the r9 head already holds 7 upgraded/pinned names).
 NEW_IN_R9: set[str] = {
     "multimodal_decode_real",  # stdlib BMP decode (VERDICT r8 task 2)
+    "multimodal_decode_wav",   # stdlib RIFF/WAVE PCM decode (audio sibling)
 }
 
 # Round 8's additions (none — r8 spent its budget on oracle upgrades).

@@ -192,6 +192,21 @@ def test_bench_compare_normalizes_uniform_host_drift(tmp_path):
     assert bc.main([*_bench_files(tmp_path, old, new), "--threshold", "2.0"]) == 0
 
 
+def test_bench_compare_ignores_sub_floor_flaps_but_flags_real_small_queries(tmp_path):
+    """Round 9: the rig's fixed-latency floor for trivial queries is
+    host-phase-dependent (measured 0.11-0.45 s for the same plan on one
+    boot), so ratios on sub-0.5 s timings are noise by construction —
+    a 0.13→0.40 s floor move must NOT fail the gate (it did, with a
+    0.91x whole-run). A genuine multi-second regression still trips."""
+    bc = _load("bench_compare")
+    old = {f"q{i}": 1.0 for i in range(40)}
+    floor_flap = dict(old, q3=0.40)
+    old_flap = dict(old, q3=0.13)
+    assert bc.main([*_bench_files(tmp_path, old_flap, floor_flap), "--threshold", "2.0"]) == 0
+    real = dict(old, q3=2.6)  # 2.6x at seconds scale
+    assert bc.main([*_bench_files(tmp_path, old, real), "--threshold", "2.0"]) == 1
+
+
 def test_verify_all_vacuity_gate_negative_controls():
     """VERDICT r8 task 7: the VACUOUS classification that caught round
     7's join_bloom_prefilter bug must itself be regression-proof — a

@@ -93,9 +93,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--min-sec",
         type=float,
-        default=0.2,
-        help="ignore ratio noise below this absolute time (default 0.2s)",
+        default=0.5,
+        help="ignore ratio noise below this absolute time (default 0.5s)",
     )
+    # Why 0.5: this rig's FIXED-LATENCY FLOOR for a trivial query
+    # (single-file parquet scan + filter, zero shuffle) is itself
+    # host-phase-dependent — measured round 9: pipeline_weighted_sample
+    # at 0.11-0.13 s in one phase and 0.25-0.45 s hours later on the
+    # SAME boot, identical plan fingerprint, reproduced standalone in
+    # fresh sessions and immune to in-session interference (A/B'd).
+    # Sub-floor timings are therefore ratio noise by construction: a
+    # 0.2 s min-sec let a 0.13→0.40 s floor move present as a
+    # "reproduced 3x regression" and fail a preflight whose whole-run
+    # ratio was 0.91x. Real per-query protection below 0.5 s comes
+    # from the plan-fingerprint gate (exact, not statistical); broad
+    # regressions still trip the whole-run threshold above.
     args = p.parse_args(argv)
 
     old, new = load_timings(args.old), load_timings(args.new)
