@@ -865,6 +865,62 @@ def test_lsh_topk_cosine_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.7, f"LSH top-k recall collapsed: {recall:.3f}"
 
 
+def test_lsh_topk_mapside_matches_join_form(spark, sf_dir):
+    """`lsh_topk_cosine_mapside` (round 9: broadcast-query single-pass
+    twin) must emit EXACTLY the join form's rows — same buckets (shared
+    floor(round-9) expression), same scores, same ties — at
+    probe_width 0 AND 1, on the fixture plus degenerate corpus rows
+    (null / empty / zero-norm vectors, which both forms drop)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        lsh_topk_cosine,
+        lsh_topk_cosine_mapside,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    degenerate = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, []),
+            (900003, [0.0] * 64),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = e.unionByName(degenerate)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    for pw in (0, 1):
+        a = lsh_topk_cosine(e, q, k=10, probe_width=pw)  # join form raises on ragged; use clean corpus
+        b = lsh_topk_cosine_mapside(corpus, q, k=10, probe_width=pw)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, pw
+    # empty query side: the contract empty frame
+    empty_q = e.filter(F.col("vec_id") < 0)
+    assert lsh_topk_cosine_mapside(e, empty_q, k=10).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe_width"):
+        lsh_topk_cosine_mapside(e, q, probe_width=-1)
+
+
+def test_lsh_topk_assume_dim_matches_probing_path(spark, sf_dir):
+    """`assume_dim` (round 9: composite callers skip the ragged-probe
+    job) must not change a single row when the assertion is true, and
+    must reject nonsense widths eagerly."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        lsh_topk_cosine,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    a = lsh_topk_cosine(e, q, k=5)
+    b = lsh_topk_cosine(e, q, k=5, assume_dim=64)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assume_dim"):
+        lsh_topk_cosine(e, q, k=5, assume_dim=0)
+
+
 def test_lsh_topk_multiprobe_improves_recall(spark, sf_dir):
     """Multi-probe LSH (probe_width=1: each query also visits the ±1
     neighboring bucket per table) must dominate single-probe — its
