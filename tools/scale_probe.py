@@ -78,6 +78,10 @@ DEFAULT_QUERIES = [
     "dedup_embedding_lsh",
     "sim_topk_lsh",
     "sim_recall_report",
+    # round-9 additions: the real media codecs (two chained mapInPandas
+    # stages — slope should track corpus size like any narrow scan)
+    "multimodal_decode_real",
+    "multimodal_decode_wav",
 ]
 
 
