@@ -205,6 +205,75 @@ def test_decode_stub_dispatches_wav():
     assert d["samples"] == GOLDEN_SAMPLES
 
 
+# --- Property-based codec checks (pure Python — no Spark session) ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=17),
+    height=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(width, height, data):
+    """encode→decode is the identity for EVERY dimension pair (all four
+    padding residues) and arbitrary pixel bytes — the property the
+    golden fixture spot-checks, over the whole small-dim space."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    assert decode_bmp(encode_bmp(px, width, height)) == (width, height, px)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    channels=st.integers(min_value=1, max_value=4),
+    frames=st.integers(min_value=1, max_value=32),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(channels, frames, rate, data):
+    """encode→decode identity for any channel count / frame count /
+    int16 sample values (incl. both extremes), across the encoder's
+    odd-size junk chunk."""
+    n = channels * frames
+    samples = data.draw(
+        st.lists(
+            st.integers(-32768, 32767), min_size=n, max_size=n
+        )
+    )
+    assert decode_wav(encode_wav(samples, channels, rate)) == (
+        channels, rate, frames, samples,
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=64))
+def test_pixel_and_sample_rules_total_on_nonempty_ascii(text):
+    """The fixture rules must be TOTAL on non-empty ASCII input (any
+    doc the oracle's WHERE clause admits must encode): dims/frames in
+    their documented ranges, buffers exactly sized, every channel value
+    a byte / int16."""
+    tb = text.encode("utf-8")
+    w, h, px = bmp_pixels_for_text(tb)
+    assert 2 <= w <= 6 and 2 <= h <= 4 and len(px) == w * h * 3
+    ch, sr, samples = wav_samples_for_text(tb)
+    assert ch in (1, 2) and sr in (8000, 16000, 24000)
+    assert len(samples) % ch == 0
+    assert all(-32768 <= s <= 32767 for s in samples)
+    # and the full encode->decode path agrees with the rules
+    assert decode_bmp(encode_bmp(px, w, h)) == (w, h, px)
+    assert decode_wav(encode_wav(samples, ch, sr))[3] == samples
+
+
 def test_pixel_rule_matches_oracle_contract():
     # the DuckDB oracle restates exactly this rule; pin it here too
     tb = b"hello spark"  # n=11 -> w=(11%5)+2=3, h=(11%3)+2=4
