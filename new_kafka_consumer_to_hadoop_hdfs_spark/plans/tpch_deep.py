@@ -278,14 +278,7 @@ WITH natvalue AS (
 )
 SELECT l_partkey AS p_partkey, value
 FROM natvalue
-WHERE value > (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-              AS DOUBLE) * 0.001
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_3'
-)
+WHERE value > (SELECT SUM(value) * 2.0 / COUNT(*) FROM natvalue)
 """
 
 
@@ -301,6 +294,14 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     introduces no order dependence). The scalar total joins back as a
     broadcast of a single row, not a window-over-everything (which
     would funnel all rows through one partition).
+
+    Threshold is SCALE-FREE since round 9: parts above 2x the average
+    per-part value, not above a fixed fraction of the total. The fixed
+    0.001 fraction vacuated at sf0.1 (more parts => every share below
+    0.1% => both engines agree on 0 rows, caught by the sf0.1 window
+    sweep) — the same reason real TPC-H scales Q11's fraction as
+    0.0001/SF. The data-derived form keeps the gate non-vacuous at
+    EVERY SF; both engines compute double(sum)·2/count identically.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -316,7 +317,10 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = persist_bounded(per_part)
     total = per_part.agg(
-        (F.sum("dec_value").cast("double") * F.lit(0.001)).alias("threshold")
+        (
+            F.sum("dec_value").cast("double") * F.lit(2.0)
+            / F.count(F.lit(1))
+        ).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
