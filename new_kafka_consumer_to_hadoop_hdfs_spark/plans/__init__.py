@@ -185,30 +185,51 @@ DRIVER_CHECKED_R8 = frozenset({
     "window_topk_per_group",
 })
 
+# Checked in round 9 (CORRECTNESS_r09.json: 47 hash-green + 3
+# rows-only-by-design sketches, zero failures) — the freshest driver
+# evidence. Composition: the 2 new codec queries, the 3 oracle-upgraded
+# re-rides, the 4 pinned LSH/IVF contracts, the lone r5-era spill
+# (event_anomaly_zscore), and 40 of the r6-stale cohort.
+DRIVER_CHECKED_R9 = frozenset({
+    "dedup_simhash", "dedup_embedding_lsh", "sim_topk_lsh",
+    "sim_recall_report", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+    "multimodal_decode_real", "multimodal_decode_wav",
+    "join_bloom_prefilter", "event_anomaly_zscore", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_rollup", "agg_percentiles",
+    "agg_argmax", "agg_approx_percentiles", "agg_hll_union_rollup",
+    "agg_grouping_sets", "join_broadcast_dims", "join_semi", "join_anti",
+    "join_left_outer", "join_right_outer", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q4_order_priority", "q7_volume_shipping",
+    "q10_returned_items", "q12_shiplag_priority", "q14_promo_effect",
+    "q19_disjunctive_predicates", "window_running_sum",
+    "window_lag_lead_rank", "agg_pivot", "agg_unpivot",
+    "scalar_null_semantics", "sort_topk_global", "scalar_string_functions",
+    "scalar_date_functions", "scalar_math_functions",
+    "scalar_json_functions", "scalar_case_null_handling", "agg_salted_skew",
+    "sql_adhoc_star_join", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q11_important_value", "q13_customer_distribution",
+    "q15_top_supplier",
+})
+
 # Queries whose ORACLE was upgraded AFTER their most recent driver row:
 # the banked evidence predates the contract it would vouch for, so the
 # rotation treats them as never-checked until a fresh driver row lands
 # (precedent: sim_topk_pq's r6 row was a `no_oracle` rows-only check;
 # its hash oracle landed in r7 and its driver-of-record row in r8).
-# Round-9 reset (ADVICE r8 item 1): three r7-banked queries had their
-# registered output/oracle changed late in round 8 —
-#   dedup_simhash       64-bit xxhash signature -> 60-bit md5-prefix hash
-#   sim_recall_report   gained the `lsh` method row (new native LSH)
-#   join_bloom_prefilter GERMANY -> NATION_3 (de-vacuated gate)
-# — so their r7 rows vouch for different queries; they lead the r9
-# window for fresh driver-of-record evidence.
-ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({
-    "dedup_simhash", "sim_recall_report", "join_bloom_prefilter",
-})
+# Round-10 reset: the r9 upgrades (dedup_simhash / sim_recall_report /
+# join_bloom_prefilter) earned their driver-of-record rows in
+# CORRECTNESS_r09; no contracts changed since.
+ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset()
 
-# One-round pins (VERDICT r8 task 1): the seeded-LSH / embedding-LSH /
-# IVF oracle contracts landed late in r8 and earned exactly one driver
-# row each (CORRECTNESS_r08). Give them a second CONSECUTIVE window
-# round to prove the contracts are stable (the "projection contract"
-# note in SURVEY §2.6), then retire this set in r10.
-PINNED_WINDOW_R9 = frozenset({
-    "sim_topk_lsh", "dedup_embedding_lsh", "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
+# One-round pin (VERDICT r9 task 1): q11_important_value's threshold
+# went scale-free (2x average per-part value) in commit d3eb135 near
+# round-9 close. Its r9 driver row ran at window position 47 after the
+# commit landed, but the judge wants an unambiguous r10 row on the new
+# contract. Retire this set in r11. (The r9 pins — the 4 seeded
+# LSH/IVF contracts — earned their second consecutive rows in
+# CORRECTNESS_r09 and are retired.)
+PINNED_WINDOW_R10 = frozenset({
+    "q11_important_value",
 })
 
 
@@ -246,12 +267,13 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
         # queries whose oracle was upgraded after their last check and
-        # the one-round PINNED set. The r9 window (first 50) is
-        # therefore: new + upgraded + pinned, then event_anomaly_zscore
-        # (the lone r5-era spill from r8), then the r6 cohort's head in
-        # module order.
-        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK or name in PINNED_WINDOW_R9:
+        # the one-round PINNED set. The r10 window (first 50) is
+        # therefore: new + pinned q11, then the 9-query r6-stale
+        # cohort, then the r7 cohort's head in module order.
+        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK or name in PINNED_WINDOW_R10:
             return 0
+        if name in DRIVER_CHECKED_R9:
+            return 7
         if name in DRIVER_CHECKED_R8:
             return 6
         if name in DRIVER_CHECKED_R7:

@@ -5,27 +5,43 @@ entries of ``merged_registry()`` per round, so iteration order decides
 which queries earn hard driver evidence. Round 6 on, ordering is a pure
 STALENESS rotation: never-driver-checked (newly added) queries first,
 then ascending by the round of each query's most recent driver
-CORRECTNESS row (r3-era before r4 … before r8). Round 9 adds two
-priority-0 overrides beyond "new": ``ORACLE_UPGRADED_SINCE_LAST_CHECK``
-(banked evidence predates a late-r8 contract change — ADVICE r8 item 1)
-and ``PINNED_WINDOW_R9`` (VERDICT r8 task 1: the late-r8 seeded
-LSH/IVF oracle contracts get a second consecutive window round). These
-tests lock that ordering so a refactor can't silently rotate coverage
-back, and force every newly added oracle query to be registered in
-``NEW_IN_R9`` below (it claims a window slot from the stale cohort's
-tail — keep new queries per round small or the stalest cohort spills).
+CORRECTNESS row (r3-era before r4 … before r9). Two priority-0
+overrides beyond "new": ``ORACLE_UPGRADED_SINCE_LAST_CHECK`` (banked
+evidence predates a contract change) and the round's one-shot pin set
+(``PINNED_WINDOW_R10``: VERDICT r9 task 1 — q11_important_value's
+scale-free threshold landed at r9 close and needs an unambiguous r10
+driver row). These tests lock that ordering so a refactor can't
+silently rotate coverage back, and force every newly added oracle query
+to be registered in ``NEW_IN_R10`` below (it claims a window slot from
+the stale cohort's tail — keep new queries per round small or the
+stalest cohort spills).
 """
 
 from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 9 — no banked evidence exists,
-# so they lead the window. Every name here pushes one r6-era query out
-# to round 10 (the r9 head already holds 7 upgraded/pinned names).
+# Oracle-backed queries ADDED in round 10 — no banked evidence exists,
+# so they lead the window. Every name here pushes one r7-era query out
+# to round 11 (the r10 head already holds the pinned q11).
+NEW_IN_R10: set[str] = set()
+
+# Round 9's additions, all driver-checked in CORRECTNESS_r09.json.
 NEW_IN_R9: set[str] = {
     "multimodal_decode_real",  # stdlib BMP decode (VERDICT r8 task 2)
     "multimodal_decode_wav",   # stdlib RIFF/WAVE PCM decode (audio sibling)
+}
+
+# r9's priority-0 overrides, now banked inside DRIVER_CHECKED_R9:
+# three r7-banked queries whose registered output changed late in r8
+# (ADVICE r8 item 1) and the four late-r8 seeded LSH/IVF contracts
+# that rode a second consecutive window (VERDICT r8 task 1).
+R9_UPGRADED: set[str] = {
+    "dedup_simhash", "sim_recall_report", "join_bloom_prefilter",
+}
+R9_PINNED: set[str] = {
+    "sim_topk_lsh", "dedup_embedding_lsh", "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
 }
 
 # Round 8's additions (none — r8 spent its budget on oracle upgrades).
@@ -67,8 +83,9 @@ def _registry():
         DRIVER_CHECKED_R6,
         DRIVER_CHECKED_R7,
         DRIVER_CHECKED_R8,
+        DRIVER_CHECKED_R9,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
-        PINNED_WINDOW_R9,
+        PINNED_WINDOW_R10,
         merged_registry,
     )
 
@@ -82,16 +99,17 @@ def _registry():
         DRIVER_CHECKED_R6,
         DRIVER_CHECKED_R7,
         DRIVER_CHECKED_R8,
+        DRIVER_CHECKED_R9,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
-        PINNED_WINDOW_R9,
+        PINNED_WINDOW_R10,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, r5, r6, r7, r8, upgraded, pinned = _registry()
+    names, _, r23, r4, r5, r6, r7, r8, r9, upgraded, pinned = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
-        ("R8", r8),
+        ("R8", r8), ("R9", r9),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -117,63 +135,66 @@ def test_banked_names_exist():
     assert len(r8) == 50 and len(r8 & (r5 - r6 - r7)) == 49
     assert r8 & r6 == {"sim_topk_pq"}
     assert not (r7 & r8), "round 8's window re-checked no r7-banked query"
+    # r9's window: 2 new codec queries, 3 oracle-upgraded r7 re-rides,
+    # 4 pinned r8 re-rides, the lone r5-era spill, and 40 of the
+    # r6-stale cohort
+    assert len(r9) == 50
+    assert NEW_IN_R9 <= r9
+    assert r9 & r8 == R9_PINNED
+    assert r9 & r7 == R9_UPGRADED
+    assert r9 & (r5 - r6 - r7 - r8) == {"event_anomaly_zscore"}
+    assert len(r9 & (r6 - r7 - r8)) == 40
     # the oracle-upgraded override only makes sense for names with a
-    # stale banked row — a never-checked name is already priority 0
-    assert upgraded <= (r23 | r4 | r5 | r6 | r7 | r8)
-    # r9's upgraded set: exactly the three r7-banked queries whose
-    # registered output changed late in r8 (ADVICE r8 item 1)
-    assert upgraded == {
-        "dedup_simhash", "sim_recall_report", "join_bloom_prefilter",
-    }
-    assert upgraded <= r7, "the r9 upgraded set is r7-banked by design"
-    # the r9 pins are r8-banked (one driver row under the new contracts;
-    # the pin buys the second consecutive one)
-    assert pinned == {
-        "sim_topk_lsh", "dedup_embedding_lsh", "sim_topk_ivf",
-        "sim_topk_ivf_kmeans",
-    }
-    assert pinned <= r8
+    # stale banked row — a never-checked name is already priority 0.
+    # Round 10: no contract changed since its query's last driver row.
+    assert upgraded == set()
+    # the r10 pin: q11's scale-free threshold (commit d3eb135) gets an
+    # unambiguous post-change driver row (VERDICT r9 task 1)
+    assert pinned == {"q11_important_value"}
+    assert pinned <= r9
 
 
 def test_every_query_has_banked_or_new_status():
-    names, _, r23, r4, r5, r6, r7, r8, _u, _p = _registry()
-    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8
-    assert never == NEW_IN_R9, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R9} — newly "
-        "added oracle queries must be registered in NEW_IN_R9"
+    names, _, r23, r4, r5, r6, r7, r8, r9, _u, _p = _registry()
+    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9
+    assert never == NEW_IN_R10, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R10} — newly "
+        "added oracle queries must be registered in NEW_IN_R10"
     )
 
 
 def test_window_is_staleness_ordered():
-    names, _, r23, r4, r5, r6, r7, r8, upgraded, pinned = _registry()
-    assert not (r23 - r5 - r6 - r7 - r8), "every r3-era query was re-checked"
-    assert not (r4 - r5 - r6 - r7 - r8), "every r4-era query was re-checked"
-    assert (r5 - r6 - r7 - r8) == {"event_anomaly_zscore"}, (
-        "exactly one r5-era query (the r8 spill) awaits re-check"
+    names, _, r23, r4, r5, r6, r7, r8, r9, upgraded, pinned = _registry()
+    assert not (r23 - r5 - r6 - r7 - r8 - r9), "every r3-era query was re-checked"
+    assert not (r4 - r5 - r6 - r7 - r8 - r9), "every r4-era query was re-checked"
+    assert not (r5 - r6 - r7 - r8 - r9), (
+        "every r5-era query was re-checked (event_anomaly_zscore rode in r9)"
     )
     # new + oracle-upgraded + pinned queries lead
-    head = NEW_IN_R9 | upgraded | pinned
+    head = NEW_IN_R10 | upgraded | pinned
     assert set(names[: len(head)]) == head
-    # the lone r5-era spill follows the head
-    assert names[len(head)] == "event_anomaly_zscore"
-    # the window's remaining slots go to the r6-stale cohort's head in
+    # the r6-stale cohort (9 queries) follows the head in module order
+    stale_r6 = r6 - r7 - r8 - r9
+    assert len(stale_r6) == 9
+    assert set(names[len(head): len(head) + 9]) == stale_r6
+    # the window's remaining slots go to the r7-stale cohort's head in
     # module order
     window = names[:WINDOW]
-    stale_r6 = r6 - r7 - r8
-    assert len(stale_r6) == 49
-    n_r6_slots = WINDOW - len(head) - 1
-    assert n_r6_slots >= 0, "new-query additions overflowed the window"
+    stale_r7 = r7 - r8 - r9
+    assert len(stale_r7) == 47
+    n_r7_slots = WINDOW - len(head) - len(stale_r6)
+    assert n_r7_slots >= 0, "new-query additions overflowed the window"
     expected = (
         head
-        | {"event_anomaly_zscore"}
-        | set([n for n in names if n in stale_r6][:n_r6_slots])
+        | stale_r6
+        | set([n for n in names if n in stale_r7][:n_r7_slots])
     )
     assert set(window) == expected, (
-        f"round-9 window drifted: unexpected={set(window) - expected} "
+        f"round-10 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r8-checked, minus the pinned re-rides) rides
+    # freshest evidence (r9-checked, minus the pinned q11 re-ride) rides
     # at the very back
-    back = r8 - pinned
+    back = r9 - pinned
     tail = names[-len(back):]
-    assert set(tail) == back, "r8-banked queries must occupy the registry tail"
+    assert set(tail) == back, "r9-banked queries must occupy the registry tail"
