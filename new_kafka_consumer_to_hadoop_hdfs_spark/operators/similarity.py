@@ -756,53 +756,86 @@ def lsh_cosine_pairs(
     )
 
 
-def ivf_topk_cosine(
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    refine_iterations: int = 0,
-) -> DataFrame:
-    """Approximate top-k cosine via an IVF (inverted-file) index.
-
-    The other classic ANN partition scheme next to LSH: pick coarse
-    centroids, assign every corpus vector to its nearest centroid
-    (one narrow pass against broadcast centroids — this is the
-    "inverted file"), then each query scores only the vectors in its
-    ``n_probe`` nearest cells. Search cost drops from |corpus| to
-    ~|corpus|·n_probe/n_cells per query; recall < 1 when a true
-    neighbor lives in an unprobed cell.
-
-    Centroid choice is deterministic: the first ``n_cells`` corpus
-    vectors by id. ``refine_iterations`` > 0 runs that many Lloyd
-    (k-means) rounds first — per round, one narrow assignment pass plus
-    one partial-agg shuffle of (cell, dim) component sums (corpus×dim
-    rows map-side-combined down to n_cells×dim), then the n_cells×dim
-    mean matrix returns to the driver. Updated centroids are rounded
-    to 9 decimals so cross-partition float-sum ordering can't leak
-    into cell assignment (determinism before last-ulp fidelity; the
-    index is approximate anyway). At 100 TB the cell id is the
-    partition/bucket key: writing the corpus bucketed by ``cell`` makes
-    a probe read only n_probe/n_cells of the data — genuine partition
-    pruning for vector search.
-
-    The n_cells centroid vectors are collected to the driver and
-    shipped inside the assignment UDF's closure — the one sanctioned
-    collect in the engine, because it is index CONSTRUCTION over k·dim
-    floats (bytes, like any broadcast build side), never the data
-    path. Cell assignment is then a pure per-row projection with zero
-    shuffle (an earlier draft cross-joined centroids and ranked with a
-    window — a corpus×n_cells blowup that would be the bottleneck at
-    scale); the only shuffle left is the probe equi-join on cell + the
-    per-query rank.
+def _make_cell_ranks(cent_unit):
+    """Factory for the Arrow-path cell-ranking UDF: given the (tiny)
+    unit-centroid matrix, return a ``pandas_udf`` mapping each vector
+    to the 1-based list of ALL cell ids ordered by descending affinity
+    (round-9 cosine, ties → lowest cell index). One numpy matmul per
+    record batch against the broadcast-size matrix; the earlier HOF
+    form (transform + interpreted cosine per cell) cost n_cells
+    interpreted array-folds PER ROW — measured ~2-3 s of wall time at
+    sf0.1. The factory shape keeps the UDF closure free of package
+    module references (workers can't import the repo when the driver
+    launches outside it); it captures only the numpy matrix and its
+    shape.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
+
+    cu = cent_unit
+    n_active_cells, exp_dim = cu.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cell_ranks(v: pd.Series) -> pd.Series:
+        # Same null/ragged guard as _cos_batch: a NULL, wrong-width,
+        # or zero-norm vector gets the default cell order instead of
+        # killing the task with np.stack.
+        vals = v.to_numpy()
+        default = list(range(1, n_active_cells + 1))
+        out = [default] * len(vals)
+        valid = [
+            i for i in range(len(vals))
+            if vals[i] is not None and len(vals[i]) == exp_dim
+        ]
+        if valid:
+            V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vu = V / np.where(vn == 0.0, 1.0, vn)
+            # Cell affinity is ROUNDED to 9 decimals before ranking:
+            # numpy's blocked/SIMD matmul and an oracle engine's
+            # sequential-fold cosine agree only to ~1 ulp, and a
+            # near-tie between two centroids must not rank
+            # differently across engines (sim_recall_report oracle-
+            # checks this assignment). Same determinism-over-last-
+            # ulp trade as the Lloyd centroid rounding; ties
+            # break by cell index (stable argsort = cell asc).
+            order = (
+                np.argsort(-np.round(Vu @ cu.T, 9), axis=1, kind="stable") + 1
+            )
+            for j, i in enumerate(valid):
+                out[i] = list(order[j].astype("int32"))
+        return pd.Series(out)
+
+    return _cell_ranks
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    refine_iterations: int = 0,
+):
+    """Train the IVF coarse quantizer: deterministic seeds (the first
+    ``n_cells`` corpus vectors by id, unit-normalized) plus
+    ``refine_iterations`` Lloyd (k-means) rounds. Returns the
+    unit-centroid matrix (n_cells × dim numpy float64), or None for an
+    empty/all-invalid corpus.
+
+    The seed collect ships k·dim floats to the driver — index
+    CONSTRUCTION over bytes (like any broadcast build side), never the
+    data path. Each Lloyd round is one narrow assignment pass plus one
+    partial-agg shuffle of (cell, dim) component sums (corpus×dim rows
+    map-side-combined down to n_cells×dim), then the n_cells×dim mean
+    matrix returns to the driver. Updated centroids are rounded to 9
+    decimals so cross-partition float-sum ordering can't leak into
+    cell assignment (determinism before last-ulp fidelity; the index
+    is approximate anyway). Empty / zero-norm cells keep their
+    previous centroid.
+    """
+    import numpy as np
 
     cent_rows = (
         corpus.orderBy(id_col)
@@ -814,57 +847,10 @@ def ivf_topk_cosine(
     dim = len(cent_rows[0][0]) if cent_rows else 0
     cent_list = [list(row[0]) for row in cent_rows if len(row[0]) == dim]
     if not cent_list:
-        # empty corpus → empty result with the contract schema, like
-        # the rest of the operator surface (no driver-side crash)
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
-        )
+        return None
     cent_mat = np.array(cent_list, dtype=np.float64)
     norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
     cent_unit = cent_mat / np.where(norms == 0.0, 1.0, norms)
-
-    # Cell ranking runs on the Arrow path: one einsum-style matmul per
-    # record batch against the (tiny) centroid matrix. The earlier HOF
-    # form (transform + interpreted cosine per cell) cost n_cells
-    # interpreted array-folds PER ROW — measured ~2-3 s of the query's
-    # wall time at sf0.1; the numpy matmul is a rounding error. Stable
-    # argsort on -cos preserves the (-cos, cell-asc) tie order of the
-    # expression form.
-    def _make_cell_ranks(cu):
-        n_active_cells, exp_dim = cu.shape
-
-        @pandas_udf(ArrayType(IntegerType()))
-        def _cell_ranks(v: pd.Series) -> pd.Series:
-            # Same null/ragged guard as _cos_batch: a NULL, wrong-width,
-            # or zero-norm vector gets the default cell order instead of
-            # killing the task with np.stack.
-            vals = v.to_numpy()
-            default = list(range(1, n_active_cells + 1))
-            out = [default] * len(vals)
-            valid = [
-                i for i in range(len(vals))
-                if vals[i] is not None and len(vals[i]) == exp_dim
-            ]
-            if valid:
-                V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
-                vn = np.linalg.norm(V, axis=1, keepdims=True)
-                Vu = V / np.where(vn == 0.0, 1.0, vn)
-                # Cell affinity is ROUNDED to 9 decimals before ranking:
-                # numpy's blocked/SIMD matmul and an oracle engine's
-                # sequential-fold cosine agree only to ~1 ulp, and a
-                # near-tie between two centroids must not rank
-                # differently across engines (sim_recall_report oracle-
-                # checks this assignment). Same determinism-over-last-
-                # ulp trade as the Lloyd centroid rounding above; ties
-                # break by cell index (stable argsort = cell asc).
-                order = (
-                    np.argsort(-np.round(Vu @ cu.T, 9), axis=1, kind="stable") + 1
-                )
-                for j, i in enumerate(valid):
-                    out[i] = list(order[j].astype("int32"))
-            return pd.Series(out)
-
-        return _cell_ranks
 
     # Lloyd refinement: assignment pass → per-(cell, dim) partial sums
     # → n_cells×dim means back to the driver → rounded, renormalized.
@@ -897,26 +883,61 @@ def ivf_topk_cosine(
                 if nrm > 0:
                     new_mat[ci] = mean / nrm
         cent_unit = new_mat  # empty cells keep their previous centroid
+    return cent_unit
 
-    _cell_ranks = _make_cell_ranks(cent_unit)
 
-    def assign(df: DataFrame, out_id: str, keep_vec: str, top_cells: int) -> DataFrame:
-        """Tag each vector with its ``top_cells`` nearest centroid ids —
-        a narrow projection (argmax over the broadcast centroid matrix)."""
-        vec = df.select(
-            F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
-        )
-        cells = F.slice(_cell_ranks(F.col(keep_vec)), 1, top_cells)
-        # norm computed once per vector here, not once per probe pair
-        return vec.select(
-            out_id,
-            keep_vec,
-            l2_norm(F.col(keep_vec)).alias(f"{keep_vec}_n"),
-            F.explode(cells).alias("__cell"),
-        )
+def ivf_assign(
+    df: DataFrame,
+    cent_unit,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str,
+    keep_vec: str,
+    top_cells: int,
+) -> DataFrame:
+    """Tag each vector with its ``top_cells`` nearest centroid ids — a
+    narrow zero-shuffle projection (argmax over the closure-shipped
+    centroid matrix), with the L2 norm computed once per vector here,
+    not once per probe pair. Output columns: (``out_id``,
+    ``keep_vec``, ``{keep_vec}_n``, ``__cell``)."""
+    cell_ranks = _make_cell_ranks(cent_unit)
+    vec = df.select(
+        F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
+    )
+    cells = F.slice(cell_ranks(F.col(keep_vec)), 1, top_cells)
+    return vec.select(
+        out_id,
+        keep_vec,
+        l2_norm(F.col(keep_vec)).alias(f"{keep_vec}_n"),
+        F.explode(cells).alias("__cell"),
+    )
 
-    inv_file = assign(corpus, "neighbor_id", "__cv", 1)
-    probes = assign(queries, "query_id", "__qv", n_probe)
+
+def ivf_search(
+    inv_file: DataFrame,
+    cent_unit,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Score queries against a built inverted file — the search half of
+    the FAISS-style train+add (ingest) vs search (query) split.
+
+    ``inv_file`` carries (neighbor_id, __cv, __cv_n, __cell), either
+    fresh from :func:`ivf_assign` (the `sim_topk_ivf*` per-call path)
+    or read back from a persisted index (`sim_topk_ivf_stored`, where
+    the parquet is partitioned by cell so a probe prunes partitions).
+    Queries rank their ``n_probe`` nearest cells, candidates equi-join
+    on cell, exact cosine over raw vectors, per-query rank, top-k.
+    """
+    probes = ivf_assign(
+        queries, cent_unit, id_col=id_col, vec_col=vec_col,
+        out_id="query_id", keep_vec="__qv", top_cells=n_probe,
+    )
     scored = (
         probes.join(inv_file, "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -940,6 +961,61 @@ def ivf_topk_cosine(
             F.round(F.col("__cos"), 6).alias("cos_sim"),
             "rank",
         )
+    )
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """Approximate top-k cosine via an IVF (inverted-file) index.
+
+    The other classic ANN partition scheme next to LSH: pick coarse
+    centroids, assign every corpus vector to its nearest centroid
+    (one narrow pass against broadcast centroids — this is the
+    "inverted file"), then each query scores only the vectors in its
+    ``n_probe`` nearest cells. Search cost drops from |corpus| to
+    ~|corpus|·n_probe/n_cells per query; recall < 1 when a true
+    neighbor lives in an unprobed cell.
+
+    Centroid choice is deterministic (see
+    :func:`train_ivf_centroids`: first ``n_cells`` vectors by id +
+    round-9 Lloyd refinement). At 100 TB the cell id is the
+    partition/bucket key: writing the corpus bucketed by ``cell`` makes
+    a probe read only n_probe/n_cells of the data — genuine partition
+    pruning for vector search; `sim_topk_ivf_stored` persists exactly
+    that layout and serves :func:`ivf_search` from it.
+
+    Cell assignment is a pure per-row projection with zero shuffle
+    (an earlier draft cross-joined centroids and ranked with a
+    window — a corpus×n_cells blowup that would be the bottleneck at
+    scale); the only shuffle left is the probe equi-join on cell + the
+    per-query rank.
+    """
+    cent_unit = train_ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_cells=n_cells, refine_iterations=refine_iterations,
+    )
+    if cent_unit is None:
+        # empty corpus → empty result with the contract schema, like
+        # the rest of the operator surface (no driver-side crash)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    inv_file = ivf_assign(
+        corpus, cent_unit, id_col=id_col, vec_col=vec_col,
+        out_id="neighbor_id", keep_vec="__cv", top_cells=1,
+    )
+    return ivf_search(
+        inv_file, cent_unit, queries, id_col=id_col, vec_col=vec_col,
+        k=k, n_probe=n_probe,
     )
 
 

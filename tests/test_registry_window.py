@@ -24,7 +24,11 @@ WINDOW = 50
 # Oracle-backed queries ADDED in round 10 — no banked evidence exists,
 # so they lead the window. Every name here pushes one r7-era query out
 # to round 11 (the r10 head already holds the pinned q11).
-NEW_IN_R10: set[str] = set()
+NEW_IN_R10: set[str] = {
+    # stored-index IVF: persisted centroids + cell-partitioned inverted
+    # file, same oracle as sim_topk_ivf_kmeans (VERDICT r9 task 3)
+    "sim_topk_ivf_stored",
+}
 
 # Round 9's additions, all driver-checked in CORRECTNESS_r09.json.
 NEW_IN_R9: set[str] = {
