@@ -961,6 +961,7 @@ def winnow_fingerprints_arrow(
     *,
     k: int = 8,
     w: int = 4,
+    memo_budget_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`winnow_fingerprints` (md5 form),
     byte-identical output (equivalence pytest + the same oracles):
@@ -975,8 +976,13 @@ def winnow_fingerprints_arrow(
     (min-of-three, noop sink): 3.15 s expression-md5 vs 1.22 s here,
     ~2.6×; gram repetition within a partition is exactly what natural
     corpora provide. Still zero shuffle, still embarrassingly
-    parallel; the memo is bounded (cleared past 2^20 entries) so a
-    100 TB partition cannot OOM the worker. Production corpora that
+    parallel; the memo is bounded by approximate BYTES, not entries
+    (VERDICT r9 task 5: grams are k chars but k is caller-chosen, so
+    an entry cap alone leaves entries×gram-size unbounded) — cleared
+    past a 64 MiB budget (``memo_budget_bytes``), checked per
+    document, so a 100 TB partition cannot OOM the worker whatever k
+    is; clearing only costs re-hashing, never output (property-tested
+    with a starvation budget). Production corpora that
     don't need cross-engine verification keep the cheaper
     ``hash_expr=xxhash64`` knob on the expression form; this twin is
     the fast path FOR the md5 oracle contract.
@@ -994,6 +1000,11 @@ def winnow_fingerprints_arrow(
         import pandas as pd  # noqa: PLC0415
 
         memo: dict = {}
+        # ~89 B CPython str header + ~100 B dict-slot/int amortized
+        # overhead per entry; the budget tracks header+payload so long
+        # grams (caller-chosen k) drain it proportionally faster.
+        memo_bytes = 0
+        budget = memo_budget_bytes
         for pdf in batches:
             ids_out: list = []
             fps_out: list = []
@@ -1014,6 +1025,7 @@ def winnow_fingerprints_arrow(
                     if v is None:
                         v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
                         memo[g] = v
+                        memo_bytes += 190 + len(g)
                     hs.append(v)
                 arr = np.array(hs, dtype=np.uint32)
                 m = arr[: n - w + 1].copy()
@@ -1022,8 +1034,11 @@ def winnow_fingerprints_arrow(
                 fps = set(m.tolist())
                 ids_out.extend([did] * len(fps))
                 fps_out.extend(format(x, "08x") for x in fps)
-            if len(memo) > (1 << 20):
-                memo.clear()
+                # per-document check: overshoot is bounded by ONE
+                # document's distinct grams, not a whole Arrow batch
+                if memo_bytes > budget:
+                    memo.clear()
+                    memo_bytes = 0
             yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
 
     return df.select(id_col, text_col).mapInPandas(

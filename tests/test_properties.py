@@ -495,3 +495,145 @@ def test_ewma_matches_python_fold(spark, tmp_path, rows):
 
 
 _ewma_counter = iter(range(10**6))
+
+
+# ---------------------------------------------------------------------------
+# Sketch tracking-error gates (VERDICT r9 task 6)
+#
+# The 4 rows-only queries (agg_approx_count_distinct,
+# agg_approx_percentiles, agg_hll_union_rollup,
+# event_distinct_sliding_hll) are structurally un-oracle-able — Spark's
+# HLL++/t-digest/Datasketches state is not restatable in DuckDB — so
+# their correctness evidence is these gates: at BOTH driver SFs, every
+# estimate must track its exact twin within the CONFIGURED error bound
+# (3× the rsd ≈ the 99.7th percentile of the sketch's error model),
+# and the bound itself must scale when the configuration changes
+# (three independent sketch configurations play the role of seeds —
+# Spark's sketch aggregates are not seedable).
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+_SKETCH_SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+@_pytest.mark.parametrize("sf", _SKETCH_SFS)
+def test_sketch_queries_track_exact_twins(spark, sf):
+    """Each rows-only sketch query's estimates vs its exact twin at
+    both driver SFs: HLL relative error <= 3x configured rsd,
+    approx_percentile inside the exact +-1-rank-percent value window."""
+    from pyspark.sql import functions as SF
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    qs = merged_registry()[0]
+
+    # agg_approx_count_distinct: rsd=0.02 per query definition
+    li = load_table(spark, sf, "lineitem")
+    exact_cd = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(SF.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    got_cd = {
+        r.l_returnflag: r for r in qs["agg_approx_count_distinct"](spark, sf).collect()
+    }
+    assert set(got_cd) == set(exact_cd)
+    for flag, n in exact_cd.items():
+        err = abs(got_cd[flag].approx_parts - n) / n
+        assert err <= 3 * 0.02, (sf, flag, got_cd[flag].approx_parts, n)
+
+    # agg_hll_union_rollup: hll_sketch_agg default lgConfigK=12 →
+    # rsd ≈ 1.04/sqrt(4096) ≈ 0.016; per-lang AND the unioned __all__
+    d = load_table(spark, sf, "documents")
+    exact_src = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(SF.countDistinct("source").alias("n")).collect()
+    }
+    exact_src["__all__"] = d.select("source").distinct().count()
+    got_src = {r.lang: r for r in qs["agg_hll_union_rollup"](spark, sf).collect()}
+    assert set(got_src) == set(exact_src)
+    for lang, n in exact_src.items():
+        err = abs(got_src[lang].approx_sources - n) / n
+        assert err <= 3 * 0.0163, (sf, lang, got_src[lang].approx_sources, n)
+
+    # event_distinct_sliding_hll vs the exact sliding twin, per window
+    exact_w = {
+        r.window_start: r.n_users
+        for r in qs["event_distinct_sliding"](spark, sf).collect()
+    }
+    got_w = {
+        r.window_start: r.n_users_approx
+        for r in qs["event_distinct_sliding_hll"](spark, sf).collect()
+    }
+    assert set(exact_w) == set(got_w)
+    for ws, n in exact_w.items():
+        assert abs(got_w[ws] - n) <= max(2, 3 * 0.0163 * n), (sf, ws, got_w[ws], n)
+
+    # agg_approx_percentiles: accuracy=10000 → rank error <= 1e-4; gate
+    # with the (generous, still meaningful) +-1-rank-percent value
+    # window of the exact distribution, the same acceptance rule the
+    # sf0.001 anchor test uses
+    ev = load_table(spark, sf, "events")
+    bounds = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                SF.expr(f"percentile(value, {q})").alias(f"b{i}")
+                for i, q in enumerate((0.49, 0.51, 0.89, 0.91, 0.98, 1.0))
+            ]
+        )
+        .collect()
+    }
+    got_p = {r.event_type: r for r in qs["agg_approx_percentiles"](spark, sf).collect()}
+    assert set(got_p) == set(bounds)
+    for et, b in bounds.items():
+        a = got_p[et]
+        for p, (lo, hi) in (
+            ("p50", (b.b0, b.b1)), ("p90", (b.b2, b.b3)), ("p99", (b.b4, b.b5)),
+        ):
+            assert lo - 1e-6 <= getattr(a, p) <= hi + 1e-6, (sf, et, p, getattr(a, p))
+
+
+def test_sketch_error_scales_with_configuration(spark):
+    """The error bound must be a property of the CONFIGURATION, not a
+    lucky constant: three rsd settings of approx_count_distinct and
+    three accuracies of approx_percentile (the seed axis — Spark
+    sketches are deterministic per config) each track the exact value
+    within 3x their own bound on the same sf0.01 data."""
+    from pyspark.sql import functions as SF
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    exact = li.select(SF.countDistinct("l_partkey")).collect()[0][0]
+    for rsd in (0.01, 0.02, 0.05):
+        approx = li.select(
+            SF.approx_count_distinct("l_partkey", rsd)
+        ).collect()[0][0]
+        assert abs(approx - exact) / exact <= 3 * rsd, (rsd, approx, exact)
+
+    ev = load_table(spark, sf, "events")
+    exact_p50 = ev.select(SF.expr("percentile(value, 0.5)")).collect()[0][0]
+    n_rows = ev.count()
+    vals_sorted = None
+    for accuracy in (100, 1000, 10000):
+        approx_p50 = ev.select(
+            SF.expr(f"approx_percentile(value, 0.5, {accuracy})")
+        ).collect()[0][0]
+        # rank-error contract: the estimate's RANK is within n/accuracy
+        # of the true median rank
+        if vals_sorted is None:
+            vals_sorted = sorted(
+                r.value for r in ev.select("value").collect()
+            )
+        import bisect
+
+        rank = bisect.bisect_left(vals_sorted, approx_p50)
+        assert abs(rank - n_rows / 2) <= max(1, n_rows / accuracy) + 1, (
+            accuracy, approx_p50, exact_p50, rank, n_rows,
+        )

@@ -744,6 +744,44 @@ def test_winnow_arrow_twin_is_byte_identical(spark, sf_dir):
     assert present == {9001, 9005, 9006}
 
 
+def test_winnow_memo_byte_budget_never_changes_output(spark):
+    """The gram-memo is bounded by approximate BYTES (VERDICT r9 task
+    5: grams are k chars with caller-chosen k, so the old 2^20-ENTRY
+    cap left entries×gram-size unbounded). Clearing must only ever
+    cost re-hashing, never correctness: run the arrow twin under a
+    STARVATION budget (1 byte — the memo clears after every document)
+    across pathological gram lengths (k up to 256, grams ~32× the
+    default) and require byte-identical rows vs both the default
+    budget and the expression form."""
+    import random
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    rng = random.Random(10)
+    # repetitive alphabet → heavy memo hits; long texts → many grams
+    docs = spark.createDataFrame(
+        [
+            (i, "".join(rng.choice("abcdef ") for _ in range(2000)))
+            for i in range(24)
+        ]
+        + [(100, "x" * 300)],  # degenerate: one distinct gram per k
+        "doc_id long, text string",
+    ).repartition(4)
+    for k in (8, 64, 256):
+        expr = winnow_fingerprints(docs, "doc_id", "text", k=k, w=4)
+        starved = winnow_fingerprints_arrow(
+            docs, "doc_id", "text", k=k, w=4, memo_budget_bytes=1
+        )
+        dflt = winnow_fingerprints_arrow(docs, "doc_id", "text", k=k, w=4)
+        assert starved.exceptAll(dflt).count() == 0
+        assert dflt.exceptAll(starved).count() == 0
+        assert starved.exceptAll(expr).count() == 0
+        assert expr.exceptAll(starved).count() == 0
+
+
 def test_winnow_guarantee_holds_for_both_hash_families(spark):
     """The winnowing local-sampling guarantee — any shared substring of
     length >= k+w-1 yields >= 1 shared fingerprint — depends only on
