@@ -177,11 +177,27 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @_register("agg_cube", _CUBE_ORACLE)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (all 4 grouping combinations)."""
+    """CUBE over two dimensions (all 4 grouping combinations) — as a
+    TWO-LEVEL aggregate: count and decimal-sum are algebraic, so the
+    cube runs over the pre-aggregated (flag, status) relation (at most
+    |flags|×|statuses| rows) instead of letting Expand multiply the
+    full scan 4× before the shuffle (the naive `.cube` plan — measured
+    decade slope +0.67 at sf0.1, the round-10 probe's only >+0.6 row).
+    One corpus-sized map-side-combined shuffle remains (the base
+    group-by); the Expand then touches a handful of rows. At 100 TB
+    the difference is shuffling 4× the table vs shuffling its distinct
+    group keys. Decimal sums re-aggregate exactly (order-independent),
+    so the output is bit-identical to the single-level cube — same
+    oracle, unchanged contract.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("__n").alias("n_items"),
+        F.sum("__q").cast("double").alias("sum_qty"),
     )
 
 

@@ -82,6 +82,29 @@ DEFAULT_QUERIES = [
     # stages — slope should track corpus size like any narrow scan)
     "multimodal_decode_real",
     "multimodal_decode_wav",
+    # round-10 additions (VERDICT r9 task 7): the windowed-aggregate and
+    # scalar families were unprobed — a slope regression there (a
+    # window losing its partition bound, a scalar picking up a
+    # surprise shuffle) was invisible until bench. Plus the round-10
+    # stored-index IVF twin and the heavier agg shapes.
+    "window_running_sum",
+    "window_lag_lead_rank",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_distribution_functions",
+    "window_asof_last_event",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_json_functions",
+    "scalar_case_null_handling",
+    "scalar_null_semantics",
+    "scalar_array_functions",
+    "agg_rollup",
+    "agg_cube",
+    "agg_salted_skew",
+    "agg_percentiles",
+    "sim_topk_ivf_stored",
 ]
 
 
