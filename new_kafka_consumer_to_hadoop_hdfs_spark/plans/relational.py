@@ -158,11 +158,20 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 @_register("agg_rollup", _ROLLUP_ORACLE)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    """ROLLUP hierarchy totals (status → status+priority → grand total)
+    as a TWO-LEVEL aggregate: pre-aggregate per (status, priority),
+    rollup the ~|status|×|priority|-row result — Expand multiplies a
+    handful of rows, not the scan (`agg_cube`'s treatment; count and
+    decimal-sum re-aggregate exactly, so output and oracle are
+    unchanged)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        _dsum(F.col("o_totalprice")).alias("total"),
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__t"),
+    )
+    return base.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum("__n").alias("n_orders"),
+        F.sum("__t").cast("double").alias("total"),
     )
 
 
@@ -338,13 +347,20 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 
 @_register("agg_grouping_sets", _GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (disjoint dimension summaries in one pass)."""
+    """Explicit GROUPING SETS (disjoint dimension summaries in one
+    pass), TWO-LEVEL like `agg_cube`/`agg_rollup`: the sets expand
+    over the pre-aggregated (status, priority) relation, so Expand's
+    2× multiplication hits ~15 rows instead of the scan. SUM of the
+    partial counts ≡ COUNT(*) — output and oracle unchanged."""
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__orders_gs")
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("__n")
+    )
+    base.createOrReplaceTempView("__orders_gs_pre")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-        FROM __orders_gs
+        SELECT o_orderstatus, o_orderpriority, SUM(__n) AS n_orders
+        FROM __orders_gs_pre
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
