@@ -1711,3 +1711,241 @@ def adc_topk(
             "rank",
         )
     )
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    books,
+    cent_unit,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style ``add()`` for an IVF-PQ index: ONE Arrow pass
+    computing each vector's coarse IVF cell (round-9 affinity argmax,
+    ties → lowest cell — the :func:`ivf_assign` contract) AND its PQ
+    codes (the exact :func:`encode_pq` contract). Output:
+    (``__nid``, ``__codes`` array<int>, ``__cell`` int) — the storable
+    index relation (16 B codes + 4 B cell at the 16×64×16 default).
+
+    At ingest this is the only corpus-wide pass; computing codes and
+    cells separately and joining on id would shuffle the corpus twice
+    for columns that are pure per-row functions of the vector. At
+    100 TB the relation is written partitioned by ``__cell`` (the
+    `sim_topk_ivf_stored` layout) so probes prune at the storage
+    level AND scan 16-byte codes instead of 256-byte vectors.
+
+    Null / wrong-dimension vectors are dropped (mirroring both parent
+    operators' filters). All worker-side code lives in the closure —
+    no package module references (workers can't import the repo when
+    the driver launches outside it).
+    """
+    n_subspaces, _, sub_dim = books.shape
+    dim = n_subspaces * sub_dim
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    bks = books
+    cu = cent_unit
+
+    def enc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            vals = pdf["__v"].to_numpy()
+            ids = pdf["__id"].to_numpy()
+            out_id: list = []
+            out_codes: list = []
+            out_cell: list = []
+            valid = [
+                i for i in range(len(vals))
+                if vals[i] is not None and len(vals[i]) == dim
+            ]
+            if valid:
+                V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                Vu = V / np.where(nrm == 0.0, 1.0, nrm)
+                # coarse cell: round-9 affinity, argmax = first max =
+                # lowest cell on exact ties (the crk=1 oracle rule)
+                cells = np.round(Vu @ cu.T, 9).argmax(axis=1) + 1
+                codes = np.empty((len(valid), n_subspaces), dtype=np.int32)
+                for s in range(n_subspaces):
+                    sub = Vu[:, s * sub_dim : (s + 1) * sub_dim]
+                    # squared L2 rounded to 9 before argmin; exact ties
+                    # break to the lowest code index (encode_pq rule)
+                    d2 = np.round(
+                        (sub**2).sum(1)[:, None]
+                        - 2.0 * (sub @ bks[s].T)
+                        + (bks[s] ** 2).sum(1)[None, :],
+                        9,
+                    )
+                    codes[:, s] = np.argmin(d2, axis=1)
+                for j, i in enumerate(valid):
+                    out_id.append(ids[i])
+                    out_codes.append([int(c) for c in codes[j]])
+                    out_cell.append(int(cells[j]))
+            yield pd.DataFrame(
+                {"__nid": out_id, "__codes": out_codes, "__cell": out_cell}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(enc, schema=f"__nid {id_type}, __codes array<int>, __cell int")
+
+
+def ivfpq_adc_topk(
+    index_df: DataFrame,
+    books,
+    cent_unit,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index relation (:func:`encode_ivfpq`'s
+    (__nid, __codes, __cell)): each query scores ONLY candidates whose
+    cell is among its ``n_probe`` nearest — the cell prune applied as
+    a mask predicate inside the same one-pass mapInPandas shape as
+    :func:`adc_topk` (the `lsh_topk_cosine_mapside` trick: broadcast
+    the per-query probe-set matrix in the closure instead of exploding
+    a probe join). Per Arrow batch: one LUT gather for the scores, one
+    boolean gather for the mask; per-partition bounded top-k pools;
+    the exchange carries ≤ k·|queries|·partitions candidate rows.
+
+    Probe cells are computed driver-side from the (broadcast-scale by
+    contract) query set with the exact :func:`ivf_assign` rounding
+    rules — round-9 affinities, stable argsort, ties → lowest cell —
+    so the DuckDB oracle's probe CTE reproduces them bit-for-bit.
+    """
+    import numpy as np
+
+    n_subspaces, _, sub_dim = books.shape
+    dim = n_subspaces * sub_dim
+    q_rows = (
+        queries.select(F.col(id_col), to_double(F.col(vec_col)))
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    q_rows = [r for r in q_rows if len(r[1]) == dim]
+    if not q_rows:
+        return index_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qraw = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Qraw, axis=1, keepdims=True)
+    Q = Qraw / np.where(qn == 0.0, 1.0, qn)
+    # probe matrix P[q, cell-1]: True iff cell is among the query's
+    # n_probe nearest (round-9 affinity, stable argsort = cell asc ties)
+    aff = np.round(Q @ cent_unit.T, 9)
+    order = np.argsort(-aff, axis=1, kind="stable")
+    n_cells = cent_unit.shape[0]
+    P = np.zeros((len(q_ids), n_cells), dtype=bool)
+    P[np.arange(len(q_ids))[:, None], order[:, : min(n_probe, n_cells)]] = True
+    lut = np.stack(
+        [
+            Q[:, s * sub_dim : (s + 1) * sub_dim] @ books[s].T
+            for s in range(n_subspaces)
+        ],
+        axis=1,
+    )  # (|queries|, n_subspaces, n_codes)
+
+    def adc(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side
+        import pandas as pd  # noqa: PLC0415
+
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+        for pdf in batches:
+            ids = pdf["__nid"].to_numpy()
+            if not len(ids):
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["__codes"].to_numpy()]
+            )
+            cells = pdf["__cell"].to_numpy().astype(np.int64) - 1
+            scores = np.round(
+                lut[:, np.arange(n_subspaces)[None, :], codes].sum(axis=2), 9
+            )
+            # the IVF prune: a candidate is visible to a query only if
+            # its (single-assignment) cell is in the query's probe set
+            scores[~P[:, cells]] = -np.inf
+            scores[q_ids[:, None] == ids[None, :].astype(np.int64)] = -np.inf
+            take = min(k, scores.shape[1])
+            kth = -np.partition(-scores, take - 1, axis=1)[:, take - 1]
+            for qi, qid in enumerate(q_ids):
+                pool = best[int(qid)]
+                for i in np.nonzero(scores[qi] >= kth[qi])[0]:
+                    sc = scores[qi, i]
+                    if sc != -np.inf:
+                        pool.append((float(sc), int(ids[i])))
+                if len(pool) > 4 * k:
+                    best[int(qid)] = sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        out = [
+            (int(qid), nid, c)
+            for qid, pool in best.items()
+            for c, nid in sorted(pool, key=lambda t: (-t[0], t[1]))[:k]
+        ]
+        yield pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "__cos"]
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "__cos": "float64"})
+
+    cands = index_df.mapInPandas(adc, "query_id long, neighbor_id long, __cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    refine_iterations: int = 3,
+) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS ``IndexIVFPQ``): the coarse
+    quantizer prunes WHICH vectors are scored (n_probe/n_cells of the
+    corpus), PQ shrinks WHAT is read per scored vector (16 B codes vs
+    256 B floats) — the two orthogonal ANN savings this engine
+    implements separately (`sim_topk_ivf*`, `sim_topk_pq*`) composed
+    the way production vector stores deploy them. Train = IVF seed
+    centroids (deterministic first-by-id, refine 0 — the
+    `sim_topk_ivf` coarse flavor) + PQ codebooks
+    (:func:`train_pq_codebooks` defaults); add = one
+    :func:`encode_ivfpq` pass; search = :func:`ivfpq_adc_topk`.
+    Deterministic end to end, so the DuckDB oracle restates BOTH
+    trainings, the joint encode, the probe join, and the ADC ranking.
+    """
+    cent = train_ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_cells=n_cells, refine_iterations=0,
+    )
+    books = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces,
+        n_codes=n_codes, refine_iterations=refine_iterations,
+    )
+    if cent is None or books is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    index = encode_ivfpq(corpus, books, cent, id_col=id_col, vec_col=vec_col)
+    return ivfpq_adc_topk(
+        index, books, cent, queries,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
+    )

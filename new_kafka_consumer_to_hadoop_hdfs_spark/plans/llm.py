@@ -30,6 +30,7 @@ from ..operators.similarity import (
     ivf_assign,
     ivf_search,
     ivf_topk_cosine,
+    ivfpq_topk,
     lsh_cosine_pairs,
     lsh_topk_cosine,
     lsh_topk_cosine_mapside,
@@ -2286,6 +2287,88 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         inv, cent, q, id_col="vec_id", vec_col="embedding",
         k=10, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")
+
+
+# The IVF-PQ composite oracle: the PQ CTE block (train -> encode ->
+# query subvectors) plus the IVF coarse-assignment CTEs (seed
+# centroids, refine 0), joined cell-first — candidates are the probe
+# equi-join of each query's 4 nearest cells with the single-assignment
+# inverted file, and ONLY those pairs are ADC-scored (sum of per-sub
+# codeword dots, round-9 before rank). The unused pq_scored/pq_ranked/
+# pq10 CTEs from the shared block are dead and pruned by the engine.
+_IVFPQ_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_PQ_SQL_CTES},
+vrows AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x /
+             (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                   THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS u
+  FROM e WHERE v IS NOT NULL AND len(v) = {_EMB_DIM}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x /
+             (CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                   THEN 1.0 ELSE sqrt(list_dot_product(v, v)) END)) AS cu
+  FROM (SELECT vec_id, v FROM e
+        WHERE v IS NOT NULL AND len(v) = {_EMB_DIM}
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+afff AS (
+  SELECT vv.vec_id, c.cell,
+         row_number() OVER (PARTITION BY vv.vec_id
+             ORDER BY round(list_dot_product(vv.u, c.cu), 9) DESC,
+                      c.cell ASC) AS crk
+  FROM vrows vv CROSS JOIN cent0 c
+),
+inv AS (SELECT vec_id AS neighbor_id, cell FROM afff WHERE crk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM afff
+           WHERE crk <= {_IVF_PROBE} AND vec_id % 100 = 0),
+ivfpq_scored AS (
+  SELECT p.query_id, i.neighbor_id,
+         round(sum(list_dot_product(q.qv, b.sv)), 9) AS c
+  FROM probes p
+  JOIN inv i USING (cell)
+  JOIN cenc cn ON cn.vec_id = i.neighbor_id
+  JOIN books3 b ON b.sub = cn.sub AND b.code = cn.code
+  JOIN qsub q ON q.query_id = p.query_id AND q.sub = cn.sub
+  WHERE i.neighbor_id != p.query_id
+  GROUP BY p.query_id, i.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY c DESC, neighbor_id) AS rank
+FROM ivfpq_scored
+QUALIFY rank <= 10
+"""
+
+
+@_register("sim_topk_ivfpq", _IVFPQ_TOPK_ORACLE)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — FAISS's ``IndexIVFPQ``, the shape
+    production vector stores actually deploy: the coarse quantizer
+    prunes WHICH vectors get scored (each query probes its 4 of 16
+    cells → ~n_probe/n_cells of the corpus), PQ prunes WHAT a scored
+    candidate costs (16-byte codes instead of 256-byte floats, scored
+    by LUT gather). This engine banks each saving separately
+    (`sim_topk_ivf*`, `sim_topk_pq*`); this query composes them —
+    train both quantizers, ONE joint encode pass emitting
+    (id, codes, cell), search as masked ADC
+    (`operators/similarity.py:ivfpq_topk`). Recall < 1 now comes from
+    two independent sources (an unprobed true neighbor; quantization
+    rank inversion), which is exactly the trade the composite makes at
+    100 TB: the probe reads n_probe/n_cells of a 16×-smaller relation.
+    Fully oracle-checked like both parents: the DuckDB SQL restates
+    IVF seeding + assignment, PQ training + encode, the probe join,
+    and the ADC ranking, and must hash-match the full ranked output.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
 
 

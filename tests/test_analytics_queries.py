@@ -722,3 +722,81 @@ def test_interval_join_rejects_bin_crossing_points(spark):
         ).count()
         == 0
     )
+
+
+def test_ivfpq_equals_numpy_reference(spark):
+    """Independent semantics check for the IVF-PQ composite (the
+    oracle gate proves engine agreement; this proves the COMPOSITION
+    rule with a from-scratch numpy reimplementation): collect the
+    sf0.001 corpus, recompute cells (round-9 affinity argmax, ties →
+    lowest cell), probe sets (stable argsort, top 4), ADC scores from
+    the trained codebooks, mask unprobed/self pairs, rank with the
+    (−score, neighbor_id) tie rule — and require the operator's full
+    ranked output to match exactly."""
+    import numpy as np
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        ivfpq_topk,
+        to_double,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    got = [
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in ivfpq_topk(
+            e, q, id_col="vec_id", vec_col="embedding", k=10,
+            n_cells=16, n_probe=4,
+        ).orderBy("query_id", "rank").collect()
+    ]
+
+    # --- numpy reference ---
+    cent = train_ivf_centroids(e, n_cells=16, refine_iterations=0)
+    books = train_pq_codebooks(e)
+    rows = (
+        e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .collect()
+    )
+    rows = [(r.vec_id, np.asarray(r.v, dtype=np.float64)) for r in rows
+            if len(r.v) == 64]
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.stack([r[1] for r in rows])
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    Vu = V / np.where(nrm == 0.0, 1.0, nrm)
+    aff = np.round(Vu @ cent.T, 9)
+    cells = aff.argmax(axis=1)  # 0-based; argmax = lowest cell on ties
+    n_subspaces, n_codes, sub_dim = books.shape
+    codes = np.empty((len(ids), n_subspaces), dtype=np.int64)
+    for s in range(n_subspaces):
+        sub = Vu[:, s * sub_dim : (s + 1) * sub_dim]
+        d2 = np.round(
+            (sub**2).sum(1)[:, None] - 2.0 * (sub @ books[s].T)
+            + (books[s] ** 2).sum(1)[None, :], 9,
+        )
+        codes[:, s] = np.argmin(d2, axis=1)
+    expected = []
+    is_q = ids % 100 == 0
+    order_cells = np.argsort(-aff, axis=1, kind="stable")
+    for qi in np.nonzero(is_q)[0]:
+        probe = set(order_cells[qi, :4].tolist())
+        lut = np.stack(
+            [Vu[qi, s * sub_dim : (s + 1) * sub_dim] @ books[s].T
+             for s in range(n_subspaces)]
+        )  # (n_subspaces, n_codes)
+        cand = [
+            (float(np.round(lut[np.arange(n_subspaces), codes[ci]].sum(), 9)),
+             int(ids[ci]))
+            for ci in range(len(ids))
+            if int(cells[ci]) in probe and ids[ci] != ids[qi]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, nid) in enumerate(cand[:10], start=1):
+            expected.append((int(ids[qi]), rank, nid, round(score, 6)))
+    expected.sort()
+    assert got == expected
+    assert len(expected) > 0

@@ -28,6 +28,9 @@ NEW_IN_R10: set[str] = {
     # stored-index IVF: persisted centroids + cell-partitioned inverted
     # file, same oracle as sim_topk_ivf_kmeans (VERDICT r9 task 3)
     "sim_topk_ivf_stored",
+    # IVF-PQ composite (FAISS IndexIVFPQ): cell prune × code compaction,
+    # jointly-encoded index, fully oracle-checked composition
+    "sim_topk_ivfpq",
 }
 
 # Round 9's additions, all driver-checked in CORRECTNESS_r09.json.

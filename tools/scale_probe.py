@@ -105,6 +105,7 @@ DEFAULT_QUERIES = [
     "agg_salted_skew",
     "agg_percentiles",
     "sim_topk_ivf_stored",
+    "sim_topk_ivfpq",
 ]
 
 
