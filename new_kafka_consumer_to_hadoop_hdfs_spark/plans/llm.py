@@ -2290,10 +2290,19 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# IVF-PQ probes WIDER than plain IVF (6 of 16 cells vs 4): the
+# composite has TWO recall-loss sources (unprobed true neighbor +
+# quantization rank inversion), and at probe 4 their product measured
+# recall@10 ≈ 0.34-0.42 vs the ≥ 0.5 the single-error siblings hold.
+# Probe 6 restores 0.50/0.52 at sf0.001/sf0.01 (pinned by the recall
+# anchor test) while still pruning 10/16 of the corpus — exactly the
+# n_probe-vs-recall dial FAISS documents for IndexIVFPQ.
+_IVFPQ_PROBE = 6
+
 # The IVF-PQ composite oracle: the PQ CTE block (train -> encode ->
 # query subvectors) plus the IVF coarse-assignment CTEs (seed
 # centroids, refine 0), joined cell-first — candidates are the probe
-# equi-join of each query's 4 nearest cells with the single-assignment
+# equi-join of each query's 6 nearest cells with the single-assignment
 # inverted file, and ONLY those pairs are ADC-scored (sum of per-sub
 # codeword dots, round-9 before rank). The unused pq_scored/pq_ranked/
 # pq10 CTEs from the shared block are dead and pruned by the engine.
@@ -2325,7 +2334,7 @@ afff AS (
 ),
 inv AS (SELECT vec_id AS neighbor_id, cell FROM afff WHERE crk = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM afff
-           WHERE crk <= {_IVF_PROBE} AND vec_id % 100 = 0),
+           WHERE crk <= {_IVFPQ_PROBE} AND vec_id % 100 = 0),
 ivfpq_scored AS (
   SELECT p.query_id, i.neighbor_id,
          round(sum(list_dot_product(q.qv, b.sv)), 9) AS c
@@ -2349,7 +2358,7 @@ QUALIFY rank <= 10
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN — FAISS's ``IndexIVFPQ``, the shape
     production vector stores actually deploy: the coarse quantizer
-    prunes WHICH vectors get scored (each query probes its 4 of 16
+    prunes WHICH vectors get scored (each query probes its 6 of 16
     cells → ~n_probe/n_cells of the corpus), PQ prunes WHAT a scored
     candidate costs (16-byte codes instead of 256-byte floats, scored
     by LUT gather). This engine banks each saving separately
@@ -2358,7 +2367,9 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, codes, cell), search as masked ADC
     (`operators/similarity.py:ivfpq_topk`). Recall < 1 now comes from
     two independent sources (an unprobed true neighbor; quantization
-    rank inversion), which is exactly the trade the composite makes at
+    rank inversion) — they COMPOUND, which is why this query probes 6
+    cells where plain IVF probes 4 (see `_IVFPQ_PROBE`; recall@10
+    anchored ≥ 0.4 in tests/test_analytics_queries.py). The trade at
     100 TB: the probe reads n_probe/n_cells of a 16×-smaller relation.
     Fully oracle-checked like both parents: the DuckDB SQL restates
     IVF seeding + assignment, PQ training + encode, the probe join,
@@ -2368,7 +2379,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivfpq_topk(
         e, q, id_col="vec_id", vec_col="embedding", k=10,
-        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        n_cells=_IVF_CELLS, n_probe=_IVFPQ_PROBE,
     ).orderBy("query_id", "rank")
 
 
