@@ -218,8 +218,13 @@ DRIVER_CHECKED_R9 = frozenset({
 # its hash oracle landed in r7 and its driver-of-record row in r8).
 # Round-10 reset: the r9 upgrades (dedup_simhash / sim_recall_report /
 # join_bloom_prefilter) earned their driver-of-record rows in
-# CORRECTNESS_r09; no contracts changed since.
-ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset()
+# CORRECTNESS_r09. ONE new upgrade this round: sim_recall_report
+# gained the `ivfpq` method row (the round-10 IndexIVFPQ composite —
+# its oracle CTEs share cellrank/inv and cenc/books3/qsub with the
+# parent rows), so its r9 row vouches for a 5-row relation that no
+# longer exists; it leads the r10 window for a fresh 6-row
+# driver-of-record row.
+ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({"sim_recall_report"})
 
 # One-round pin (VERDICT r9 task 1): q11_important_value's threshold
 # went scale-free (2x average per-part value) in commit d3eb135 near

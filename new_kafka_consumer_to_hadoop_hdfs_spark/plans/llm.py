@@ -110,6 +110,14 @@ _persist_bounded = persist_bounded
 _EMB_DIM = 64
 _IVF_CELLS = 16
 _IVF_PROBE = 4
+# IVF-PQ probes WIDER than plain IVF (6 of 16 cells vs 4): the
+# composite has TWO recall-loss sources (unprobed true neighbor +
+# quantization rank inversion), and at probe 4 their product measured
+# recall@10 ≈ 0.34-0.42 vs the ≥ 0.5 the single-error siblings hold.
+# Probe 6 restores 0.50/0.52 at sf0.001/sf0.01 (pinned by the recall
+# anchor test) while still pruning 10/16 of the corpus — exactly the
+# n_probe-vs-recall dial FAISS documents for IndexIVFPQ.
+_IVFPQ_PROBE = 6
 
 
 
@@ -1664,29 +1672,19 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_BOOKS_MEMO: dict[tuple[str, str], object] = {}
 
 
-def _pq_stored_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    e: DataFrame | None = None,
-    ordered: bool = True,
-) -> DataFrame:
-    """Score top-10 ADC from the cached on-disk PQ index (building it
-    once per sf_dir if absent) — the shared engine behind
-    `sim_topk_pq_stored` and `sim_recall_report`'s pq row (the report
-    uses the CHEAPEST semantically-identical variant of each method,
-    and the stored index skips the per-run train+encode).
-
-    ``e`` lets a composite caller (the report) pass its already-cached
-    (vec_id, double embedding) projection so the ADC query-side collect
-    reads the cache instead of re-scanning parquet."""
+def _stored_pq_index(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """Build-or-load the stored PQ index for ``sf_dir``; returns
+    (dest dir, codebook ndarray or None for an empty index). The
+    memoized-collect half of :func:`_pq_stored_topk`, split out in
+    round 10 so the recall report's ivfpq row can reuse the SAME
+    trained codebooks (identical recipe over identical source ⇒
+    identical books — the training collect happens once per source,
+    not once per consumer)."""
     import pathlib
 
     import numpy as np
 
-    from ..operators.similarity import adc_topk, encode_pq, train_pq_codebooks
-
-    if e is None:
-        e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import encode_pq, train_pq_codebooks
 
     def build(tmp: str) -> None:
         books = train_pq_codebooks(e)  # defaults: 16 × 64 × 3, 16k sample
@@ -1727,10 +1725,8 @@ def _pq_stored_topk(
     books = _PQ_BOOKS_MEMO.get(memo_key)
     if books is None:
         book_rows = spark.read.parquet(f"{dest}/books").collect()  # 1024 rows
-        if not book_rows:  # empty index → the composed path's empty contract
-            return spark.createDataFrame(
-                [], "query_id long, neighbor_id long, cos_sim double, rank int"
-            )
+        if not book_rows:  # empty index: the caller owns the empty contract
+            return dest, None
         n_subspaces = 1 + max(r["sub"] for r in book_rows)
         n_codes = 1 + max(r["code"] for r in book_rows)
         sub_dim = len(book_rows[0]["codeword"])
@@ -1739,6 +1735,33 @@ def _pq_stored_topk(
             books[r["sub"], r["code"]] = r["codeword"]
         _PQ_BOOKS_MEMO.clear()  # bound: one live index per process
         _PQ_BOOKS_MEMO[memo_key] = books
+    return dest, books
+
+
+def _pq_stored_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame | None = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Score top-10 ADC from the cached on-disk PQ index (building it
+    once per sf_dir if absent) — the shared engine behind
+    `sim_topk_pq_stored` and `sim_recall_report`'s pq row (the report
+    uses the CHEAPEST semantically-identical variant of each method,
+    and the stored index skips the per-run train+encode).
+
+    ``e`` lets a composite caller (the report) pass its already-cached
+    (vec_id, double embedding) projection so the ADC query-side collect
+    reads the cache instead of re-scanning parquet."""
+    from ..operators.similarity import adc_topk
+
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
+    dest, books = _stored_pq_index(spark, sf_dir, e)
+    if books is None:  # empty index → the composed path's empty contract
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     codes = spark.read.parquet(f"{dest}/codes").select(
         F.col("vec_id").alias("__nid"), F.col("codes").alias("__codes")
     )
@@ -1853,10 +1876,35 @@ lsh10 AS (
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
     FROM lsh_scored) WHERE rnk <= 10
 ),
+ivfpq_probes AS (
+  SELECT vec_id AS query_id, cell FROM cellrank
+  WHERE vec_id % 100 = 0 AND rnk <= {_IVFPQ_PROBE}
+),
+ivfpq_scored AS (
+  -- the composite (round 10): the SAME refine-0 cells as the ivf row
+  -- (shared cellrank/inv CTEs, wider probe) ADC-scored over the SAME
+  -- trained codes as the pq row (shared cenc/books3/qsub CTEs)
+  SELECT p.query_id, i.neighbor_id,
+         round(sum(list_dot_product(qs.qv, b.sv)), 9) AS c
+  FROM ivfpq_probes p
+  JOIN inv i USING (cell)
+  JOIN cenc cn ON cn.vec_id = i.neighbor_id
+  JOIN books3 b ON b.sub = cn.sub AND b.code = cn.code
+  JOIN qsub qs ON qs.query_id = p.query_id AND qs.sub = cn.sub
+  WHERE i.neighbor_id != p.query_id
+  GROUP BY p.query_id, i.neighbor_id
+),
+ivfpq10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+    FROM ivfpq_scored) WHERE rnk <= 10
+),
 sel AS (
   SELECT 'exact' AS method, query_id, neighbor_id FROM ex10
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i810
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf10
+  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq10
   UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh10
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq10
 ),
@@ -1865,7 +1913,7 @@ matched AS (
   -- (or zero produced) pairs still yields its row with n_matched = 0,
   -- mirroring the Spark side's always-one-row aggregate per method
   SELECT m.method, count(x.query_id) AS n_matched
-  FROM (VALUES ('exact'), ('int8'), ('ivf'), ('lsh'), ('pq')) AS m(method)
+  FROM (VALUES ('exact'), ('int8'), ('ivf'), ('ivfpq'), ('lsh'), ('pq')) AS m(method)
   LEFT JOIN sel s ON s.method = m.method
   LEFT JOIN ex10 x
     ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
@@ -1895,11 +1943,15 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE training pipeline — quantile-stratified seeding, three
     unrolled Lloyd rounds with round-9 means/distances, corpus encode,
     ADC scoring — in SQL, so the codebook itself is hash-anchored, not
-    just the final ranking). Each is independently recomputed by the
-    DuckDB oracle — possible precisely because these paths are
-    deterministic arithmetic; with the lsh row the classic ANN trio
-    (LSH buckets / IVF cells / PQ codes) is recall-measured in one
-    hash-checked relation.
+    just the final ranking), and — round 10 — ``ivfpq`` (the FAISS
+    IndexIVFPQ composite: the ivf row's refine-0 cells at probe 6,
+    ADC-scored over the pq row's trained codes; its oracle CTEs SHARE
+    cellrank/inv and cenc/books3/qsub with the parent rows, so the
+    composite can't drift from its parts). Each is independently
+    recomputed by the DuckDB oracle — possible precisely because these
+    paths are deterministic arithmetic; the classic ANN trio (LSH
+    buckets / IVF cells / PQ codes) AND their deployed composite are
+    recall-measured in one hash-checked relation.
 
     Scale note: recall evaluation IS a production operator (you run it
     on a sample after every index build); its cost here is three top-k
@@ -1990,12 +2042,44 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for its query-side collect
         return _pq_stored_topk(spark, sf_dir, e=e, ordered=False)
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    def build_ivfpq() -> DataFrame:
+        # the composite row (round 10): same refine-0 cells as the ivf
+        # row, and the SAME codebooks as the pq row served from the
+        # stored index's memoized collect (identical training recipe
+        # over identical source ⇒ identical books; a fresh
+        # train_pq_codebooks here measured +1.4 s of pure re-training).
+        # Only the joint (cell, codes) encode pass and the masked ADC
+        # sweep run per call, both over the cached slim projection.
+        from ..operators.similarity import (
+            encode_ivfpq,
+            ivfpq_adc_topk,
+            train_ivf_centroids,
+        )
+
+        _, books = _stored_pq_index(spark, sf_dir, e)
+        cent = train_ivf_centroids(
+            e, id_col="vec_id", vec_col="embedding",
+            n_cells=_IVF_CELLS, refine_iterations=0,
+        )
+        if books is None or cent is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+        index = encode_ivfpq(e, books, cent, id_col="vec_id", vec_col="embedding")
+        return ivfpq_adc_topk(
+            index, books, cent, q, id_col="vec_id", vec_col="embedding",
+            k=10, n_probe=_IVFPQ_PROBE,
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futures = [
             pool.submit(b)
-            for b in (build_exact, build_int8, build_ivf, build_lsh, build_pq)
+            for b in (
+                build_exact, build_int8, build_ivf, build_lsh, build_pq,
+                build_ivfpq,
+            )
         ]
-        exact_pairs, int8, ivf, lsh, pq = [f.result() for f in futures]
+        exact_pairs, int8, ivf, lsh, pq, ivfpq = [f.result() for f in futures]
     n_q = exact_pairs.agg(F.countDistinct("query_id").alias("n_q"))
 
     # One union job scores every method against the single cached exact
@@ -2011,6 +2095,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs("exact", exact_pairs)
         .unionByName(pairs("int8", int8))
         .unionByName(pairs("ivf", ivf))
+        .unionByName(pairs("ivfpq", ivfpq))
         .unionByName(pairs("lsh", lsh))
         .unionByName(pairs("pq", pq))
     )
@@ -2020,7 +2105,8 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
     methods = spark.createDataFrame(
-        [("exact",), ("int8",), ("ivf",), ("lsh",), ("pq",)], "method string"
+        [("exact",), ("int8",), ("ivf",), ("ivfpq",), ("lsh",), ("pq",)],
+        "method string",
     )
     return (
         methods.join(matched, "method", "left")
@@ -2289,15 +2375,6 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
 
-
-# IVF-PQ probes WIDER than plain IVF (6 of 16 cells vs 4): the
-# composite has TWO recall-loss sources (unprobed true neighbor +
-# quantization rank inversion), and at probe 4 their product measured
-# recall@10 ≈ 0.34-0.42 vs the ≥ 0.5 the single-error siblings hold.
-# Probe 6 restores 0.50/0.52 at sf0.001/sf0.01 (pinned by the recall
-# anchor test) while still pruning 10/16 of the corpus — exactly the
-# n_probe-vs-recall dial FAISS documents for IndexIVFPQ.
-_IVFPQ_PROBE = 6
 
 # The IVF-PQ composite oracle: the PQ CTE block (train -> encode ->
 # query subvectors) plus the IVF coarse-assignment CTEs (seed

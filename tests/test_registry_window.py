@@ -153,8 +153,10 @@ def test_banked_names_exist():
     assert len(r9 & (r6 - r7 - r8)) == 40
     # the oracle-upgraded override only makes sense for names with a
     # stale banked row — a never-checked name is already priority 0.
-    # Round 10: no contract changed since its query's last driver row.
-    assert upgraded == set()
+    # Round 10: sim_recall_report gained the ivfpq method row after its
+    # r9 driver row (its banked 5-row relation no longer exists).
+    assert upgraded == {"sim_recall_report"}
+    assert upgraded <= r9, "the r10 upgraded set is r9-banked by design"
     # the r10 pin: q11's scale-free threshold (commit d3eb135) gets an
     # unambiguous post-change driver row (VERDICT r9 task 1)
     assert pinned == {"q11_important_value"}
@@ -200,8 +202,9 @@ def test_window_is_staleness_ordered():
         f"round-10 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r9-checked, minus the pinned q11 re-ride) rides
-    # at the very back
-    back = r9 - pinned
+    # freshest evidence (r9-checked, minus the pinned q11 re-ride and
+    # the oracle-upgraded report, both of which lead instead) rides at
+    # the very back
+    back = r9 - pinned - upgraded
     tail = names[-len(back):]
     assert set(tail) == back, "r9-banked queries must occupy the registry tail"
