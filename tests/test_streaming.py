@@ -1187,3 +1187,68 @@ def test_streaming_bmp_decode_equals_batch(spark, tmp_path, sf_dir, provider):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
+    train-once/add-incrementally contract run through Structured
+    Streaming — quantizers train once on the corpus (index geometry is
+    frozen at train time), then micro-batches of vectors are encoded
+    with the SAME one-pass encode_ivfpq used at batch ingest and
+    appended to the parquet index; after the stream drains, a masked-
+    ADC search over the accumulated index must return exactly the
+    ranking of a single batch build. This is the ingest path a 100 TB
+    vector store actually runs (new embeddings arrive forever; the
+    index grows by appending cell-partitioned code files)."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        encode_ivfpq,
+        ivfpq_adc_topk,
+        to_double,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("embedding")
+    )
+    cent = train_ivf_centroids(e, n_cells=16, refine_iterations=0)
+    books = train_pq_codebooks(e)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+
+    src = tmp_path / "vsrc"
+    e.repartition(3).write.parquet(str(src))
+    idx = str(tmp_path / "ivfpq_index")
+
+    def add_batch(batch_df, epoch_id):
+        # the add() step: encode cells+codes and APPEND to the index
+        encode_ivfpq(batch_df, books, cent).write.mode("append").parquet(idx)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    query = (
+        stream.writeStream.foreachBatch(add_batch)
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cos_sim) for r in df.collect()
+        )
+
+    got = rows(
+        ivfpq_adc_topk(spark.read.parquet(idx), books, cent, q, k=10, n_probe=6)
+    )
+    want = rows(
+        ivfpq_adc_topk(encode_ivfpq(e, books, cent), books, cent, q, k=10, n_probe=6)
+    )
+    assert got == want
+    assert len(got) > 0
