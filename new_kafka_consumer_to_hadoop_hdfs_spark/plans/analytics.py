@@ -116,6 +116,71 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_checksums(back)
 
 
+@_register("sink_compacted_roundtrip", _orc_roundtrip_oracle())
+def sink_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION under the sink-roundtrip checksum gate —
+    the storage-maintenance operator every streaming ingest needs:
+    micro-batch appends (the Kafka sink path this engine mirrors, and
+    literally what the IVF-PQ index-add test produces) leave hundreds
+    of KB-sized files whose per-file open/footer cost eventually
+    dominates scans. The build writes the documents table deliberately
+    FRAGMENTED (64 shuffle-spread parquet files — the streaming-append
+    shape), then compacts to a byte-budgeted file count (~96 MB
+    targets, floor 1) with ``coalesce`` — a NARROW rewrite, no
+    shuffle: compaction must never pay a corpus exchange just to glue
+    files (use AQE ``rebalance`` only when output SKEW, not count, is
+    the problem). The build refuses to install an index where
+    compaction didn't actually reduce the file count, and the read
+    side passes the same per-(lang, source) checksum oracle as the
+    other sinks — compaction is byte-invisible to readers, or it
+    doesn't ship. At 100 TB this runs per partition/day behind the
+    ingest, bounding file counts forever.
+    """
+    import math
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def _part_files(d: str) -> list[pathlib.Path]:
+        return [
+            p for p in pathlib.Path(d).iterdir()
+            if p.name.startswith("part-") and p.suffix == ".parquet"
+        ]
+
+    def build(tmp: str) -> None:
+        frag = tmp + "/frag"
+        compact = tmp + "/compact"
+        # the streaming-append shape: many small files (repartition is
+        # the fixture's fragmenter; production arrives pre-fragmented)
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        frag_files = _part_files(frag)
+        total_bytes = sum(p.stat().st_size for p in frag_files)
+        target = max(1, math.ceil(total_bytes / (96 << 20)))
+        if target >= len(frag_files):  # loud, not silent: the fixture
+            raise RuntimeError(  # pragma: no cover - 64-way split of
+                # the docs table is always far below 96 MB/file
+                f"compaction target {target} >= {len(frag_files)} source files"
+            )
+        spark.read.schema(_DOC_SCHEMA).parquet(frag).coalesce(target).write.mode(
+            "overwrite"
+        ).parquet(compact)
+        n_after = len(_part_files(compact))
+        if n_after > target:
+            raise RuntimeError(
+                f"compaction produced {n_after} files > target {target}"
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_compacted", build
+    )
+    back = spark.read.schema(_DOC_SCHEMA).parquet(f"{dest}/compact")
+    return _roundtrip_checksums(back)
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 interval construction (gaps and islands)
 # ---------------------------------------------------------------------------

@@ -448,3 +448,37 @@ def test_corpus_diff_null_text_classifies_by_presence(spark, tmp_path, sf_dir):
         oracle,
     )
     assert not probs, probs
+
+
+def test_compaction_reduces_files_and_preserves_bytes(spark):
+    """`sink_compacted_roundtrip` mechanics: the installed index must
+    hold strictly fewer compact part-files than fragmented ones (the
+    build refuses to install otherwise — pin that the gate is real),
+    and the compacted relation must be row-for-row identical to the
+    fragmented one (compaction is byte-invisible to readers)."""
+    import pathlib
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans import merged_registry
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.corpus import _DOC_SCHEMA
+
+    sf = "/root/testdata/sf0.001"
+    queries, _ = merged_registry()
+    assert queries["sink_compacted_roundtrip"](spark, sf).count() > 0
+
+    cache_root = pathlib.Path(__file__).resolve().parents[1] / ".bench_cache"
+    dests = list(cache_root.glob("documents_compacted_*"))
+    assert dests, "compaction cache not installed"
+    dest = max(dests, key=lambda p: p.stat().st_mtime)
+
+    def parts(sub: str) -> list[pathlib.Path]:
+        return [
+            p for p in (dest / sub).iterdir()
+            if p.name.startswith("part-") and p.suffix == ".parquet"
+        ]
+
+    n_frag, n_compact = len(parts("frag")), len(parts("compact"))
+    assert n_compact < n_frag, (n_compact, n_frag)
+    frag = spark.read.schema(_DOC_SCHEMA).parquet(str(dest / "frag"))
+    compact = spark.read.schema(_DOC_SCHEMA).parquet(str(dest / "compact"))
+    assert frag.exceptAll(compact).count() == 0
+    assert compact.exceptAll(frag).count() == 0

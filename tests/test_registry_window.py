@@ -31,6 +31,9 @@ NEW_IN_R10: set[str] = {
     # IVF-PQ composite (FAISS IndexIVFPQ): cell prune × code compaction,
     # jointly-encoded index, fully oracle-checked composition
     "sim_topk_ivfpq",
+    # small-file compaction under the sink checksum gate (the storage
+    # maintenance op streaming appends require)
+    "sink_compacted_roundtrip",
 }
 
 # Round 9's additions, all driver-checked in CORRECTNESS_r09.json.
