@@ -1783,8 +1783,15 @@ def encode_ivfpq(
                     out_id.append(ids[i])
                     out_codes.append([int(c) for c in codes[j]])
                     out_cell.append(int(cells[j]))
+            # object dtype throughout: a batch with ZERO valid rows
+            # otherwise yields float64 columns, which Arrow refuses to
+            # convert to array<int> (NumPyConverter list error)
             yield pd.DataFrame(
-                {"__nid": out_id, "__codes": out_codes, "__cell": out_cell}
+                {
+                    "__nid": pd.Series(out_id, dtype="object"),
+                    "__codes": pd.Series(out_codes, dtype="object"),
+                    "__cell": pd.Series(out_cell, dtype="object"),
+                }
             )
 
     return corpus.select(

@@ -840,3 +840,62 @@ def test_ivfpq_recall_against_exact(spark):
             true_cos = cos[ids == nid][0]
             assert true_cos >= kth_true - 0.25, (qid, nid, true_cos, kth_true)
     assert hits / tot >= 0.4, f"IVF-PQ recall@10 collapsed: {hits / tot:.2f}"
+
+
+def test_ivfpq_edge_vectors_and_empty_inputs(spark):
+    """Degenerate-input contracts for the IVF-PQ pieces, mirroring the
+    parent operators': null / wrong-width vectors are DROPPED by the
+    joint encode (never a task crash), an all-invalid corpus yields the
+    empty contract schema from the composite, and an empty query set
+    yields the empty contract schema from the masked-ADC scorer."""
+    import numpy as np
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        encode_ivfpq,
+        ivfpq_adc_topk,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    cent = train_ivf_centroids(e, n_cells=16, refine_iterations=0)
+    books = train_pq_codebooks(e)
+
+    # null + ragged + zero-norm rows: only the valid-width rows survive
+    # the encode (zero-norm IS valid — it gets the unit-division guard)
+    bad = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, [1.0, 2.0]),          # ragged: wrong width
+            (900003, [0.0] * 64),          # zero-norm: valid, guarded
+            (900004, [1.0] * 64),          # plain valid
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    enc = encode_ivfpq(bad, books, cent).collect()
+    assert sorted(r["__nid"] for r in enc) == [900003, 900004]
+    for r in enc:
+        assert len(r["__codes"]) == books.shape[0]
+        assert 1 <= r["__cell"] <= 16
+
+    # all-invalid corpus → composite returns the empty contract schema
+    empty_corpus = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    out = ivfpq_topk(empty_corpus, empty_corpus, k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    ]
+
+    # empty query side → empty contract schema from the scorer
+    index = encode_ivfpq(e, books, cent)
+    no_q = e.filter(F.col("vec_id") < 0)
+    out2 = ivfpq_adc_topk(index, books, cent, no_q, k=10, n_probe=6)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    ]
