@@ -817,12 +817,22 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     refine_iterations: int = 0,
+    dim: int | None = None,
 ):
     """Train the IVF coarse quantizer: deterministic seeds (the first
     ``n_cells`` corpus vectors by id, unit-normalized) plus
     ``refine_iterations`` Lloyd (k-means) rounds. Returns the
     unit-centroid matrix (n_cells × dim numpy float64), or None for an
     empty/all-invalid corpus.
+
+    Pass ``dim`` when the caller knows the expected vector width: the
+    width predicate is then pushed BEFORE the seed ``LIMIT n_cells``,
+    mirroring the oracles' ``WHERE len(v) = dim ... LIMIT`` — so a
+    ragged vector among the first ids (or a ragged FIRST row) can
+    never make driver and oracle train from different seed sets. With
+    ``dim=None`` the width is derived from the first non-null row and
+    wrong-width rows among the first ``n_cells`` are dropped AFTER the
+    limit (legacy behavior, fine when the corpus is known-clean).
 
     The seed collect ships k·dim floats to the driver — index
     CONSTRUCTION over bytes (like any broadcast build side), never the
@@ -837,14 +847,18 @@ def train_ivf_centroids(
     """
     import numpy as np
 
+    seed_pred = F.col(vec_col).isNotNull()
+    if dim is not None:
+        seed_pred = seed_pred & (F.size(vec_col) == dim)
     cent_rows = (
         corpus.orderBy(id_col)
-        .filter(F.col(vec_col).isNotNull())
+        .filter(seed_pred)
         .limit(n_cells)
         .select(to_double(F.col(vec_col)))
         .collect()
     )
-    dim = len(cent_rows[0][0]) if cent_rows else 0
+    if dim is None:
+        dim = len(cent_rows[0][0]) if cent_rows else 0
     cent_list = [list(row[0]) for row in cent_rows if len(row[0]) == dim]
     if not cent_list:
         return None
@@ -900,11 +914,19 @@ def ivf_assign(
     narrow zero-shuffle projection (argmax over the closure-shipped
     centroid matrix), with the L2 norm computed once per vector here,
     not once per probe pair. Output columns: (``out_id``,
-    ``keep_vec``, ``{keep_vec}_n``, ``__cell``)."""
+    ``keep_vec``, ``{keep_vec}_n``, ``__cell``).
+
+    Null / wrong-width vectors are DROPPED, the same invalid-vector
+    contract as :func:`encode_ivfpq` and the oracles' valid-only
+    ``inv``/``probes`` CTEs: an invalid corpus vector must not be
+    persisted into the inverted file as a default-cell row with a NULL
+    norm (it would score NULL cosines no oracle produces), and an
+    invalid query must not probe at all."""
     cell_ranks = _make_cell_ranks(cent_unit)
+    exp_dim = int(cent_unit.shape[1])
     vec = df.select(
         F.col(id_col).alias(out_id), to_double(F.col(vec_col)).alias(keep_vec)
-    )
+    ).filter(F.col(keep_vec).isNotNull() & (F.size(keep_vec) == exp_dim))
     cells = F.slice(cell_ranks(F.col(keep_vec)), 1, top_cells)
     return vec.select(
         out_id,
@@ -974,6 +996,7 @@ def ivf_topk_cosine(
     n_cells: int = 16,
     n_probe: int = 4,
     refine_iterations: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via an IVF (inverted-file) index.
 
@@ -1001,7 +1024,7 @@ def ivf_topk_cosine(
     """
     cent_unit = train_ivf_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
-        n_cells=n_cells, refine_iterations=refine_iterations,
+        n_cells=n_cells, refine_iterations=refine_iterations, dim=dim,
     )
     if cent_unit is None:
         # empty corpus → empty result with the contract schema, like
@@ -1925,6 +1948,7 @@ def ivfpq_topk(
     n_subspaces: int = 16,
     n_codes: int = 64,
     refine_iterations: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN (FAISS ``IndexIVFPQ``): the coarse
     quantizer prunes WHICH vectors are scored (n_probe/n_cells of the
@@ -1941,7 +1965,7 @@ def ivfpq_topk(
     """
     cent = train_ivf_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
-        n_cells=n_cells, refine_iterations=0,
+        n_cells=n_cells, refine_iterations=0, dim=dim,
     )
     books = train_pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces,

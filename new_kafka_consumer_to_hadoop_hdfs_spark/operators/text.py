@@ -1023,9 +1023,16 @@ def winnow_fingerprints_arrow(
                     g = text[i : i + k]
                     v = mget(g)
                     if v is None:
-                        v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                        gb = g.encode("utf-8")
+                        v = int(hashlib.md5(gb).hexdigest()[:8], 16)
                         memo[g] = v
-                        memo_bytes += 190 + len(g)
+                        # charge the UTF-8 byte length (already computed
+                        # for the hash), not len(g): multibyte grams cost
+                        # up to 4× their char count in both the encoded
+                        # payload and CPython's UCS-2/UCS-4 storage, so
+                        # char-counting would let non-ASCII corpora blow
+                        # the budget several-fold.
+                        memo_bytes += 190 + len(gb)
                     hs.append(v)
                 arr = np.array(hs, dtype=np.uint32)
                 m = arr[: n - w + 1].copy()

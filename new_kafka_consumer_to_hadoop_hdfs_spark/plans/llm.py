@@ -2022,7 +2022,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_ivf() -> DataFrame:
         return ivf_topk_cosine(
             e, q, id_col="vec_id", vec_col="embedding", k=10,
-            n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+            n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, dim=_EMB_DIM,
         )
 
     def build_lsh() -> DataFrame:
@@ -2059,7 +2059,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, books = _stored_pq_index(spark, sf_dir, e)
         cent = train_ivf_centroids(
             e, id_col="vec_id", vec_col="embedding",
-            n_cells=_IVF_CELLS, refine_iterations=0,
+            n_cells=_IVF_CELLS, refine_iterations=0, dim=_EMB_DIM,
         )
         if books is None or cent is None:
             return spark.createDataFrame(
@@ -2241,7 +2241,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk_cosine(
         e, q, id_col="vec_id", vec_col="embedding", k=10,
-            n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, dim=_EMB_DIM,
     ).orderBy("query_id", "rank")
 
 
@@ -2259,8 +2259,9 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk_cosine(
-        e, q, id_col="vec_id", vec_col="embedding",
-        k=10, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, refine_iterations=2,
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, refine_iterations=2,
+        dim=_EMB_DIM,
     ).orderBy("query_id", "rank")
 
 
@@ -2308,7 +2309,7 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tmp: str) -> None:
         cent = train_ivf_centroids(
             e, id_col="vec_id", vec_col="embedding",
-            n_cells=_IVF_CELLS, refine_iterations=2,
+            n_cells=_IVF_CELLS, refine_iterations=2, dim=_EMB_DIM,
         )
         if cent is None:  # no valid vectors: install an EMPTY index
             spark.createDataFrame(
@@ -2342,12 +2343,15 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # surface the install-complete marker where the cache expects it
         pathlib.Path(tmp, "_SUCCESS").touch()
 
-    # index parameters are baked into the cache NAME (cells × probe ×
-    # refine rounds), like the PQ cache — changing the config can never
-    # serve a stale index trained under the old one
+    # INDEX parameters are baked into the cache NAME (cells × refine
+    # rounds), like the PQ cache — changing them can never serve a
+    # stale index trained under the old config. n_probe is a
+    # SEARCH-time knob (it shapes the probe join, not the persisted
+    # centroids/inverted file), so it stays out of the name: widening
+    # the probe must not rebuild an identical index.
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "embeddings.parquet",
-        f"embeddings_ivf{_IVF_CELLS}p{_IVF_PROBE}r2",
+        f"embeddings_ivf{_IVF_CELLS}r2",
         build,
     )
     memo_key = (dest, pathlib.Path(dest, "_SRC_FINGERPRINT.json").read_text())

@@ -170,6 +170,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__t"),
     )
     return base.rollup("o_orderstatus", "o_orderpriority").agg(
+        # Empty-source edge (ADVICE r10, investigated r11): Spark's
+        # rollup emits NO rows over an empty input — including the ()
+        # grouping set — in the SINGLE-level form too, so this
+        # two-level form is exactly equivalent on every input
+        # (pinned by test_two_level_rollup_cube_empty_source). DuckDB
+        # emits one (NULL, NULL, 0, NULL) grand-total row there; that
+        # is a pre-existing engine-semantics difference, out of
+        # contract (the testdata tables are never empty), NOT a
+        # two-level artifact. SUM(__n) is never NULL on any emitted
+        # row (each grouping-set row covers ≥1 pre-agg row).
         F.sum("__n").alias("n_orders"),
         F.sum("__t").cast("double").alias("total"),
     )
@@ -205,6 +215,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
     )
     return base.cube("l_returnflag", "l_linestatus").agg(
+        # empty-source edge: identical to single-level Spark cube (0
+        # rows) — see agg_rollup's note; SUM(__n) never NULL otherwise
         F.sum("__n").alias("n_items"),
         F.sum("__q").cast("double").alias("sum_qty"),
     )

@@ -899,3 +899,85 @@ def test_ivfpq_edge_vectors_and_empty_inputs(spark):
     assert [f.name for f in out2.schema.fields] == [
         "query_id", "neighbor_id", "cos_sim", "rank",
     ]
+
+
+def test_ivf_invalid_vector_contract(spark):
+    """ADVICE r10 contracts: (a) `train_ivf_centroids(dim=...)` pushes
+    the width predicate BEFORE the seed LIMIT — a ragged vector among
+    (or at the head of) the first ids can never make the driver train
+    different seeds than the oracle's `WHERE len(v)=dim ... LIMIT`;
+    (b) `ivf_assign` DROPS null/ragged vectors, the same
+    invalid-vector contract as `encode_ivfpq` and the oracles'
+    valid-only inv/probes CTEs — no default-cell NULL-norm rows may
+    reach a persisted inverted file."""
+    import numpy as np
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),              # ragged HEAD row (dim 2, not 3)
+            (2, [1.0, 0.0, 0.0]),
+            (3, None),                    # null
+            (4, [0.0, 2.0, 0.0]),
+            (5, [0.0, 0.0, 5.0]),
+            (6, [1.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = train_ivf_centroids(corpus, n_cells=2, dim=3)
+    # seeds = first 2 VALID-WIDTH vectors by id: ids 2 and 4, unit-norm
+    expected = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    assert cent.shape == (2, 3)
+    assert np.allclose(cent, expected)
+
+    assigned = ivf_assign(
+        corpus, cent, id_col="vec_id", vec_col="embedding",
+        out_id="neighbor_id", keep_vec="__cv", top_cells=1,
+    ).collect()
+    # ragged id 1 and null id 3 are dropped; every surviving row has a
+    # real norm and a real cell (never the default-order fallback)
+    assert sorted(r["neighbor_id"] for r in assigned) == [2, 4, 5, 6]
+    for r in assigned:
+        assert r["__cv_n"] is not None
+        assert r["__cell"] in (1, 2)
+
+
+def test_two_level_rollup_cube_empty_source(spark, tmp_path):
+    """ADVICE r10 investigated: the two-level rollup/cube rewrite did
+    NOT change empty-source semantics, because Spark's SINGLE-level
+    rollup/cube already emit zero rows over an empty input (no ()
+    grand-total row) — verified here directly. The two-level form must
+    match that native behavior exactly. DuckDB emits one
+    (NULL, NULL, 0, NULL) row on this edge; that is a pre-existing
+    Spark-vs-DuckDB engine difference, documented out of contract in
+    `agg_rollup` (the testdata tables are never empty)."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.plans.relational import (
+        agg_cube,
+        agg_rollup,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+
+    sf = str(tmp_path)
+    for name in ("orders", "lineitem"):
+        load_table(spark, SF, name).limit(0).write.parquet(
+            f"{sf}/{name}.parquet"
+        )
+
+    # native single-level baseline: empty input → zero rows
+    empty_orders = load_table(spark, sf, "orders")
+    single = (
+        empty_orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*"), F.sum("o_totalprice"))
+        .collect()
+    )
+    assert single == []
+
+    # the registered two-level queries match it on the same edge
+    assert agg_rollup(spark, sf).collect() == []
+    assert agg_cube(spark, sf).collect() == []
