@@ -71,6 +71,48 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _host_snapshot() -> dict:
+    """Host-load marker (VERDICT r10 task 3): this co-tenant rig's
+    whole-run rate moves ~1.3x with machine load, and the r10 driver
+    record could only be adjudicated against the same-code preflight
+    via git archeology. Recording /proc/loadavg and memory-in-use at
+    both ends of the run makes every BENCH record carry its own
+    context. Linux-only; degrades to {} elsewhere."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            snap["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                key, _, rest = line.partition(":")
+                mem[key] = int(rest.split()[0])  # kB
+        snap["mem_used_gib"] = round(
+            (mem["MemTotal"] - mem["MemAvailable"]) / 1048576, 2
+        )
+    except (OSError, KeyError, ValueError, IndexError):
+        pass
+    return snap
+
+
+def _canary_names(timings: dict[str, float]) -> list[str]:
+    """Pick 3 deterministic canaries spanning the cost range (p10 /
+    p50 / p90 by main-loop time, preferring queries above the 0.5 s
+    noise floor) for the end-of-run drift re-time."""
+    eligible = sorted(
+        (t, n) for n, t in timings.items() if t >= 0.5
+    ) or sorted((t, n) for n, t in timings.items())
+    if not eligible:
+        return []
+    picks = {
+        eligible[int(p * (len(eligible) - 1))][1] for p in (0.1, 0.5, 0.9)
+    }
+    return sorted(picks)
+
+
 def _compact_summary(result: dict) -> dict:
     """Derive the < 2000-char trailing summary from the full record.
 
@@ -92,6 +134,12 @@ def _compact_summary(result: dict) -> dict:
             "repeat": result["repeat"],
             "n_queries": len(result["queries"]),
             "n_errors": len(result.get("errors", {})),
+            # the drift marker and end-of-run load must survive driver
+            # tail truncation — they ride the compact line too
+            "canary_drift": result.get("canary", {}).get("drift"),
+            "load1_end": (
+                result.get("host", {}).get("end", {}).get("loadavg") or [None]
+            )[0],
             "queries": dict(slowest[:top_n]),
             "full_record": "BENCH_local_latest.json",
         }
@@ -145,6 +193,7 @@ def main() -> None:
     # comparisons reflect plan changes, not scheduler jitter. A query
     # that errors is recorded under "errors" instead of killing the
     # whole bench (round 2 lost its entire bench to one load failure).
+    host_start = _host_snapshot()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -156,6 +205,33 @@ def main() -> None:
             continue
         timings[name] = round(sec, 4)
         print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
+
+    # End-of-run CANARY (VERDICT r10 task 3): re-time 3 queries that
+    # already ran in the main loop. drift = Σend / Σmain. A sustained
+    # load arriving MID-run inflates the tail relative to the head and
+    # shows as drift > 1; a genuine code regression re-times the same
+    # (drift ≈ 1) — so bench_compare can tell "the host slowed during
+    # this run" apart from "the code got slower" without git archeology.
+    canary: dict[str, dict[str, float]] = {}
+    for name in _canary_names(timings):
+        try:
+            sec = min(materialize(name) for _ in range(repeat))
+        except Exception as exc:  # noqa: BLE001 — the marker is best-effort
+            print(f"bench: canary {name} ERROR {exc}", file=sys.stderr)
+            continue
+        canary[name] = {"main": timings[name], "end": round(sec, 3)}
+        print(f"bench: canary {name} {timings[name]:.3f}s -> {sec:.3f}s",
+              file=sys.stderr)
+    canary_drift = (
+        round(
+            sum(c["end"] for c in canary.values())
+            / max(sum(c["main"] for c in canary.values()), 1e-9),
+            3,
+        )
+        if canary
+        else None
+    )
+    host_end = _host_snapshot()
 
     # Per-query entries ordered FASTEST-FIRST so if a consumer tails the
     # FULL line, the slowest — most diagnostic — queries still land at
@@ -170,6 +246,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "repeat": repeat,
+        "host": {"start": host_start, "end": host_end},
+        "canary": {"queries": canary, "drift": canary_drift},
     }
     if errors:
         result["errors"] = errors

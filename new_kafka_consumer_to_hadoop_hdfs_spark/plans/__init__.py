@@ -211,31 +211,45 @@ DRIVER_CHECKED_R9 = frozenset({
     "q15_top_supplier",
 })
 
+# Checked in round 10 (CORRECTNESS_r10.json: 49 hash-green + the
+# rows-only-by-design sliding-HLL sketch, zero failures). Composition:
+# the 3 new r10 queries (stored IVF, IVF-PQ, compacted sink), the
+# oracle-upgraded sim_recall_report re-ride, pinned q11 (second row on
+# its scale-free threshold), the 9-query r6-stale cohort, and 36 of
+# the r7-stale cohort.
+DRIVER_CHECKED_R10 = frozenset({
+    "dedup_embedding_cosine", "dedup_exact_docs", "dedup_exact_events",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "embedding_centroid_per_label",
+    "event_distinct_sliding", "event_distinct_sliding_hll", "event_interarrival_stats",
+    "event_session_window", "event_sliding_window", "event_tumbling_window",
+    "join_salted_skew", "pipeline_corpus_dedup", "pipeline_curriculum_order",
+    "pipeline_decontaminate", "pipeline_graph_triangles", "pipeline_incremental_dedup",
+    "pipeline_mix_languages", "pipeline_pack_sequences", "pipeline_quality_filter",
+    "pipeline_scd2_intervals", "pipeline_similar_docs_report", "pipeline_stratified_sample",
+    "pipeline_train_val_split", "q11_important_value", "q16_supplier_part_count",
+    "q20_excess_shipments", "q21_waiting_suppliers", "scalar_array_functions",
+    "sim_recall_report", "sim_topk_cosine", "sim_topk_cosine_arrow",
+    "sim_topk_cosine_int8", "sim_topk_cosine_int8_stored", "sim_topk_cosine_mapside",
+    "sim_topk_ivf_stored", "sim_topk_ivfpq", "sim_topk_pq_stored",
+    "sink_compacted_roundtrip", "sink_orc_roundtrip", "text_fingerprint",
+    "text_language_id", "text_quality_score", "text_repetition_stats",
+    "text_stats", "text_tfidf_keywords", "text_token_count",
+    "text_token_histogram", "text_winnow_fingerprint",
+})
+
 # Queries whose ORACLE was upgraded AFTER their most recent driver row:
 # the banked evidence predates the contract it would vouch for, so the
 # rotation treats them as never-checked until a fresh driver row lands
 # (precedent: sim_topk_pq's r6 row was a `no_oracle` rows-only check;
 # its hash oracle landed in r7 and its driver-of-record row in r8).
-# Round-10 reset: the r9 upgrades (dedup_simhash / sim_recall_report /
-# join_bloom_prefilter) earned their driver-of-record rows in
-# CORRECTNESS_r09. ONE new upgrade this round: sim_recall_report
-# gained the `ivfpq` method row (the round-10 IndexIVFPQ composite —
-# its oracle CTEs share cellrank/inv and cenc/books3/qsub with the
-# parent rows), so its r9 row vouches for a 5-row relation that no
-# longer exists; it leads the r10 window for a fresh 6-row
-# driver-of-record row.
-ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset({"sim_recall_report"})
-
-# One-round pin (VERDICT r9 task 1): q11_important_value's threshold
-# went scale-free (2x average per-part value) in commit d3eb135 near
-# round-9 close. Its r9 driver row ran at window position 47 after the
-# commit landed, but the judge wants an unambiguous r10 row on the new
-# contract. Retire this set in r11. (The r9 pins — the 4 seeded
-# LSH/IVF contracts — earned their second consecutive rows in
-# CORRECTNESS_r09 and are retired.)
-PINNED_WINDOW_R10 = frozenset({
-    "q11_important_value",
-})
+# Round-11 reset: sim_recall_report earned its 6-row driver-of-record
+# row in CORRECTNESS_r10. No upgrades this round — the r11 ADVICE
+# fixes (seed-width pushdown, ivf_assign invalid-drop) change behavior
+# only on invalid-vector edges the oracles already excluded, so the
+# banked evidence still vouches for the live contracts. (q11's one-
+# round pin also retired: its r10 row confirms the scale-free
+# threshold.)
+ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset()
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -271,12 +285,14 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # Pure staleness rotation (round 6 on): sort by the round of
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
-        # queries whose oracle was upgraded after their last check and
-        # the one-round PINNED set. The r10 window (first 50) is
-        # therefore: new + pinned q11, then the 9-query r6-stale
-        # cohort, then the r7 cohort's head in module order.
-        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK or name in PINNED_WINDOW_R10:
+        # queries whose oracle was upgraded after their last check.
+        # The r11 window (first 50) is therefore: any new queries,
+        # then the 11 r7-stale leftovers, then the r8 cohort's head in
+        # module order.
+        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK:
             return 0
+        if name in DRIVER_CHECKED_R10:
+            return 8
         if name in DRIVER_CHECKED_R9:
             return 7
         if name in DRIVER_CHECKED_R8:

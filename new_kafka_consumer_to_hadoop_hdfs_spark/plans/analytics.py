@@ -181,6 +181,63 @@ def sink_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_checksums(back)
 
 
+@_register("sink_versioned_compaction", _orc_roundtrip_oracle())
+def sink_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated APPEND + ONLINE COMPACTION under the sink
+    checksum gate — `sink_compacted_roundtrip`'s missing half. That
+    query proves a one-shot rewrite is byte-invisible; this one proves
+    the TABLE FORMAT around it: the documents table arrives as 8
+    separate appends into a manifest-pointer versioned table
+    (`sources/maintenance.py` — immutable data files, a JSON manifest
+    per version, CURRENT flipped by atomic rename: the minimal
+    Iceberg/Delta commit protocol), compaction runs TWICE between
+    appends exactly as it would behind a streaming ingest, superseded
+    files are vacuumed, and the read side — resolving the pointer, then
+    scanning an immutable file list — must pass the same per-(lang,
+    source) checksum oracle as every other sink. Readers never see a
+    partial-file window at any interleaving: the mid-stream invariant
+    is asserted per-epoch in `test_streaming_append_online_compaction`.
+
+    At 100 TB the manifest shards per partition/day and the pointer
+    flip lives in a metastore, but the commit protocol (readers
+    resolve an immutable file LIST, never a mutable directory) and the
+    narrow no-shuffle compaction are exactly these.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import append_batch, compact, read_table, vacuum
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        # 8 modulus-sliced appends: the micro-batch arrival shape with
+        # deterministic membership (no dependence on file layout)
+        for i in range(8):
+            append_batch(
+                docs.filter(F.col("doc_id") % 8 == i).repartition(4),
+                root, i,
+            )
+            if i in (3, 6):  # compact between appends, like the ingest
+                reduced = compact(
+                    spark, root, _DOC_SCHEMA, target_bytes=8 << 20
+                )
+                if reduced <= 0:
+                    raise RuntimeError(
+                        f"online compaction after append {i} was a no-op"
+                    )
+        if vacuum(root) <= 0:
+            raise RuntimeError("vacuum found no superseded files")
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_versioned", build
+    )
+    return _roundtrip_checksums(read_table(spark, f"{dest}/table", _DOC_SCHEMA))
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 interval construction (gaps and islands)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,185 @@
+"""Versioned parquet table: manifest-pointer snapshot isolation for
+streaming appends with ONLINE compaction.
+
+The reference's sink is a plain HDFS directory the job overwrites
+(HadoopKafkaConsumer.java:96-97,138-147); a *streaming* ingest instead
+appends a few small files per micro-batch, and the compaction that
+keeps file counts bounded must not create a window where a reader sees
+half-rewritten data. Plain parquet directories can't do that —
+``mode("overwrite")`` deletes before it writes — so this module
+implements the minimal form of the pattern every transactional table
+format (Iceberg, Delta, Hudi) is built on:
+
+- data files are immutable and uniquely named under ``root/data/``;
+- a MANIFEST (``root/manifests/m-NNNNNNNN.json``) lists the live files
+  of one table version;
+- ``root/CURRENT`` names the current manifest and is replaced with
+  ``os.replace`` — an atomic POSIX rename, so every reader resolves to
+  a complete, existing file set: either wholly before or wholly after
+  any append/compaction, never between.
+
+Appends ADD files and flip the pointer; compaction rewrites the live
+set into ~``target_bytes`` files (``coalesce`` — a narrow rewrite, no
+shuffle) and flips the pointer to the replacement set. Superseded
+files stay on disk until ``vacuum`` so an in-flight reader holding the
+previous manifest still resolves every file (snapshot isolation);
+vacuum is safe once no reader can hold a pre-compaction manifest
+(at 100 TB: a retention horizon, exactly Delta's ``VACUUM``).
+
+Scale notes: one manifest listing every file is the TOY form — at
+100 TB manifests shard per partition/day and the pointer flip moves to
+a metastore/log, but the invariant carried by this module (readers
+resolve an immutable file LIST, never a mutable directory) is the one
+that matters, and the compaction itself stays a per-partition narrow
+rewrite behind the ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_manifest(root: str) -> tuple[str | None, list[str]]:
+    """Resolve the current (manifest name, live data-file names).
+    ``(None, [])`` for a table with no committed version yet."""
+    cur = pathlib.Path(root, "CURRENT")
+    try:
+        name = cur.read_text().strip()
+    except FileNotFoundError:
+        return None, []
+    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+    return name, list(doc["files"])
+
+
+def manifest_files(root: str, name: str) -> list[str]:
+    """The file list of a SPECIFIC manifest (a reader's held snapshot)."""
+    return list(json.loads(
+        pathlib.Path(root, "manifests", name).read_text()
+    )["files"])
+
+
+def _flip(root: str, files: list[str], note: str) -> str:
+    """Commit a new version: write manifest m-(seq+1), atomically
+    replace CURRENT. The rename is the commit point — a crash before
+    it leaves the previous version intact and current."""
+    mdir = pathlib.Path(root, "manifests")
+    mdir.mkdir(parents=True, exist_ok=True)
+    cur, _ = read_manifest(root)
+    seq = int(cur.split("-")[1].split(".")[0]) + 1 if cur else 0
+    name = f"m-{seq:08d}.json"
+    (mdir / name).write_text(
+        json.dumps({"files": sorted(files), "note": note})
+    )
+    tmp = pathlib.Path(root, f".CURRENT.tmp.{seq}")
+    tmp.write_text(name)
+    os.replace(tmp, pathlib.Path(root, "CURRENT"))  # atomic POSIX rename
+    return name
+
+
+def _adopt(staging: pathlib.Path, data: pathlib.Path, prefix: str) -> list[str]:
+    """Move a Spark job's part-files out of its staging dir into
+    ``data/`` under unique immutable names (same filesystem →
+    ``os.replace`` is a metadata move, not a copy)."""
+    data.mkdir(parents=True, exist_ok=True)
+    adopted: list[str] = []
+    parts = sorted(
+        p for p in staging.iterdir()
+        if p.name.startswith("part-") and not p.name.endswith(".crc")
+    )
+    for i, p in enumerate(parts):
+        tgt = data / f"{prefix}-{i:05d}{''.join(p.suffixes)}"
+        os.replace(p, tgt)
+        adopted.append(tgt.name)
+    shutil.rmtree(staging)
+    return adopted
+
+
+def append_batch(df: DataFrame, root: str, batch_id: int) -> str:
+    """Append one micro-batch: write to staging, adopt the files,
+    flip CURRENT to (live + new). The ``batch_id`` keys the file names,
+    so a foreachBatch RETRY of the same epoch overwrites its own
+    staging rather than double-adopting."""
+    root_p = pathlib.Path(root)
+    staging = root_p / f".staging-{batch_id}"
+    df.write.mode("overwrite").parquet(str(staging))
+    adopted = _adopt(staging, root_p / "data", f"b{batch_id:08d}")
+    _, live = read_manifest(root)
+    return _flip(root, live + adopted, f"append batch {batch_id}")
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    schema,
+    *,
+    target_bytes: int = 96 << 20,
+) -> int:
+    """Rewrite the live set into ``ceil(total/target_bytes)`` files
+    (floor 1) and flip the pointer. Returns the file-count reduction
+    (0 = nothing to do). Narrow ``coalesce`` rewrite — compaction must
+    never pay a corpus shuffle just to glue files. Superseded files
+    are left for :func:`vacuum`."""
+    cur, live = read_manifest(root)
+    if len(live) <= 1:
+        return 0
+    data = pathlib.Path(root, "data")
+    total = sum((data / f).stat().st_size for f in live)
+    target = max(1, math.ceil(total / target_bytes))
+    if target >= len(live):
+        return 0
+    seq = int(cur.split("-")[1].split(".")[0]) + 1
+    staging = pathlib.Path(root, f".compact-{seq}")
+    (
+        spark.read.schema(schema)
+        .parquet(*[str(data / f) for f in live])
+        .coalesce(target)
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    adopted = _adopt(staging, data, f"c{seq:08d}")
+    _flip(root, adopted, f"compact {len(live)} -> {len(adopted)} files")
+    return len(live) - len(adopted)
+
+
+def vacuum(root: str) -> int:
+    """Delete data files no CURRENT manifest references. Safe once no
+    reader can still hold a pre-compaction manifest (a retention
+    horizon in production). Returns the number of files removed."""
+    _, live = read_manifest(root)
+    keep = set(live)
+    data = pathlib.Path(root, "data")
+    removed = 0
+    if data.is_dir():
+        for p in list(data.iterdir()):
+            if p.name not in keep and not p.name.startswith("."):
+                p.unlink()
+                removed += 1
+    return removed
+
+
+def read_table(spark: SparkSession, root: str, schema) -> DataFrame:
+    """Read the CURRENT version — resolve the pointer once, then scan
+    an immutable file list (never the mutable directory)."""
+    _, live = read_manifest(root)
+    if not live:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{root}/data/{f}" for f in live]
+    )
+
+
+def read_snapshot(spark: SparkSession, root: str, name: str, schema) -> DataFrame:
+    """Read a SPECIFIC manifest — what an in-flight reader that
+    resolved CURRENT before a concurrent compaction effectively does."""
+    files = manifest_files(root, name)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{root}/data/{f}" for f in files]
+    )

@@ -5,25 +5,33 @@ entries of ``merged_registry()`` per round, so iteration order decides
 which queries earn hard driver evidence. Round 6 on, ordering is a pure
 STALENESS rotation: never-driver-checked (newly added) queries first,
 then ascending by the round of each query's most recent driver
-CORRECTNESS row (r3-era before r4 … before r9). Two priority-0
-overrides beyond "new": ``ORACLE_UPGRADED_SINCE_LAST_CHECK`` (banked
-evidence predates a contract change) and the round's one-shot pin set
-(``PINNED_WINDOW_R10``: VERDICT r9 task 1 — q11_important_value's
-scale-free threshold landed at r9 close and needs an unambiguous r10
-driver row). These tests lock that ordering so a refactor can't
-silently rotate coverage back, and force every newly added oracle query
-to be registered in ``NEW_IN_R10`` below (it claims a window slot from
-the stale cohort's tail — keep new queries per round small or the
-stalest cohort spills).
+CORRECTNESS row (r3-era before r4 … before r10). One priority-0
+override beyond "new": ``ORACLE_UPGRADED_SINCE_LAST_CHECK`` (banked
+evidence predates a contract change); one-shot pin sets (r9's seeded
+contracts, r10's q11) are retired once their driver rows land. These
+tests lock that ordering so a refactor can't silently rotate coverage
+back, and force every newly added oracle query to be registered in
+``NEW_IN_R11`` below (it claims a window slot from the stale cohort's
+tail — keep new queries per round small or the stalest cohort spills).
 """
 
 from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 10 — no banked evidence exists,
-# so they lead the window. Every name here pushes one r7-era query out
-# to round 11 (the r10 head already holds the pinned q11).
+# Oracle-backed queries ADDED in round 11 — no banked evidence exists,
+# so they lead the window. Every name here pushes one r8-era query out
+# to round 12.
+NEW_IN_R11: set[str] = {
+    # snapshot-isolated append + online compaction through the
+    # manifest-pointer versioned table (sources/maintenance.py) — the
+    # commit protocol behind `sink_compacted_roundtrip` (VERDICT r10
+    # task 5; per-epoch reader invariant pinned in
+    # test_streaming_append_online_compaction)
+    "sink_versioned_compaction",
+}
+
+# Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
 NEW_IN_R10: set[str] = {
     # stored-index IVF: persisted centroids + cell-partitioned inverted
     # file, same oracle as sim_topk_ivf_kmeans (VERDICT r9 task 3)
@@ -35,6 +43,13 @@ NEW_IN_R10: set[str] = {
     # maintenance op streaming appends require)
     "sink_compacted_roundtrip",
 }
+
+# r10's priority-0 overrides, now banked inside DRIVER_CHECKED_R10:
+# sim_recall_report's oracle gained the ivfpq method row after its r9
+# driver row, and q11_important_value rode a one-round pin for an
+# unambiguous row on its scale-free threshold (VERDICT r9 task 1).
+R10_UPGRADED: set[str] = {"sim_recall_report"}
+R10_PINNED: set[str] = {"q11_important_value"}
 
 # Round 9's additions, all driver-checked in CORRECTNESS_r09.json.
 NEW_IN_R9: set[str] = {
@@ -94,8 +109,8 @@ def _registry():
         DRIVER_CHECKED_R7,
         DRIVER_CHECKED_R8,
         DRIVER_CHECKED_R9,
+        DRIVER_CHECKED_R10,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
-        PINNED_WINDOW_R10,
         merged_registry,
     )
 
@@ -110,16 +125,16 @@ def _registry():
         DRIVER_CHECKED_R7,
         DRIVER_CHECKED_R8,
         DRIVER_CHECKED_R9,
+        DRIVER_CHECKED_R10,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
-        PINNED_WINDOW_R10,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, r5, r6, r7, r8, r9, upgraded, pinned = _registry()
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, upgraded = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
-        ("R8", r8), ("R9", r9),
+        ("R8", r8), ("R9", r9), ("R10", r10),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -154,60 +169,66 @@ def test_banked_names_exist():
     assert r9 & r7 == R9_UPGRADED
     assert r9 & (r5 - r6 - r7 - r8) == {"event_anomaly_zscore"}
     assert len(r9 & (r6 - r7 - r8)) == 40
-    # the oracle-upgraded override only makes sense for names with a
-    # stale banked row — a never-checked name is already priority 0.
-    # Round 10: sim_recall_report gained the ivfpq method row after its
-    # r9 driver row (its banked 5-row relation no longer exists).
-    assert upgraded == {"sim_recall_report"}
-    assert upgraded <= r9, "the r10 upgraded set is r9-banked by design"
-    # the r10 pin: q11's scale-free threshold (commit d3eb135) gets an
-    # unambiguous post-change driver row (VERDICT r9 task 1)
-    assert pinned == {"q11_important_value"}
-    assert pinned <= r9
+    # r10's window: the 3 new queries, the oracle-upgraded report and
+    # pinned q11 re-rides (both r9-banked), the 9-query r6-stale
+    # cohort, and 36 of the r7-stale cohort
+    assert len(r10) == 50
+    assert NEW_IN_R10 <= r10
+    assert r10 & r9 == R10_UPGRADED | R10_PINNED
+    assert len(r10 & (r6 - r7 - r8 - r9)) == 9
+    assert len(r10 & (r7 - r8 - r9)) == 36
+    assert not (r8 & r10), "round 10's window re-checked no r8-banked query"
+    # Round-11 reset: sim_recall_report and q11 earned their
+    # driver-of-record rows in CORRECTNESS_r10; no oracle contract has
+    # changed since any banked row (the r11 invalid-vector-edge fixes
+    # are outside every oracle's valid-only CTEs).
+    assert upgraded == set()
 
 
 def test_every_query_has_banked_or_new_status():
-    names, _, r23, r4, r5, r6, r7, r8, r9, _u, _p = _registry()
-    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9
-    assert never == NEW_IN_R10, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R10} — newly "
-        "added oracle queries must be registered in NEW_IN_R10"
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, _u = _registry()
+    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10
+    assert never == NEW_IN_R11, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R11} — newly "
+        "added oracle queries must be registered in NEW_IN_R11"
     )
 
 
 def test_window_is_staleness_ordered():
-    names, _, r23, r4, r5, r6, r7, r8, r9, upgraded, pinned = _registry()
-    assert not (r23 - r5 - r6 - r7 - r8 - r9), "every r3-era query was re-checked"
-    assert not (r4 - r5 - r6 - r7 - r8 - r9), "every r4-era query was re-checked"
-    assert not (r5 - r6 - r7 - r8 - r9), (
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, upgraded = _registry()
+    assert not (r23 - r5 - r6 - r7 - r8 - r9 - r10), "every r3-era query re-checked"
+    assert not (r4 - r5 - r6 - r7 - r8 - r9 - r10), "every r4-era query re-checked"
+    assert not (r5 - r6 - r7 - r8 - r9 - r10), (
         "every r5-era query was re-checked (event_anomaly_zscore rode in r9)"
     )
-    # new + oracle-upgraded + pinned queries lead
-    head = NEW_IN_R10 | upgraded | pinned
+    assert not (r6 - r7 - r8 - r9 - r10), (
+        "every r6-era query was re-checked (the 9-query cohort rode in r10)"
+    )
+    # new + oracle-upgraded queries lead (none this round so far)
+    head = NEW_IN_R11 | upgraded
     assert set(names[: len(head)]) == head
-    # the r6-stale cohort (9 queries) follows the head in module order
-    stale_r6 = r6 - r7 - r8 - r9
-    assert len(stale_r6) == 9
-    assert set(names[len(head): len(head) + 9]) == stale_r6
-    # the window's remaining slots go to the r7-stale cohort's head in
+    # the 11-query r7-stale cohort follows in module order — VERDICT r10
+    # task 1: after the r11 window lands, no query's latest driver row
+    # is older than r8
+    stale_r7 = r7 - r8 - r9 - r10
+    assert len(stale_r7) == 11
+    assert set(names[len(head): len(head) + 11]) == stale_r7
+    # the window's remaining slots go to the r8-stale cohort's head in
     # module order
     window = names[:WINDOW]
-    stale_r7 = r7 - r8 - r9
-    assert len(stale_r7) == 47
-    n_r7_slots = WINDOW - len(head) - len(stale_r6)
-    assert n_r7_slots >= 0, "new-query additions overflowed the window"
+    stale_r8 = r8 - r9 - r10
+    assert len(stale_r8) == 46  # 50 minus the 4 r9-pinned LSH/IVF re-rides
+    n_r8_slots = WINDOW - len(head) - len(stale_r7)
+    assert n_r8_slots >= 0, "new-query additions overflowed the window"
     expected = (
         head
-        | stale_r6
-        | set([n for n in names if n in stale_r7][:n_r7_slots])
+        | stale_r7
+        | set([n for n in names if n in stale_r8][:n_r8_slots])
     )
     assert set(window) == expected, (
-        f"round-10 window drifted: unexpected={set(window) - expected} "
+        f"round-11 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r9-checked, minus the pinned q11 re-ride and
-    # the oracle-upgraded report, both of which lead instead) rides at
-    # the very back
-    back = r9 - pinned - upgraded
-    tail = names[-len(back):]
-    assert set(tail) == back, "r9-banked queries must occupy the registry tail"
+    # freshest evidence (r10-checked) rides at the very back
+    tail = names[-len(r10):]
+    assert set(tail) == r10, "r10-banked queries must occupy the registry tail"

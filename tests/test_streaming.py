@@ -1189,6 +1189,193 @@ def test_streaming_bmp_decode_equals_batch(spark, tmp_path, sf_dir, provider):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_streaming_wav_decode_equals_batch(spark, tmp_path, sf_dir, provider):
+    """The WAV codec gets the streaming treatment BMP got (VERDICT r10
+    task 4): stream the documents table file-by-file, encode genuine
+    RIFF/WAVE PCM containers and chunk-walk-decode them INSIDE each
+    micro-batch (chained mapInPandas on an unbounded DF), roll the
+    amplitude stats into a stateful per-(channels, sample_rate)
+    aggregate, and require the settled result to equal the batch twin —
+    under BOTH state-store providers. The position-weighted amplitude
+    sum means a decoder that mis-walks chunks across the batch boundary
+    cannot cancel out."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        decode_wav_stats,
+        documents_as_wav_assets,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.dedup import (
+        rocksdb_state_conf,
+    )
+
+    confs = rocksdb_state_conf() if provider == "rocksdb" else {}
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = tmp_path / f"wavsrc_{provider}"
+        # 3 files → 3 micro-batches under maxFilesPerTrigger=1: the
+        # rollup must MERGE decoded stats across batches, so the state
+        # store is genuinely engaged
+        docs.repartition(3).write.parquet(str(src))
+
+        def rollup(stats):
+            return stats.groupBy("channels", "sample_rate").agg(
+                F.count("*").alias("n_assets"),
+                F.sum("n_frames").alias("total_frames"),
+                F.sum("sum_amp").alias("total_amp"),
+                F.sum("pos_weighted_amp").alias("total_pwa"),
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        decoded = decode_wav_stats(documents_as_wav_assets(stream))
+        updates: list[tuple] = []
+
+        def collect(batch_df, epoch_id):
+            updates.extend(
+                (r.channels, r.sample_rate, r.n_assets, r.total_frames,
+                 r.total_amp, r.total_pwa)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            rollup(decoded)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"wavckpt_{provider}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # update-mode re-emits a key per batch; the LAST emit is final
+        final = {}
+        for ch, sr, n, tf, ta, tpwa in updates:
+            final[(ch, sr)] = (n, tf, ta, tpwa)
+        expected = {
+            (r.channels, r.sample_rate):
+                (r.n_assets, r.total_frames, r.total_amp, r.total_pwa)
+            for r in rollup(
+                decode_wav_stats(
+                    documents_as_wav_assets(spark.read.parquet(str(src)))
+                )
+            ).collect()
+        }
+        assert final == expected
+        # the fixture rule spreads docs over up to 2×3 (ch, rate) shapes
+        assert len(expected) > 1
+        if provider == "rocksdb":
+            assert "RocksDB" in spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
+    """Compaction behind a REAL streaming ingest (VERDICT r10 task 5):
+    `sink_compacted_roundtrip` fragments with a batch repartition; here
+    the fragmented state is produced the way production produces it —
+    a file stream appending one micro-batch at a time through
+    `append_batch` — with `compact` running BETWEEN micro-batches, and
+    the reader invariant asserted at every step: a read through the
+    manifest pointer sees EVERY committed row, at every moment, with
+    no partial-file window (the pointer flip is an atomic rename), and
+    a reader that resolved the pointer BEFORE a compaction still reads
+    its full snapshot afterwards (superseded files survive until
+    vacuum)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        compact,
+        read_manifest,
+        read_snapshot,
+        read_table,
+        vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, text string"
+    src = tmp_path / "compsrc"
+    docs.repartition(6).write.parquet(str(src))
+    all_ids = {r.doc_id for r in docs.collect()}
+
+    root = str(tmp_path / "table")
+    committed: set[int] = set()
+    checks: list[str] = []
+
+    def ingest(batch_df, epoch_id):
+        append_batch(batch_df, root, epoch_id)
+        committed.update(r.doc_id for r in batch_df.collect())
+        seen = {r.doc_id for r in read_table(spark, root, schema).collect()}
+        assert seen == committed, f"epoch {epoch_id}: append not fully visible"
+        pre_name, pre_files = read_manifest(root)
+        if epoch_id % 2 == 1:
+            # online compaction between micro-batches: tiny target so
+            # the fixture's KB-scale files genuinely compact
+            reduced = compact(spark, root, schema, target_bytes=1 << 20)
+            assert reduced > 0, f"epoch {epoch_id}: compaction was a no-op"
+            # (a) the CURRENT reader still sees every committed row
+            seen = {r.doc_id for r in read_table(spark, root, schema).collect()}
+            assert seen == committed, f"epoch {epoch_id}: rows lost in compaction"
+            # (b) an in-flight reader holding the PRE-compaction
+            # manifest still resolves its full snapshot
+            old = {
+                r.doc_id
+                for r in read_snapshot(spark, root, pre_name, schema).collect()
+            }
+            assert old == committed, f"epoch {epoch_id}: old snapshot broken"
+            checks.append(f"compacted@{epoch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "compckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(checks) >= 2, "stream must have compacted at least twice"
+    assert committed == all_ids
+    # final state: compaction bounded the live file count below the
+    # six appends' worth of fragments, and the full content round-trips
+    _, live = read_manifest(root)
+    final = read_table(spark, root, schema)
+    got = {(r.doc_id, r.text) for r in final.collect()}
+    assert got == {(r.doc_id, r.text) for r in docs.collect()}
+    # vacuum drops the superseded files; the CURRENT reader is unmoved
+    removed = vacuum(root)
+    assert removed > 0, "compactions must have superseded some files"
+    after = {r.doc_id for r in read_table(spark, root, schema).collect()}
+    assert after == all_ids
+    import pathlib as _pl
+
+    on_disk = {
+        p.name
+        for p in _pl.Path(root, "data").iterdir()
+        if not p.name.startswith(".")
+    }
+    assert on_disk == set(live), "vacuum must keep exactly the live set"
+
+
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
     train-once/add-incrementally contract run through Structured

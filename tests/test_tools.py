@@ -262,3 +262,83 @@ def test_bench_compare_flags_idiosyncratic_and_broad_regressions(tmp_path):
     assert bc.main([*_bench_files(tmp_path, old, one_slow), "--threshold", "2.0"]) == 1
     broad = {k: v * 2.5 for k, v in old.items()}  # everything regressed
     assert bc.main([*_bench_files(tmp_path, old, broad), "--threshold", "2.0"]) == 1
+
+
+def _bench_files_meta(tmp_path, old_q, new_q, new_meta=None):
+    o = tmp_path / "old_m.json"
+    n = tmp_path / "new_m.json"
+    o.write_text(json.dumps({"metric": "total_wall_sec", "queries": old_q}))
+    n.write_text(json.dumps(
+        {"metric": "total_wall_sec", "queries": new_q, **(new_meta or {})}
+    ))
+    return str(o), str(n)
+
+
+def test_bench_compare_canary_drift_excuses_measured_host_slowdown(tmp_path):
+    """VERDICT r10 task 3: a sustained load arriving mid-run inflates
+    the new record uniformly; the end-of-run canary re-time MEASURES
+    that (drift > 1), so the gate must not flag it — while the same
+    uniform inflation with drift ≈ 1 (the canary re-timed the same →
+    it's the code) must still fail the whole-run gate."""
+    bc = _load("bench_compare")
+    old = {f"q{i}": 1.0 for i in range(40)}
+    loaded = {k: 1.6 for k in old}  # uniform 1.6x, beyond the 1.3 boot band
+
+    drifted = {"canary": {"queries": {}, "drift": 1.6}}
+    assert bc.main(
+        [*_bench_files_meta(tmp_path, old, loaded, drifted), "--threshold", "1.5"]
+    ) == 0
+    # same inflation, canary says the host did NOT slow → code regressed
+    steady = {"canary": {"queries": {}, "drift": 1.02}}
+    assert bc.main(
+        [*_bench_files_meta(tmp_path, old, loaded, steady), "--threshold", "1.5"]
+    ) == 1
+    # records without the marker (pre-r11) behave exactly as before
+    assert bc.main(
+        [*_bench_files_meta(tmp_path, old, loaded), "--threshold", "1.5"]
+    ) == 1
+
+
+def test_bench_compare_canary_drift_does_not_excuse_idiosyncratic_regression(tmp_path):
+    """Drift widens the UNIFORM normalizer only: a single query at 4x
+    raw under a 1.5-drift run is still 4/1.5 ≈ 2.7x idiosyncratic and
+    must flag; and the allowance is capped at 2.0 so a pathological
+    canary can't excuse a 5x broad regression."""
+    bc = _load("bench_compare")
+    old = {f"q{i}": 1.0 for i in range(40)}
+    new = {k: 1.5 for k in old}
+    new["q7"] = 4.0
+    meta = {"canary": {"queries": {}, "drift": 1.5}}
+    assert bc.main(
+        [*_bench_files_meta(tmp_path, old, new, meta), "--threshold", "2.0"]
+    ) == 1
+    broad = {k: 5.0 for k in old}
+    wild = {"canary": {"queries": {}, "drift": 9.9}}  # cap at 2.0
+    assert bc.main(
+        [*_bench_files_meta(tmp_path, old, broad, wild), "--threshold", "2.0"]
+    ) == 1
+
+
+def test_bench_compare_meta_survives_driver_tail_truncation(tmp_path):
+    """The canary_drift marker rides the compact summary line, which is
+    the only part guaranteed to survive the driver's ~2000-char stdout
+    tail — reconstruct meta (and exclude the new non-query numeric keys)
+    from a truncated wrapper."""
+    bc = _load("bench_compare")
+    compact = json.dumps({
+        "metric": "total_wall_sec", "value": 64.0, "unit": "sec",
+        "sf": 0.1, "repeat": 3, "n_queries": 2, "n_errors": 0,
+        "canary_drift": 1.42, "load1_end": 31.5,
+        "queries": {"q_slow": 2.0, "q_fast": 1.0},
+        "full_record": "BENCH_local_latest.json",
+    }, separators=(",", ":"))
+    wrapper = tmp_path / "driver.json"
+    wrapper.write_text(json.dumps(
+        {"n": 11, "rc": 0, "tail": '…truncated head…"q_dropped":9.9}\n' + compact}
+    ))
+    timings, meta = bc.load_record(str(wrapper))
+    assert meta["canary_drift"] == 1.42
+    assert meta["host"]["end"]["loadavg"][0] == 31.5
+    assert timings["q_slow"] == 2.0 and timings["q_fast"] == 1.0
+    # regex-pairs path must not mistake the new meta numbers for queries
+    assert "canary_drift" not in timings and "load1_end" not in timings

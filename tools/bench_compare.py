@@ -25,13 +25,20 @@ import sys
 
 # Keys that appear as "name": number in the bench JSON but are not
 # query timings; excluded when reconstructing from a truncated tail.
-_NON_QUERY_KEYS = {"value", "sf", "repeat", "n_queries", "n_errors"}
+# (main/end/drift/mem_used_gib/canary_drift/load1_end: the round-11
+# host-load + canary self-adjudication fields.)
+_NON_QUERY_KEYS = {
+    "value", "sf", "repeat", "n_queries", "n_errors",
+    "main", "end", "drift", "mem_used_gib", "canary_drift", "load1_end",
+}
 
 
-def _timings_from_tail(tail: str, path: str) -> dict[str, float]:
-    """Recover per-query timings from a (possibly truncated) stdout tail."""
+def _timings_from_tail(tail: str, path: str) -> tuple[dict[str, float], dict]:
+    """Recover per-query timings (+ canary/host meta) from a (possibly
+    truncated) stdout tail."""
     full: dict[str, float] = {}
     compact: dict[str, float] = {}
+    meta: dict = {}
     for line in tail.splitlines():
         at = line.find('{"metric"')
         if at < 0:
@@ -41,12 +48,13 @@ def _timings_from_tail(tail: str, path: str) -> dict[str, float]:
         except ValueError:  # head-truncated line; pairs pass picks it up
             continue
         q = {k: float(v) for k, v in obj.get("queries", {}).items()}
+        meta.update(_meta_from_record(obj))
         if "n_queries" in obj:  # the trailing compact summary (round 6 on)
             compact = q
         else:
             full = q
     if full:
-        return full
+        return full, meta
     # The driver keeps only the last ~2000 chars of stdout, so a
     # 131-query full line loses its head. Reconstruct the surviving
     # "name": seconds pairs from the fragment, overlaying the compact
@@ -63,10 +71,27 @@ def _timings_from_tail(tail: str, path: str) -> dict[str, float]:
         + (f" + compact summary ({len(compact)})" if compact else ""),
         file=sys.stderr,
     )
-    return timings
+    return timings, meta
 
 
-def load_timings(path: str) -> dict[str, float]:
+def _meta_from_record(obj: dict) -> dict:
+    """Pull the canary drift + host-load markers out of a full or
+    compact bench record (round 11 on; absent from older records)."""
+    meta: dict = {}
+    drift = obj.get("canary", {}).get("drift", obj.get("canary_drift"))
+    if isinstance(drift, (int, float)):
+        meta["canary_drift"] = float(drift)
+    host = obj.get("host")
+    if isinstance(host, dict):
+        meta["host"] = host
+    elif isinstance(obj.get("load1_end"), (int, float)):
+        meta["host"] = {"end": {"loadavg": [obj["load1_end"]]}}
+    return meta
+
+
+def load_record(path: str) -> tuple[dict[str, float], dict]:
+    """Return (per-query timings, meta) — meta carries "canary_drift"
+    and "host" when the record has them (round 11 on)."""
     with open(path) as fh:
         text = fh.read()
     try:
@@ -75,9 +100,13 @@ def load_timings(path: str) -> dict[str, float]:
         # raw bench stdout: full line + compact summary line
         return _timings_from_tail(text, path)
     if "queries" in data:
-        return data["queries"]
+        return data["queries"], _meta_from_record(data)
     # driver wrapper: bench stdout lives (truncated) in "tail"
     return _timings_from_tail(data.get("tail", ""), path)
+
+
+def load_timings(path: str) -> dict[str, float]:
+    return load_record(path)[0]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -110,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     # regressions still trip the whole-run threshold above.
     args = p.parse_args(argv)
 
-    old, new = load_timings(args.old), load_timings(args.new)
+    (old, meta_old), (new, meta_new) = load_record(args.old), load_record(args.new)
     common = sorted(set(old) & set(new))
     t_old = sum(old[n] for n in common)
     t_new = sum(new[n] for n in common)
@@ -119,6 +148,22 @@ def main(argv: list[str] | None = None) -> int:
         f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s "
         f"({total_ratio:.2f}x)" if common else "no common queries"
     )
+    for label, meta in (("old", meta_old), ("new", meta_new)):
+        if meta:
+            load1 = (meta.get("host", {}).get("end", {}).get("loadavg") or [None])[0]
+            print(
+                f"  {label}: canary_drift={meta.get('canary_drift')}"
+                + (f" load1_end={load1}" if load1 is not None else "")
+            )
+
+    # Canary-drift allowance (round 11): the NEW record's end-of-run
+    # canary re-time measures how much the host slowed DURING that run
+    # (a code regression re-times the same, drift ≈ 1 — see bench.py).
+    # A measured drift > 1 widens both the whole-run gate and the
+    # per-query normalizer cap: that inflation is adjudicated host
+    # movement, not code. Capped at 2.0 so a pathological canary can't
+    # excuse everything; drift < 1 (host sped up late) grants nothing.
+    drift_allow = min(max(meta_new.get("canary_drift", 1.0), 1.0), 2.0)
 
     # Host-rate normalization: identical code measures 1.0-1.3x apart
     # across VM boots, and the inflation is UNIFORM across queries
@@ -132,15 +177,16 @@ def main(argv: list[str] | None = None) -> int:
     # the worst excusable raw ratio is threshold·1.3 ≈ 2.6x). A BROAD
     # real regression still can't hide behind its own normalizer: a
     # whole-run ratio at/over the threshold fails outright.
-    norm = min(max(total_ratio, 1 / 1.3), 1.3)
+    norm = min(max(total_ratio, 1 / 1.3), max(1.3, drift_allow))
 
     regressions = []
-    if common and total_ratio >= args.threshold:
+    if common and total_ratio / drift_allow >= args.threshold:
         regressions.append("__total__")
         print(
             f"  REGRESS  whole-run: {t_old:.1f}s -> {t_new:.1f}s "
-            f"({total_ratio:.2f}x >= {args.threshold}x) — broad regression, "
-            "not normalizable host drift"
+            f"({total_ratio:.2f}x raw, {total_ratio / drift_allow:.2f}x after "
+            f"canary drift {drift_allow:.2f} >= {args.threshold}x) — broad "
+            "regression, not host drift"
         )
     for n in common:
         raw_slow = new[n] / max(old[n], 1e-9)

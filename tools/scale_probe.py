@@ -11,11 +11,17 @@ cheaper than the harness); slope well above 1 flags superlinear work
 that 100 TB would punish.
 
 Usage:
-    python tools/scale_probe.py [--queries q1,q2,...] [--runs 2]
+    python tools/scale_probe.py [--queries q1,q2,...|all] [--runs 2]
 
 Prints a markdown table and writes SCALING.json next to this repo's
 bench records. The slope reported is log10(t_sf0.1 / t_sf0.01) — the
 largest decade, where fixed overhead distorts least.
+
+Round 11 on, the default probe set is ALL registered queries (VERDICT
+r10 task 2: the curated list had grown family-by-family to 56 while
+the event/sink/outer-join/pipeline families stayed invisible; at ~6-8
+min for the full sweep there is no reason to sample). --queries still
+takes an explicit comma list for cheap re-probes of noisy entries.
 """
 
 from __future__ import annotations
@@ -35,88 +41,16 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
-# Headline set: the heavy family per BENCH_local_r5b — candidate
-# generation, verification, fingerprinting, LM scoring, kNN, CC,
-# and the no-filter star join.
-DEFAULT_QUERIES = [
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_span_duplication",
-    "text_winnow_fingerprint",
-    "text_bigram_surprisal",
-    "pipeline_quality_buckets",
-    "pipeline_corpus_dedup",
-    "pipeline_dedup_keep_best",
-    "sim_topk_cosine",
-    "sql_adhoc_star_join",
-    "kafka_dedup_lww",
-    # round-5 corpus/event/storage additions
-    "pipeline_chunk_sliding",
-    "pipeline_cdc_merge",
-    "event_user_paths",
-    "event_gapfill_locf",
-    "join_bucketed_colocated",
-    # round-6/7 graph/ANN/temporal/quality additions
-    "pipeline_graph_triangles",
-    "pipeline_graph_pagerank",
-    "sim_topk_pq",
-    "sim_topk_pq_stored",
-    "join_interval_overlap",
-    "join_bloom_prefilter",
-    "event_path_regex",
-    "event_ewma_smoothing",
-    "text_char_entropy",
-    "pipeline_scd2_intervals",
-    # round-8 oracle upgrades (IVF family, Arrow featurizer)
-    "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
-    "multimodal_feature_extract",
-    # late-round-8 oracle upgrades (portable SimHash, seeded LSH both
-    # forms, and the recall report that now re-runs four ANN methods)
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_topk_lsh",
-    "sim_recall_report",
-    # round-9 additions: the real media codecs (two chained mapInPandas
-    # stages — slope should track corpus size like any narrow scan)
-    "multimodal_decode_real",
-    "multimodal_decode_wav",
-    # round-10 additions (VERDICT r9 task 7): the windowed-aggregate and
-    # scalar families were unprobed — a slope regression there (a
-    # window losing its partition bound, a scalar picking up a
-    # surprise shuffle) was invisible until bench. Plus the round-10
-    # stored-index IVF twin and the heavier agg shapes.
-    "window_running_sum",
-    "window_lag_lead_rank",
-    "window_range_frame",
-    "window_topk_per_group",
-    "window_distribution_functions",
-    "window_asof_last_event",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "scalar_json_functions",
-    "scalar_case_null_handling",
-    "scalar_null_semantics",
-    "scalar_array_functions",
-    "agg_rollup",
-    "agg_cube",
-    "agg_salted_skew",
-    "agg_percentiles",
-    "sim_topk_ivf_stored",
-    "sim_topk_ivfpq",
-]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--queries", default="all",
+        help="comma list, or 'all' for every registered query (default)",
+    )
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
-    names = [q for q in args.queries.split(",") if q]
-    if not names:
-        raise SystemExit("--queries resolved to an empty list")
     if args.runs < 1:
         raise SystemExit("--runs must be >= 1")
 
@@ -125,6 +59,12 @@ def main() -> None:
 
     spark = get_spark(app_name="nkch-scale-probe", cpus=32, shuffle_partitions=32)
     queries, _ = merged_registry()
+    if args.queries == "all":
+        names = sorted(queries)
+    else:
+        names = [q for q in args.queries.split(",") if q]
+    if not names:
+        raise SystemExit("--queries resolved to an empty list")
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
