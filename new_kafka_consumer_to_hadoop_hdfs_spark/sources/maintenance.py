@@ -110,7 +110,12 @@ def append_batch(df: DataFrame, root: str, batch_id: int) -> str:
     df.write.mode("overwrite").parquet(str(staging))
     adopted = _adopt(staging, root_p / "data", f"b{batch_id:08d}")
     _, live = read_manifest(root)
-    return _flip(root, live + adopted, f"append batch {batch_id}")
+    # set-union, not concatenation: a foreachBatch RETRY that already
+    # flipped re-adopts the same deterministic names — the manifest
+    # must list each file once or readers double-count the batch
+    return _flip(
+        root, sorted(set(live) | set(adopted)), f"append batch {batch_id}"
+    )
 
 
 def compact(

@@ -1376,6 +1376,37 @@ def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
     assert on_disk == set(live), "vacuum must keep exactly the live set"
 
 
+def test_versioned_append_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch replays an epoch after a mid-commit failure; the
+    versioned table must converge, not double-count: re-appending the
+    same batch_id re-adopts the same deterministic file names and the
+    manifest set-unions them, so a retry AFTER a successful flip leaves
+    the row set unchanged (and a retry after adopt-but-before-flip
+    simply completes the commit)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        read_manifest,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    df1 = spark.createDataFrame([(3, "c")], schema)
+    root = str(tmp_path / "vt")
+
+    append_batch(df0, root, 0)
+    append_batch(df1, root, 1)
+    _, live_before = read_manifest(root)
+    # the replay: epoch 1 runs again with the same data
+    append_batch(df1, root, 1)
+    _, live_after = read_manifest(root)
+    assert live_after == live_before, "retry must not grow the live set"
+    rows = sorted(
+        (r.doc_id, r.text) for r in read_table(spark, root, schema).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
     train-once/add-incrementally contract run through Structured
