@@ -203,18 +203,28 @@ def sink_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve an immutable file LIST, never a mutable directory) and the
     narrow no-shuffle compaction are exactly these.
     """
+    from ..sources.maintenance import read_table
+    from .corpus import _DOC_SCHEMA, _roundtrip_checksums
+
+    dest = _versioned_docs_dest(spark, sf_dir)
+    return _roundtrip_checksums(read_table(spark, f"{dest}/table", _DOC_SCHEMA))
+
+
+def _versioned_docs_dest(spark: SparkSession, sf_dir: str) -> str:
+    """Shared build for the versioned-table queries: 8 modulus-sliced
+    appends (deterministic membership — batch i holds doc_id % 8 == i)
+    with online compactions after appends 3 and 6, then vacuum.
+    Cached per sf_dir like every other sink materialization."""
     import pathlib
 
     from ..sources.cache import cached_materialization
-    from ..sources.maintenance import append_batch, compact, read_table, vacuum
-    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+    from ..sources.maintenance import append_batch, compact, vacuum
+    from .corpus import _DOC_COLS, _DOC_SCHEMA
 
     docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
 
     def build(tmp: str) -> None:
         root = tmp + "/table"
-        # 8 modulus-sliced appends: the micro-batch arrival shape with
-        # deterministic membership (no dependence on file layout)
         for i in range(8):
             append_batch(
                 docs.filter(F.col("doc_id") % 8 == i).repartition(4),
@@ -232,10 +242,50 @@ def sink_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("vacuum found no superseded files")
         pathlib.Path(tmp, "_SUCCESS").touch()
 
-    dest = cached_materialization(
+    return cached_materialization(
         pathlib.Path(sf_dir) / "documents.parquet", "documents_versioned", build
     )
-    return _roundtrip_checksums(read_table(spark, f"{dest}/table", _DOC_SCHEMA))
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents WHERE doc_id % 8 <= 6 GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_time_travel", _TIME_TRAVEL_ORACLE)
+def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the versioned table: read a HISTORICAL version —
+    the snapshot committed by the second online compaction, i.e. the
+    table as of append 6 — from the same vacuumed table
+    `sink_versioned_compaction` reads at HEAD, and checksum it against
+    the oracle's restatement of that point in time (`doc_id % 8 <= 6`:
+    append i carries exactly the doc_id % 8 == i slice, so version
+    membership is a pure predicate DuckDB can state). A hash match
+    proves three things at once: manifests pin immutable file LISTS
+    (the 8th append changed CURRENT, not history), the post-compaction
+    snapshot's files survived vacuum because they are a subset of the
+    live set (the retention rule `list_manifests` documents), and the
+    rewrite-then-flip compaction was byte-invisible at the version
+    where it happened — Delta/Iceberg `VERSION AS OF`, reduced to its
+    commit-protocol core.
+    """
+    from ..sources.maintenance import list_manifests, read_snapshot
+    from .corpus import _DOC_SCHEMA, _roundtrip_checksums
+
+    dest = _versioned_docs_dest(spark, sf_dir)
+    root = f"{dest}/table"
+    compactions = [n for n, note in list_manifests(root)
+                   if note.startswith("compact")]
+    if len(compactions) != 2:  # the build commits exactly two
+        raise RuntimeError(f"expected 2 compaction commits, got {compactions}")
+    return _roundtrip_checksums(
+        read_snapshot(spark, root, compactions[-1], _DOC_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,23 @@ def read_manifest(root: str) -> tuple[str | None, list[str]]:
     return name, list(doc["files"])
 
 
+def list_manifests(root: str) -> list[tuple[str, str]]:
+    """Table history: every committed version as (manifest name, note),
+    oldest first. Historical manifests stay READABLE as long as every
+    file they reference is still live (``vacuum`` keeps exactly the
+    CURRENT set, so a post-compaction snapshot whose files are a subset
+    of later versions survives; pre-compaction snapshots die at vacuum
+    — the retention trade every table format documents)."""
+    mdir = pathlib.Path(root, "manifests")
+    if not mdir.is_dir():
+        return []
+    out = []
+    for p in sorted(mdir.iterdir()):
+        if p.name.startswith("m-") and p.suffix == ".json":
+            out.append((p.name, json.loads(p.read_text()).get("note", "")))
+    return out
+
+
 def manifest_files(root: str, name: str) -> list[str]:
     """The file list of a SPECIFIC manifest (a reader's held snapshot)."""
     return list(json.loads(

@@ -29,6 +29,10 @@ NEW_IN_R11: set[str] = {
     # task 5; per-epoch reader invariant pinned in
     # test_streaming_append_online_compaction)
     "sink_versioned_compaction",
+    # VERSION AS OF on the same table: a historical post-compaction
+    # manifest read back under the checksum oracle (membership is the
+    # deterministic doc_id % 8 <= 6 predicate)
+    "sink_versioned_time_travel",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
