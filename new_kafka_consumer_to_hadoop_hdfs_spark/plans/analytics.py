@@ -288,6 +288,90 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRUNED_READ_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents, m
+WHERE doc_id * 8 >= 2 * h AND doc_id * 8 < 4 * h
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_pruned_read", _PRUNED_READ_ORACLE)
+def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING through manifest stats — the reason
+    table formats carry per-file min/max (Iceberg manifest entries,
+    Delta file stats): a range read should OPEN only the files whose
+    range overlaps, not scan-and-discard. The documents table arrives
+    as 8 RANGE-sliced appends (batch i holds ``doc_id·8 ∈ [i·h,
+    (i+1)·h)`` with h = max(doc_id)+1 — the id-clustered shape a
+    time-ordered ingest produces naturally on an event-time key), each
+    commit recording per-file [min, max] from the parquet footers.
+    The registered read asks for batches 2-3's id range via
+    ``where_between`` and REFUSES to answer if the manifest failed to
+    prune (kept must be < live: pruning is load-bearing here, not
+    best-effort); the row predicate still applies on top, so the
+    checksum oracle — DuckDB restating the same data-derived range —
+    proves the pruned scan returns exactly the full scan's answer.
+
+    h comes from one 1-row max() collect (the q11 data-derived-
+    threshold pattern). At 100 TB: pruning granularity is ingest
+    clustering — this table skips 6/8 of its files on an id range
+    because appends arrived id-clustered; compaction must then be
+    RANGE-AWARE (merge adjacent batches, not arbitrary ones) or it
+    widens file ranges and pruning degrades, which is exactly why
+    production compactors sort/cluster as they rewrite.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        pruned_files,
+        read_manifest,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        for i in range(8):
+            append_batch(
+                docs.filter(
+                    (F.col("doc_id") * 8 >= i * h)
+                    & (F.col("doc_id") * 8 < (i + 1) * h)
+                ).repartition(2),
+                root, i, stats_col="doc_id",
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_rangetable",
+        build,
+    )
+    root = f"{dest}/table"
+    # batches 2-3 as inclusive id bounds: doc_id*8 in [2h, 4h) ⟺
+    # doc_id in [ceil(2h/8), ceil(4h/8) - 1] for integer ids
+    lo, hi = (2 * h + 7) // 8, (4 * h + 7) // 8 - 1
+    name, live = read_manifest(root)
+    kept, total = pruned_files(root, name, "doc_id", lo, hi)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"manifest stats failed to prune: kept {len(kept)} of {total}"
+        )
+    return _roundtrip_checksums(
+        read_table(spark, root, _DOC_SCHEMA,
+                   where_between=("doc_id", lo, hi))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 interval construction (gaps and islands)
 # ---------------------------------------------------------------------------

@@ -81,22 +81,62 @@ def manifest_files(root: str, name: str) -> list[str]:
     )["files"])
 
 
-def _flip(root: str, files: list[str], note: str) -> str:
+def _flip(
+    root: str, files: list[str], note: str, stats: dict | None = None
+) -> str:
     """Commit a new version: write manifest m-(seq+1), atomically
     replace CURRENT. The rename is the commit point — a crash before
-    it leaves the previous version intact and current."""
+    it leaves the previous version intact and current. ``stats`` maps
+    file name -> [min, max] of the table's stats column (only entries
+    for files in this version are kept)."""
     mdir = pathlib.Path(root, "manifests")
     mdir.mkdir(parents=True, exist_ok=True)
     cur, _ = read_manifest(root)
     seq = int(cur.split("-")[1].split(".")[0]) + 1 if cur else 0
     name = f"m-{seq:08d}.json"
-    (mdir / name).write_text(
-        json.dumps({"files": sorted(files), "note": note})
-    )
+    doc = {"files": sorted(files), "note": note}
+    if stats:
+        doc["stats"] = {f: stats[f] for f in doc["files"] if f in stats}
+    (mdir / name).write_text(json.dumps(doc))
     tmp = pathlib.Path(root, f".CURRENT.tmp.{seq}")
     tmp.write_text(name)
     os.replace(tmp, pathlib.Path(root, "CURRENT"))  # atomic POSIX rename
     return name
+
+
+def manifest_stats(root: str, name: str) -> dict:
+    """The per-file [min, max] stats map of a specific manifest
+    (empty for tables written without a stats column)."""
+    return json.loads(
+        pathlib.Path(root, "manifests", name).read_text()
+    ).get("stats", {})
+
+
+def _file_minmax(path: pathlib.Path, col: str) -> list | None:
+    """Footer-only min/max of ``col`` across a parquet file's row
+    groups (pyarrow metadata read — no data pages touched). None when
+    any row group lacks stats (the file is then never pruned). At
+    scale this collection happens in the WRITE tasks (Iceberg's
+    per-file stats); here the commit point reads the local footers,
+    which is the same metadata-sized work."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    idx = next(
+        (i for i in range(md.num_columns)
+         if md.schema.column(i).name == col),
+        None,
+    )
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else [lo, hi]
 
 
 def _adopt(staging: pathlib.Path, data: pathlib.Path, prefix: str) -> list[str]:
@@ -117,21 +157,39 @@ def _adopt(staging: pathlib.Path, data: pathlib.Path, prefix: str) -> list[str]:
     return adopted
 
 
-def append_batch(df: DataFrame, root: str, batch_id: int) -> str:
+def append_batch(
+    df: DataFrame,
+    root: str,
+    batch_id: int,
+    *,
+    stats_col: str | None = None,
+) -> str:
     """Append one micro-batch: write to staging, adopt the files,
     flip CURRENT to (live + new). The ``batch_id`` keys the file names,
     so a foreachBatch RETRY of the same epoch overwrites its own
-    staging rather than double-adopting."""
+    staging rather than double-adopting. With ``stats_col`` the new
+    manifest also records each adopted file's [min, max] of that
+    column (footer-only read), enabling file-level data skipping in
+    :func:`read_table` — give every commit of a table the SAME
+    stats_col or range reads lose pruning on the uncovered files."""
     root_p = pathlib.Path(root)
     staging = root_p / f".staging-{batch_id}"
     df.write.mode("overwrite").parquet(str(staging))
-    adopted = _adopt(staging, root_p / "data", f"b{batch_id:08d}")
-    _, live = read_manifest(root)
+    data = root_p / "data"
+    adopted = _adopt(staging, data, f"b{batch_id:08d}")
+    cur, live = read_manifest(root)
+    stats = dict(manifest_stats(root, cur)) if cur else {}
+    if stats_col:
+        for f in adopted:
+            mm = _file_minmax(data / f, stats_col)
+            if mm is not None:
+                stats[f] = mm
     # set-union, not concatenation: a foreachBatch RETRY that already
     # flipped re-adopts the same deterministic names — the manifest
     # must list each file once or readers double-count the batch
     return _flip(
-        root, sorted(set(live) | set(adopted)), f"append batch {batch_id}"
+        root, sorted(set(live) | set(adopted)),
+        f"append batch {batch_id}", stats,
     )
 
 
@@ -141,12 +199,16 @@ def compact(
     schema,
     *,
     target_bytes: int = 96 << 20,
+    stats_col: str | None = None,
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
     (floor 1) and flip the pointer. Returns the file-count reduction
     (0 = nothing to do). Narrow ``coalesce`` rewrite — compaction must
     never pay a corpus shuffle just to glue files. Superseded files
-    are left for :func:`vacuum`."""
+    are left for :func:`vacuum`. ``stats_col`` re-records [min, max]
+    for the replacement files (coalesce merges whole input files, so a
+    compacted file's range is the union of its inputs' — wider, still
+    exact)."""
     cur, live = read_manifest(root)
     if len(live) <= 1:
         return 0
@@ -165,7 +227,15 @@ def compact(
         .parquet(str(staging))
     )
     adopted = _adopt(staging, data, f"c{seq:08d}")
-    _flip(root, adopted, f"compact {len(live)} -> {len(adopted)} files")
+    stats = {}
+    if stats_col:
+        for f in adopted:
+            mm = _file_minmax(data / f, stats_col)
+            if mm is not None:
+                stats[f] = mm
+    _flip(
+        root, adopted, f"compact {len(live)} -> {len(adopted)} files", stats
+    )
     return len(live) - len(adopted)
 
 
@@ -185,23 +255,71 @@ def vacuum(root: str) -> int:
     return removed
 
 
-def read_table(spark: SparkSession, root: str, schema) -> DataFrame:
+def pruned_files(
+    root: str, name: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Data skipping: the subset of manifest ``name``'s files whose
+    [min, max] stats for ``col`` overlap [lo, hi] (files without stats
+    are conservatively kept), plus the total live count. Pruning is an
+    OPTIMIZATION only — callers still apply the row predicate, so a
+    stats bug can cost speed, never correctness... except a too-narrow
+    stat, which parquet footers cannot produce (they are exact)."""
+    files = manifest_files(root, name)
+    stats = manifest_stats(root, name)
+    kept = [
+        f for f in files
+        if f not in stats or not (stats[f][1] < lo or stats[f][0] > hi)
+    ]
+    return kept, len(files)
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    schema,
+    *,
+    where_between=None,
+) -> DataFrame:
     """Read the CURRENT version — resolve the pointer once, then scan
-    an immutable file list (never the mutable directory)."""
-    _, live = read_manifest(root)
+    an immutable file list (never the mutable directory).
+    ``where_between=(col, lo, hi)`` range-reads: manifest stats prune
+    non-overlapping FILES before the scan plans (the manifest-level
+    data skipping a mutable-directory layout cannot offer), and the
+    row predicate is applied on top, so results never depend on stats
+    coverage."""
+    name, live = read_manifest(root)
     if not live:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{root}/data/{f}" for f in live]
-    )
+    return _scan(spark, root, name, live, schema, where_between)
 
 
-def read_snapshot(spark: SparkSession, root: str, name: str, schema) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    schema,
+    *,
+    where_between=None,
+) -> DataFrame:
     """Read a SPECIFIC manifest — what an in-flight reader that
     resolved CURRENT before a concurrent compaction effectively does."""
     files = manifest_files(root, name)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
+    return _scan(spark, root, name, files, schema, where_between)
+
+
+def _scan(spark, root, name, files, schema, where_between) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if where_between is not None:
+        col, lo, hi = where_between
+        files, _ = pruned_files(root, name, col, lo, hi)
+        if not files:
+            return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
         *[f"{root}/data/{f}" for f in files]
     )
+    if where_between is not None:
+        df = df.filter(F.col(col).between(lo, hi))
+    return df

@@ -33,6 +33,10 @@ NEW_IN_R11: set[str] = {
     # manifest read back under the checksum oracle (membership is the
     # deterministic doc_id % 8 <= 6 predicate)
     "sink_versioned_time_travel",
+    # file-level data skipping via manifest min/max stats: a range read
+    # must refuse to answer unless the manifest actually pruned, and
+    # the checksum oracle proves the pruned scan equals the full scan
+    "sink_versioned_pruned_read",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.

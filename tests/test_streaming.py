@@ -1407,6 +1407,82 @@ def test_versioned_append_retry_is_idempotent(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
+    """Manifest data skipping contract: (a) a range read keeps exactly
+    the overlapping files, boundary-inclusive on both ends; (b) a file
+    committed WITHOUT stats is conservatively kept by every range;
+    (c) compaction re-records stats for its replacement files (ranges
+    widen to the union — exact, never narrower than the data); and in
+    all cases the ROW predicate applies on top, so results match a
+    full-scan filter regardless of pruning."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        compact,
+        manifest_stats,
+        pruned_files,
+        read_manifest,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "rt")
+    for i, ids in enumerate(([0, 5, 9], [10, 15, 19], [20, 25, 29])):
+        df = spark.createDataFrame(
+            [(j, f"d{j}") for j in ids], schema
+        ).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id")
+
+    name, live = read_manifest(root)
+    assert len(live) == 3
+
+    # (a) interior range hits exactly the middle file; boundaries are
+    # inclusive (hi == a file's min keeps it; lo == a file's max keeps it)
+    kept, total = pruned_files(root, name, "doc_id", 12, 17)
+    assert total == 3 and len(kept) == 1
+    assert len(pruned_files(root, name, "doc_id", 0, 10)[0]) == 2
+    assert len(pruned_files(root, name, "doc_id", 19, 20)[0]) == 2
+    rows = sorted(
+        r.doc_id
+        for r in read_table(
+            spark, root, schema, where_between=("doc_id", 12, 17)
+        ).collect()
+    )
+    assert rows == [15]  # file-level prune + row predicate
+
+    # (b) a stats-less commit is never pruned
+    append_batch(
+        spark.createDataFrame([(100, "x")], schema).coalesce(1), root, 3
+    )
+    name, live = read_manifest(root)
+    kept, total = pruned_files(root, name, "doc_id", 12, 17)
+    assert total == 4 and len(kept) == 2  # middle file + the no-stats file
+    rows = sorted(
+        r.doc_id
+        for r in read_table(
+            spark, root, schema, where_between=("doc_id", 12, 17)
+        ).collect()
+    )
+    assert rows == [15]  # the row predicate still excludes doc 100
+
+    # (c) compaction re-records stats; the merged range is the union
+    assert compact(
+        spark, root, schema, target_bytes=1 << 30, stats_col="doc_id"
+    ) > 0
+    name, live = read_manifest(root)
+    stats = manifest_stats(root, name)
+    assert set(stats) == set(live)
+    lo = min(s[0] for s in stats.values())
+    hi = max(s[1] for s in stats.values())
+    assert lo == 0 and hi == 100
+    rows = sorted(
+        r.doc_id
+        for r in read_table(
+            spark, root, schema, where_between=("doc_id", 12, 17)
+        ).collect()
+    )
+    assert rows == [15]
+
+
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
     train-once/add-incrementally contract run through Structured
