@@ -311,29 +311,35 @@ def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i+1)·h)`` with h = max(doc_id)+1 — the id-clustered shape a
     time-ordered ingest produces naturally on an event-time key), each
     commit recording per-file [min, max] from the parquet footers.
-    The registered read asks for batches 2-3's id range via
-    ``where_between`` and REFUSES to answer if the manifest failed to
-    prune (kept must be < live: pruning is load-bearing here, not
-    best-effort); the row predicate still applies on top, so the
-    checksum oracle — DuckDB restating the same data-derived range —
-    proves the pruned scan returns exactly the full scan's answer.
+    The table then goes through a CLUSTERED compaction (16 append
+    files → 4 range-partitioned files: ``compact(cluster=True)`` pays
+    one range shuffle of the rewritten slice so the replacement files
+    carry tight disjoint ranges — the range-aware rewrite production
+    compactors do, where a naive coalesce would union the ranges and
+    destroy pruning). The registered read asks for batches 2-3's id
+    range via ``where_between`` and REFUSES to answer if the manifest
+    failed to prune (kept must be < live: pruning is load-bearing
+    here, not best-effort); the row predicate still applies on top, so
+    the checksum oracle — DuckDB restating the same data-derived range
+    — proves the pruned post-compaction scan returns exactly the full
+    scan's answer.
 
     h comes from one 1-row max() collect (the q11 data-derived-
-    threshold pattern). At 100 TB: pruning granularity is ingest
-    clustering — this table skips 6/8 of its files on an id range
-    because appends arrived id-clustered; compaction must then be
-    RANGE-AWARE (merge adjacent batches, not arbitrary ones) or it
-    widens file ranges and pruning degrades, which is exactly why
-    production compactors sort/cluster as they rewrite.
+    threshold pattern). At 100 TB: pruning granularity is ingest/
+    rewrite clustering — this table skips files on an id range because
+    appends arrived id-clustered AND the compactor preserved that
+    clustering.
     """
     import pathlib
 
     from ..sources.cache import cached_materialization
     from ..sources.maintenance import (
         append_batch,
+        compact,
         pruned_files,
         read_manifest,
         read_table,
+        vacuum,
     )
     from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
 
@@ -350,11 +356,18 @@ def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).repartition(2),
                 root, i, stats_col="doc_id",
             )
+        reduced = compact(
+            spark, root, _DOC_SCHEMA,
+            target_files=4, stats_col="doc_id", cluster=True,
+        )
+        if reduced <= 0:
+            raise RuntimeError("clustered compaction was a no-op")
+        vacuum(root)
         pathlib.Path(tmp, "_SUCCESS").touch()
 
     dest = cached_materialization(
-        pathlib.Path(sf_dir) / "documents.parquet", "documents_rangetable",
-        build,
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_c4", build,
     )
     root = f"{dest}/table"
     # batches 2-3 as inclusive id bounds: doc_id*8 in [2h, 4h) ⟺

@@ -199,33 +199,54 @@ def compact(
     schema,
     *,
     target_bytes: int = 96 << 20,
+    target_files: int | None = None,
     stats_col: str | None = None,
+    cluster: bool = False,
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
-    (floor 1) and flip the pointer. Returns the file-count reduction
-    (0 = nothing to do). Narrow ``coalesce`` rewrite — compaction must
-    never pay a corpus shuffle just to glue files. Superseded files
-    are left for :func:`vacuum`. ``stats_col`` re-records [min, max]
-    for the replacement files (coalesce merges whole input files, so a
-    compacted file's range is the union of its inputs' — wider, still
-    exact)."""
+    (floor 1; ``target_files`` overrides) and flip the pointer.
+    Returns the file-count reduction (0 = nothing to do). Superseded
+    files are left for :func:`vacuum`. ``stats_col`` re-records
+    [min, max] for the replacement files.
+
+    Two rewrite shapes, the real compactor trade:
+
+    - default: ``coalesce`` — NARROW, no shuffle; compaction never pays
+      a corpus exchange just to glue files. But coalesce merges
+      arbitrary inputs, so a compacted file's stats range is the union
+      of its inputs' — on a clustered table this widens ranges and
+      DEGRADES data skipping.
+    - ``cluster=True`` (requires ``stats_col``): ``repartitionByRange``
+      + ``sortWithinPartitions`` on the stats column — pays one range
+      shuffle of the rewritten slice, and in exchange the replacement
+      files carry tight disjoint ranges, so pruning SURVIVES
+      compaction. This is why production compactors sort/cluster as
+      they rewrite; at 100 TB the slice is a partition/day, not the
+      corpus, so the shuffle is bounded by the same unit the compactor
+      already rewrites.
+    """
+    if cluster and not stats_col:
+        raise ValueError("cluster=True requires stats_col")
     cur, live = read_manifest(root)
     if len(live) <= 1:
         return 0
     data = pathlib.Path(root, "data")
     total = sum((data / f).stat().st_size for f in live)
-    target = max(1, math.ceil(total / target_bytes))
+    target = target_files or max(1, math.ceil(total / target_bytes))
     if target >= len(live):
         return 0
     seq = int(cur.split("-")[1].split(".")[0]) + 1
     staging = pathlib.Path(root, f".compact-{seq}")
-    (
-        spark.read.schema(schema)
-        .parquet(*[str(data / f) for f in live])
-        .coalesce(target)
-        .write.mode("overwrite")
-        .parquet(str(staging))
-    )
+    scan = spark.read.schema(schema).parquet(*[str(data / f) for f in live])
+    if cluster:
+        from pyspark.sql import functions as F
+
+        rewritten = scan.repartitionByRange(
+            target, F.col(stats_col)
+        ).sortWithinPartitions(stats_col)
+    else:
+        rewritten = scan.coalesce(target)
+    rewritten.write.mode("overwrite").parquet(str(staging))
     adopted = _adopt(staging, data, f"c{seq:08d}")
     stats = {}
     if stats_col:

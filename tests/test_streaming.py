@@ -1482,6 +1482,34 @@ def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
     )
     assert rows == [15]
 
+    # (d) CLUSTERED compaction preserves pruning where coalesce (c)
+    # widened every range: same three batches, range-partitioned
+    # rewrite into 2 files → an interior range still skips a file
+    root2 = str(tmp_path / "rt2")
+    for i, ids in enumerate(([0, 5, 9], [10, 15, 19], [20, 25, 29])):
+        df = spark.createDataFrame(
+            [(j, f"d{j}") for j in ids], schema
+        ).coalesce(1)
+        append_batch(df, root2, i, stats_col="doc_id")
+    assert compact(
+        spark, root2, schema,
+        target_files=2, stats_col="doc_id", cluster=True,
+    ) > 0
+    name2, live2 = read_manifest(root2)
+    assert len(live2) == 2
+    stats2 = manifest_stats(root2, name2)
+    ranges = sorted(stats2[f] for f in live2)
+    assert ranges[0][1] < ranges[1][0], "clustered files must be disjoint"
+    kept2, total2 = pruned_files(root2, name2, "doc_id", 0, 9)
+    assert total2 == 2 and len(kept2) == 1
+    rows = sorted(
+        r.doc_id
+        for r in read_table(
+            spark, root2, schema, where_between=("doc_id", 0, 9)
+        ).collect()
+    )
+    assert rows == [0, 5, 9]
+
 
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
