@@ -347,22 +347,7 @@ def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
 
     def build(tmp: str) -> None:
-        root = tmp + "/table"
-        for i in range(8):
-            append_batch(
-                docs.filter(
-                    (F.col("doc_id") * 8 >= i * h)
-                    & (F.col("doc_id") * 8 < (i + 1) * h)
-                ).repartition(2),
-                root, i, stats_col="doc_id",
-            )
-        reduced = compact(
-            spark, root, _DOC_SCHEMA,
-            target_files=4, stats_col="doc_id", cluster=True,
-        )
-        if reduced <= 0:
-            raise RuntimeError("clustered compaction was a no-op")
-        vacuum(root)
+        _build_range_table(spark, docs, tmp + "/table", h)
         pathlib.Path(tmp, "_SUCCESS").touch()
 
     dest = cached_materialization(
@@ -382,6 +367,104 @@ def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_checksums(
         read_table(spark, root, _DOC_SCHEMA,
                    where_between=("doc_id", lo, hi))
+    )
+
+
+def _build_range_table(spark: SparkSession, docs: DataFrame, root: str,
+                       h: int) -> None:
+    """The id-clustered versioned table both range-table queries build
+    on: 8 range-sliced appends (batch i = doc_id·8 ∈ [i·h, (i+1)·h))
+    with per-file doc_id stats, clustered-compacted 16 → 4 disjoint
+    range files, vacuumed."""
+    from ..sources.maintenance import append_batch, compact, vacuum
+    from .corpus import _DOC_SCHEMA
+
+    for i in range(8):
+        append_batch(
+            docs.filter(
+                (F.col("doc_id") * 8 >= i * h)
+                & (F.col("doc_id") * 8 < (i + 1) * h)
+            ).repartition(2),
+            root, i, stats_col="doc_id",
+        )
+    reduced = compact(
+        spark, root, _DOC_SCHEMA,
+        target_files=4, stats_col="doc_id", cluster=True,
+    )
+    if reduced <= 0:
+        raise RuntimeError("clustered compaction was a no-op")
+    vacuum(root)
+
+
+_UPSERT_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
+merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id * 8 >= h AND doc_id * 8 < 2 * h
+              THEN text || '!' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents, m
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM merged GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_upsert", _UPSERT_ORACLE)
+def sink_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE under the checksum oracle — Delta/Iceberg
+    ``MERGE INTO`` reduced to its commit-protocol core on the same
+    clustered table as `sink_versioned_pruned_read`: the update batch
+    (batch 1's id band with ``'!'`` appended to each text) must
+    rewrite ONLY the files whose stats range can contain its keys —
+    the build refuses to install if the merge rewrote every file
+    (stats pruning of the WRITE path is load-bearing, the mirror of
+    the pruned READ) — and the post-merge table, read through the
+    flipped manifest, must checksum-match DuckDB's restatement of the
+    merged state over the raw table. Update keys live in one
+    contiguous band precisely because the table is key-clustered:
+    that is the layout contract that makes copy-on-write affordable,
+    and why mutable tables cluster on their merge key. The INSERT arm
+    of the upsert (keys matching no file) is pinned separately in
+    `test_versioned_merge_upsert_semantics` — a deterministic oracle
+    needs an update set DuckDB can restate, and inserts from nowhere
+    aren't that.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import merge_upsert, read_table
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        _build_range_table(spark, docs, root, h)
+        updates = docs.filter(
+            (F.col("doc_id") * 8 >= h) & (F.col("doc_id") * 8 < 2 * h)
+        ).withColumn("text", F.concat(F.col("text"), F.lit("!")))
+        _, rewrote, live = merge_upsert(
+            spark, root, _DOC_SCHEMA, updates, "doc_id", stats_col="doc_id"
+        )
+        if rewrote == 0 or rewrote >= live:
+            raise RuntimeError(
+                f"merge rewrote {rewrote} of {live} files — stats pruning "
+                "of the copy-on-write set failed"
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_m1", build,
+    )
+    return _roundtrip_checksums(
+        read_table(spark, f"{dest}/table", _DOC_SCHEMA)
     )
 
 

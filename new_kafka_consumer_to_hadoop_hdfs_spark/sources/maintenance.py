@@ -260,6 +260,78 @@ def compact(
     return len(live) - len(adopted)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    schema,
+    updates: DataFrame,
+    key: str,
+    *,
+    stats_col: str | None = None,
+) -> tuple[str, int, int]:
+    """Copy-on-write MERGE (upsert by ``key``): rows in ``updates``
+    REPLACE same-key rows in the table; update keys matching no row
+    are INSERTED. Returns (new manifest name, files rewritten, live
+    files before).
+
+    The Delta/Iceberg ``MERGE INTO`` core: only files that can contain
+    an update key are rewritten — with ``stats_col == key``, manifest
+    min/max stats prune the rewrite set to files overlapping the
+    updates' key range (a contiguous update band touches only its
+    band's files; this is why mutable tables want their key
+    clustered). Touched files are read once, anti-joined on key, and
+    the survivors + updates are written as replacement files; the
+    commit flips to (untouched + replacements) atomically. Untouched
+    files are correct by the same conservative stats rule as reads: a
+    file is only skipped when its exact footer range cannot contain
+    any update key. At 100 TB the rewrite unit is the files of one
+    update band, not the table — the copy-on-write cost model every
+    production MERGE documents.
+    """
+    from pyspark.sql import functions as F
+
+    cur, live = read_manifest(root)
+    if not live:
+        return append_batch(updates, root, 0, stats_col=stats_col), 0, 0
+    bounds = updates.agg(F.min(key), F.max(key)).first()  # 1 row
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:  # empty updates: nothing to do
+        return cur, 0, len(live)
+    if stats_col == key:
+        touched, _ = pruned_files(root, cur, key, lo, hi)
+    else:
+        touched = list(live)  # no usable stats: rewrite everything
+    untouched = [f for f in live if f not in set(touched)]
+    data = pathlib.Path(root, "data")
+    seq = int(cur.split("-")[1].split(".")[0]) + 1
+    staging = pathlib.Path(root, f".merge-{seq}")
+    base = (
+        spark.read.schema(schema).parquet(*[str(data / f) for f in touched])
+        if touched
+        else spark.createDataFrame([], schema)
+    )
+    (
+        base.join(updates.select(key), key, "left_anti")
+        .unionByName(updates)
+        .coalesce(max(1, len(touched)))
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    adopted = _adopt(staging, data, f"u{seq:08d}")
+    stats = dict(manifest_stats(root, cur))
+    if stats_col:
+        for f in adopted:
+            mm = _file_minmax(data / f, stats_col)
+            if mm is not None:
+                stats[f] = mm
+    name = _flip(
+        root, untouched + adopted,
+        f"merge upsert: rewrote {len(touched)} of {len(live)} files",
+        stats,
+    )
+    return name, len(touched), len(live)
+
+
 def vacuum(root: str) -> int:
     """Delete data files no CURRENT manifest references. Safe once no
     reader can still hold a pre-compaction manifest (a retention

@@ -37,6 +37,10 @@ NEW_IN_R11: set[str] = {
     # must refuse to answer unless the manifest actually pruned, and
     # the checksum oracle proves the pruned scan equals the full scan
     "sink_versioned_pruned_read",
+    # copy-on-write MERGE: stats-pruned file rewrite (only the update
+    # band's files), post-merge table checksummed vs DuckDB's
+    # restatement of the merged state
+    "sink_versioned_upsert",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.

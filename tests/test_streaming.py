@@ -1511,6 +1511,80 @@ def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
     assert rows == [0, 5, 9]
 
 
+def test_versioned_merge_upsert_semantics(spark, tmp_path):
+    """Copy-on-write MERGE contract: matched keys are replaced,
+    unmatched keys are inserted, and ONLY files whose stats range can
+    contain an update key are rewritten — a file disjoint from the
+    update band survives untouched (same physical file in the new
+    manifest). Pre-merge snapshots keep reading the original rows
+    until vacuum; empty updates are a no-op commit-wise; a merge into
+    an empty table degenerates to an append."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        merge_upsert,
+        read_manifest,
+        read_snapshot,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "mt")
+    append_batch(
+        spark.createDataFrame(
+            [(j, f"d{j}") for j in (0, 5, 9)], schema
+        ).coalesce(1),
+        root, 0, stats_col="doc_id",
+    )
+    append_batch(
+        spark.createDataFrame(
+            [(j, f"d{j}") for j in (20, 25, 29)], schema
+        ).coalesce(1),
+        root, 1, stats_col="doc_id",
+    )
+    pre_name, pre_live = read_manifest(root)
+
+    # update key 5 (matched), insert key 15 (unmatched): bounds [5, 15]
+    # overlap only the first file — the [20, 29] file must not rewrite
+    updates = spark.createDataFrame([(5, "X5"), (15, "X15")], schema)
+    _, rewrote, live = merge_upsert(
+        spark, root, schema, updates, "doc_id", stats_col="doc_id"
+    )
+    assert (rewrote, live) == (1, 2)
+    name, now_live = read_manifest(root)
+    survivors = set(pre_live) & set(now_live)
+    assert len(survivors) == 1, "the disjoint file must survive physically"
+    rows = sorted(
+        (r.doc_id, r.text) for r in read_table(spark, root, schema).collect()
+    )
+    assert rows == [
+        (0, "d0"), (5, "X5"), (9, "d9"), (15, "X15"),
+        (20, "d20"), (25, "d25"), (29, "d29"),
+    ]
+    # snapshot isolation: the pre-merge manifest still reads the
+    # original content (no vacuum has run)
+    old = sorted(
+        (r.doc_id, r.text)
+        for r in read_snapshot(spark, root, pre_name, schema).collect()
+    )
+    assert old == [(0, "d0"), (5, "d5"), (9, "d9"),
+                   (20, "d20"), (25, "d25"), (29, "d29")]
+
+    # empty updates: no-op (same manifest, nothing rewritten)
+    empty = spark.createDataFrame([], schema)
+    same, rewrote, _ = merge_upsert(
+        spark, root, schema, empty, "doc_id", stats_col="doc_id"
+    )
+    assert same == name and rewrote == 0
+
+    # merge into an empty table: degenerates to an append
+    root2 = str(tmp_path / "mt2")
+    merge_upsert(spark, root2, schema, updates, "doc_id", stats_col="doc_id")
+    rows2 = sorted(
+        (r.doc_id, r.text) for r in read_table(spark, root2, schema).collect()
+    )
+    assert rows2 == [(5, "X5"), (15, "X15")]
+
+
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
     train-once/add-incrementally contract run through Structured
