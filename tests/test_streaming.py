@@ -1585,6 +1585,77 @@ def test_versioned_merge_upsert_semantics(spark, tmp_path):
     assert rows2 == [(5, "X5"), (15, "X15")]
 
 
+def test_streaming_cdc_merge_equals_batch(spark, tmp_path, sf_dir):
+    """CDC ingest through the versioned table: a change stream applied
+    as one copy-on-write merge PER MICRO-BATCH (foreachBatch →
+    merge_upsert) must settle to the same table as applying the fully
+    deduplicated changes in one batch — last-writer-wins across
+    batches falls out of replace-by-key because micro-batches arrive
+    in order. Readers resolve a complete committed version at every
+    epoch (the append test's invariant, now under rewrites)."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        merge_upsert,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "cdc")
+    append_batch(docs, root, 0, stats_col="doc_id")
+
+    # the change stream: 3 files = 3 micro-batches; epoch e updates the
+    # doc_id % 3 == e slice (suffix marks the epoch, so a later change
+    # to the same key would win — and keys overlap across epochs for
+    # e touching %3==0 twice below)
+    src = tmp_path / "cdcsrc"
+    changes = []
+    for e in range(3):
+        changes.append(
+            docs.filter(F.col("doc_id") % 3 == e)
+            .withColumn("text", F.concat(F.col("text"), F.lit(f"#{e}")))
+        )
+    # epoch 2 ALSO re-updates the %3==0 slice: cross-batch LWW
+    changes[2] = changes[2].unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit("#2b")))
+    )
+    for e, ch in enumerate(changes):
+        ch.coalesce(1).write.parquet(str(src / f"batch{e}"))
+
+    order = {str(src / f"batch{e}"): e for e in range(3)}
+
+    def apply_changes(batch_df, epoch_id):
+        merge_upsert(
+            spark, root, schema, batch_df, "doc_id", stats_col="doc_id"
+        )
+        n = read_table(spark, root, schema).count()
+        assert n == docs.count(), "merge must never change the key count here"
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "batch*"))
+        .writeStream.foreachBatch(apply_changes)
+        .option("checkpointLocation", str(tmp_path / "cdcckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r.doc_id, r.text) for r in read_table(spark, root, schema).collect()}
+    expected = {
+        (r.doc_id,
+         r.text + ("#2b" if r.doc_id % 3 == 0
+                   else f"#{r.doc_id % 3}"))
+        for r in docs.collect()
+    }
+    assert got == expected
+
+
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     """Streaming INDEX MAINTENANCE for the IVF-PQ composite: FAISS's
     train-once/add-incrementally contract run through Structured
