@@ -413,3 +413,59 @@ def _oriented_wedges(
         )
     )
     return oriented, wedges
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    capped at ``max_hops`` — the reachability primitive behind blast-
+    radius analysis ("everything within k hops of these documents"),
+    contamination spread over a near-dup graph, and k-hop feature
+    extraction. ``seeds`` is a one-column (``node``) relation;
+    returns (node, dist) with dist 0 for the seeds themselves.
+
+    Frontier form of the textbook algorithm: each round joins ONLY the
+    newly discovered frontier against the edge relation, anti-joins
+    the visited set, and stops early when a round discovers nothing —
+    so total work is O(edges within the reached neighborhood), not
+    O(rounds × graph). First-discovery distance IS the minimum
+    distance (BFS layering), no per-node min needed. Rounds are
+    bounded (``max_hops``), each round's visited/frontier are
+    checkpointed to cut lineage — the same iterative-join contract as
+    `connected_components_min_label`; ``checkpoint_dir=None`` →
+    ``localCheckpoint``, set it to an HDFS/object-store path on a
+    cluster (caller owns cleanup — see that operator's docstring).
+
+    At 100 TB each round shuffles the frontier⋈edges join keyed on
+    ``src`` — frontier-sized, not corpus-sized; a pre-partitioned or
+    bucketed edge relation makes every round's probe co-located.
+    """
+    with _session_checkpointer(edges, checkpoint_dir) as ckpt:
+        visited = ckpt(
+            seeds.select(F.col(node)).distinct()
+            .withColumn("dist", F.lit(0))
+        )
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            new = ckpt(
+                frontier.join(
+                    edges, frontier[node] == edges[src], "inner"
+                )
+                .select(F.col(dst).alias(node))
+                .distinct()
+                .join(visited.select(node), node, "left_anti")
+                .withColumn("dist", F.lit(hop))
+            )
+            if not new.take(1):  # frontier exhausted: early out
+                break
+            visited = ckpt(visited.unionByName(new))
+            frontier = new
+    return visited

@@ -468,6 +468,137 @@ def sink_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHANGES_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
+ch AS (
+  SELECT doc_id, text || '!' AS text, lang, source, n_chars,
+         'update_post' AS _change
+  FROM documents, m WHERE doc_id * 8 >= h AND doc_id * 8 < 2 * h
+  UNION ALL
+  SELECT doc_id + h AS doc_id, text, lang, source, n_chars,
+         'insert' AS _change
+  FROM documents, m WHERE doc_id * 8 >= 2 * h AND doc_id * 8 < 3 * h
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'delete' AS _change
+  FROM documents, m WHERE doc_id * 8 >= 6 * h AND doc_id * 8 < 7 * h
+)
+SELECT _change, lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM ch GROUP BY _change, lang, source
+"""
+
+
+@_register("sink_versioned_changes", _CHANGES_ORACLE)
+def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED on the versioned table — Delta CDF / Iceberg
+    incremental read reduced to its commit-protocol core: consume the
+    row-level diff of a three-commit window (a copy-on-write UPDATE
+    merge, a pure-INSERT merge, and a stats-pruned range DELETE — the
+    new `delete_where` verb) on the same id-clustered table as
+    `sink_versioned_pruned_read`, without replaying any log. The feed
+    is a manifest DIFF (files removed vs added across the window) plus
+    a key-level reconciliation over JUST those files, so rows a
+    rewrite carried verbatim (same-file neighbors of the changed
+    bands — most of each rewritten file) are ballast the feed must
+    DROP, while band-1 keys surface as ``update_post`` post-images,
+    shifted new keys as ``insert``, and band-6 pre-images as
+    ``delete``. Every arm is a deterministic id-band predicate, so
+    DuckDB restates the exact change set from the raw table and the
+    checksum oracle pins all three classifications at once.
+
+    Scale contract: the diff join is bounded by the window's churn
+    (the files three commits touched), never the table — an
+    incremental consumer pays for what changed. The build deliberately
+    does NOT vacuum after the window opens: CDF is exactly the reason
+    retention horizons exist, and `changes` raises loudly if vacuum
+    beat the reader to a file (pinned in
+    `test_versioned_changes_semantics`).
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        changes,
+        delete_where,
+        list_manifests,
+        merge_upsert,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def band(i: int) -> tuple[int, int]:
+        # batch i's inclusive id bounds: doc_id*8 in [i*h, (i+1)*h)
+        return (i * h + 7) // 8, ((i + 1) * h + 7) // 8 - 1
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        _build_range_table(spark, docs, root, h)  # appends+cluster+vacuum
+
+        # commit 1: copy-on-write UPDATE of band 1 ('!' post-images)
+        updates = docs.filter(
+            (F.col("doc_id") * 8 >= h) & (F.col("doc_id") * 8 < 2 * h)
+        ).withColumn("text", F.concat(F.col("text"), F.lit("!")))
+        _, rewrote, live = merge_upsert(
+            spark, root, _DOC_SCHEMA, updates, "doc_id", stats_col="doc_id"
+        )
+        if rewrote == 0 or rewrote >= live:
+            raise RuntimeError(
+                f"update merge rewrote {rewrote} of {live} files — write-"
+                "path stats pruning failed"
+            )
+        # commit 2: pure INSERT (band 2 shifted past max id — no file
+        # can contain these keys, so the merge must rewrite nothing)
+        inserts = docs.filter(
+            (F.col("doc_id") * 8 >= 2 * h) & (F.col("doc_id") * 8 < 3 * h)
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(h))
+        _, rewrote, _ = merge_upsert(
+            spark, root, _DOC_SCHEMA, inserts, "doc_id", stats_col="doc_id"
+        )
+        if rewrote != 0:
+            raise RuntimeError(
+                f"insert merge rewrote {rewrote} files — stats said keys "
+                "beyond every range could match"
+            )
+        # commit 3: stats-pruned range DELETE of band 6 (pre-images)
+        lo6, hi6 = band(6)
+        _, rewrote, live = delete_where(
+            spark, root, _DOC_SCHEMA, "doc_id", lo6, hi6,
+            stats_col="doc_id",
+        )
+        if rewrote == 0 or rewrote >= live:
+            raise RuntimeError(
+                f"range delete rewrote {rewrote} of {live} files — write-"
+                "path stats pruning failed"
+            )
+        # NO vacuum here: the CDF window below still reads the removed
+        # files (the retention horizon the docstring documents)
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_cdf", build,
+    )
+    root = f"{dest}/table"
+    compactions = [n for n, note in list_manifests(root)
+                   if note.startswith("compact")]
+    if len(compactions) != 1:  # the build commits exactly one
+        raise RuntimeError(f"expected 1 compaction commit, got {compactions}")
+    feed = changes(spark, root, _DOC_SCHEMA, "doc_id", compactions[-1])
+    return feed.groupBy("_change", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(doc_id)").alias("id_checksum"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("text_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD type-2 interval construction (gaps and islands)
 # ---------------------------------------------------------------------------
@@ -627,6 +758,109 @@ def pipeline_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None,
     ).select(F.col("node").alias("node"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS reachability over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-source BFS in DuckDB over the SAME exact Jaccard
+    ≥ 0.6 edge set as the other graph queries: d0 = the seed layer,
+    d_{i} = min-dist after expanding one more hop (UNION ALL + GROUP
+    BY MIN — monotone, so extra rounds past the eccentricity are
+    no-ops, matching the Spark side's early exit)."""
+    from .llm import _SQL_JACCARD, _SQL_TOKENS, _SQL_WORD_SHINGLES
+
+    sql = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE {_SQL_JACCARD} >= 0.6
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL
+  SELECT db AS src, da AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 2 = 0)"""
+    for i in range(1, _BFS_HOPS + 1):
+        sql += f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + 1 AS dist
+    FROM edges e JOIN d{i - 1} r ON e.src = r.node
+  ) GROUP BY node
+)"""
+    sql += f"""
+SELECT node AS doc_id, dist FROM d{_BFS_HOPS}
+"""
+    return sql
+
+
+@_register("pipeline_graph_bfs_reach", _bfs_oracle())
+def pipeline_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability over the EXACT near-dup graph
+    (word-3-gram Jaccard ≥ 0.6, symmetrized — the shared edge set of
+    the graph family): minimum hop distance from the even-doc_id seed
+    set, capped at 4 hops. This is the BLAST-RADIUS question a corpus
+    pipeline asks when a contaminated/benchmark document is found —
+    "every document within k near-dup hops inherits suspicion" — and
+    the fourth graph primitive next to connected components, PageRank,
+    and triangles: those compute global structure, BFS computes
+    DISTANCE FROM A QUERY SET, which closure-based components cannot
+    express (a component says reachable, not how far).
+
+    Plan: edge generation is the bucketed prefix-filter join (no
+    cartesian); each BFS round joins only the NEWLY-discovered
+    frontier against the pair-graph-sized edge relation and early-
+    exits when a round finds nothing (near-dup components have
+    diameter 1-2, so the 4-hop cap is slack, not cost — the oracle's
+    extra unrolled rounds are no-ops by min-monotonicity). Rounds are
+    checkpointed; integer output, so the hash gate is exact with no
+    float caveat. Set SPARK_GRAFT_CHECKPOINT_DIR for reliable
+    checkpoints on a cluster.
+    """
+    import os
+
+    from ..operators.graph import bfs_distances
+    from ..operators.text import (
+        jaccard_verify_elements,
+        prefix_filter_candidate_pairs,
+        shingle_elements,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
+    cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
+    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
+        "doc_id_a", "doc_id_b"
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % 2 == 0)
+    reach = bfs_distances(
+        edges, seeds, max_hops=_BFS_HOPS,
+        checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None,
+    )
+    return reach.select(F.col("node").alias("doc_id"), "dist")
 
 
 # ---------------------------------------------------------------------------

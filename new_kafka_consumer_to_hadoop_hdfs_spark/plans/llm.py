@@ -3376,3 +3376,101 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", status.alias("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram PMI
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 100
+
+_PMI_ORACLE = f"""
+WITH tok AS (SELECT {_SQL_TOKENS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+ucnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w),
+tot AS (SELECT (SELECT COUNT(*) FROM uni)::DOUBLE AS n1,
+               (SELECT SUM(CASE WHEN len(t) >= 2 THEN len(t) - 1
+                                ELSE 0 END) FROM tok)::DOUBLE AS n2),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tok, UNNEST(range(1, len(t))) AS r(i)),
+bcnt AS (SELECT w1, w2, COUNT(*)::BIGINT AS c_xy
+         FROM big GROUP BY w1, w2)
+SELECT w1, w2, c_xy,
+       ROUND(ln((c_xy::DOUBLE * n1 * n1)
+                / (n2 * a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+FROM bcnt JOIN ucnt a ON w1 = a.w JOIN ucnt b ON w2 = b.w, tot
+WHERE c_xy >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP_K}
+"""
+
+
+@_register("text_collocations_pmi", _PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top bigrams by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with a
+    min-support floor — the classic phrase detector (word2vec's
+    phrase pass, tokenizer-vocabulary curation, stopword-vs-term
+    diagnosis): high-PMI pairs co-occur far beyond chance, so they
+    behave as single lexical units.
+
+    Plan: one explode for unigram counts, one bounded-length
+    transform+explode for bigram counts (positions, not distinct —
+    PMI needs occurrence probabilities), then the bigram relation
+    joins the unigram counts on w1 and on w2 — VOCABULARY-sized
+    shuffles, corpus-sized only in the two counting map phases, which
+    are map-side-combinable. N1/N2 ride a broadcast 1-row relation.
+    The top-k is ordered on the ROUNDED pmi with a (w1, w2) tiebreak
+    — the unique total key both engines cut identically — and Spark
+    plans orderBy+limit as TakeOrdered (top-k heap per partition +
+    k-row merge), never a full sort. Determinism: every count is an
+    exact integer; both engines evaluate the identical double
+    expression (products round IEEE-identically once > 2^53), with
+    ln's sub-ulp spread absorbed by ROUND(…, 6) — the
+    `text_bigram_surprisal` contract.
+
+    At 100 TB: unigram/bigram counting is word-count — the canonical
+    scale-out aggregation; the vocabulary joins broadcast if the
+    vocabulary is small, shuffle-hash otherwise; no driver-side state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(whitespace_tokens(F.col("text")).alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(
+        F.sum(F.size("t")).cast("double").alias("n1"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+        .cast("double").alias("n2"),
+    )
+    big = tok.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("__ca"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("__cb"))
+    joined = bcnt.join(a, "w1").join(b, "w2").crossJoin(F.broadcast(tot))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n1") * F.col("n1"))
+            / (
+                F.col("n2")
+                * F.col("__ca").cast("double")
+                * F.col("__cb").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

@@ -1819,3 +1819,97 @@ def sql_adhoc_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import run_sql
 
     return run_sql(spark, sf_dir, _SQL_ADHOC_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_REGRESSION_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS priority,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT AS x,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+),
+s AS (
+  SELECT priority,
+         COUNT(*) AS n_orders,
+         COUNT(*)::DOUBLE AS n,
+         SUM(x)::DOUBLE AS sx,
+         SUM(y)::DOUBLE AS sy,
+         SUM(x * x)::DOUBLE AS sxx,
+         SUM(x * y)::DOUBLE AS sxy,
+         SUM(y * y)::DOUBLE AS syy
+  FROM b GROUP BY priority
+)
+SELECT priority, n_orders,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@_register("agg_regression_trend", _REGRESSION_ORACLE)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope / intercept / R²
+    of order value over order date, per priority class) — the grouped
+    closed-form regression every monitoring pipeline runs ("is this
+    segment's spend drifting?"), and the embarrassingly-parallel ML
+    primitive: OLS needs only the five SUFFICIENT STATISTICS
+    (Σx, Σy, Σx², Σxy, Σy²), so the whole fit is ONE map-side-
+    combinable aggregation — no iteration, no solver, partials merge
+    associatively, output is |groups| rows.
+
+    Determinism contract (the float-oracle discipline): the sums are
+    computed EXACTLY — x is integer epoch-days, y a DECIMAL(18,2) — so
+    partial-agg merge order cannot perturb them; both engines then
+    cast the identical exact sums to double and evaluate the SAME
+    closed-form expression tree, making slope/intercept/R² equal to
+    the last bit before the defensive ROUND(…, 6) (the one residual
+    ulp risk is each engine's decimal→double cast on the large Σxy /
+    Σy² values — same caveat `pipeline_graph_pagerank` documents).
+    Degenerate groups (zero x- or y-variance, where OLS is undefined)
+    are filtered identically on both sides.
+
+    At 100 TB: identical shape to any GROUP BY — one shuffle of
+    5-number partials per group, skew-immune (the stats are algebraic,
+    so a salted two-phase split composes if a group is hot).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).cast("bigint").alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = b.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy      # n²·cov(x,y)
+    varx_n = n * sxx - sx * sx     # n²·var(x)
+    vary_n = n * syy - sy * sy     # n²·var(y)
+    slope = cov_n / varx_n
+    return (
+        s.filter((varx_n > 0) & (vary_n > 0))
+        .select(
+            "priority",
+            "n_orders",
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+        )
+    )

@@ -332,6 +332,156 @@ def merge_upsert(
     return name, len(touched), len(live)
 
 
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    *,
+    stats_col: str | None = None,
+) -> tuple[str, int, int]:
+    """Copy-on-write DELETE of rows with ``col`` BETWEEN lo AND hi:
+    the write-path mirror of :func:`read_table`'s data skipping, and
+    the third mutation verb next to append and merge (Delta/Iceberg
+    ``DELETE FROM ... WHERE``). Returns (new manifest name, files
+    rewritten, live files before).
+
+    With ``stats_col == col`` manifest min/max stats prune the rewrite
+    set to files whose range can contain a victim row — a bounded
+    range-delete on a clustered table rewrites its band's files, not
+    the table (the GDPR/retention-delete cost model). Survivor rows
+    are rewritten, the commit flips to (untouched + replacements).
+    Rows with a NULL ``col`` never match BETWEEN and are always kept.
+    """
+    from pyspark.sql import functions as F
+
+    cur, live = read_manifest(root)
+    if not live:
+        return cur, 0, 0
+    if stats_col == col:
+        touched, _ = pruned_files(root, cur, col, lo, hi)
+    else:
+        touched = list(live)  # no usable stats: rewrite everything
+    if not touched:  # no file can contain a victim: no-op commit-wise
+        return cur, 0, len(live)
+    untouched = [f for f in live if f not in set(touched)]
+    data = pathlib.Path(root, "data")
+    seq = int(cur.split("-")[1].split(".")[0]) + 1
+    staging = pathlib.Path(root, f".delete-{seq}")
+    base = spark.read.schema(schema).parquet(
+        *[str(data / f) for f in touched]
+    )
+    survivors = base.filter(
+        ~F.coalesce(F.col(col).between(lo, hi), F.lit(False))
+    )
+    survivors.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(
+        str(staging)
+    )
+    adopted = _adopt(staging, data, f"d{seq:08d}")
+    stats = dict(manifest_stats(root, cur))
+    if stats_col:
+        for f in adopted:
+            mm = _file_minmax(data / f, stats_col)
+            if mm is not None:
+                stats[f] = mm
+    name = _flip(
+        root, untouched + adopted,
+        f"delete {col} in [{lo}, {hi}]: rewrote {len(touched)} of "
+        f"{len(live)} files",
+        stats,
+    )
+    return name, len(touched), len(live)
+
+
+def changes(
+    spark: SparkSession,
+    root: str,
+    schema,
+    key: str,
+    from_name: str,
+    to_name: str | None = None,
+) -> DataFrame:
+    """Change data feed: the row-level diff between two committed
+    versions (Delta CDF / Iceberg incremental read), computed WITHOUT
+    replaying a log — manifest diff names the files each commit added
+    or removed, and a key-level reconciliation over JUST those files
+    separates real changes from copy-on-write ballast (rows a rewrite
+    carried verbatim because they shared a file with a change).
+
+    Returns the table columns plus ``_change``: ``insert`` and
+    ``update_post`` rows carry the post-image, ``delete`` rows the
+    pre-image. ``key`` must be unique per version (the same contract
+    as :func:`merge_upsert`). ``to_name=None`` reads CURRENT.
+
+    Scale contract: both join sides are bounded by the files the
+    window's commits touched — an incremental consumer pays for the
+    churn, never the table. The flip side is RETENTION: the old
+    versions' files must still exist (this raises loudly if vacuum
+    already removed one — exactly Delta's CDF-vs-VACUUM horizon).
+    """
+    from pyspark.sql import functions as F
+
+    if to_name is None:
+        to_name, _ = read_manifest(root)
+        if to_name is None:
+            raise ValueError("table has no committed version")
+    from_files = set(manifest_files(root, from_name))
+    to_files = set(manifest_files(root, to_name))
+    removed = sorted(from_files - to_files)
+    added = sorted(to_files - from_files)
+    data = pathlib.Path(root, "data")
+    missing = [f for f in (*removed, *added) if not (data / f).exists()]
+    if missing:
+        raise RuntimeError(
+            f"change feed {from_name}..{to_name} needs vacuumed files "
+            f"{missing}: the retention horizon must outlive CDF readers"
+        )
+    out_schema = spark.createDataFrame([], schema).schema
+    cols = [f.name for f in out_schema.fields]
+    empty = spark.createDataFrame(
+        [], out_schema.add("_change", "string", False)
+    )
+    if not removed and not added:
+        return empty
+
+    def _side(files: list[str], tag: str) -> DataFrame:
+        if not files:
+            return empty.select(
+                F.col(key),
+                F.struct(*cols).alias(f"__row_{tag}"),
+                F.lit("").alias(f"__h_{tag}"),
+            )
+        df = spark.read.schema(out_schema).parquet(
+            *[str(data / f) for f in files]
+        )
+        # null-safe payload fingerprint: to_json is deterministic for
+        # identical values and both sides hash through the same code
+        return df.select(
+            F.col(key),
+            F.struct(*cols).alias(f"__row_{tag}"),
+            F.md5(F.to_json(F.struct(*cols))).alias(f"__h_{tag}"),
+        )
+
+    old = _side(removed, "old")
+    new = _side(added, "new")
+    j = old.join(new, key, "full_outer")
+    change = (
+        F.when(F.col("__row_old").isNull(), F.lit("insert"))
+        .when(F.col("__row_new").isNull(), F.lit("delete"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("update_post"))
+        # equal hashes: carried-over copy-on-write ballast, not a change
+    )
+    picked = F.coalesce(F.col("__row_new"), F.col("__row_old"))
+    return (
+        j.select(change.alias("_change"), picked.alias("__row"))
+        .filter(F.col("_change").isNotNull())
+        .select([F.col(f"__row.{c}").alias(c) for c in cols]
+                + [F.col("_change")])
+    )
+
+
 def vacuum(root: str) -> int:
     """Delete data files no CURRENT manifest references. Safe once no
     reader can still hold a pre-compaction manifest (a retention

@@ -981,3 +981,52 @@ def test_two_level_rollup_cube_empty_source(spark, tmp_path):
     # the registered two-level queries match it on the same edge
     assert agg_rollup(spark, sf).collect() == []
     assert agg_cube(spark, sf).collect() == []
+
+
+def test_bfs_distances_semantics(spark, tmp_path):
+    """BFS contract on a hand-built graph: min distance wins when two
+    paths reach a node (diamond), the hop cap truncates a long chain,
+    unreachable components are absent, duplicate seeds collapse, and
+    both checkpoint modes agree. Graph (directed edges as given,
+    symmetrized by the caller in the registered query; here directed
+    on purpose to pin direction-following):
+
+        0→1→2→3→4→5→6   chain
+        0→10→11, 0→20→11 diamond: 11 at dist 2 both ways
+        90→91            unreachable from seed 0
+    """
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    chain = [(i, i + 1) for i in range(6)]
+    diamond = [(0, 10), (10, 11), (0, 20), (20, 11)]
+    island = [(90, 91)]
+    edges = spark.createDataFrame(
+        chain + diamond + island, "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (0,)], "node long")  # dup seed
+
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4,  # chain cut at the 4-hop cap
+        10: 1, 20: 1, 11: 2,           # diamond: min of two 2-paths
+    }
+    # early exit: a cap far beyond the eccentricity adds only the
+    # chain's tail, never loops
+    full = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=100).collect()
+    }
+    assert full[6] == 6 and len(full) == len(got) + 2
+    # reliable checkpoint mode agrees
+    reliable = {
+        r.node: r.dist
+        for r in bfs_distances(
+            edges, seeds, max_hops=4, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert reliable == got

@@ -41,6 +41,19 @@ NEW_IN_R11: set[str] = {
     # band's files), post-merge table checksummed vs DuckDB's
     # restatement of the merged state
     "sink_versioned_upsert",
+    # change data feed: manifest-diff incremental read across an
+    # update-merge + insert-merge + range-delete window; all three
+    # change classes restated by deterministic id-band predicates
+    "sink_versioned_changes",
+    # multi-source BFS min-hop distances over the shared near-dup
+    # graph (4th graph primitive; unrolled min-monotone oracle)
+    "pipeline_graph_bfs_reach",
+    # per-group OLS slope/intercept/R² from exact decimal sufficient
+    # statistics (one map-side-combinable aggregation)
+    "agg_regression_trend",
+    # bigram PMI collocations (vocabulary-sized shuffles, rounded-pmi
+    # top-k with a unique tiebreak both engines cut identically)
+    "text_collocations_pmi",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.

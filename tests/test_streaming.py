@@ -1585,6 +1585,136 @@ def test_versioned_merge_upsert_semantics(spark, tmp_path):
     assert rows2 == [(5, "X5"), (15, "X15")]
 
 
+def test_versioned_delete_where_semantics(spark, tmp_path):
+    """Copy-on-write DELETE contract: only files whose stats range can
+    contain a victim row are rewritten (a disjoint file survives as
+    the same physical file); rows with a NULL delete column never
+    match BETWEEN and are kept; a range overlapping no file is a no-op
+    commit-wise; pre-delete snapshots keep reading the victims."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        delete_where,
+        read_manifest,
+        read_snapshot,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "dt")
+    append_batch(
+        spark.createDataFrame(
+            [(0, "d0"), (5, "d5"), (None, "dnull")], schema
+        ).coalesce(1),
+        root, 0, stats_col="doc_id",
+    )
+    append_batch(
+        spark.createDataFrame([(20, "d20"), (25, "d25")], schema).coalesce(1),
+        root, 1, stats_col="doc_id",
+    )
+    pre_name, pre_live = read_manifest(root)
+
+    # range [3, 7] hits only the first file; the NULL-id row shares
+    # that file but must survive the rewrite
+    _, rewrote, live = delete_where(
+        spark, root, schema, "doc_id", 3, 7, stats_col="doc_id"
+    )
+    assert (rewrote, live) == (1, 2)
+    name, now_live = read_manifest(root)
+    assert len(set(pre_live) & set(now_live)) == 1, "disjoint file survives"
+    rows = sorted(
+        (r.doc_id if r.doc_id is not None else -1, r.text)
+        for r in read_table(spark, root, schema).collect()
+    )
+    assert rows == [(-1, "dnull"), (0, "d0"), (20, "d20"), (25, "d25")]
+
+    # snapshot isolation: the pre-delete manifest still reads doc 5
+    old = sorted(
+        r.text for r in read_snapshot(spark, root, pre_name, schema).collect()
+    )
+    assert old == ["d0", "d20", "d25", "d5", "dnull"]
+
+    # a range no file can contain: no-op (same manifest, 0 rewritten)
+    same, rewrote, _ = delete_where(
+        spark, root, schema, "doc_id", 1000, 2000, stats_col="doc_id"
+    )
+    assert same == name and rewrote == 0
+
+
+def test_versioned_changes_semantics(spark, tmp_path):
+    """Change-data-feed contract: (a) inserts/updates/deletes classify
+    by manifest diff + key reconciliation and carried-over rows are
+    dropped; (b) a pure-compaction window yields an EMPTY feed (files
+    churned, no rows changed); (c) an append-only window is all
+    inserts; (d) from == to is empty; (e) vacuum beating a CDF reader
+    raises loudly (the retention horizon)."""
+    import pytest
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        changes,
+        compact,
+        delete_where,
+        merge_upsert,
+        read_manifest,
+        vacuum,
+    )
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "ct")
+    append_batch(
+        spark.createDataFrame(
+            [(0, "d0"), (1, "d1"), (2, "d2")], schema
+        ).coalesce(1),
+        root, 0, stats_col="doc_id",
+    )
+    v0, _ = read_manifest(root)
+
+    # (d) from == to
+    assert changes(spark, root, schema, "doc_id", v0, v0).count() == 0
+
+    # (c) append-only window
+    append_batch(
+        spark.createDataFrame([(3, "d3")], schema).coalesce(1),
+        root, 1, stats_col="doc_id",
+    )
+    v1, _ = read_manifest(root)
+    feed = changes(spark, root, schema, "doc_id", v0, v1).collect()
+    assert [(r.doc_id, r.text, r._change) for r in feed] == [
+        (3, "d3", "insert")
+    ]
+
+    # (b) pure-compaction window: every row carried over → empty feed
+    assert compact(
+        spark, root, schema, target_bytes=1 << 30, stats_col="doc_id"
+    ) > 0
+    v2, _ = read_manifest(root)
+    assert changes(spark, root, schema, "doc_id", v1, v2).count() == 0
+
+    # (a) mixed window: update key 1, insert key 9, delete key 2 —
+    # key 0/3 are same-file neighbors the feed must drop as ballast
+    merge_upsert(
+        spark, root, schema,
+        spark.createDataFrame([(1, "X1"), (9, "d9")], schema),
+        "doc_id", stats_col="doc_id",
+    )
+    delete_where(spark, root, schema, "doc_id", 2, 2, stats_col="doc_id")
+    feed = sorted(
+        (r.doc_id, r.text, r._change)
+        for r in changes(spark, root, schema, "doc_id", v2).collect()
+    )
+    assert feed == [
+        (1, "X1", "update_post"),
+        (2, "d2", "delete"),
+        (9, "d9", "insert"),
+    ]
+
+    # (e) vacuum removes v2's superseded files → the CDF reader that
+    # still holds v2 must fail loudly, not silently miss changes
+    assert vacuum(root) > 0
+    with pytest.raises(RuntimeError, match="retention"):
+        changes(spark, root, schema, "doc_id", v2)
+
+
 def test_streaming_cdc_merge_equals_batch(spark, tmp_path, sf_dir):
     """CDC ingest through the versioned table: a change stream applied
     as one copy-on-write merge PER MICRO-BATCH (foreachBatch →
