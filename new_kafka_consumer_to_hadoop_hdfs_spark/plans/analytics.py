@@ -352,7 +352,7 @@ def sink_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "documents.parquet",
-        "documents_rangetable_c4", build,
+        "documents_rangetable_c4s2", build,
     )
     root = f"{dest}/table"
     # batches 2-3 as inclusive id bounds: doc_id*8 in [2h, 4h) ⟺
@@ -461,10 +461,123 @@ def sink_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "documents.parquet",
-        "documents_rangetable_m1", build,
+        "documents_rangetable_m1s2", build,
     )
     return _roundtrip_checksums(
         read_table(spark, f"{dest}/table", _DOC_SCHEMA)
+    )
+
+
+_ZORDER_ORACLE = """
+WITH m AS (
+  SELECT MIN(n_chars) + ((MAX(n_chars) - MIN(n_chars)) * 7) // 10 AS lo,
+         MAX(n_chars) AS hi
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents, m
+WHERE n_chars BETWEEN lo AND hi
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_zorder_read", _ZORDER_ORACLE)
+def sink_versioned_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-DIMENSIONAL data skipping via Z-ORDER clustering — Delta's
+    ``OPTIMIZE ZORDER BY`` reduced to its core: `sink_versioned_pruned_read`
+    proves single-column range clustering (perfect skipping on doc_id,
+    none on anything else); here the compactor clusters on the
+    INTERLEAVED-BITS Morton key of (doc_id, n_chars) and the manifest
+    records per-file [min, max] FOR BOTH columns (column-keyed stats —
+    a range on column A can never be pruned by column B's numbers), so
+    range reads skip files on EITHER dimension of one physical layout.
+    The registered read asks for the top n_chars band through
+    ``where_between`` and REFUSES to answer unless the manifest pruned
+    on n_chars — and the build refuses to install unless a doc_id band
+    ALSO prunes on the same files, the property single-column
+    clustering cannot deliver. The checksum oracle (DuckDB restating
+    the data-derived n_chars band over the raw table) proves the
+    doubly-pruned scan equals the full scan.
+
+    The z-key is pure built-ins (grid-scale, shift, mask, OR — whole-
+    stage codegen); ranges come from one 2×min/max agg (the q11
+    data-derived-threshold pattern). At 100 TB: the curve trades a
+    little per-dimension tightness for coverage of every clustered
+    dimension — the standard multi-dim layout when reads filter on
+    more than one key; the compaction still pays only one bounded
+    range shuffle of the rewritten slice.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        compact,
+        pruned_files,
+        read_manifest,
+        read_table,
+        vacuum,
+        zorder32,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    r = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.min("n_chars"), F.max("n_chars")
+    ).first()  # 1 row, data-derived grid ranges
+    dlo, dhi, nlo, nhi = int(r[0]), int(r[1]), int(r[2]), int(r[3])
+
+    def band_top30(lo: int, hi: int) -> tuple[int, int]:
+        return lo + ((hi - lo) * 7) // 10, hi
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        append_batch(docs.repartition(16), root, 0)  # fragmented arrival
+        reduced = compact(
+            spark, root, _DOC_SCHEMA,
+            target_files=8,
+            cluster=True,
+            cluster_expr=zorder32(
+                F.col("doc_id"), F.col("n_chars"), (dlo, dhi), (nlo, nhi)
+            ),
+            stats_col=("doc_id", "n_chars"),
+        )
+        if reduced <= 0:
+            raise RuntimeError("z-order compaction was a no-op")
+        vacuum(root)
+        # the multi-dimensional property: the SAME layout must prune on
+        # the doc_id dimension too, or it's just n_chars clustering
+        name, live = read_manifest(root)
+        dkept, dtotal = pruned_files(
+            root, name, "doc_id", *band_top30(dlo, dhi)
+        )
+        if not dkept or len(dkept) >= dtotal:
+            raise RuntimeError(
+                f"z-order failed to prune on doc_id: kept {len(dkept)} of "
+                f"{dtotal}"
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_zorder8", build,
+    )
+    root = f"{dest}/table"
+    lo, hi = band_top30(nlo, nhi)
+    name, _ = read_manifest(root)
+    kept, total = pruned_files(root, name, "n_chars", lo, hi)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"manifest stats failed to prune on n_chars: kept {len(kept)} "
+            f"of {total}"
+        )
+    return _roundtrip_checksums(
+        read_table(spark, root, _DOC_SCHEMA,
+                   where_between=("n_chars", lo, hi))
     )
 
 
@@ -581,7 +694,7 @@ def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "documents.parquet",
-        "documents_rangetable_cdf", build,
+        "documents_rangetable_cdfs2", build,
     )
     root = f"{dest}/table"
     compactions = [n for n, note in list_manifests(root)

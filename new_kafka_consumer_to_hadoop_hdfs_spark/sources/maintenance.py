@@ -105,11 +105,41 @@ def _flip(
 
 
 def manifest_stats(root: str, name: str) -> dict:
-    """The per-file [min, max] stats map of a specific manifest
-    (empty for tables written without a stats column)."""
+    """The per-file stats map of a specific manifest: file name →
+    {column → [min, max]} (empty for tables written without stats
+    columns). Stats are keyed BY COLUMN so a range read on column A
+    can never be pruned with column B's range — a file whose entry
+    lacks the queried column is conservatively kept."""
     return json.loads(
         pathlib.Path(root, "manifests", name).read_text()
     ).get("stats", {})
+
+
+def _norm_stats_cols(stats_col) -> tuple[str, ...]:
+    """Accept a single column name or a sequence of them."""
+    if stats_col is None:
+        return ()
+    if isinstance(stats_col, str):
+        return (stats_col,)
+    return tuple(stats_col)
+
+
+def _record_stats(
+    data: pathlib.Path, files: list[str], stats_cols: tuple[str, ...]
+) -> dict:
+    """Column-keyed footer stats for newly adopted files: {file →
+    {col → [min, max]}}; columns whose footers lack min/max are simply
+    absent (the file is then never pruned on that column)."""
+    out: dict = {}
+    for f in files:
+        ent = {}
+        for col in stats_cols:
+            mm = _file_minmax(data / f, col)
+            if mm is not None:
+                ent[col] = mm
+        if ent:
+            out[f] = ent
+    return out
 
 
 def _file_minmax(path: pathlib.Path, col: str) -> list | None:
@@ -179,11 +209,7 @@ def append_batch(
     adopted = _adopt(staging, data, f"b{batch_id:08d}")
     cur, live = read_manifest(root)
     stats = dict(manifest_stats(root, cur)) if cur else {}
-    if stats_col:
-        for f in adopted:
-            mm = _file_minmax(data / f, stats_col)
-            if mm is not None:
-                stats[f] = mm
+    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
     # set-union, not concatenation: a foreachBatch RETRY that already
     # flipped re-adopts the same deterministic names — the manifest
     # must list each file once or readers double-count the batch
@@ -200,8 +226,9 @@ def compact(
     *,
     target_bytes: int = 96 << 20,
     target_files: int | None = None,
-    stats_col: str | None = None,
+    stats_col=None,
     cluster: bool = False,
+    cluster_expr=None,
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
     (floor 1; ``target_files`` overrides) and flip the pointer.
@@ -216,17 +243,26 @@ def compact(
       arbitrary inputs, so a compacted file's stats range is the union
       of its inputs' — on a clustered table this widens ranges and
       DEGRADES data skipping.
-    - ``cluster=True`` (requires ``stats_col``): ``repartitionByRange``
-      + ``sortWithinPartitions`` on the stats column — pays one range
-      shuffle of the rewritten slice, and in exchange the replacement
-      files carry tight disjoint ranges, so pruning SURVIVES
-      compaction. This is why production compactors sort/cluster as
-      they rewrite; at 100 TB the slice is a partition/day, not the
-      corpus, so the shuffle is bounded by the same unit the compactor
-      already rewrites.
+    - ``cluster=True`` (requires ``stats_col`` or ``cluster_expr``):
+      ``repartitionByRange`` + ``sortWithinPartitions`` on the cluster
+      key — pays one range shuffle of the rewritten slice, and in
+      exchange the replacement files carry tight disjoint ranges, so
+      pruning SURVIVES compaction. This is why production compactors
+      sort/cluster as they rewrite; at 100 TB the slice is a
+      partition/day, not the corpus, so the shuffle is bounded by the
+      same unit the compactor already rewrites.
+
+    ``cluster_expr`` (a Column) overrides the cluster key while
+    ``stats_col`` (one name or a sequence) still names the RECORDED
+    stats — the Z-ORDER hook: cluster on an interleaved-bits
+    expression of several columns (see :func:`zorder32`), record
+    per-file stats for each source column, and range reads prune on
+    ANY of them (multi-dimensional data skipping, Delta's ``OPTIMIZE
+    ZORDER BY``).
     """
-    if cluster and not stats_col:
-        raise ValueError("cluster=True requires stats_col")
+    stats_cols = _norm_stats_cols(stats_col)
+    if cluster and not stats_cols and cluster_expr is None:
+        raise ValueError("cluster=True requires stats_col or cluster_expr")
     cur, live = read_manifest(root)
     if len(live) <= 1:
         return 0
@@ -241,19 +277,16 @@ def compact(
     if cluster:
         from pyspark.sql import functions as F
 
+        key = cluster_expr if cluster_expr is not None \
+            else F.col(stats_cols[0])
         rewritten = scan.repartitionByRange(
-            target, F.col(stats_col)
-        ).sortWithinPartitions(stats_col)
+            target, key
+        ).sortWithinPartitions(key)
     else:
         rewritten = scan.coalesce(target)
     rewritten.write.mode("overwrite").parquet(str(staging))
     adopted = _adopt(staging, data, f"c{seq:08d}")
-    stats = {}
-    if stats_col:
-        for f in adopted:
-            mm = _file_minmax(data / f, stats_col)
-            if mm is not None:
-                stats[f] = mm
+    stats = _record_stats(data, adopted, stats_cols)
     _flip(
         root, adopted, f"compact {len(live)} -> {len(adopted)} files", stats
     )
@@ -319,11 +352,7 @@ def merge_upsert(
     )
     adopted = _adopt(staging, data, f"u{seq:08d}")
     stats = dict(manifest_stats(root, cur))
-    if stats_col:
-        for f in adopted:
-            mm = _file_minmax(data / f, stats_col)
-            if mm is not None:
-                stats[f] = mm
+    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
     name = _flip(
         root, untouched + adopted,
         f"merge upsert: rewrote {len(touched)} of {len(live)} files",
@@ -381,11 +410,7 @@ def delete_where(
     )
     adopted = _adopt(staging, data, f"d{seq:08d}")
     stats = dict(manifest_stats(root, cur))
-    if stats_col:
-        for f in adopted:
-            mm = _file_minmax(data / f, stats_col)
-            if mm is not None:
-                stats[f] = mm
+    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
     name = _flip(
         root, untouched + adopted,
         f"delete {col} in [{lo}, {hi}]: rewrote {len(touched)} of "
@@ -509,11 +534,54 @@ def pruned_files(
     stat, which parquet footers cannot produce (they are exact)."""
     files = manifest_files(root, name)
     stats = manifest_stats(root, name)
-    kept = [
-        f for f in files
-        if f not in stats or not (stats[f][1] < lo or stats[f][0] > hi)
-    ]
+
+    def _keep(f: str) -> bool:
+        rng = stats.get(f, {}).get(col)
+        # column-keyed lookup: a file with stats for OTHER columns only
+        # is conservatively kept — column A's range must never prune on
+        # column B (this is why stats carry their column name)
+        return rng is None or not (rng[1] < lo or rng[0] > hi)
+
+    kept = [f for f in files if _keep(f)]
     return kept, len(files)
+
+
+def zorder32(xcol, ycol, x_range: tuple, y_range: tuple):
+    """Z-order (Morton) cluster key over two columns for
+    :func:`compact`'s ``cluster_expr``: each value is linearly mapped
+    onto a 16-bit grid over its [lo, hi] range (driver-known, one
+    cheap min/max agg), and the two grid coordinates' bits are
+    interleaved into one 32-bit integer — points close in BOTH
+    dimensions land close on the curve, so range-clustered files carry
+    TIGHT ranges on BOTH columns and data skipping works on either
+    (Delta's ``OPTIMIZE ZORDER BY``; single-column range clustering
+    gives perfect skipping on one column and none on the other).
+
+    Built-ins only (casts, shifts, masks — whole-stage codegen); NULL
+    or out-of-range values clamp to the grid edge, which affects only
+    placement, never correctness (stats are recorded from the actual
+    parquet footers afterwards).
+    """
+    from pyspark.sql import functions as F
+
+    def grid(c, rng):
+        lo, hi = rng
+        span = max(int(hi) - int(lo), 1)
+        v = F.coalesce(c.cast("long"), F.lit(int(lo)))
+        scaled = ((v - F.lit(int(lo))) * 65535) / F.lit(span)
+        return F.greatest(
+            F.lit(0), F.least(F.lit(65535), scaled.cast("long"))
+        )
+
+    x, y = grid(xcol, x_range), grid(ycol, y_range)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(xbit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i)
+        )
+    return z
 
 
 def read_table(

@@ -54,6 +54,9 @@ NEW_IN_R11: set[str] = {
     # bigram PMI collocations (vocabulary-sized shuffles, rounded-pmi
     # top-k with a unique tiebreak both engines cut identically)
     "text_collocations_pmi",
+    # z-order clustered compaction + column-keyed manifest stats:
+    # one physical layout prunes on BOTH clustered dimensions
+    "sink_versioned_zorder_read",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.

@@ -1471,8 +1471,8 @@ def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
     name, live = read_manifest(root)
     stats = manifest_stats(root, name)
     assert set(stats) == set(live)
-    lo = min(s[0] for s in stats.values())
-    hi = max(s[1] for s in stats.values())
+    lo = min(s["doc_id"][0] for s in stats.values())
+    hi = max(s["doc_id"][1] for s in stats.values())
     assert lo == 0 and hi == 100
     rows = sorted(
         r.doc_id
@@ -1498,7 +1498,7 @@ def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
     name2, live2 = read_manifest(root2)
     assert len(live2) == 2
     stats2 = manifest_stats(root2, name2)
-    ranges = sorted(stats2[f] for f in live2)
+    ranges = sorted(stats2[f]["doc_id"] for f in live2)
     assert ranges[0][1] < ranges[1][0], "clustered files must be disjoint"
     kept2, total2 = pruned_files(root2, name2, "doc_id", 0, 9)
     assert total2 == 2 and len(kept2) == 1
@@ -1509,6 +1509,65 @@ def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
         ).collect()
     )
     assert rows == [0, 5, 9]
+
+
+def test_versioned_multicol_stats_and_zorder(spark, tmp_path):
+    """Column-keyed stats contract: (a) pruning on a column the
+    manifest has NO stats for keeps every file (column A's range must
+    never prune on column B — the footgun the keyed format removes);
+    (b) a multi-column stats commit prunes independently on each
+    recorded column; (c) zorder32 is monotone on the grid and
+    interleaves correctly on hand-checkable corners."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        compact,
+        manifest_stats,
+        pruned_files,
+        read_manifest,
+        zorder32,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "a long, b long"
+    root = str(tmp_path / "zt")
+    # a ascending while b DESCENDS: single-column clustering on a
+    # would give b perfectly inverted ranges
+    rows = [(i, 99 - i) for i in range(100)]
+    df = spark.createDataFrame(rows, schema)
+    append_batch(df.repartition(8), root, 0)
+
+    # (a) no stats recorded at all: nothing prunes, on either column
+    name, live = read_manifest(root)
+    kept, total = pruned_files(root, name, "a", 0, 5)
+    assert len(kept) == total == len(live)
+
+    # (b) z-order compact with BOTH columns recorded: a range on a
+    # AND a range on b each prune, against the same physical layout
+    assert compact(
+        spark, root, schema, target_files=4, cluster=True,
+        cluster_expr=zorder32(F.col("a"), F.col("b"), (0, 99), (0, 99)),
+        stats_col=("a", "b"),
+    ) > 0
+    name, live = read_manifest(root)
+    stats = manifest_stats(root, name)
+    assert all(set(s) == {"a", "b"} for s in stats.values())
+    kept_a, total = pruned_files(root, name, "a", 0, 20)
+    kept_b, _ = pruned_files(root, name, "b", 0, 20)
+    assert len(kept_a) < total and len(kept_b) < total
+    # a column with no recorded stats is conservatively unpruned
+    kept_c, _ = pruned_files(root, name, "c", 0, 20)
+    assert len(kept_c) == total
+
+    # (c) corners of the 16-bit grid: (0,0)→0, (max,max)→2^32-1;
+    # x occupies the ODD bits (x=max,y=0 → 0b10 repeated)
+    corners = spark.createDataFrame(
+        [(0, 0), (99, 99), (99, 0), (0, 99)], schema
+    ).select(zorder32(F.col("a"), F.col("b"), (0, 99), (0, 99)).alias("z"))
+    zs = [r.z for r in corners.collect()]
+    assert zs[0] == 0
+    assert zs[1] == (1 << 32) - 1
+    assert zs[2] == sum(1 << (2 * i + 1) for i in range(16))  # 0xAAAAAAAA
+    assert zs[3] == sum(1 << (2 * i) for i in range(16))      # 0x55555555
 
 
 def test_versioned_merge_upsert_semantics(spark, tmp_path):
