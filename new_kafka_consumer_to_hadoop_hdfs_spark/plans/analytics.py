@@ -581,6 +581,86 @@ def sink_versioned_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Shared build for the change-data-feed queries: the id-clustered
+    range table (`_build_range_table`: 8 appends, clustered compaction,
+    vacuum) followed by a three-commit change window — a copy-on-write
+    UPDATE of band 1 ('!' post-images), a pure INSERT (band 2 shifted
+    past max id), and a stats-pruned range DELETE of band 6 — with NO
+    vacuum afterwards (the CDF reads the superseded files: the
+    retention horizon). Returns (table root, the pre-window manifest
+    name). Every commit's write-path pruning is gated, so the cached
+    table can't install with a degenerate layout."""
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        delete_where,
+        list_manifests,
+        merge_upsert,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        _build_range_table(spark, docs, root, h)  # appends+cluster+vacuum
+
+        # commit 1: copy-on-write UPDATE of band 1 ('!' post-images)
+        updates = docs.filter(
+            (F.col("doc_id") * 8 >= h) & (F.col("doc_id") * 8 < 2 * h)
+        ).withColumn("text", F.concat(F.col("text"), F.lit("!")))
+        _, rewrote, live = merge_upsert(
+            spark, root, _DOC_SCHEMA, updates, "doc_id", stats_col="doc_id"
+        )
+        if rewrote == 0 or rewrote >= live:
+            raise RuntimeError(
+                f"update merge rewrote {rewrote} of {live} files — write-"
+                "path stats pruning failed"
+            )
+        # commit 2: pure INSERT (band 2 shifted past max id — no file
+        # can contain these keys, so the merge must rewrite nothing)
+        inserts = docs.filter(
+            (F.col("doc_id") * 8 >= 2 * h) & (F.col("doc_id") * 8 < 3 * h)
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(h))
+        _, rewrote, _ = merge_upsert(
+            spark, root, _DOC_SCHEMA, inserts, "doc_id", stats_col="doc_id"
+        )
+        if rewrote != 0:
+            raise RuntimeError(
+                f"insert merge rewrote {rewrote} files — stats said keys "
+                "beyond every range could match"
+            )
+        # commit 3: stats-pruned range DELETE of band 6 (pre-images)
+        lo6 = (6 * h + 7) // 8
+        hi6 = (7 * h + 7) // 8 - 1
+        _, rewrote, live = delete_where(
+            spark, root, _DOC_SCHEMA, "doc_id", lo6, hi6,
+            stats_col="doc_id",
+        )
+        if rewrote == 0 or rewrote >= live:
+            raise RuntimeError(
+                f"range delete rewrote {rewrote} of {live} files — write-"
+                "path stats pruning failed"
+            )
+        # NO vacuum here: the CDF window below still reads the removed
+        # files (the retention horizon the docstring documents)
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_cdfs2", build,
+    )
+    root = f"{dest}/table"
+    compactions = [n for n, note in list_manifests(root)
+                   if note.startswith("compact")]
+    if len(compactions) != 1:  # the build commits exactly one
+        raise RuntimeError(f"expected 1 compaction commit, got {compactions}")
+    return root, compactions[-1]
+
+
 _CHANGES_ORACLE = """
 WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
 ch AS (
@@ -630,78 +710,11 @@ def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     beat the reader to a file (pinned in
     `test_versioned_changes_semantics`).
     """
-    import pathlib
+    from ..sources.maintenance import changes
+    from .corpus import _DOC_SCHEMA
 
-    from ..sources.cache import cached_materialization
-    from ..sources.maintenance import (
-        changes,
-        delete_where,
-        list_manifests,
-        merge_upsert,
-    )
-    from .corpus import _DOC_COLS, _DOC_SCHEMA
-
-    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
-    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
-
-    def band(i: int) -> tuple[int, int]:
-        # batch i's inclusive id bounds: doc_id*8 in [i*h, (i+1)*h)
-        return (i * h + 7) // 8, ((i + 1) * h + 7) // 8 - 1
-
-    def build(tmp: str) -> None:
-        root = tmp + "/table"
-        _build_range_table(spark, docs, root, h)  # appends+cluster+vacuum
-
-        # commit 1: copy-on-write UPDATE of band 1 ('!' post-images)
-        updates = docs.filter(
-            (F.col("doc_id") * 8 >= h) & (F.col("doc_id") * 8 < 2 * h)
-        ).withColumn("text", F.concat(F.col("text"), F.lit("!")))
-        _, rewrote, live = merge_upsert(
-            spark, root, _DOC_SCHEMA, updates, "doc_id", stats_col="doc_id"
-        )
-        if rewrote == 0 or rewrote >= live:
-            raise RuntimeError(
-                f"update merge rewrote {rewrote} of {live} files — write-"
-                "path stats pruning failed"
-            )
-        # commit 2: pure INSERT (band 2 shifted past max id — no file
-        # can contain these keys, so the merge must rewrite nothing)
-        inserts = docs.filter(
-            (F.col("doc_id") * 8 >= 2 * h) & (F.col("doc_id") * 8 < 3 * h)
-        ).withColumn("doc_id", F.col("doc_id") + F.lit(h))
-        _, rewrote, _ = merge_upsert(
-            spark, root, _DOC_SCHEMA, inserts, "doc_id", stats_col="doc_id"
-        )
-        if rewrote != 0:
-            raise RuntimeError(
-                f"insert merge rewrote {rewrote} files — stats said keys "
-                "beyond every range could match"
-            )
-        # commit 3: stats-pruned range DELETE of band 6 (pre-images)
-        lo6, hi6 = band(6)
-        _, rewrote, live = delete_where(
-            spark, root, _DOC_SCHEMA, "doc_id", lo6, hi6,
-            stats_col="doc_id",
-        )
-        if rewrote == 0 or rewrote >= live:
-            raise RuntimeError(
-                f"range delete rewrote {rewrote} of {live} files — write-"
-                "path stats pruning failed"
-            )
-        # NO vacuum here: the CDF window below still reads the removed
-        # files (the retention horizon the docstring documents)
-        pathlib.Path(tmp, "_SUCCESS").touch()
-
-    dest = cached_materialization(
-        pathlib.Path(sf_dir) / "documents.parquet",
-        "documents_rangetable_cdfs2", build,
-    )
-    root = f"{dest}/table"
-    compactions = [n for n, note in list_manifests(root)
-                   if note.startswith("compact")]
-    if len(compactions) != 1:  # the build commits exactly one
-        raise RuntimeError(f"expected 1 compaction commit, got {compactions}")
-    feed = changes(spark, root, _DOC_SCHEMA, "doc_id", compactions[-1])
+    root, from_name = _cdf_table(spark, sf_dir)
+    feed = changes(spark, root, _DOC_SCHEMA, "doc_id", from_name)
     return feed.groupBy("_change", "lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -710,6 +723,90 @@ def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
         ).alias("text_checksum"),
     )
+
+
+_IVM_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
+post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id * 8 >= h AND doc_id * 8 < 2 * h
+              THEN text || '!' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents, m
+  WHERE NOT (doc_id * 8 >= 6 * h AND doc_id * 8 < 7 * h)
+  UNION ALL
+  SELECT doc_id + h AS doc_id, text, lang, source, n_chars
+  FROM documents, m WHERE doc_id * 8 >= 2 * h AND doc_id * 8 < 3 * h
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM post GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_incremental_agg", _IVM_ORACLE)
+def sink_versioned_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE through the change feed: refresh a
+    materialized per-(lang, source) aggregate by applying the CDF
+    deltas of `sink_versioned_changes`' three-commit window to the
+    aggregate of the OLD snapshot — never rescanning the table. The
+    feed runs with ``update_preimages=True`` (Delta CDF's preimage/
+    postimage pair): linear measures ADD the insert/update_post rows
+    and SUBTRACT the update_pre/delete rows (count via ±1, sums via
+    ±n_chars), and the XOR checksums fold in every delta row unsigned
+    — xor is its own inverse, so retracting a pre-image IS xoring it
+    back out, which lets even the md5-xor fingerprint be maintained
+    incrementally. Groups whose maintained count reaches zero drop out
+    (a fully-deleted group must vanish, not linger at 0). The oracle
+    restates the POST-state aggregate from the raw table, so a hash
+    match proves old-aggregate + deltas ≡ recompute-from-scratch —
+    the IVM contract.
+
+    At 100 TB this is the point of a CDF: the refresh costs
+    O(churn) + O(|view|) (the delta aggregation and the outer join on
+    the view key), while recompute costs O(table). The view-key join
+    broadcasts when the view is small; both inputs partition on the
+    same key otherwise.
+    """
+    from ..sources.maintenance import changes, read_snapshot
+    from .corpus import _DOC_SCHEMA, _roundtrip_checksums
+
+    root, from_name = _cdf_table(spark, sf_dir)
+    base = _roundtrip_checksums(
+        read_snapshot(spark, root, from_name, _DOC_SCHEMA)
+    )
+    feed = changes(
+        spark, root, _DOC_SCHEMA, "doc_id", from_name,
+        update_preimages=True,
+    )
+    sign = F.when(
+        F.col("_change").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy("lang", "source").agg(
+        F.sum(sign).alias("__dn"),
+        F.sum(sign * F.col("n_chars")).alias("__dchars"),
+        F.expr("bit_xor(doc_id)").alias("__dxid"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("__dxtext"),
+    )
+    z = F.lit(0).cast("long")
+    merged = base.join(delta, ["lang", "source"], "full_outer").select(
+        "lang",
+        "source",
+        (F.coalesce(F.col("n_docs"), z) + F.coalesce(F.col("__dn"), z))
+        .alias("n_docs"),
+        (F.coalesce(F.col("total_chars"), z)
+         + F.coalesce(F.col("__dchars"), z)).alias("total_chars"),
+        F.coalesce(F.col("id_checksum"), z)
+        .bitwiseXOR(F.coalesce(F.col("__dxid"), z)).alias("id_checksum"),
+        F.coalesce(F.col("text_checksum"), z)
+        .bitwiseXOR(F.coalesce(F.col("__dxtext"), z)).alias("text_checksum"),
+    )
+    return merged.filter(F.col("n_docs") > 0)
 
 
 # ---------------------------------------------------------------------------

@@ -427,6 +427,8 @@ def changes(
     key: str,
     from_name: str,
     to_name: str | None = None,
+    *,
+    update_preimages: bool = False,
 ) -> DataFrame:
     """Change data feed: the row-level diff between two committed
     versions (Delta CDF / Iceberg incremental read), computed WITHOUT
@@ -437,7 +439,11 @@ def changes(
 
     Returns the table columns plus ``_change``: ``insert`` and
     ``update_post`` rows carry the post-image, ``delete`` rows the
-    pre-image. ``key`` must be unique per version (the same contract
+    pre-image. With ``update_preimages=True`` each updated key ALSO
+    emits an ``update_pre`` row carrying the old image (Delta CDF's
+    preimage/postimage pair) — what downstream LINEAR consumers need:
+    an incremental aggregate subtracts the pre-image and adds the
+    post-image. ``key`` must be unique per version (the same contract
     as :func:`merge_upsert`). ``to_name=None`` reads CURRENT.
 
     Scale contract: both join sides are bounded by the files the
@@ -498,12 +504,27 @@ def changes(
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("update_post"))
         # equal hashes: carried-over copy-on-write ballast, not a change
     )
-    picked = F.coalesce(F.col("__row_new"), F.col("__row_old"))
+    post = F.struct(
+        F.lit("update_post").alias("c"), F.col("__row_new").alias("r")
+    )
+    pre = F.struct(
+        F.lit("update_pre").alias("c"), F.col("__row_old").alias("r")
+    )
+    plain = F.struct(
+        change.alias("c"),
+        F.coalesce(F.col("__row_new"), F.col("__row_old")).alias("r"),
+    )
+    emitted = (
+        F.when(change == "update_post", F.array(pre, post))
+        .otherwise(F.array(plain))
+        if update_preimages
+        else F.array(plain)
+    )
     return (
-        j.select(change.alias("_change"), picked.alias("__row"))
-        .filter(F.col("_change").isNotNull())
-        .select([F.col(f"__row.{c}").alias(c) for c in cols]
-                + [F.col("_change")])
+        j.filter(change.isNotNull())
+        .select(F.explode(emitted).alias("__e"))
+        .select([F.col(f"__e.r.{c}").alias(c) for c in cols]
+                + [F.col("__e.c").alias("_change")])
     )
 
 

@@ -57,6 +57,9 @@ NEW_IN_R11: set[str] = {
     # z-order clustered compaction + column-keyed manifest stats:
     # one physical layout prunes on BOTH clustered dimensions
     "sink_versioned_zorder_read",
+    # incremental view maintenance: old aggregate + CDF deltas (with
+    # update pre-images) must hash-equal the recompute oracle
+    "sink_versioned_incremental_agg",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.

@@ -1766,6 +1766,20 @@ def test_versioned_changes_semantics(spark, tmp_path):
         (2, "d2", "delete"),
         (9, "d9", "insert"),
     ]
+    # update_preimages adds the old image of each updated key (and
+    # ONLY those — insert/delete rows are not doubled)
+    feed_pre = sorted(
+        (r.doc_id, r.text, r._change)
+        for r in changes(
+            spark, root, schema, "doc_id", v2, update_preimages=True
+        ).collect()
+    )
+    assert feed_pre == [
+        (1, "X1", "update_post"),
+        (1, "d1", "update_pre"),
+        (2, "d2", "delete"),
+        (9, "d9", "insert"),
+    ]
 
     # (e) vacuum removes v2's superseded files → the CDF reader that
     # still holds v2 must fail loudly, not silently miss changes
@@ -1843,6 +1857,102 @@ def test_streaming_cdc_merge_equals_batch(spark, tmp_path, sf_dir):
         for r in docs.collect()
     }
     assert got == expected
+
+
+def test_streaming_cdf_incremental_view_equals_recompute(spark, tmp_path, sf_dir):
+    """Streaming INCREMENTAL VIEW MAINTENANCE: a CDC stream lands as
+    one copy-on-write merge per micro-batch, and after EACH epoch the
+    change feed between the pre- and post-merge manifests (with update
+    pre-images) is folded into a materialized per-group view — count
+    via ±1, length-sum via ±len, text fingerprint via unsigned md5-xor
+    (xor retracts its own pre-image). When the stream drains, the
+    maintained view must equal a from-scratch recompute of the final
+    table: the feed is EXACTLY sufficient per epoch, nothing double-
+    counted across epochs even when later batches re-update earlier
+    keys."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        changes,
+        merge_upsert,
+        read_manifest,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "ivm")
+    append_batch(docs, root, 0, stats_col="doc_id")
+
+    grp = (F.col("doc_id") % 4).alias("grp")
+    xorfp = F.expr(
+        "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))"
+    )
+
+    def view_of(df):
+        return {
+            r.grp: (r.n, r.tl, r.fp)
+            for r in df.groupBy(grp).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("tl"),
+                xorfp.alias("fp"),
+            ).collect()
+        }
+
+    view = view_of(read_table(spark, root, schema))  # materialize once
+
+    src = tmp_path / "ivmsrc"
+    for e in range(3):
+        ch = docs.filter(F.col("doc_id") % 3 == e).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f"#{e}"))
+        )
+        if e == 2:  # re-update an earlier slice: cross-epoch retraction
+            ch = ch.unionByName(
+                docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+                    "text", F.concat(F.col("text"), F.lit("#2b"))
+                )
+            )
+        ch.coalesce(1).write.parquet(str(src / f"batch{e}"))
+
+    def apply_and_maintain(batch_df, epoch_id):
+        pre, _ = read_manifest(root)
+        post, _, _ = merge_upsert(
+            spark, root, schema, batch_df, "doc_id", stats_col="doc_id"
+        )
+        sign = F.when(
+            F.col("_change").isin("insert", "update_post"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = (
+            changes(spark, root, schema, "doc_id", pre, post,
+                    update_preimages=True)
+            .groupBy(grp)
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign * F.length("text")).alias("dtl"),
+                xorfp.alias("dfp"),
+            )
+            .collect()
+        )
+        for r in deltas:
+            n, tl, fp = view.get(r.grp, (0, 0, 0))
+            view[r.grp] = (n + r.dn, tl + r.dtl, fp ^ r.dfp)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "batch*"))
+        .writeStream.foreachBatch(apply_and_maintain)
+        .option("checkpointLocation", str(tmp_path / "ivmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert view == view_of(read_table(spark, root, schema)), (
+        "incrementally maintained view diverged from recompute"
+    )
 
 
 def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
