@@ -449,6 +449,11 @@ def bfs_distances(
     bucketed edge relation makes every round's probe co-located.
     """
     with _session_checkpointer(edges, checkpoint_dir) as ckpt:
+        # materialize the edge relation ONCE: every round probes it,
+        # and an unmaterialized edge pipeline (e.g. the LSH candidate
+        # + verify join that feeds the near-dup graph) would otherwise
+        # recompute per hop — the dominant cost, not the BFS itself
+        edges = ckpt(edges.select(F.col(src), F.col(dst)))
         visited = ckpt(
             seeds.select(F.col(node)).distinct()
             .withColumn("dist", F.lit(0))

@@ -1054,8 +1054,13 @@ def pipeline_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ex = persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
     cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
-    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
-        "doc_id_a", "doc_id_b"
+    # persist the VERIFIED pair relation: the seed derivation below and
+    # the operator's own edge materialization both consume it — without
+    # this the LSH candidate + verify join runs twice
+    pairs = persist_bounded(
+        jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
+            "doc_id_a", "doc_id_b"
+        )
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
