@@ -438,11 +438,18 @@ def bfs_distances(
     so total work is O(edges within the reached neighborhood), not
     O(rounds × graph). First-discovery distance IS the minimum
     distance (BFS layering), no per-node min needed. Rounds are
-    bounded (``max_hops``), each round's visited/frontier are
-    checkpointed to cut lineage — the same iterative-join contract as
+    bounded (``max_hops``), each round's frontier is checkpointed to
+    cut lineage — the same iterative-join contract as
     `connected_components_min_label`; ``checkpoint_dir=None`` →
     ``localCheckpoint``, set it to an HDFS/object-store path on a
     cluster (caller owns cleanup — see that operator's docstring).
+
+    ``seeds`` may also be a CALLABLE ``materialized_edges -> seeds
+    DataFrame``: when the seed set derives from the edge relation
+    itself (e.g. "all even-id nodes of the graph"), deriving it from
+    the operator's already-checkpointed edges means an expensive edge
+    pipeline (an LSH candidate + verify join) is computed exactly
+    once, with no second materialization for the seed scan.
 
     At 100 TB each round shuffles the frontier⋈edges join keyed on
     ``src`` — frontier-sized, not corpus-sized; a pre-partitioned or
@@ -454,6 +461,8 @@ def bfs_distances(
         # + verify join that feeds the near-dup graph) would otherwise
         # recompute per hop — the dominant cost, not the BFS itself
         edges = ckpt(edges.select(F.col(src), F.col(dst)))
+        if callable(seeds):
+            seeds = seeds(edges)
         visited = ckpt(
             seeds.select(F.col(node)).distinct()
             .withColumn("dist", F.lit(0))
@@ -471,6 +480,10 @@ def bfs_distances(
             )
             if not new.take(1):  # frontier exhausted: early out
                 break
-            visited = ckpt(visited.unionByName(new))
+            # no re-checkpoint of the visited set: it is a ≤max_hops-way
+            # union of ALREADY-checkpointed frontiers, so lineage depth
+            # is bounded without paying a full re-materialization of
+            # everything reached so far on every round
+            visited = visited.unionByName(new)
             frontier = new
     return visited

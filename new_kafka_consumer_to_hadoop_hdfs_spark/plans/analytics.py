@@ -1054,13 +1054,8 @@ def pipeline_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ex = persist_bounded(shingle_elements(d, "doc_id", "text", n=3))
     cands = prefix_filter_candidate_pairs(ex, "doc_id", threshold=0.6)
-    # persist the VERIFIED pair relation: the seed derivation below and
-    # the operator's own edge materialization both consume it — without
-    # this the LSH candidate + verify join runs twice
-    pairs = persist_bounded(
-        jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
-            "doc_id_a", "doc_id_b"
-        )
+    pairs = jaccard_verify_elements(cands, ex, "doc_id", threshold=0.6).select(
+        "doc_id_a", "doc_id_b"
     )
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -1069,10 +1064,15 @@ def pipeline_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
         )
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    seeds = nodes.filter(F.col("node") % 2 == 0)
+    # seeds derive from the operator's checkpointed edges (callable
+    # form): the LSH candidate + verify pipeline is computed exactly
+    # once — a DataFrame seed here would re-run it for the seed scan
     reach = bfs_distances(
-        edges, seeds, max_hops=_BFS_HOPS,
+        edges,
+        lambda e: e.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 2 == 0),
+        max_hops=_BFS_HOPS,
         checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None,
     )
     return reach.select(F.col("node").alias("doc_id"), "dist")
