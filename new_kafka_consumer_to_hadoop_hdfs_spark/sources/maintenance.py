@@ -528,12 +528,21 @@ def changes(
     )
 
 
-def vacuum(root: str) -> int:
-    """Delete data files no CURRENT manifest references. Safe once no
-    reader can still hold a pre-compaction manifest (a retention
-    horizon in production). Returns the number of files removed."""
-    _, live = read_manifest(root)
-    keep = set(live)
+def vacuum(root: str, *, keep_last: int = 1) -> int:
+    """Delete data files referenced by none of the ``keep_last`` most
+    recent manifests (default 1: only CURRENT survives). Returns the
+    number of files removed.
+
+    ``keep_last`` IS the retention horizon: every snapshot read or
+    change-feed window over the protected versions stays serviceable
+    after the vacuum, anything older fails loudly (:func:`changes`
+    checks). Production formats express the same knob in time
+    (``VACUUM ... RETAIN n HOURS``); version count is the
+    deterministic equivalent for a fixture-driven engine."""
+    protected = [n for n, _ in list_manifests(root)][-max(keep_last, 1):]
+    keep: set[str] = set()
+    for name in protected:
+        keep.update(manifest_files(root, name))
     data = pathlib.Path(root, "data")
     removed = 0
     if data.is_dir():

@@ -1781,8 +1781,17 @@ def test_versioned_changes_semantics(spark, tmp_path):
         (9, "d9", "insert"),
     ]
 
-    # (e) vacuum removes v2's superseded files → the CDF reader that
-    # still holds v2 must fail loudly, not silently miss changes
+    # (e) retention: a vacuum whose keep_last horizon covers v2 removes
+    # nothing the feed needs — the same window still answers; then the
+    # default vacuum (CURRENT only) removes v2's superseded files and
+    # the CDF reader that still holds v2 must fail loudly, not
+    # silently miss changes
+    n_manifests = 6  # v0, append, compact, merge, delete... count live
+    assert vacuum(root, keep_last=n_manifests) == 0
+    assert sorted(
+        (r.doc_id, r.text, r._change)
+        for r in changes(spark, root, schema, "doc_id", v2).collect()
+    ) == feed
     assert vacuum(root) > 0
     with pytest.raises(RuntimeError, match="retention"):
         changes(spark, root, schema, "doc_id", v2)
