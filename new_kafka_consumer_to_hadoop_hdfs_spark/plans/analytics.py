@@ -2069,3 +2069,111 @@ def event_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "n_events", F.round(ewma, 6).alias("ewma_last")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition of the hourly event series
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket_start, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_start
+                        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c
+  FROM b
+),
+d AS (
+  SELECT event_type, bucket_start, n,
+         EXTRACT(HOUR FROM bucket_start)::BIGINT AS hod,
+         24 * n - s AS dt24
+  FROM w WHERE c = 24
+),
+seas AS (
+  SELECT event_type, hod,
+         (CAST(SUM(dt24) AS DOUBLE) / COUNT(*)) / 24.0 AS seasonal
+  FROM d GROUP BY event_type, hod
+)
+SELECT d.event_type, d.bucket_start, d.n AS n_events,
+       ROUND((24.0 * d.n - d.dt24) / 24.0, 6) AS trend,
+       ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(CAST(d.dt24 AS DOUBLE) / 24.0 - s.seasonal, 6) AS residual
+FROM d JOIN seas s ON d.event_type = s.event_type AND d.hod = s.hod
+"""
+
+
+@_register("event_seasonal_decompose", _SEASONAL_ORACLE)
+def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly event volume —
+    trend (centered 24-bucket moving average), daily seasonal profile
+    (mean detrended value per hour-of-day), residual (what anomaly
+    detectors should actually look at: `event_anomaly_zscore` flags
+    raw spikes, which conflates "3 AM is always quiet" with "this 3 AM
+    is wrong"; subtracting trend and season isolates the genuinely
+    unusual). The additive decompose every monitoring/forecast
+    pipeline runs before modeling.
+
+    Determinism (the float-oracle discipline): only FULL 24-bucket
+    windows qualify (c = 24), so the detrended value is the exact
+    INTEGER 24·n − Σwindow — trend, seasonal, and residual are then
+    single divisions of exact integer sums, evaluated as the identical
+    expression tree in both engines, with ROUND(…, 6) on top. No
+    order-dependent double accumulation anywhere.
+
+    Plan: one corpus shuffle (the hourly aggregate); the moving-sum
+    window and the hour-of-day aggregation run on the bucket-grid
+    relation (|types| × |hours|, calendar-bounded); the seasonal join
+    is |types| × 24 rows — broadcast. Identical shape at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-11, 12)
+    )
+    d = (
+        b.select(
+            "event_type",
+            "bucket_start",
+            "n",
+            F.sum("n").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        )
+        .filter(F.col("c") == 24)
+        .select(
+            "event_type",
+            "bucket_start",
+            "n",
+            F.hour("bucket_start").cast("bigint").alias("hod"),
+            (F.lit(24) * F.col("n") - F.col("s")).alias("dt24"),
+        )
+    )
+    seas = d.groupBy("event_type", "hod").agg(
+        (
+            (F.sum("dt24").cast("double") / F.count(F.lit(1))) / F.lit(24.0)
+        ).alias("seasonal")
+    )
+    return (
+        d.join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket_start",
+            F.col("n").alias("n_events"),
+            F.round(
+                (F.lit(24.0) * F.col("n") - F.col("dt24")) / F.lit(24.0), 6
+            ).alias("trend"),
+            F.round(F.col("seasonal"), 6).alias("seasonal"),
+            F.round(
+                F.col("dt24").cast("double") / F.lit(24.0) - F.col("seasonal"),
+                6,
+            ).alias("residual"),
+        )
+    )

@@ -1913,3 +1913,82 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow grouped-aggregate UDAF under the oracle gate: weighted median
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY flag, v
+),
+c AS (
+  SELECT flag, v, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM c_base
+), c_base AS (SELECT * FROM g)
+SELECT flag,
+       MIN(v) AS weighted_median,
+       CAST(MIN(tw) AS BIGINT) AS total_qty
+FROM c WHERE cw * 2 >= tw GROUP BY flag
+"""
+
+
+@_register("agg_weighted_median_arrow", _WMEDIAN_ORACLE)
+def agg_weighted_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag, computed through
+    a GROUPED-AGGREGATE Arrow UDAF — the one aggregation seam this
+    engine sanctions when an aggregate genuinely can't be expressed in
+    built-ins (custom sketch merges, exact loss sweeps): the group's
+    columns arrive as ONE Arrow batch per group, vectorized numpy does
+    the work, no row-at-a-time Python anywhere. Weighted median itself
+    IS SQL-expressible (the oracle's collapse → cumulative-weight
+    window is the production form); this query runs both forms against
+    each other, so the Arrow seam carries a hash-checked determinism
+    contract instead of being a tested-by-vibes escape hatch.
+
+    Determinism: the rule is "smallest v whose cumulative weight
+    reaches half the total" — ties in v collapse to the same answer
+    regardless of sort stability, weights are exact int64, and the
+    returned v is byte-identical in both engines (2-decimal prices are
+    exactly representable doubles; no arithmetic touches them).
+
+    At 100 TB: Spark plans GROUPED_AGG with partial-less hash
+    aggregation (one shuffle of (flag, v, w) triples after the
+    map-side value collapse); a hot flag is a bounded Arrow batch
+    (|distinct prices| rows after the collapse, not |lineitem|).
+    """
+    import numpy as np
+
+    def _wm(v, w):
+        a = v.to_numpy(np.float64)
+        b = w.to_numpy(np.int64)
+        o = np.argsort(a, kind="stable")
+        cw = np.cumsum(b[o])
+        idx = int(np.searchsorted(2 * cw, cw[-1], side="left"))
+        return float(a[o][idx])
+
+    # explicit GROUPED_AGG (this module's future-annotations make the
+    # decorator's signature inference see strings, not pd.Series)
+    _wmedian = F.pandas_udf(_wm, "double", F.PandasUDFType.GROUPED_AGG)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    # map-side collapse to (flag, v, Σw): the Arrow batch per group is
+    # bounded by distinct prices, not row count — the same reduction
+    # the oracle's g CTE performs
+    g = li.groupBy("flag", "v").agg(F.sum("w").alias("w"))
+    med = g.groupBy("flag").agg(_wmedian("v", "w").alias("weighted_median"))
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(); the total rides a separate |flags|-row
+    # aggregate joined back (broadcast-sized)
+    tot = g.groupBy("flag").agg(F.sum("w").alias("total_qty"))
+    return med.join(tot, "flag")

@@ -60,6 +60,12 @@ NEW_IN_R11: set[str] = {
     # incremental view maintenance: old aggregate + CDF deltas (with
     # update pre-images) must hash-equal the recompute oracle
     "sink_versioned_incremental_agg",
+    # GROUPED_AGG Arrow UDAF seam under the hash gate (weighted median
+    # vs the oracle's cumulative-weight window form)
+    "agg_weighted_median_arrow",
+    # additive seasonal decomposition (trend/season/residual) from
+    # exact integer window sums — single-division determinism
+    "event_seasonal_decompose",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
