@@ -2177,3 +2177,150 @@ def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = f"""
+WITH {_SESSIONIZE_SQL},
+tr AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS dst
+  FROM ids
+),
+c AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS n_transitions
+  FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+),
+t AS (SELECT src, CAST(SUM(n_transitions) AS BIGINT) AS n_from FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n_transitions, t.n_from,
+       ROUND(CAST(c.n_transitions AS DOUBLE) / t.n_from, 6) AS p
+FROM c JOIN t USING (src)
+"""
+
+
+@_register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of in-session behavior:
+    for every consecutive event pair inside a 30-minute-gap session,
+    the transition count and conditional probability P(next | current)
+    — the sequence-analytics primitive behind next-action prediction
+    baselines, funnel-leak ranking ("where do sessions go after
+    search?"), and bot detection (bot transition rows are near-
+    deterministic). Session boundaries matter: `event_user_paths`
+    folds whole paths, this estimates the edge weights, and a LEAD
+    never crosses sessions (the last event of a session emits no
+    transition).
+
+    Determinism: counts are exact integers; p is one double division
+    of exact integers, identical expression both engines, ROUND 6.
+
+    Plan: ONE user_id shuffle (the shared sessionize window — lag,
+    island sum, and the per-session LEAD all run on it; the LEAD's
+    (user_id, session_id) partition is a refinement of user_id, so no
+    second exchange), then a |types|²-bounded count and a broadcast
+    join against the |types|-row totals. Identical shape at 100 TB.
+    """
+    sess = _sessionized_events(spark, sf_dir)
+    lead_w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tr = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(lead_w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    t = c.groupBy("src").agg(F.sum("n_transitions").alias("n_from"))
+    return c.join(F.broadcast(t), "src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        "n_from",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (distribution drift metric)
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH m AS (
+  SELECT MIN(n_chars) AS lo, MAX(n_chars) - MIN(n_chars) + 1 AS span
+  FROM documents
+),
+b AS (
+  SELECT ((n_chars - lo) * 10) // span AS bucket, doc_id % 2 AS half
+  FROM documents, m
+),
+c AS (
+  SELECT bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ref_n,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cur_n
+  FROM b GROUP BY bucket
+),
+t AS (
+  SELECT CAST(SUM(ref_n) AS DOUBLE) AS tr, CAST(SUM(cur_n) AS DOUBLE) AS tc
+  FROM c
+)
+SELECT bucket, ref_n, cur_n,
+       ROUND(((ref_n + 1.0) / (tr + 10.0) - (cur_n + 1.0) / (tc + 10.0))
+             * ln(((ref_n + 1.0) / (tr + 10.0))
+                  / ((cur_n + 1.0) / (tc + 10.0))), 6) AS psi_term
+FROM c, t
+"""
+
+
+@_register("pipeline_drift_psi", _PSI_ORACLE)
+def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two corpus snapshots (the
+    even/odd doc_id halves standing in for yesterday/today): n_chars
+    deciled on a data-derived integer grid, per-bucket PSI term
+    (p−q)·ln(p/q) with +1 Laplace smoothing — THE drift gate run
+    between every training-data refresh before the new snapshot is
+    allowed to ship (PSI > 0.2 is the classic "distribution moved,
+    investigate" threshold; `pipeline_corpus_diff` says WHICH rows
+    changed, PSI says whether the SHAPE changed). Bucket ids are exact
+    integer arithmetic (((v − lo)·10) div span), counts exact, each
+    probability a single smoothed division, the term the identical
+    double expression in both engines, ROUND 6 on top.
+
+    Plan: one map-side-combinable aggregation to 10 bucket rows (the
+    conditional counts collapse both halves in one pass), a 1-row
+    totals relation broadcast back. At 100 TB: a word-count-shaped
+    pass; nothing scales with anything but the bucket grid.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg(
+        F.min("n_chars").alias("lo"),
+        (F.max("n_chars") - F.min("n_chars") + 1).alias("span"),
+    )
+    b = d.crossJoin(F.broadcast(m)).select(
+        F.expr("((n_chars - lo) * 10) div span").alias("bucket"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("ref_n"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("cur_n"),
+    )
+    t = c.agg(
+        F.sum("ref_n").cast("double").alias("tr"),
+        F.sum("cur_n").cast("double").alias("tc"),
+    )
+    p = (F.col("ref_n") + F.lit(1.0)) / (F.col("tr") + F.lit(10.0))
+    q = (F.col("cur_n") + F.lit(1.0)) / (F.col("tc") + F.lit(10.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

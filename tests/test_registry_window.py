@@ -66,6 +66,12 @@ NEW_IN_R11: set[str] = {
     # additive seasonal decomposition (trend/season/residual) from
     # exact integer window sums — single-division determinism
     "event_seasonal_decompose",
+    # in-session first-order Markov transition matrix (LEAD within the
+    # shared sessionize partitioning; never crosses sessions)
+    "event_transition_matrix",
+    # population stability index between corpus halves (drift gate;
+    # integer decile grid + smoothed single-division terms)
+    "pipeline_drift_psi",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
