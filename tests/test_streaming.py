@@ -1570,6 +1570,42 @@ def test_versioned_multicol_stats_and_zorder(spark, tmp_path):
     assert zs[3] == sum(1 << (2 * i) for i in range(16))      # 0x55555555
 
 
+def test_versioned_schema_evolution_across_commits(spark, tmp_path):
+    """Column-add evolution on the versioned table: files committed
+    before the column existed are read back null-filled when the
+    reader passes the evolved schema (the append-only migration
+    `sink_parquet_schema_evolution` pins for plain directories, here
+    through the manifest read path), and time travel to a pre-
+    evolution manifest still reads the ORIGINAL schema."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        read_manifest,
+        read_snapshot,
+        read_table,
+    )
+
+    v1 = "doc_id long, text string"
+    v2 = "doc_id long, text string, lang string"
+    root = str(tmp_path / "se")
+    append_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], v1).coalesce(1), root, 0
+    )
+    pre_name, _ = read_manifest(root)
+    append_batch(
+        spark.createDataFrame([(3, "c", "en")], v2).coalesce(1), root, 1
+    )
+
+    rows = sorted(
+        (r.doc_id, r.text, r.lang)
+        for r in read_table(spark, root, v2).collect()
+    )
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", "en")]
+    old = sorted(
+        tuple(r) for r in read_snapshot(spark, root, pre_name, v1).collect()
+    )
+    assert old == [(1, "a"), (2, "b")]
+
+
 def test_versioned_merge_upsert_semantics(spark, tmp_path):
     """Copy-on-write MERGE contract: matched keys are replaced,
     unmatched keys are inserted, and ONLY files whose stats range can
