@@ -637,3 +637,93 @@ def test_sketch_error_scales_with_configuration(spark):
         assert abs(rank - n_rows / 2) <= max(1, n_rows / accuracy) + 1, (
             accuracy, approx_p50, exact_p50, rank, n_rows,
         )
+
+
+# ---------------------------------------------------------------------------
+# Change-feed reconstruction property (versioned table)
+# ---------------------------------------------------------------------------
+
+# a short random mutation script: each step is ("merge", slice, tag)
+# or ("delete", lo, hi) over keys 0..19
+_ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.integers(0, 3),        # key slice: doc_id % 4 == s
+            st.integers(0, 9),        # payload tag
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.integers(0, 19),       # lo
+            st.integers(0, 19),       # hi (swapped if needed)
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ops_strategy)
+@_SETTINGS
+def test_changes_reconstructs_state(spark, tmp_path_factory, ops):
+    """CDF soundness+completeness as an algebraic property: for ANY
+    mutation sequence, applying the window's change feed to the old
+    snapshot's row set must yield exactly the new snapshot's row set —
+    old − delete − update_pre + update_post + insert == new. Exercises
+    multi-commit windows, overlapping slices, empty-effect commits,
+    and copy-on-write ballast at once; a feed that dropped, doubled,
+    or misclassified any row cannot pass."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        changes,
+        delete_where,
+        merge_upsert,
+        read_manifest,
+        read_snapshot,
+        read_table,
+    )
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path_factory.mktemp("cdfprop") / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], schema
+    )
+    append_batch(base.repartition(3), root, 0, stats_col="doc_id")
+    from_name, _ = read_manifest(root)
+
+    for op in ops:
+        if op[0] == "merge":
+            _, s, tag = op
+            upd = base.filter(F.col("doc_id") % 4 == s).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f"#{tag}"))
+            )
+            merge_upsert(spark, root, schema, upd, "doc_id",
+                         stats_col="doc_id")
+        else:
+            _, lo, hi = op
+            lo, hi = min(lo, hi), max(lo, hi)
+            delete_where(spark, root, schema, "doc_id", lo, hi,
+                         stats_col="doc_id")
+
+    old_rows = {
+        (r.doc_id, r.text)
+        for r in read_snapshot(spark, root, from_name, schema).collect()
+    }
+    new_rows = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, schema).collect()
+    }
+    feed = changes(
+        spark, root, schema, "doc_id", from_name, update_preimages=True
+    ).collect()
+
+    reconstructed = set(old_rows)
+    for r in feed:
+        item = (r.doc_id, r.text)
+        if r._change in ("delete", "update_pre"):
+            assert item in reconstructed, f"retracting absent row {item}"
+            reconstructed.discard(item)
+        else:  # insert / update_post
+            assert item not in reconstructed, f"double-adding {item}"
+            reconstructed.add(item)
+    assert reconstructed == new_rows
