@@ -64,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table
-from ._registry import make_register, persist_bounded
+from ._registry import dsum, make_register, persist_bounded
 
 QUERIES = {}
 ORACLES = {}
@@ -1553,6 +1553,7 @@ def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        "value",
         F.sum(is_new)
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_id"),
@@ -2323,4 +2324,91 @@ def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_n",
         "cur_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch revenue attribution within sessions
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+),
+tagged AS (
+  SELECT user_id, session_id, ts, event_id, event_type, value,
+         COALESCE(first_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id, session_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 'direct') AS first_touch,
+         COALESCE(last_value(CASE WHEN event_type IN ('click', 'view')
+                                  THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id, session_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 'direct') AS last_touch
+  FROM ids
+)
+SELECT first_touch, last_touch,
+       COUNT(*)::BIGINT AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY first_touch, last_touch
+"""
+
+
+@_register("event_attribution", _ATTRIBUTION_ORACLE)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: every purchase in
+    a 30-minute-gap session is credited to the first and the most
+    recent preceding touchpoint (click or view) of that session,
+    'direct' when none preceded — the marketing-analytics staple that
+    decides channel budgets, and the IGNORE-NULLS running first/last
+    window shape the registry's LOCF gap-fill uses on values, here on
+    CATEGORICAL carry-forward. Purchases never credit touches from
+    other sessions (the carry-forward window is bounded by the
+    session partition) nor later touches (frame ends at CURRENT ROW;
+    the purchase itself is not a touch, so including it is safe).
+
+    Determinism: counts exact; revenue is the decimal-cast
+    order-independent sum (`dsum` convention). Plan: the shared ONE
+    user_id shuffle of the sessionize family — the session-scoped
+    windows are partition refinements — then a ≤9-row aggregate.
+    """
+    sess = _sessionized_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    tagged = sess.select(
+        "event_type",
+        "value",
+        F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("first_touch"),
+        F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("last_touch"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), 6).alias("revenue"),
+        )
     )

@@ -72,6 +72,9 @@ NEW_IN_R11: set[str] = {
     # population stability index between corpus halves (drift gate;
     # integer decile grid + smoothed single-division terms)
     "pipeline_drift_psi",
+    # first/last-touch revenue attribution (session-bounded categorical
+    # IGNORE-NULLS carry-forward windows)
+    "event_attribution",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
