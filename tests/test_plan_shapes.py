@@ -191,6 +191,8 @@ NLJ_ALLOWED = {
     "text_tfidf_keywords",     # one-row total-doc-count scalar broadcast
     "event_gapfill_locf",      # one-row global min/max range crossJoin
     "pipeline_similar_docs_report",  # topk_cosine core: != join condition
+    "text_collocations_pmi",   # one-row N1/N2 token-total scalar broadcast
+    "pipeline_drift_psi",      # one-row grid-range + one-row totals broadcasts
 }
 
 
