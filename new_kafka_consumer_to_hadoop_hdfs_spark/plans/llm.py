@@ -3474,3 +3474,142 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 8
+
+_SQL_COS_CS = (
+    "list_dot_product(c.v, s.v)"
+    " / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: cand = the exact top-{pool} by
+    cosine to query vec 0; step i picks argmax of λ·rel − (1−λ)·max
+    similarity to the already-selected set (ties → min vec_id), the
+    literal greedy both engines must walk identically. λ appears as
+    the expression (1 - 0.7), not the literal 0.3 — the PageRank
+    teleport-constant discipline (both engines COMPUTE the same
+    subtraction)."""
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         list_dot_product(e.v, q.qv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+  FROM e, q WHERE e.vec_id != 0
+  ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, v, rel, {_MMR_LAMBDA} * rel AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id, v FROM s1)"""
+    for i in range(2, _MMR_K + 1):
+        sql += f""",
+p{i} AS (
+  SELECT c.vec_id, c.v, c.rel,
+         {_MMR_LAMBDA} * c.rel - (1 - {_MMR_LAMBDA}) * (
+           SELECT MAX({_SQL_COS_CS}) FROM sel{i - 1} s) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+),
+s{i} AS MATERIALIZED (SELECT vec_id, v, rel, mmr FROM p{i}
+         ORDER BY mmr DESC, vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT vec_id, v FROM sel{i - 1}
+           UNION ALL SELECT vec_id, v FROM s{i})"""
+    picks = "\nUNION ALL ".join(
+        f"SELECT {i} AS selection_rank, vec_id, ROUND(rel, 6) AS rel, "
+        f"ROUND(mmr, 6) AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return sql + "\n" + picks
+
+
+@_register("sim_topk_mmr", _mmr_oracle())
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-rank: the top-{pool} cosine
+    candidates of query vector 0, greedily re-ranked so each pick
+    maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    diversified retrieval, the standard fix for near-duplicate-saturated
+    neighbor lists (a dedup corpus's top-k is often one template ×
+    k), and the diverse-sampling primitive a curation pipeline uses to
+    pick exemplars. The registry's ANN family ranks by pure
+    relevance; this is the re-rank stage on top.
+
+    Plan: candidate generation is the DISTRIBUTED exact kNN
+    (broadcast query, one corpus pass, no corpus shuffle — the
+    `sim_topk_cosine` machinery at k={pool}); the greedy then runs on
+    the ≤{pool}-vector pool DRIVER-SIDE (pool²·dim ≈ 25k multiply-adds
+    — re-ranking k rows is driver-scale BY DEFINITION, the same
+    bounded-collect contract as IVF training, and loudly fails if the
+    pool exceeds its bound). Determinism: every dot product is the
+    identical left-to-right fold both engines use (`operators.
+    similarity.dot`'s contract), λ enters as the computed (1 − 0.7),
+    ties break on min vec_id, and the emitted values round through
+    BigDecimal HALF_UP — exactly F.round's semantics — so the oracle's
+    unrolled greedy must walk the same 8 picks.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0)
+    top = topk_cosine(e, qdf, id_col="vec_id", vec_col="embedding",
+                      k=_MMR_POOL)
+    cand_ids = [int(r.neighbor_id)
+                for r in top.select("neighbor_id").collect()]
+    if not (0 < len(cand_ids) <= _MMR_POOL):
+        raise RuntimeError(f"MMR pool bound violated: {len(cand_ids)}")
+    rows = e.filter(F.col("vec_id").isin(cand_ids + [0])).select(
+        "vec_id", "embedding"
+    ).collect()  # ≤ pool+1 vectors — bounded driver-side re-rank input
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+
+    def dot(a: list, b: list) -> float:
+        s = 0.0  # left-to-right fold — the engines' shared order
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    qv = vecs[0]
+    qn = math.sqrt(dot(qv, qv))
+    norm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    rel = {i: dot(vecs[i], qv) / (norm[i] * qn) for i in cand_ids}
+
+    lam = _MMR_LAMBDA
+    selected: list[int] = []
+    out = []
+    remaining = set(cand_ids)
+    while remaining and len(selected) < _MMR_K:
+        best_score, best_id = None, None
+        for vid in sorted(remaining):  # ascending: strict > keeps min id
+            pen = max(
+                (dot(vecs[vid], vecs[s]) / (norm[vid] * norm[s])
+                 for s in selected),
+                default=0.0,
+            )
+            score = lam * rel[vid] - (1 - lam) * pen
+            if best_score is None or score > best_score:
+                best_score, best_id = score, vid
+        out.append(
+            (len(selected) + 1, best_id, r6(rel[best_id]), r6(best_score))
+        )
+        selected.append(best_id)
+        remaining.discard(best_id)
+    return spark.createDataFrame(
+        out, "selection_rank int, vec_id long, rel double, mmr_score double"
+    )

@@ -75,6 +75,9 @@ NEW_IN_R11: set[str] = {
     # first/last-touch revenue attribution (session-bounded categorical
     # IGNORE-NULLS carry-forward windows)
     "event_attribution",
+    # MMR diversified top-k: distributed kNN pool, bounded driver-side
+    # greedy, oracle walks the same unrolled 8 picks (materialized CTEs)
+    "sim_topk_mmr",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
