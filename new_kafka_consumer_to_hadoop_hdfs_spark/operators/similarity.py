@@ -1980,3 +1980,60 @@ def ivfpq_topk(
         index, books, cent, queries,
         id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
     )
+
+
+def mmr_rerank(
+    vecs: dict[int, list[float]],
+    query_id: int,
+    cand_ids: list[int],
+    *,
+    lam: float,
+    k: int,
+) -> list[tuple[int, int, float, float]]:
+    """Pure driver-side MMR greedy over a BOUNDED candidate pool:
+    returns [(selection_rank, vec_id, rel_rounded, mmr_rounded)].
+    Each pick maximizes lam·rel − (1−lam)·max-cos-to-selected, ties to
+    the smallest vec_id. Determinism contract (shared with the SQL
+    oracle that unrolls the same walk): dot products are the
+    left-to-right fold of `dot`'s JVM expression, lam's complement is
+    COMPUTED as (1 − lam), and emitted values round through BigDecimal
+    HALF_UP — F.round's exact semantics. Re-ranking k rows is
+    driver-scale by definition; callers gate the pool size."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def fold_dot(a: list, b: list) -> float:
+        s = 0.0  # left-to-right fold — the engines' shared order
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    qv = vecs[query_id]
+    qn = math.sqrt(fold_dot(qv, qv))
+    norm = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    rel = {i: fold_dot(vecs[i], qv) / (norm[i] * qn) for i in cand_ids}
+
+    selected: list[int] = []
+    out: list[tuple[int, int, float, float]] = []
+    remaining = set(cand_ids)
+    while remaining and len(selected) < k:
+        best_score, best_id = None, None
+        for vid in sorted(remaining):  # ascending: strict > keeps min id
+            pen = max(
+                (fold_dot(vecs[vid], vecs[s]) / (norm[vid] * norm[s])
+                 for s in selected),
+                default=0.0,
+            )
+            score = lam * rel[vid] - (1 - lam) * pen
+            if best_score is None or score > best_score:
+                best_score, best_id = score, vid
+        out.append((len(selected) + 1, best_id, r6(rel[best_id]),
+                    r6(best_score)))
+        selected.append(best_id)
+        remaining.discard(best_id)
+    return out

@@ -3558,8 +3558,7 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigDecimal HALF_UP — exactly F.round's semantics — so the oracle's
     unrolled greedy must walk the same 8 picks.
     """
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
+    from ..operators.similarity import mmr_rerank
 
     e = load_table(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") == 0)
@@ -3573,43 +3572,7 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     ).collect()  # ≤ pool+1 vectors — bounded driver-side re-rank input
     vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
-
-    def dot(a: list, b: list) -> float:
-        s = 0.0  # left-to-right fold — the engines' shared order
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    def r6(x: float) -> float:
-        return float(
-            Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-        )
-
-    qv = vecs[0]
-    qn = math.sqrt(dot(qv, qv))
-    norm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
-    rel = {i: dot(vecs[i], qv) / (norm[i] * qn) for i in cand_ids}
-
-    lam = _MMR_LAMBDA
-    selected: list[int] = []
-    out = []
-    remaining = set(cand_ids)
-    while remaining and len(selected) < _MMR_K:
-        best_score, best_id = None, None
-        for vid in sorted(remaining):  # ascending: strict > keeps min id
-            pen = max(
-                (dot(vecs[vid], vecs[s]) / (norm[vid] * norm[s])
-                 for s in selected),
-                default=0.0,
-            )
-            score = lam * rel[vid] - (1 - lam) * pen
-            if best_score is None or score > best_score:
-                best_score, best_id = score, vid
-        out.append(
-            (len(selected) + 1, best_id, r6(rel[best_id]), r6(best_score))
-        )
-        selected.append(best_id)
-        remaining.discard(best_id)
+    out = mmr_rerank(vecs, 0, cand_ids, lam=_MMR_LAMBDA, k=_MMR_K)
     return spark.createDataFrame(
         out, "selection_rank int, vec_id long, rel double, mmr_score double"
     )

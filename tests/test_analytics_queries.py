@@ -1030,3 +1030,37 @@ def test_bfs_distances_semantics(spark, tmp_path):
         ).collect()
     }
     assert reliable == got
+
+
+def test_mmr_rerank_diversifies():
+    """MMR semantics on hand-built 2-D vectors: pure relevance would
+    pick the two near-duplicates of the best match first; MMR's
+    penalty forces the second pick to the off-axis candidate. Also
+    pins the tie rule (min vec_id) and the pool-exhaustion stop."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],        # query
+        1: [0.9, 0.435, 0.0],      # best match (rel ≈ 0.90)
+        2: [0.9, 0.436, 0.0],      # near-duplicate of 1 (cos≈0.99999)
+        3: [0.89, -0.435, 0.0],    # slightly less relevant, cos to 1 ≈ 0.62
+    }
+    picks = mmr_rerank(vecs, 0, [1, 2, 3], lam=0.7, k=3)
+    assert [p[1] for p in picks] == [1, 3, 2], (
+        "MMR must promote the diverse candidate over the near-duplicate"
+    )
+    assert [p[0] for p in picks] == [1, 2, 3]
+    # pure relevance would have ordered 2 ahead of 3
+    rel = {p[1]: p[2] for p in picks}
+    assert rel[2] > rel[3]
+
+    # exact tie between identical candidates: smallest vec_id wins
+    tie = {0: [1.0, 0.0], 7: [1.0, 0.5], 5: [1.0, 0.5]}
+    first = mmr_rerank(tie, 0, [7, 5], lam=0.7, k=1)
+    assert first[0][1] == 5
+
+    # k beyond the pool: stops at pool exhaustion, ranks stay dense
+    short = mmr_rerank(vecs, 0, [1, 3], lam=0.7, k=10)
+    assert [p[0] for p in short] == [1, 2] and len(short) == 2
