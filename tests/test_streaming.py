@@ -1287,7 +1287,8 @@ def test_streaming_wav_decode_equals_batch(spark, tmp_path, sf_dir, provider):
                 spark.conf.set(k, v)
 
 
-def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
+@pytest.mark.parametrize("clustered", [False, True])
+def test_streaming_append_online_compaction(spark, tmp_path, sf_dir, clustered):
     """Compaction behind a REAL streaming ingest (VERDICT r10 task 5):
     `sink_compacted_roundtrip` fragments with a batch repartition; here
     the fragmented state is produced the way production produces it —
@@ -1298,7 +1299,10 @@ def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
     no partial-file window (the pointer flip is an atomic rename), and
     a reader that resolved the pointer BEFORE a compaction still reads
     its full snapshot afterwards (superseded files survive until
-    vacuum)."""
+    vacuum). The ``clustered`` variant runs the SAME ingest with the
+    range-clustered rewrite (the production compactor shape) and
+    additionally asserts every online compaction leaves the live set
+    fully stats-covered — data skipping survives each rewrite."""
     from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
     from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
         append_batch,
@@ -1319,8 +1323,13 @@ def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
     committed: set[int] = set()
     checks: list[str] = []
 
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        manifest_stats,
+    )
+
     def ingest(batch_df, epoch_id):
-        append_batch(batch_df, root, epoch_id)
+        append_batch(batch_df, root, epoch_id,
+                     stats_col="doc_id" if clustered else None)
         committed.update(r.doc_id for r in batch_df.collect())
         seen = {r.doc_id for r in read_table(spark, root, schema).collect()}
         assert seen == committed, f"epoch {epoch_id}: append not fully visible"
@@ -1328,8 +1337,18 @@ def test_streaming_append_online_compaction(spark, tmp_path, sf_dir):
         if epoch_id % 2 == 1:
             # online compaction between micro-batches: tiny target so
             # the fixture's KB-scale files genuinely compact
-            reduced = compact(spark, root, schema, target_bytes=1 << 20)
+            reduced = compact(
+                spark, root, schema, target_bytes=1 << 20,
+                cluster=clustered,
+                stats_col="doc_id" if clustered else None,
+            )
             assert reduced > 0, f"epoch {epoch_id}: compaction was a no-op"
+            if clustered:
+                name, live_now = read_manifest(root)
+                stats = manifest_stats(root, name)
+                assert all(
+                    "doc_id" in stats.get(f, {}) for f in live_now
+                ), f"epoch {epoch_id}: clustered rewrite lost stats coverage"
             # (a) the CURRENT reader still sees every committed row
             seen = {r.doc_id for r in read_table(spark, root, schema).collect()}
             assert seen == committed, f"epoch {epoch_id}: rows lost in compaction"
