@@ -2222,8 +2222,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE user_id shuffle (the shared sessionize window — lag,
     island sum, and the per-session LEAD all run on it; the LEAD's
     (user_id, session_id) partition is a refinement of user_id, so no
-    second exchange), then a |types|²-bounded count and a broadcast
-    join against the |types|-row totals. Identical shape at 100 TB.
+    second exchange), then a |types|²-bounded count; the per-src
+    totals ride a WINDOW over that tiny relation rather than a second
+    aggregate branch (a derived-aggregate self-join would recompute
+    the whole sessionize pipeline — the corpus would be scanned
+    twice). Identical shape at 100 TB.
     """
     sess = _sessionized_events(spark, sf_dir)
     lead_w = Window.partitionBy("user_id", "session_id").orderBy(
@@ -2236,14 +2239,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tr.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
-    t = c.groupBy("src").agg(F.sum("n_transitions").alias("n_from"))
-    return c.join(F.broadcast(t), "src").select(
+    n_from = F.sum("n_transitions").over(Window.partitionBy("src"))
+    return c.select(
         "src",
         "dst",
         "n_transitions",
-        "n_from",
+        n_from.alias("n_from"),
         F.round(
-            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+            F.col("n_transitions").cast("double") / n_from, 6
         ).alias("p"),
     )
 
