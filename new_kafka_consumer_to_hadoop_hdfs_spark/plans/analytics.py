@@ -2140,7 +2140,9 @@ def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_start")
         .rowsBetween(-11, 12)
     )
-    d = (
+    # persisted: the seasonal profile and the final join both consume
+    # d — unpersisted, the hourly corpus aggregate would run twice
+    d = persist_bounded(
         b.select(
             "event_type",
             "bucket_start",
@@ -2316,13 +2318,15 @@ def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
         .cast("bigint").alias("cur_n"),
     )
-    t = c.agg(
-        F.sum("ref_n").cast("double").alias("tr"),
-        F.sum("cur_n").cast("double").alias("tc"),
-    )
-    p = (F.col("ref_n") + F.lit(1.0)) / (F.col("tr") + F.lit(10.0))
-    q = (F.col("cur_n") + F.lit(1.0)) / (F.col("tc") + F.lit(10.0))
-    return c.crossJoin(F.broadcast(t)).select(
+    # global totals as an unpartitioned window over the ≤10-bucket
+    # relation: a separate aggregate branch crossJoined back would
+    # recompute c's subtree and scan documents twice
+    gw = Window.partitionBy()
+    tr = F.sum("ref_n").over(gw).cast("double")
+    tc = F.sum("cur_n").over(gw).cast("double")
+    p = (F.col("ref_n") + F.lit(1.0)) / (tr + F.lit(10.0))
+    q = (F.col("cur_n") + F.lit(1.0)) / (tc + F.lit(10.0))
+    return c.select(
         "bucket",
         "ref_n",
         "cur_n",

@@ -3434,9 +3434,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is small, shuffle-hash otherwise; no driver-side state.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(whitespace_tokens(F.col("text")).alias("t"))
+    # persisted: the unigram counts, the N1/N2 totals, and the bigram
+    # pass all consume the token relation — unpersisted, the
+    # tokenization would run three times (and ucnt feeds BOTH sides of
+    # the vocabulary join, so it stacks its own persist)
+    tok = persist_bounded(
+        d.select(whitespace_tokens(F.col("text")).alias("t"))
+    )
     uni = tok.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = persist_bounded(
+        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")), stack=True
+    )
     tot = tok.agg(
         F.sum(F.size("t")).cast("double").alias("n1"),
         F.sum(F.greatest(F.size("t") - 1, F.lit(0)))

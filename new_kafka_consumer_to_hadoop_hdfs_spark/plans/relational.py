@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 from ._registry import dsum as _dsum
-from ._registry import make_register
+from ._registry import make_register, persist_bounded
 
 QUERIES = {}
 ORACLES = {}
@@ -1985,7 +1985,10 @@ def agg_weighted_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side collapse to (flag, v, Σw): the Arrow batch per group is
     # bounded by distinct prices, not row count — the same reduction
     # the oracle's g CTE performs
-    g = li.groupBy("flag", "v").agg(F.sum("w").alias("w"))
+    # persisted: the median UDAF and the totals aggregate both consume
+    # the collapsed relation — unpersisted, each branch would recompute
+    # it and scan lineitem twice
+    g = persist_bounded(li.groupBy("flag", "v").agg(F.sum("w").alias("w")))
     med = g.groupBy("flag").agg(_wmedian("v", "w").alias("weighted_median"))
     # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
     # aggregates in one agg(); the total rides a separate |flags|-row

@@ -192,7 +192,8 @@ NLJ_ALLOWED = {
     "event_gapfill_locf",      # one-row global min/max range crossJoin
     "pipeline_similar_docs_report",  # topk_cosine core: != join condition
     "text_collocations_pmi",   # one-row N1/N2 token-total scalar broadcast
-    "pipeline_drift_psi",      # one-row grid-range + one-row totals broadcasts
+    "pipeline_drift_psi",      # one-row grid-range scalar broadcast (the
+                               # half totals ride a window, not a join)
 }
 
 
