@@ -2419,3 +2419,92 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), 6).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point statistic over the hourly series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n_buckets,
+         SUM(x) / COUNT(*) AS mu,
+         list(x ORDER BY bucket) AS xs
+  FROM b GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n_buckets, mu,
+         list_reduce(
+           [[0.0, 0.0]] || list_transform(xs, v -> [v - mu, v - mu]),
+           (acc, e) -> [GREATEST(0.0, acc[1] + e[1]),
+                        GREATEST(acc[2], GREATEST(0.0, acc[1] + e[1]))]
+         ) AS s
+  FROM g
+)
+SELECT event_type, n_buckets, ROUND(mu, 6) AS mu,
+       ROUND(s[1], 6) AS cusum_final,
+       ROUND(s[2], 6) AS cusum_max
+FROM f
+"""
+
+
+@_register("event_changepoint_cusum", _CUSUM_ORACLE)
+def event_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per event type: over the
+    hourly count series, sᵢ = max(0, sᵢ₋₁ + (xᵢ − μ)) accumulates
+    sustained upward drift from the series mean and resets on
+    evidence against it — the sequential-detection primitive that
+    catches SLOW level shifts `event_anomaly_zscore`'s pointwise
+    z-test misses and `event_ewma_smoothing` only smooths (Page's
+    test; the registry's monitoring family: pointwise z, EWMA,
+    seasonal residual, now change-point). Emits the final statistic
+    and the running MAXIMUM (the value a threshold alarm compares).
+
+    Like EWMA, the recursion depends on accumulated state, so no
+    window frame expresses it: both engines fold the SAME ordered
+    per-type list — Spark `F.aggregate` with a [s, s_max] pair
+    accumulator, DuckDB `list_reduce` with a prepended [0, 0]
+    init-element (its fold seeds from the first element) — making
+    per-step arithmetic bit-identical; counts are integer-valued, so
+    Σx is exact in any order and μ is one division.
+
+    Scale: ONE shuffle; per-type state is the calendar-bounded hourly
+    list (same contract as the gap-fill grid). The max-fold does NOT
+    decompose associatively like EWMA's affine segments — a
+    year-of-hours list is ~9k doubles, still a trivial array.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("__sx"),
+        F.array_sort(F.collect_list(F.struct("bucket", "x"))).alias("__rows"),
+    )
+    mu = F.col("__sx") / F.col("n_buckets")
+    ds = F.transform(F.col("__rows"), lambda r: r["x"] - mu)
+    fold = F.aggregate(
+        ds,
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, d: F.array(
+            F.greatest(F.lit(0.0), F.element_at(acc, 1) + d),
+            F.greatest(
+                F.element_at(acc, 2),
+                F.greatest(F.lit(0.0), F.element_at(acc, 1) + d),
+            ),
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_buckets",
+        F.round(mu, 6).alias("mu"),
+        F.round(F.element_at(fold, 1), 6).alias("cusum_final"),
+        F.round(F.element_at(fold, 2), 6).alias("cusum_max"),
+    )

@@ -78,6 +78,9 @@ NEW_IN_R11: set[str] = {
     # MMR diversified top-k: distributed kNN pool, bounded driver-side
     # greedy, oracle walks the same unrolled 8 picks (materialized CTEs)
     "sim_topk_mmr",
+    # one-sided CUSUM change-point statistic (pair-state sequential
+    # fold, Spark aggregate == DuckDB list_reduce with prepended init)
+    "event_changepoint_cusum",
 }
 
 # Round 10's additions, all driver-checked in CORRECTNESS_r10.json.
