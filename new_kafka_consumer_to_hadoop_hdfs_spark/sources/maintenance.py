@@ -26,6 +26,17 @@ previous manifest still resolves every file (snapshot isolation);
 vacuum is safe once no reader can hold a pre-compaction manifest
 (at 100 TB: a retention horizon, exactly Delta's ``VACUUM``).
 
+Multi-writer safety (optimistic concurrency): the commit point is the
+O_EXCL creation of the manifest file itself — two writers that both
+read version N race on the single filename ``m-(N+1).json`` and
+exactly one wins; the loser raises :class:`CommitConflict`. Blind
+appends retry internally (they conflict with nothing logically);
+rewrites (compact / merge / delete) surface the conflict because the
+file set they rewrote may no longer be live — Delta's commit
+protocol. ``CURRENT`` is a monotonic cache, not the commit: readers
+probe forward past it, so a writer crash between manifest creation
+and cache refresh loses nothing.
+
 Scale notes: one manifest listing every file is the TOY form — at
 100 TB manifests shard per partition/day and the pointer flip moves to
 a metastore/log, but the invariant carried by this module (readers
@@ -41,19 +52,54 @@ import math
 import os
 import pathlib
 import shutil
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the sequence number this commit was
+    about to take: the loser's view of the table is stale. Blind
+    appends recompute their file union and retry (:func:`append_batch`
+    does this internally — an append conflicts with nothing
+    logically); rewrites (:func:`compact`, :func:`merge_upsert`,
+    :func:`delete_where`) surface the conflict because the file set
+    they rewrote may no longer be live — the caller re-reads and
+    re-runs, exactly Delta's optimistic-concurrency protocol."""
+
+
+def _seq_of(name: str) -> int:
+    return int(name.split("-")[1].split(".")[0])
+
+
+def _manifest_name(seq: int) -> str:
+    return f"m-{seq:08d}.json"
+
+
 def read_manifest(root: str) -> tuple[str | None, list[str]]:
     """Resolve the current (manifest name, live data-file names).
-    ``(None, [])`` for a table with no committed version yet."""
+    ``(None, [])`` for a table with no committed version yet.
+
+    The COMMIT POINT is the O_EXCL creation of the manifest file
+    itself (see :func:`_flip`); ``CURRENT`` is a monotonic cache of
+    the latest known manifest, so resolution probes FORWARD from the
+    cached name until the next sequence number is absent — a commit
+    whose writer crashed (or lost a cache-update race) before
+    refreshing ``CURRENT`` is still visible, exactly as a Delta log
+    listing sees past ``_last_checkpoint``."""
     cur = pathlib.Path(root, "CURRENT")
+    mdir = pathlib.Path(root, "manifests")
     try:
-        name = cur.read_text().strip()
+        seq = _seq_of(cur.read_text().strip())
     except FileNotFoundError:
-        return None, []
-    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+        if not (mdir / _manifest_name(0)).exists():
+            return None, []
+        seq = 0
+    while (mdir / _manifest_name(seq + 1)).exists():
+        seq += 1
+    name = _manifest_name(seq)
+    doc = json.loads((mdir / name).read_text())
     return name, list(doc["files"])
 
 
@@ -81,27 +127,145 @@ def manifest_files(root: str, name: str) -> list[str]:
     )["files"])
 
 
+def resolve_as_of(root: str, ts: float) -> str:
+    """TIMESTAMP AS OF: the manifest name of the LATEST version
+    committed at or before wall-clock ``ts`` (each manifest records
+    its commit time — the Delta/Iceberg timestamp-travel contract:
+    a timestamp between commits N and N+1 resolves to N). Raises
+    ``ValueError`` when ``ts`` precedes the first commit — there is
+    no table to read at that time. Manifests written before commit
+    timestamps existed (no ``ts`` field) are treated as time 0, i.e.
+    always at-or-before any requested timestamp."""
+    mdir = pathlib.Path(root, "manifests")
+    best: tuple[int, str] | None = None
+    for name, _ in list_manifests(root):
+        committed = json.loads((mdir / name).read_text()).get("ts", 0.0)
+        if committed <= ts:
+            cand = (_seq_of(name), name)
+            if best is None or cand > best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"no version of {root} existed at or before timestamp {ts}"
+        )
+    return best[1]
+
+
+_UNREAD = object()  # sentinel: _flip re-reads CURRENT itself
+
+
+def _manifest_doc(root: str, name: str) -> dict:
+    return json.loads(pathlib.Path(root, "manifests", name).read_text())
+
+
 def _flip(
-    root: str, files: list[str], note: str, stats: dict | None = None
+    root: str,
+    files: list[str],
+    note: str,
+    stats: dict | None = None,
+    *,
+    base=_UNREAD,
+    extra: dict | None = None,
 ) -> str:
-    """Commit a new version: write manifest m-(seq+1), atomically
-    replace CURRENT. The rename is the commit point — a crash before
-    it leaves the previous version intact and current. ``stats`` maps
-    file name -> [min, max] of the table's stats column (only entries
-    for files in this version are kept)."""
+    """Commit a new version against ``base`` (the manifest name the
+    caller's read of the table resolved to; ``None`` = the caller saw
+    an empty table). The manifest for sequence ``base+1`` is created
+    with ``open(..., "x")`` (O_EXCL) — creation IS the commit point,
+    so two writers that both derived the same base race on one
+    filename and exactly one wins; the loser gets
+    :class:`CommitConflict` instead of silently clobbering the
+    winner's manifest (the lost-update race optimistic concurrency
+    exists to prevent). ``CURRENT`` is then advanced as a monotonic
+    best-effort cache — a crash between commit and cache refresh is
+    healed by :func:`read_manifest`'s forward probe.
+
+    ``stats`` maps file name -> {column -> [min, max]} (only entries
+    for files in this version are kept). ``extra`` merges additional
+    manifest fields (e.g. the evolved-schema ``columns``/``colmap``).
+    Every manifest records ``ts`` (wall-clock seconds at commit) for
+    TIMESTAMP AS OF resolution (:func:`resolve_as_of`)."""
     mdir = pathlib.Path(root, "manifests")
     mdir.mkdir(parents=True, exist_ok=True)
-    cur, _ = read_manifest(root)
-    seq = int(cur.split("-")[1].split(".")[0]) + 1 if cur else 0
-    name = f"m-{seq:08d}.json"
-    doc = {"files": sorted(files), "note": note}
+    if base is _UNREAD:
+        base, _ = read_manifest(root)
+    seq = _seq_of(base) + 1 if base else 0
+    name = _manifest_name(seq)
+    doc = {"files": sorted(files), "note": note, "ts": time.time()}
     if stats:
         doc["stats"] = {f: stats[f] for f in doc["files"] if f in stats}
-    (mdir / name).write_text(json.dumps(doc))
-    tmp = pathlib.Path(root, f".CURRENT.tmp.{seq}")
-    tmp.write_text(name)
-    os.replace(tmp, pathlib.Path(root, "CURRENT"))  # atomic POSIX rename
+    # Schema tracking rides every commit once it exists: ``columns``
+    # (the logical schema — field id, name, type) carries forward from
+    # the base unless the commit overrides it (the evolution verbs),
+    # and ``colmap`` (per-file {id: [physical name, physical type]},
+    # pinned at the commit that adopted the file) is pruned to the new
+    # file list, with unmapped files — this commit's adoptions, always
+    # written under the then-current logical schema — getting the
+    # identity mapping. This is Iceberg's field-id indirection in its
+    # minimal form: renames/widenings change ``columns`` only, and
+    # every file remains readable through its own pinned mapping.
+    base_doc = _manifest_doc(root, base) if base else {}
+    columns = (extra or {}).get("columns", base_doc.get("columns"))
+    if columns is not None:
+        doc["columns"] = columns
+        # next_field_id is monotone for the table's LIFETIME (Iceberg's
+        # last-column-id): a dropped field's id is never handed to a
+        # later add, so a re-added name can't resurrect dropped bytes
+        doc["next_field_id"] = (extra or {}).get(
+            "next_field_id",
+            base_doc.get(
+                "next_field_id", max(c["id"] for c in columns) + 1
+            ),
+        )
+        base_colmap = base_doc.get("colmap", {})
+        ident = {
+            str(c["id"]): [c["name"], c["type"]] for c in columns
+        }
+        doc["colmap"] = {
+            f: base_colmap.get(f, ident) for f in doc["files"]
+        }
+    if extra:
+        doc.update({
+            k: v for k, v in extra.items()
+            if k not in ("columns", "next_field_id")
+        })
+    # Two-step atomic create-exclusive: the manifest must appear with
+    # its FULL content (a concurrent reader probes forward and may read
+    # it the instant it exists) AND creation must fail on an existing
+    # name (the conflict detection). open(..., "x") alone creates an
+    # empty file first; os.link publishes the completed temp file under
+    # the final name atomically and raises FileExistsError on a
+    # sequence collision — the local-fs analog of HDFS
+    # create-no-overwrite / an object store's if-none-match PUT.
+    tmp = mdir / f".{name}.tmp.{os.getpid()}.{threading.get_ident()}"
+    tmp.write_text(json.dumps(doc))
+    try:
+        os.link(tmp, mdir / name)  # atomic publish + EXCL: the commit
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {name} was committed by another writer while this "
+            f"commit (note={note!r}) was computed against {base}"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+    _advance_current(root, name)
     return name
+
+
+def _advance_current(root: str, name: str) -> None:
+    """Move the ``CURRENT`` cache forward to ``name`` unless it
+    already names a later sequence (a slower writer must never regress
+    the cache past a faster one's refresh; readers probe forward from
+    the cache, so a stale-but-behind cache is only a longer probe,
+    never a wrong answer)."""
+    cur = pathlib.Path(root, "CURRENT")
+    try:
+        if _seq_of(cur.read_text().strip()) >= _seq_of(name):
+            return
+    except FileNotFoundError:
+        pass
+    tmp = pathlib.Path(root, f".CURRENT.tmp.{_seq_of(name)}")
+    tmp.write_text(name)
+    os.replace(tmp, cur)  # atomic POSIX rename
 
 
 def manifest_stats(root: str, name: str) -> dict:
@@ -193,6 +357,7 @@ def append_batch(
     batch_id: int,
     *,
     stats_col: str | None = None,
+    track_schema: bool = False,
 ) -> str:
     """Append one micro-batch: write to staging, adopt the files,
     flip CURRENT to (live + new). The ``batch_id`` keys the file names,
@@ -201,21 +366,59 @@ def append_batch(
     manifest also records each adopted file's [min, max] of that
     column (footer-only read), enabling file-level data skipping in
     :func:`read_table` — give every commit of a table the SAME
-    stats_col or range reads lose pruning on the uncovered files."""
+    stats_col or range reads lose pruning on the uncovered files.
+
+    ``track_schema=True`` on a table's FIRST commit initializes schema
+    tracking: field ids are assigned by position at that commit
+    (Iceberg's resolve-by-position-at-commit), enabling the evolution
+    verbs (:func:`widen_column` / :func:`rename_column` /
+    :func:`drop_column` / :func:`add_column`) and :func:`read_evolved`.
+    Once a table tracks its schema, every later append is validated
+    against the CURRENT logical schema — exact names and types; the
+    writer casts, the table never guesses."""
     root_p = pathlib.Path(root)
     staging = root_p / f".staging-{batch_id}"
     df.write.mode("overwrite").parquet(str(staging))
     data = root_p / "data"
     adopted = _adopt(staging, data, f"b{batch_id:08d}")
-    cur, live = read_manifest(root)
-    stats = dict(manifest_stats(root, cur)) if cur else {}
-    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
-    # set-union, not concatenation: a foreachBatch RETRY that already
-    # flipped re-adopts the same deterministic names — the manifest
-    # must list each file once or readers double-count the batch
-    return _flip(
-        root, sorted(set(live) | set(adopted)),
-        f"append batch {batch_id}", stats,
+    new_stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    # Appends are BLIND (Delta's AddFile-only commit): they conflict
+    # with no concurrent commit logically, so a CommitConflict just
+    # means the base moved — re-read, re-union, retry. The bound is a
+    # livelock guard, not a correctness limit.
+    df_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    for _ in range(64):
+        cur, live = read_manifest(root)
+        stats = dict(manifest_stats(root, cur)) if cur else {}
+        stats.update(new_stats)
+        columns = _manifest_doc(root, cur).get("columns") if cur else None
+        extra = None
+        if columns is not None:
+            want = {(c["name"], c["type"]) for c in columns}
+            if set(df_fields) != want:
+                raise ValueError(
+                    f"append batch {batch_id} schema {sorted(df_fields)} "
+                    f"does not match the table's current logical schema "
+                    f"{sorted(want)}; evolve the table or cast the batch"
+                )
+        elif track_schema:
+            extra = {"columns": [
+                {"id": i, "name": n, "type": t}
+                for i, (n, t) in enumerate(df_fields)
+            ]}
+        try:
+            # set-union, not concatenation: a foreachBatch RETRY that
+            # already flipped re-adopts the same deterministic names —
+            # the manifest must list each file once or readers
+            # double-count the batch
+            return _flip(
+                root, sorted(set(live) | set(adopted)),
+                f"append batch {batch_id}", stats, base=cur, extra=extra,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"append batch {batch_id} lost 64 consecutive commit races"
     )
 
 
@@ -287,8 +490,12 @@ def compact(
     rewritten.write.mode("overwrite").parquet(str(staging))
     adopted = _adopt(staging, data, f"c{seq:08d}")
     stats = _record_stats(data, adopted, stats_cols)
+    # base=cur: a concurrent commit (even a blind append) invalidates
+    # this rewrite — its output omits the newly appended files — so the
+    # conflict must surface; the caller re-reads and re-compacts.
     _flip(
-        root, adopted, f"compact {len(live)} -> {len(adopted)} files", stats
+        root, adopted, f"compact {len(live)} -> {len(adopted)} files", stats,
+        base=cur,
     )
     return len(live) - len(adopted)
 
@@ -356,7 +563,7 @@ def merge_upsert(
     name = _flip(
         root, untouched + adopted,
         f"merge upsert: rewrote {len(touched)} of {len(live)} files",
-        stats,
+        stats, base=cur,
     )
     return name, len(touched), len(live)
 
@@ -415,7 +622,7 @@ def delete_where(
         root, untouched + adopted,
         f"delete {col} in [{lo}, {hi}]: rewrote {len(touched)} of "
         f"{len(live)} files",
-        stats,
+        stats, base=cur,
     )
     return name, len(touched), len(live)
 
@@ -451,6 +658,20 @@ def changes(
     churn, never the table. The flip side is RETENTION: the old
     versions' files must still exist (this raises loudly if vacuum
     already removed one — exactly Delta's CDF-vs-VACUUM horizon).
+    The retention check runs at CONSTRUCTION time only — the returned
+    DataFrame is lazy, so a vacuum racing between construction and
+    the consuming action surfaces as the scan's file-not-found, not
+    this RuntimeError; hold the feed's versions in the vacuum horizon
+    until the action completes (the same reader-lease discipline every
+    table format demands of CDF consumers).
+
+    NULL keys: rows whose ``key`` is NULL are matched null-safely
+    (``<=>``), so a NULL-key row carried verbatim through a
+    copy-on-write rewrite reconciles with itself and is correctly
+    dropped as ballast rather than emitted as a phantom delete+insert
+    pair (reachable: :func:`delete_where` deliberately preserves
+    NULL-key rows). Like the non-null contract, at most ONE NULL-key
+    row per version — uniqueness-of-key is this feed's precondition.
     """
     from pyspark.sql import functions as F
 
@@ -480,7 +701,7 @@ def changes(
     def _side(files: list[str], tag: str) -> DataFrame:
         if not files:
             return empty.select(
-                F.col(key),
+                F.col(key).alias(f"__k_{tag}"),
                 F.struct(*cols).alias(f"__row_{tag}"),
                 F.lit("").alias(f"__h_{tag}"),
             )
@@ -490,14 +711,17 @@ def changes(
         # null-safe payload fingerprint: to_json is deterministic for
         # identical values and both sides hash through the same code
         return df.select(
-            F.col(key),
+            F.col(key).alias(f"__k_{tag}"),
             F.struct(*cols).alias(f"__row_{tag}"),
             F.md5(F.to_json(F.struct(*cols))).alias(f"__h_{tag}"),
         )
 
     old = _side(removed, "old")
     new = _side(added, "new")
-    j = old.join(new, key, "full_outer")
+    # `<=>` (EqualNullSafe) is still an equi-join key for the planner
+    # (sort-merge/shuffled-hash, never BNLJ) and lets a NULL-key row
+    # reconcile with itself across a copy-on-write rewrite
+    j = old.join(new, old["__k_old"].eqNullSafe(new["__k_new"]), "full_outer")
     change = (
         F.when(F.col("__row_old").isNull(), F.lit("insert"))
         .when(F.col("__row_new").isNull(), F.lit("delete"))
@@ -612,6 +836,207 @@ def zorder32(xcol, ycol, x_range: tuple, y_range: tuple):
             F.shiftleft(ybit, 2 * i)
         )
     return z
+
+
+# --- Schema evolution (VERDICT r11 task 6) --------------------------
+#
+# Iceberg's model in minimal form: the manifest's ``columns`` list is
+# the logical schema (stable field ids, assigned by position at the
+# commit that introduced each field), and each data file carries a
+# pinned ``colmap`` {id: [physical name, physical type]} from its own
+# commit. Evolution verbs are METADATA-ONLY commits — no file is
+# rewritten for a widen/rename/drop/add — and the read path resolves
+# every file through its own mapping: rename is an alias, widen is a
+# lossless cast, drop hides an id from the projection (the bytes stay,
+# so TIME TRAVEL to a pre-drop version still reads them), add is a
+# NULL fill for files that predate the field.
+
+_WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+
+def _evolve_commit(root: str, note: str, mutate) -> str:
+    """Shared optimistic-concurrency loop for the evolution verbs:
+    metadata-only, conflict-checked, retried — the verb composes with
+    concurrent appends the way an ALTER TABLE must (``mutate`` re-runs
+    against the fresh schema on every retry, so a lost race never
+    applies the change to a stale column list)."""
+    for _ in range(64):
+        cur, files = read_manifest(root)
+        if cur is None:
+            raise ValueError(f"{root} has no committed version to evolve")
+        doc = _manifest_doc(root, cur)
+        columns = doc.get("columns")
+        if columns is None:
+            raise ValueError(
+                f"{root} does not track its schema; initialize the table "
+                "with append_batch(track_schema=True)"
+            )
+        next_id = doc.get(
+            "next_field_id", max(c["id"] for c in columns) + 1
+        )
+        new_columns, new_next_id = mutate([dict(c) for c in columns],
+                                          next_id)
+        try:
+            return _flip(
+                root, files, note, doc.get("stats"),
+                base=cur,
+                extra={"columns": new_columns,
+                       "next_field_id": new_next_id},
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"evolution {note!r} lost 64 consecutive races")
+
+
+def widen_column(root: str, name: str, new_type: str) -> str:
+    """Lossless type widening (int→bigint, float→double) as a
+    metadata-only commit: existing files keep their narrow physical
+    type and are CAST at read; new appends must write the wide type."""
+
+    def mutate(columns, next_id):
+        for c in columns:
+            if c["name"] == name:
+                if (c["type"], new_type) not in _WIDENINGS:
+                    raise ValueError(
+                        f"cannot widen {name!r} {c['type']} -> {new_type}; "
+                        f"lossless widenings are {sorted(_WIDENINGS)}"
+                    )
+                c["type"] = new_type
+                return columns, next_id
+        raise ValueError(f"no column {name!r} to widen")
+
+    return _evolve_commit(root, f"widen {name} -> {new_type}", mutate)
+
+
+def rename_column(root: str, old: str, new: str) -> str:
+    """Rename as a metadata-only commit: the field id is stable, so
+    files written under the old name keep resolving through their
+    pinned colmap — no NULL-out, no rewrite (the by-name resolution
+    failure mode renames exist to avoid)."""
+
+    def mutate(columns, next_id):
+        if any(c["name"] == new for c in columns):
+            raise ValueError(f"column {new!r} already exists")
+        for c in columns:
+            if c["name"] == old:
+                c["name"] = new
+                return columns, next_id
+        raise ValueError(f"no column {old!r} to rename")
+
+    return _evolve_commit(root, f"rename {old} -> {new}", mutate)
+
+
+def drop_column(root: str, name: str) -> str:
+    """Drop as a metadata-only commit: the id leaves the logical
+    schema (current reads never see it) but every file keeps its
+    bytes, so a snapshot read of a pre-drop version still returns the
+    column — the time-travel contract. Ids are never reused: a later
+    add_column of the same NAME is a NEW field, NULL for old files."""
+
+    def mutate(columns, next_id):
+        kept = [c for c in columns if c["name"] != name]
+        if len(kept) == len(columns):
+            raise ValueError(f"no column {name!r} to drop")
+        if not kept:
+            raise ValueError("cannot drop the last column")
+        return kept, next_id
+
+    return _evolve_commit(root, f"drop {name}", mutate)
+
+
+def add_column(root: str, name: str, dtype: str) -> str:
+    """Add a column as a metadata-only commit: the new field takes
+    the table's monotone ``next_field_id`` (Iceberg's last-column-id —
+    NEVER a reused one, so a name re-added after a drop cannot
+    resurrect the dropped column's bytes); files that predate it read
+    NULL."""
+
+    def mutate(columns, next_id):
+        if any(c["name"] == name for c in columns):
+            raise ValueError(f"column {name!r} already exists")
+        return (
+            columns + [{"id": next_id, "name": name, "type": dtype}],
+            next_id + 1,
+        )
+
+    return _evolve_commit(root, f"add {name} {dtype}", mutate)
+
+
+def table_columns(root: str, name: str | None = None) -> list[dict] | None:
+    """The logical schema of a committed version (CURRENT by default):
+    a list of {id, name, type}, or None for untracked tables."""
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            return None
+    return _manifest_doc(root, name).get("columns")
+
+
+def read_evolved(
+    spark: SparkSession, root: str, name: str | None = None
+) -> DataFrame:
+    """Read a schema-tracked table under the LOGICAL schema of version
+    ``name`` (CURRENT by default). Files are grouped by their pinned
+    physical mapping and each group is scanned with its own physical
+    schema (exact names and types — column-pruned to the live fields),
+    then cast/aliased/NULL-filled onto the logical schema and unioned
+    by name: old files stay readable after a widen, a renamed column
+    carries its data, a dropped column vanishes from current reads but
+    survives in snapshot reads of pre-drop versions. The group count
+    is bounded by the number of schema versions that ever committed a
+    file — a handful — never by file count."""
+    from pyspark.sql import functions as F
+
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            raise ValueError(f"{root} has no committed version")
+    doc = _manifest_doc(root, name)
+    columns = doc.get("columns")
+    if columns is None:
+        raise ValueError(
+            f"{root}@{name} does not track its schema; use read_table"
+        )
+    ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
+    files = doc["files"]
+    if not files:
+        return spark.createDataFrame([], ddl)
+    colmap = doc.get("colmap", {})
+    missing = [f for f in files if f not in colmap]
+    if missing:
+        raise ValueError(f"files predate schema tracking: {missing}")
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sig = tuple(sorted((i, tuple(m)) for i, m in colmap[f].items()))
+        groups.setdefault(sig, []).append(f)
+    data = pathlib.Path(root, "data")
+    parts = []
+    for sig, fs in sorted(groups.items()):
+        mapping = dict(sig)  # str(id) -> (physical name, physical type)
+        phys = [
+            mapping[str(c["id"])]
+            for c in columns
+            if str(c["id"]) in mapping
+        ]
+        sel = [
+            (
+                F.col(f"`{mapping[str(c['id'])][0]}`")
+                .cast(c["type"])
+                .alias(c["name"])
+                if str(c["id"]) in mapping
+                else F.lit(None).cast(c["type"]).alias(c["name"])
+            )
+            for c in columns
+        ]
+        phys_ddl = ", ".join(f"`{n}` {t}" for n, t in phys)
+        scan = spark.read.schema(phys_ddl).parquet(
+            *[str(data / f) for f in sorted(fs)]
+        )
+        parts.append(scan.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_table(

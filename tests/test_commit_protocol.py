@@ -1,0 +1,208 @@
+"""Optimistic-concurrency commit protocol of the versioned table
+(`sources/maintenance.py`) — VERDICT r11 task 1.
+
+The reference job is a single MapReduce writer
+(HadoopKafkaConsumer.java:138-147 overwrites one output directory);
+a table format behind a streaming ingest has CONCURRENT committers
+(ingest + compactor + backfill), and the lost-update race — two
+writers read version N, both commit N+1, the second silently discards
+the first's files — is the failure optimistic concurrency exists to
+prevent. These tests pin the protocol: O_EXCL manifest creation is
+the commit point, blind appends retry, rewrites surface
+CommitConflict, and the CURRENT cache is probe-past-able.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import threading
+
+import pytest
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+    CommitConflict,
+    _flip,
+    append_batch,
+    changes,
+    delete_where,
+    list_manifests,
+    read_manifest,
+    read_table,
+    resolve_as_of,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def test_two_writers_same_base_exactly_one_wins(tmp_path):
+    """The lost-update race itself: two committers derive the same
+    base version and race their commits through a barrier. Exactly one
+    O_EXCL manifest creation succeeds; the loser gets CommitConflict
+    and the winner's committed file list is intact (never clobbered by
+    the loser's write_text, which is what the old protocol did)."""
+    root = str(tmp_path / "t")
+    _flip(root, ["seed-0.parquet"], "seed", base=None)
+    base, _ = read_manifest(root)
+
+    barrier = threading.Barrier(2)
+    outcomes: dict[str, object] = {}
+
+    def commit(tag: str) -> None:
+        barrier.wait()
+        try:
+            outcomes[tag] = _flip(
+                root, [f"{tag}.parquet", "seed-0.parquet"], tag, base=base
+            )
+        except CommitConflict as e:
+            outcomes[tag] = e
+
+    threads = [
+        threading.Thread(target=commit, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    winners = [t for t, o in outcomes.items() if isinstance(o, str)]
+    losers = [t for t, o in outcomes.items() if isinstance(o, CommitConflict)]
+    assert len(winners) == 1 and len(losers) == 1
+    # the committed manifest is the WINNER's, byte-for-byte intact
+    name, files = read_manifest(root)
+    assert name == outcomes[winners[0]]
+    assert f"{winners[0]}.parquet" in files
+    assert f"{losers[0]}.parquet" not in files
+
+
+def test_concurrent_appends_lose_no_committed_batch(spark, tmp_path):
+    """Two append writers interleave against one table (each with its
+    own batch-id namespace, the multi-writer precondition for staging
+    names). Blind appends retry through CommitConflict internally, so
+    EVERY batch both writers committed must be present in the final
+    version — no lost update at any interleaving."""
+    root = str(tmp_path / "t")
+    per_writer = 4
+    errors: list[BaseException] = []
+    start = threading.Barrier(2)
+
+    def writer(wid: int) -> None:
+        try:
+            start.wait()
+            for i in range(per_writer):
+                batch_id = wid + 2 * i  # disjoint id namespaces
+                df = spark.createDataFrame(
+                    [(100 * wid + i, f"w{wid}b{i}")], SCHEMA
+                ).coalesce(1)
+                append_batch(df, root, batch_id)
+        except BaseException as e:  # surfaced below, not swallowed
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    rows = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    expect = {
+        (100 * w + i, f"w{w}b{i}") for w in (0, 1) for i in range(per_writer)
+    }
+    assert rows == expect, "a committed append was lost"
+    # every commit landed as its own version: seed-less table, 8 appends
+    assert len(list_manifests(root)) == 2 * per_writer
+
+
+def test_rewrite_against_stale_base_conflicts(tmp_path):
+    """A rewrite commit (compact/merge/delete all pass base=) computed
+    against a base that another writer has since advanced must raise
+    CommitConflict — its output file set omits the interleaved commit,
+    so silently winning would drop that commit's rows."""
+    root = str(tmp_path / "t")
+    _flip(root, ["a.parquet"], "seed", base=None)
+    stale_base, _ = read_manifest(root)
+    # an interleaved append advances the table
+    _flip(root, ["a.parquet", "b.parquet"], "append", base=stale_base)
+    with pytest.raises(CommitConflict):
+        _flip(root, ["compacted.parquet"], "compact", base=stale_base)
+    # and the interleaved commit is still current
+    _, files = read_manifest(root)
+    assert files == ["a.parquet", "b.parquet"]
+
+
+def test_current_cache_probe_heals_crash_window(spark, tmp_path):
+    """A writer that created its manifest (= committed) but crashed
+    before refreshing CURRENT loses nothing: readers probe forward
+    from the cache. Simulated by regressing CURRENT to version 0 by
+    hand — resolution must still find the latest manifest, and the
+    next commit must build on it (not fork the history)."""
+    root = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1)
+    df1 = spark.createDataFrame([(2, "b")], SCHEMA).coalesce(1)
+    append_batch(df0, root, 0)
+    append_batch(df1, root, 1)
+    latest, files = read_manifest(root)
+
+    # the crash window: cache regressed behind the committed manifest
+    pathlib.Path(root, "CURRENT").write_text("m-00000000.json")
+    name, got = read_manifest(root)
+    assert (name, got) == (latest, files)
+    rows = {(r.doc_id, r.text) for r in read_table(spark, root, SCHEMA).collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+    # the next commit extends the probed head, not the stale cache
+    df2 = spark.createDataFrame([(3, "c")], SCHEMA).coalesce(1)
+    append_batch(df2, root, 2)
+    name2, _ = read_manifest(root)
+    assert name2 == "m-00000002.json"
+    rows = {(r.doc_id, r.text) for r in read_table(spark, root, SCHEMA).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF (VERDICT r11 task 7): each manifest records its
+    commit wall-time; a timestamp between commits N and N+1 resolves
+    to N, at-or-after the last commit resolves to it, and before the
+    first commit raises (Delta/Iceberg timestamp-travel semantics)."""
+    root = str(tmp_path / "t")
+    for i in range(3):
+        df = spark.createDataFrame([(i, f"v{i}")], SCHEMA).coalesce(1)
+        append_batch(df, root, i)
+    mdir = pathlib.Path(root, "manifests")
+    ts = [
+        json.loads((mdir / name).read_text())["ts"]
+        for name, _ in list_manifests(root)
+    ]
+    assert ts == sorted(ts)
+    # guard: fixture commits are wall-clock-ordered with real gaps
+    assert ts[0] < ts[1] < ts[2], "commits landed within timer resolution"
+
+    assert resolve_as_of(root, (ts[0] + ts[1]) / 2) == "m-00000000.json"
+    assert resolve_as_of(root, ts[1]) == "m-00000001.json"  # inclusive
+    assert resolve_as_of(root, ts[2] + 60.0) == "m-00000002.json"
+    with pytest.raises(ValueError):
+        resolve_as_of(root, ts[0] - 60.0)
+
+
+def test_changes_null_key_rewrite_is_ballast_not_phantom(spark, tmp_path):
+    """ADVICE r11: a NULL-key row carried verbatim through a
+    copy-on-write rewrite must reconcile with itself (null-safe join)
+    and be dropped as ballast — not emitted as a phantom delete+insert
+    pair. delete_where deliberately preserves NULL-key rows, so this
+    state is reachable in one step."""
+    root = str(tmp_path / "t")
+    rows = [(1, "a"), (2, "b"), (4, "x"), (5, "y"), (None, "nullkey")]
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    append_batch(df, root, 0, stats_col="doc_id")
+    from_name, _ = read_manifest(root)
+
+    # rewrites the single file; the NULL-key row rides along verbatim
+    delete_where(spark, root, SCHEMA, "doc_id", 4, 5, stats_col="doc_id")
+
+    feed = changes(spark, root, SCHEMA, "doc_id", from_name).collect()
+    got = {(r.doc_id, r.text, r._change) for r in feed}
+    assert got == {(4, "x", "delete"), (5, "y", "delete")}
