@@ -36,6 +36,16 @@ Methodology:
   rounds benched before round 4 used single-run timing and rounds
   4-5 min-of-two, so cross-round deltas at each changeover include
   the methodology shift, not only plan changes.
+- round 12 on, the repeats are INTERLEAVED (VERDICT r11 task 3): pass
+  1 runs every query once, then pass 2, then pass 3, and the per-query
+  min is taken ACROSS passes. Back-to-back repeats let a multi-minute
+  host slow phase swallow all three runs of the queries it overlapped
+  (r11's three slow-phase adjudications shared exactly that cause); a
+  phase shorter than one full pass (~1-2 min at sf0.1) now inflates at
+  most one of a query's three samples, so the min survives it. The
+  per-pass wall totals are recorded as "pass_totals" — a loaded pass
+  shows up as one outlier total, quiet/loaded A/B evidence inside the
+  record itself.
 """
 
 from __future__ import annotations
@@ -188,22 +198,40 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — the timed loop reports it
             print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
-    # ``repeat`` timed runs per query, report the min — steady-state
-    # timing that damps JIT/page-cache/GC noise so cross-round
-    # comparisons reflect plan changes, not scheduler jitter. A query
-    # that errors is recorded under "errors" instead of killing the
-    # whole bench (round 2 lost its entire bench to one load failure).
+    # ``repeat`` timed runs per query with the min reported —
+    # steady-state timing that damps JIT/page-cache/GC noise so
+    # cross-round comparisons reflect plan changes, not scheduler
+    # jitter. The runs are INTERLEAVED as full passes over the whole
+    # query list (pass 1 of everything, then pass 2, …): a host slow
+    # phase shorter than one pass can inflate at most ONE of a query's
+    # samples, so the cross-pass min survives it — back-to-back
+    # repeats handed all three samples to the same phase. A query that
+    # errors is recorded under "errors" instead of killing the whole
+    # bench (round 2 lost its entire bench to one load failure).
     host_start = _host_snapshot()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        try:
-            sec = min(materialize(name) for _ in range(repeat))
-        except Exception as exc:  # noqa: BLE001 — survive to report
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(sec, 4)
+    pass_totals: list[float] = []
+    for pass_i in range(repeat):
+        pass_t0 = time.perf_counter()
+        for name in names:
+            if name in errors:
+                continue
+            try:
+                sec = materialize(name)
+            except Exception as exc:  # noqa: BLE001 — survive to report
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                timings.pop(name, None)  # a partial timing proves nothing
+                print(f"bench: {name} ERROR {errors[name]}", file=sys.stderr)
+                continue
+            if name not in timings or sec < timings[name]:
+                timings[name] = round(sec, 4)
+        pass_totals.append(round(time.perf_counter() - pass_t0, 3))
+        print(
+            f"bench: pass {pass_i + 1}/{repeat} wall {pass_totals[-1]:.1f}s",
+            file=sys.stderr,
+        )
+    for name, sec in sorted(timings.items()):
         print(f"bench: {name} {sec:.3f}s", file=sys.stderr)
 
     # End-of-run CANARY (VERDICT r10 task 3): re-time 3 queries that
@@ -246,6 +274,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "repeat": repeat,
+        "interleaved": True,
+        "pass_totals": pass_totals,
         "host": {"start": host_start, "end": host_end},
         "canary": {"queries": canary, "drift": canary_drift},
     }
