@@ -2009,8 +2009,13 @@ def mmr_rerank(
         return s
 
     def r6(x: float) -> float:
+        # Decimal(repr(x)) — the SHORTEST decimal representation, which
+        # is BigDecimal.valueOf's contract and what F.round and DuckDB
+        # ROUND both quantize from; Decimal(x) would expand the exact
+        # binary value and can land a half-case on the other side
+        # (e.g. 0.1234565 → …6 exact vs …7 shortest-repr, ADVICE r11)
         return float(
-            Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
 
     qv = vecs[query_id]

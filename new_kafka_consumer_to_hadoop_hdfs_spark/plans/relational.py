@@ -1930,8 +1930,8 @@ c AS (
          SUM(w) OVER (PARTITION BY flag ORDER BY v
                       ROWS UNBOUNDED PRECEDING) AS cw,
          SUM(w) OVER (PARTITION BY flag) AS tw
-  FROM c_base
-), c_base AS (SELECT * FROM g)
+  FROM g
+)
 SELECT flag,
        MIN(v) AS weighted_median,
        CAST(MIN(tw) AS BIGINT) AS total_qty
