@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -93,6 +94,9 @@ def decode_stub(payload: bytes, media_type: str):
     """
     if media_type == "image/bmp":
         width, height, pixels = decode_bmp(payload)
+        return {"width": width, "height": height, "pixels": pixels}
+    if media_type == "image/png":
+        width, height, pixels = decode_png(payload)
         return {"width": width, "height": height, "pixels": pixels}
     if media_type == "audio/wav":
         channels, sample_rate, frames, samples = decode_wav(payload)
@@ -198,6 +202,217 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
         out[dst + 0 : dst + width * 3 : 3] = bgr[2::3]  # R from B slot
         out[dst + 2 : dst + width * 3 : 3] = bgr[0::3]  # B from G slot
     return width, height, bytes(out)
+
+
+# --- Real stdlib-only PNG codec (VERDICT r11 task 5) ----------------
+#
+# Truecolor 8-bit non-interlaced PNG (RFC 2083 / W3C PNG spec): the
+# 8-byte signature, length-type-data-CRC chunks (IHDR, ancillary,
+# IDAT*, IEND), a zlib-compressed filtered scanline stream, and one
+# filter-type byte per row choosing among None/Sub/Up/Average/Paeth.
+# Unlike BMP/WAV this format NEEDS a real decompressor — stdlib
+# ``zlib`` is exactly the dependency, so PNG is implementable without
+# media libraries (the PIL/pyav formats at the decode_stub seam are
+# not). The encoder deliberately (a) CYCLES the row filter type
+# (y + offset) % 5 so all five reconstruction rules are load-bearing,
+# (b) splits the compressed stream across TWO IDAT chunks (the spec
+# requires consumers to concatenate), and (c) writes an ancillary
+# tEXt chunk before the image data — a decoder that does not walk
+# chunks, verify CRCs, join IDATs, and unfilter per-row produces
+# wrong pixels, not a wrong-size file.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, *, filter_offset: int = 0
+) -> bytes:
+    """Encode top-down row-major RGB triples as a real truecolor PNG.
+
+    Row ``y`` is filtered with type ``(y + filter_offset) % 5`` — the
+    real filter arithmetic, not filter-0 everywhere — so the decoder's
+    Sub/Up/Average/Paeth reconstruction is exercised by construction.
+    """
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; need {width * height * 3}"
+        )
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)  # the spec's all-zero row above the image
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = (y + filter_offset) % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub: left neighbor, bpp=3
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average (floor of left+up over 2)
+            raw += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    comp = zlib.compress(bytes(raw))
+    half = max(1, (len(comp) + 1) // 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00synthetic fixture")
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])  # possibly empty: legal
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a truecolor 8-bit non-interlaced PNG to (width, height,
+    top-down RGB). A real spec-built parser: validates the signature,
+    walks chunks verifying each CRC, parses IHDR before trusting any
+    dimension, concatenates every IDAT, inflates, and reconstructs
+    each scanline per its filter-type byte (all five filters)."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr: tuple | None = None
+    idat = bytearray()
+    ended = False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):  # data or CRC cut short
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            if ihdr is None:
+                raise ValueError("PNG IDAT before IHDR")
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped by the walk
+    if ihdr is None or not ended:
+        raise ValueError("PNG missing IHDR or IEND")
+    width, height, depth, color, comp_m, filt_m, interlace = ihdr
+    if (depth, color, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"compression={comp_m} filter={filt_m} interlace={interlace} "
+            "(only 8-bit truecolor, non-interlaced)"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNG dimensions {width}x{height}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG scanline stream is {len(raw)} bytes; "
+            f"need {height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        rec = bytearray(stride)
+        if ft == 0:
+            rec[:] = line
+        elif ft == 1:
+            for i in range(stride):
+                rec[i] = (line[i] + (rec[i - 3] if i >= 3 else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                rec[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                rec[i] = (
+                    line[i] + (((rec[i - 3] if i >= 3 else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                rec[i] = (
+                    line[i]
+                    + _paeth(
+                        rec[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"PNG row {y}: unknown filter type {ft}")
+        out[y * stride : (y + 1) * stride] = rec
+        prev = bytes(rec)
+    return width, height, bytes(out)
+
+
+def png_pixels_for_text(text_bytes: bytes) -> tuple[int, int, int, bytes]:
+    """Deterministic text→pixels rule for the PNG fixture, shared with
+    the DuckDB oracle (plans/multimodal.py `multimodal_decode_png`):
+    returns (width, height, filter_offset, top-down RGB). Deliberately
+    a DIFFERENT rule from :func:`bmp_pixels_for_text` so the two
+    decode gates cannot vouch for each other; dims span widths 2-8 and
+    heights 2-6, and filter_offset = len % 5 makes every one of the
+    five PNG filters the FIRST row's filter for some document.
+    Changing this rule requires changing the oracle SQL in lockstep.
+    """
+    n = len(text_bytes)
+    if n == 0:
+        raise ValueError("empty payload has no pixel rule")
+    width = (n % 7) + 2
+    height = (n % 5) + 2
+    px = bytearray(width * height * 3)
+    for p in range(width * height):
+        c = text_bytes[p % n]
+        px[3 * p] = (c + 2 * p) % 256
+        px[3 * p + 1] = (c * 5 + 3) % 256
+        px[3 * p + 2] = (p * p + c) % 256
+    return width, height, n % 5, bytes(px)
 
 
 def bmp_pixels_for_text(text_bytes: bytes) -> tuple[int, int, bytes]:
@@ -547,6 +762,36 @@ def decode_wav_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode, schema=WAV_STATS_SCHEMA)
 
 
+def documents_as_png_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL truecolor PNG files from the documents table —
+    the compressed-format sibling of :func:`documents_as_bmp_assets`,
+    same honesty contract: deterministic pixels
+    (:func:`png_pixels_for_text`) inside a genuine container whose
+    structure (chunk CRCs, split IDATs, cycling row filters, zlib
+    stream) the downstream decoder must actually parse."""
+    _ship_module_by_value()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                w, h, off, px = png_pixels_for_text(text.encode("utf-8"))
+                payloads.append(encode_png(px, w, h, filter_offset=off))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        documents.filter(F.octet_length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema=BMP_ASSET_SCHEMA)
+    )
+
+
 def documents_as_bmp_assets(documents: DataFrame) -> DataFrame:
     """Synthesize REAL BMP files from the documents table (Arrow-batched).
 
@@ -617,6 +862,13 @@ def decode_bmp_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(decode, schema=BMP_STATS_SCHEMA)
+
+
+# decode_bmp_stats dispatches through decode_stub on each row's
+# media_type, so the same stats stage serves every image container
+# (BMP, PNG, and whatever production plugs into the seam) — alias it
+# under the media-neutral name the non-BMP queries read naturally.
+decode_image_stats = decode_bmp_stats
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

@@ -286,3 +286,124 @@ def test_pixel_rule_matches_oracle_contract():
     assert px[3 * p + 2] == (p * 7) % 256
     with pytest.raises(ValueError):
         bmp_pixels_for_text(b"")
+
+
+# --- PNG codec (round 12, VERDICT r11 task 5) -----------------------
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (  # noqa: E402
+    _png_chunk,
+    decode_png,
+    encode_png,
+    png_pixels_for_text,
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.mark.parametrize("filter_offset", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_leading_filter(filter_offset):
+    """Each of the five PNG filter types leads some encoding (offset
+    picks the first row's filter; rows cycle from there), and
+    encode→decode is the identity under all of them — so
+    None/Sub/Up/Average/Paeth reconstruction are each load-bearing."""
+    w, h = 5, 6  # 6 rows: every filter type appears at least once
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    assert decode_png(encode_png(px, w, h, filter_offset=filter_offset)) == (
+        w, h, px,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=11),
+    height=st.integers(min_value=1, max_value=8),
+    filter_offset=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_png_roundtrip_property(width, height, filter_offset, data):
+    """encode→decode identity for arbitrary dims, pixels, and filter
+    phase — across chunk CRCs, the ancillary tEXt chunk, the split
+    IDAT pair, and the zlib stream."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    assert decode_png(
+        encode_png(px, width, height, filter_offset=filter_offset)
+    ) == (width, height, px)
+
+
+def test_png_decoder_concatenates_idats_and_skips_ancillary():
+    """Structural honesty: the encoder's output genuinely contains two
+    IDAT chunks and a tEXt chunk — the decoder features under test are
+    present in every fixture file, not hypothetical."""
+    px = bytes(range(0, 90))  # 5x6 RGB
+    payload = encode_png(px, 5, 6)
+    assert payload.count(b"IDAT") == 2
+    assert payload.count(b"tEXt") == 1
+
+
+def test_png_decode_rejects_bad_inputs():
+    px = bytes(27)  # 3x3
+    good = encode_png(px, 3, 3)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM" + good)
+    # flip one byte inside the first IDAT's data: CRC must catch it
+    idat_pos = good.index(b"IDAT")
+    corrupted = bytearray(good)
+    corrupted[idat_pos + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+    # truncation loses IEND
+    with pytest.raises(ValueError, match="IHDR or IEND|truncated"):
+        decode_png(good[:-13])
+    # unsupported variant: grayscale color type in an otherwise valid file
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    bad_variant = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(bad_variant)
+    with pytest.raises(ValueError):
+        encode_png(px, 4, 3)  # wrong buffer size
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=64))
+def test_png_pixel_rule_total_and_roundtrips(text):
+    """The PNG fixture rule is total on non-empty ASCII: dims in range,
+    buffer exactly sized, offset in [0,5), and the full encode→decode
+    path reproduces the rule's pixels."""
+    tb = text.encode("utf-8")
+    w, h, off, px = png_pixels_for_text(tb)
+    assert 2 <= w <= 8 and 2 <= h <= 6 and 0 <= off <= 4
+    assert len(px) == w * h * 3
+    assert decode_png(encode_png(px, w, h, filter_offset=off)) == (w, h, px)
+
+
+def test_png_pixel_rule_matches_oracle_contract():
+    # the DuckDB oracle restates exactly this rule; pin it here too
+    tb = b"hello spark"  # n=11 -> w=(11%7)+2=6, h=(11%5)+2=3, off=11%5=1
+    w, h, off, px = png_pixels_for_text(tb)
+    assert (w, h, off) == (6, 3, 1)
+    p = 7
+    c = tb[p % len(tb)]
+    assert px[3 * p] == (c + 2 * p) % 256
+    assert px[3 * p + 1] == (c * 5 + 3) % 256
+    assert px[3 * p + 2] == (p * p + c) % 256
+    with pytest.raises(ValueError):
+        png_pixels_for_text(b"")
+
+
+def test_decode_stub_dispatches_png():
+    w, h, off, px = png_pixels_for_text(b"seam check")
+    d = decode_stub(encode_png(px, w, h, filter_offset=off), "image/png")
+    assert (d["width"], d["height"], d["pixels"]) == (w, h, px)
