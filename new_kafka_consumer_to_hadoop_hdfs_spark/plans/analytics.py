@@ -468,6 +468,104 @@ def sink_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCHEMA_WIDEN_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         lang AS language,
+         CASE WHEN doc_id % 2 = 1 THEN 'b' END AS src_half
+  FROM documents
+)
+SELECT language, src_half,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum
+FROM t GROUP BY language, src_half
+"""
+
+
+@_register("sink_versioned_schema_widen", _SCHEMA_WIDEN_ORACLE)
+def sink_versioned_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the versioned table under the checksum gate
+    (round 12, VERDICT r11 task 6): the documents table arrives in two
+    halves across an evolving schema — half A committed under
+    (doc_id bigint, n_chars INT, lang) with schema tracking on, then
+    three METADATA-ONLY commits (widen n_chars→bigint, rename
+    lang→language, add src_half) with no file rewritten, then half B
+    appended under the evolved schema. The read resolves every file
+    through its pinned field-id mapping (`sources/maintenance.py`
+    ``read_evolved``): half A's int32 bytes must surface as bigint,
+    its `lang` bytes under the `language` name, and NULL `src_half` —
+    the oracle restates the final logical state straight off the raw
+    parquet (it knows nothing about field ids), so a by-name
+    resolution bug (NULLed rename), a lost cast, or a leaked dropped
+    id diverges the checksums. Guards in the build refuse to install
+    if the evolution rewrote any data file (metadata-only is the
+    contract that makes ALTER TABLE affordable at 100 TB).
+
+    Iceberg semantics pinned by tests (tests/test_schema_evolution.py):
+    ids assigned by position at commit, never reused; drop hides ids
+    from current reads but time travel still sees the bytes.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        add_column,
+        append_batch,
+        read_evolved,
+        read_manifest,
+        rename_column,
+        table_columns,
+        widen_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        half_a = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.col("n_chars").cast("int").alias("n_chars"), "lang"
+        )
+        append_batch(half_a.repartition(3), root, 0, track_schema=True)
+        _, files_before = read_manifest(root)
+        widen_column(root, "n_chars", "bigint")
+        rename_column(root, "lang", "language")
+        add_column(root, "src_half", "string")
+        _, files_after = read_manifest(root)
+        if files_after != files_before:
+            raise RuntimeError(
+                "schema evolution rewrote data files — must be "
+                "metadata-only commits"
+            )
+        half_b = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars",
+            F.col("lang").alias("language"),
+            F.lit("b").alias("src_half"),
+        )
+        append_batch(half_b.repartition(3), root, 1)
+        got = [(c["name"], c["type"]) for c in table_columns(root)]
+        want = [("doc_id", "bigint"), ("n_chars", "bigint"),
+                ("language", "string"), ("src_half", "string")]
+        if got != want:
+            raise RuntimeError(f"evolved schema drifted: {got}")
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_schema_widen", build,
+    )
+    return read_evolved(spark, f"{dest}/table").groupBy(
+        "language", "src_half"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(doc_id)").alias("id_checksum"),
+    )
+
+
 _ZORDER_ORACLE = """
 WITH m AS (
   SELECT MIN(n_chars) + ((MAX(n_chars) - MIN(n_chars)) * 7) // 10 AS lo,

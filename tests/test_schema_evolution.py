@@ -1,0 +1,143 @@
+"""Schema evolution on the versioned table (VERDICT r11 task 6):
+type widening, rename, drop, add as METADATA-ONLY commits with
+Iceberg's stable-field-id resolution — files pin their physical
+mapping at commit; the logical schema evolves above them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+    add_column,
+    append_batch,
+    drop_column,
+    list_manifests,
+    read_evolved,
+    read_manifest,
+    rename_column,
+    table_columns,
+    widen_column,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build(spark, tmp_path):
+    """v0: tracked table (doc_id bigint, n int, lang string), 2 rows."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 20, "de")], "doc_id long, n int, lang string"
+    ).coalesce(1)
+    append_batch(df, root, 0, track_schema=True)
+    return root
+
+
+def test_widen_rename_add_lifecycle(spark, tmp_path):
+    root = _build(spark, tmp_path)
+    v0, _ = read_manifest(root)
+
+    widen_column(root, "n", "bigint")
+    rename_column(root, "lang", "language")
+    add_column(root, "flag", "string")
+    new = spark.createDataFrame(
+        [(3, 30, "fr", "b")],
+        "doc_id long, n bigint, language string, flag string",
+    ).coalesce(1)
+    append_batch(new, root, 1)
+
+    cur = read_evolved(spark, root)
+    # logical schema: widened type, renamed column, appended field
+    assert [(f.name, f.dataType.simpleString()) for f in cur.schema.fields] == [
+        ("doc_id", "bigint"), ("n", "bigint"),
+        ("language", "string"), ("flag", "string"),
+    ]
+    # old int32 files read through their pinned mapping: values intact,
+    # renamed column carries its data, missing field NULL-fills
+    assert _rows(cur) == [
+        (1, 10, "en", None), (2, 20, "de", None), (3, 30, "fr", "b"),
+    ]
+    # time travel: v0 still reads under ITS schema — original name and
+    # narrow type
+    old = read_evolved(spark, root, v0)
+    assert [(f.name, f.dataType.simpleString()) for f in old.schema.fields] == [
+        ("doc_id", "bigint"), ("n", "int"), ("lang", "string"),
+    ]
+    assert _rows(old) == [(1, 10, "en"), (2, 20, "de")]
+    # every evolution verb committed a version of its own
+    assert len(list_manifests(root)) == 5
+
+
+def test_drop_hides_now_but_survives_time_travel(spark, tmp_path):
+    root = _build(spark, tmp_path)
+    pre_drop, _ = read_manifest(root)
+    drop_column(root, "lang")
+
+    cur = read_evolved(spark, root)
+    assert [f.name for f in cur.schema.fields] == ["doc_id", "n"]
+    assert _rows(cur) == [(1, 10), (2, 20)]
+    # the bytes stayed: the pre-drop snapshot still reads the column
+    snap = read_evolved(spark, root, pre_drop)
+    assert _rows(snap) == [(1, 10, "en"), (2, 20, "de")]
+
+
+def test_readded_name_is_a_fresh_field(spark, tmp_path):
+    """Ids are never reused: dropping ``lang`` and adding a NEW column
+    named ``lang`` must NOT resurrect the dropped bytes — old files
+    read NULL for the re-added field (the Iceberg id-freshness rule)."""
+    root = _build(spark, tmp_path)
+    drop_column(root, "lang")
+    add_column(root, "lang", "string")
+    cur = read_evolved(spark, root)
+    assert _rows(cur) == [(1, 10, None), (2, 20, None)]
+    cols = table_columns(root)
+    assert [c["name"] for c in cols] == ["doc_id", "n", "lang"]
+    assert cols[-1]["id"] == 3  # fresh id, not the dropped field's 2
+
+
+def test_append_validates_against_current_schema(spark, tmp_path):
+    root = _build(spark, tmp_path)
+    widen_column(root, "n", "bigint")
+    # stale writer still emitting the narrow type: loud, not silent
+    stale = spark.createDataFrame(
+        [(9, 90, "xx")], "doc_id long, n int, lang string"
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="does not match"):
+        append_batch(stale, root, 7)
+    # wrong column name after a rename: same contract
+    rename_column(root, "lang", "language")
+    misnamed = spark.createDataFrame(
+        [(9, 90, "xx")], "doc_id long, n bigint, lang string"
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="does not match"):
+        append_batch(misnamed, root, 8)
+
+
+def test_evolution_verb_contracts(spark, tmp_path):
+    root = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="lossless widenings"):
+        widen_column(root, "doc_id", "int")  # narrowing
+    with pytest.raises(ValueError, match="no column"):
+        widen_column(root, "nope", "bigint")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(root, "lang", "n")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(root, "n", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(root, "nope")
+    drop_column(root, "lang")
+    drop_column(root, "n")
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(root, "doc_id")
+    # untracked tables refuse the verbs with a pointer to the fix
+    untracked = str(tmp_path / "u")
+    append_batch(
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1),
+        untracked, 0,
+    )
+    with pytest.raises(ValueError, match="track_schema"):
+        widen_column(untracked, "k", "bigint")
+    with pytest.raises(ValueError, match="use read_table"):
+        read_evolved(spark, untracked)
