@@ -2082,3 +2082,113 @@ def test_streaming_ivfpq_index_add_equals_batch(spark, tmp_path, sf_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_ivf_index_versioned_commits(spark, tmp_path, sf_dir):
+    """Streaming ANN index maintenance THROUGH THE TABLE FORMAT
+    (VERDICT r11 task 4, composing the r11 families): micro-batches of
+    new embeddings flow through `ivf_assign` into the stored inverted
+    file as VERSIONED-TABLE commits, so — unlike the plain
+    parquet-append of `test_streaming_ivfpq_index_add_equals_batch`,
+    which has a partial-file read window while a writer is mid-append —
+    the index is QUERYABLE MID-INGEST with snapshot isolation: at every
+    epoch a reader resolving the manifest sees exactly the committed
+    vectors, never a torn batch. After the stream drains, `ivf_search`
+    over the accumulated index must return exactly the ranking of a
+    single batch build (stream-equals-batch), and the mid-stream
+    invariant is asserted per epoch (the same per-epoch discipline as
+    test_streaming_append_online_compaction)."""
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        to_double,
+        train_ivf_centroids,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import load_table
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        read_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("embedding")
+    )
+    # train ONCE on the corpus — index geometry frozen before ingest
+    cent = train_ivf_centroids(e, n_cells=8, refine_iterations=1)
+    assert cent is not None
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+
+    INV_SCHEMA = "neighbor_id long, vec array<double>, nrm double, cell int"
+
+    def inv_rows(df):
+        # the add() step: single-assignment inverted-file rows
+        return ivf_assign(
+            df, cent, id_col="vec_id", vec_col="embedding",
+            out_id="neighbor_id", keep_vec="__cv", top_cells=1,
+        ).select(
+            "neighbor_id",
+            F.col("__cv").alias("vec"),
+            F.col("__cv_n").alias("nrm"),
+            F.col("__cell").alias("cell"),
+        )
+
+    def search(inv_plain):
+        inv = inv_plain.select(
+            "neighbor_id",
+            F.col("vec").alias("__cv"),
+            F.col("nrm").alias("__cv_n"),
+            F.col("cell").alias("__cell"),
+        )
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+            for r in ivf_search(
+                inv, cent, queries, id_col="vec_id", vec_col="embedding",
+                k=5, n_probe=3,
+            ).collect()
+        )
+
+    expected = search(inv_rows(e))  # one-shot batch build
+    assert len(expected) > 0
+
+    src = tmp_path / "ivfsrc"
+    e.repartition(5).write.parquet(str(src))
+    root = str(tmp_path / "ivf_table")
+    committed: set[int] = set()
+    epochs: list[int] = []
+
+    def ingest(batch_df, epoch_id):
+        rows = inv_rows(batch_df)
+        append_batch(rows, root, epoch_id, stats_col="cell")
+        committed.update(
+            r.neighbor_id for r in rows.select("neighbor_id").collect()
+        )
+        # mid-ingest invariant: a reader through the manifest sees
+        # EXACTLY the committed vectors — queryable, never torn
+        inv_now = read_table(spark, root, INV_SCHEMA)
+        ids_now = {
+            r.neighbor_id
+            for r in inv_now.select("neighbor_id").collect()
+        }
+        assert ids_now == committed, f"epoch {epoch_id}: torn index read"
+        mid = search(inv_now)
+        assert all(nid in committed for _, _, nid, _ in mid), (
+            f"epoch {epoch_id}: search surfaced an uncommitted vector"
+        )
+        epochs.append(epoch_id)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ivfckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(epochs) >= 2, "ingest must have spanned multiple epochs"
+    got = search(read_table(spark, root, INV_SCHEMA))
+    assert got == expected
