@@ -237,6 +237,36 @@ DRIVER_CHECKED_R10 = frozenset({
     "text_token_histogram", "text_winnow_fingerprint",
 })
 
+# Checked in round 11 (CORRECTNESS_r11.json: 50/50 green on
+# rows+schema+hash) — the freshest driver evidence. Composition: the
+# 17 new r11 queries (versioned-table family ×7, BFS, OLS trend, PMI,
+# weighted median, seasonal decompose, transition matrix, PSI,
+# attribution, CUSUM, MMR), and the full 11-query r7-stale leftover
+# cohort + 22 of the r8 cohort's head.
+DRIVER_CHECKED_R11 = frozenset({
+    "agg_cube", "agg_regression_trend", "agg_weighted_median_arrow",
+    "dedup_span_duplication", "event_attribution",
+    "event_changepoint_cusum", "event_ewma_smoothing", "event_path_regex",
+    "event_seasonal_decompose", "event_time_rollup",
+    "event_transition_matrix", "join_full_outer", "join_interval_overlap",
+    "join_range_events", "kafka_dedup_global", "kafka_dedup_lww",
+    "kafka_parse_project", "multimodal_binary_stats",
+    "multimodal_frame_sample", "multimodal_resize", "pipeline_drift_psi",
+    "pipeline_expectations_report", "pipeline_graph_bfs_reach",
+    "q1_pricing_summary", "q22_global_sales_opportunity",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "scalar_date_advanced", "scalar_json_struct_map",
+    "scalar_string_advanced", "set_operations", "sim_topk_mmr",
+    "sim_topk_pq", "sink_parquet_hive_partitioned",
+    "sink_parquet_schema_evolution", "sink_versioned_changes",
+    "sink_versioned_compaction", "sink_versioned_incremental_agg",
+    "sink_versioned_pruned_read", "sink_versioned_time_travel",
+    "sink_versioned_upsert", "sink_versioned_zorder_read",
+    "text_char_entropy", "text_collocations_pmi", "text_zipf_slope",
+    "window_asof_last_event", "window_distribution_functions",
+    "window_range_frame", "window_topk_per_group",
+})
+
 # Queries whose ORACLE was upgraded AFTER their most recent driver row:
 # the banked evidence predates the contract it would vouch for, so the
 # rotation treats them as never-checked until a fresh driver row lands
@@ -286,11 +316,13 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
         # queries whose oracle was upgraded after their last check.
-        # The r11 window (first 50) is therefore: any new queries,
-        # then the 11 r7-stale leftovers, then the r8 cohort's head in
+        # The r12 window (first 50) is therefore: any new queries,
+        # then the 24 r8-stale leftovers, then the r9 cohort's head in
         # module order.
         if name in ORACLE_UPGRADED_SINCE_LAST_CHECK:
             return 0
+        if name in DRIVER_CHECKED_R11:
+            return 9
         if name in DRIVER_CHECKED_R10:
             return 8
         if name in DRIVER_CHECKED_R9:

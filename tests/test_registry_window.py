@@ -11,7 +11,7 @@ evidence predates a contract change); one-shot pin sets (r9's seeded
 contracts, r10's q11) are retired once their driver rows land. These
 tests lock that ordering so a refactor can't silently rotate coverage
 back, and force every newly added oracle query to be registered in
-``NEW_IN_R11`` below (it claims a window slot from the stale cohort's
+``NEW_IN_R12`` below (it claims a window slot from the stale cohort's
 tail — keep new queries per round small or the stalest cohort spills).
 """
 
@@ -19,9 +19,22 @@ from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 11 — no banked evidence exists,
-# so they lead the window. Every name here pushes one r8-era query out
-# to round 12.
+# Oracle-backed queries ADDED in round 12 — no banked evidence exists,
+# so they lead the window. VERDICT r11 task 2 requires the complete
+# 24-query r8-stale cohort inside the r12 window, so this set must
+# stay ≤ 26 (24 + 26 = the 50-slot window).
+NEW_IN_R12: set[str] = {
+    # real truecolor PNG codec behind the decode_stub seam (VERDICT
+    # r11 task 5): stdlib-zlib chunk walk + per-row filter
+    # reconstruction, pixel-rule-only oracle
+    "multimodal_decode_png",
+    # schema evolution on the versioned table (VERDICT r11 task 6):
+    # widen/rename/add as metadata-only commits, field-id-resolved
+    # evolved read, final-state checksum oracle off the raw parquet
+    "sink_versioned_schema_widen",
+}
+
+# Round 11's additions, all driver-checked in CORRECTNESS_r11.json.
 NEW_IN_R11: set[str] = {
     # snapshot-isolated append + online compaction through the
     # manifest-pointer versioned table (sources/maintenance.py) — the
@@ -162,6 +175,7 @@ def _registry():
         DRIVER_CHECKED_R8,
         DRIVER_CHECKED_R9,
         DRIVER_CHECKED_R10,
+        DRIVER_CHECKED_R11,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
         merged_registry,
     )
@@ -178,15 +192,16 @@ def _registry():
         DRIVER_CHECKED_R8,
         DRIVER_CHECKED_R9,
         DRIVER_CHECKED_R10,
+        DRIVER_CHECKED_R11,
         ORACLE_UPGRADED_SINCE_LAST_CHECK,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, upgraded = _registry()
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, upgraded = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
-        ("R8", r8), ("R9", r9), ("R10", r10),
+        ("R8", r8), ("R9", r9), ("R10", r10), ("R11", r11),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -230,57 +245,70 @@ def test_banked_names_exist():
     assert len(r10 & (r6 - r7 - r8 - r9)) == 9
     assert len(r10 & (r7 - r8 - r9)) == 36
     assert not (r8 & r10), "round 10's window re-checked no r8-banked query"
-    # Round-11 reset: sim_recall_report and q11 earned their
-    # driver-of-record rows in CORRECTNESS_r10; no oracle contract has
-    # changed since any banked row (the r11 invalid-vector-edge fixes
-    # are outside every oracle's valid-only CTEs).
+    # r11's window: the 17 new r11 queries, the full 11-query r7-stale
+    # leftover cohort (VERDICT r10 task 1 executed), and 22 of the
+    # r8-stale cohort's head
+    assert len(r11) == 50
+    assert NEW_IN_R11 <= r11 and len(NEW_IN_R11) == 17
+    assert len(r11 & (r7 - r8 - r9 - r10)) == 11
+    assert len(r11 & (r8 - r9 - r10)) == 22
+    assert not (r9 & r11) and not (r10 & r11), (
+        "round 11's window re-checked no r9/r10-banked query"
+    )
+    # Round-12 reset: no oracle contract changed after its banked row
+    # (the r12 protocol work — O_EXCL commits, null-safe CDF keys —
+    # leaves every registered oracle's observable contract intact).
     assert upgraded == set()
 
 
 def test_every_query_has_banked_or_new_status():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, _u = _registry()
-    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10
-    assert never == NEW_IN_R11, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R11} — newly "
-        "added oracle queries must be registered in NEW_IN_R11"
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, _u = _registry()
+    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10 - r11
+    assert never == NEW_IN_R12, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R12} — newly "
+        "added oracle queries must be registered in NEW_IN_R12"
     )
 
 
 def test_window_is_staleness_ordered():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, upgraded = _registry()
-    assert not (r23 - r5 - r6 - r7 - r8 - r9 - r10), "every r3-era query re-checked"
-    assert not (r4 - r5 - r6 - r7 - r8 - r9 - r10), "every r4-era query re-checked"
-    assert not (r5 - r6 - r7 - r8 - r9 - r10), (
+    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, upgraded = _registry()
+    later = r5 | r6 | r7 | r8 | r9 | r10 | r11
+    assert not (r23 - later), "every r3-era query re-checked"
+    assert not (r4 - later), "every r4-era query re-checked"
+    assert not (r5 - r6 - r7 - r8 - r9 - r10 - r11), (
         "every r5-era query was re-checked (event_anomaly_zscore rode in r9)"
     )
-    assert not (r6 - r7 - r8 - r9 - r10), (
+    assert not (r6 - r7 - r8 - r9 - r10 - r11), (
         "every r6-era query was re-checked (the 9-query cohort rode in r10)"
     )
-    # new + oracle-upgraded queries lead (none this round so far)
-    head = NEW_IN_R11 | upgraded
+    assert not (r7 - r8 - r9 - r10 - r11), (
+        "every r7-era query was re-checked (the 11-query cohort rode in r11)"
+    )
+    # new + oracle-upgraded queries lead
+    head = NEW_IN_R12 | upgraded
     assert set(names[: len(head)]) == head
-    # the 11-query r7-stale cohort follows in module order — VERDICT r10
-    # task 1: after the r11 window lands, no query's latest driver row
-    # is older than r8
-    stale_r7 = r7 - r8 - r9 - r10
-    assert len(stale_r7) == 11
-    assert set(names[len(head): len(head) + 11]) == stale_r7
-    # the window's remaining slots go to the r8-stale cohort's head in
+    # the full 24-query r8-stale cohort follows in module order —
+    # VERDICT r11 task 2: after the r12 window lands, no query's latest
+    # driver row is older than r9
+    stale_r8 = r8 - r9 - r10 - r11
+    assert len(stale_r8) == 24
+    assert set(names[len(head): len(head) + 24]) == stale_r8
+    # the window's remaining slots go to the r9-stale cohort's head in
     # module order
     window = names[:WINDOW]
-    stale_r8 = r8 - r9 - r10
-    assert len(stale_r8) == 46  # 50 minus the 4 r9-pinned LSH/IVF re-rides
-    n_r8_slots = WINDOW - len(head) - len(stale_r7)
-    assert n_r8_slots >= 0, "new-query additions overflowed the window"
+    stale_r9 = r9 - r10 - r11
+    assert len(stale_r9) == 48  # 50 minus sim_recall_report/q11 r10 re-rides
+    n_r9_slots = WINDOW - len(head) - len(stale_r8)
+    assert n_r9_slots >= 0, "new-query additions overflowed the window"
     expected = (
         head
-        | stale_r7
-        | set([n for n in names if n in stale_r8][:n_r8_slots])
+        | stale_r8
+        | set([n for n in names if n in stale_r9][:n_r9_slots])
     )
     assert set(window) == expected, (
-        f"round-11 window drifted: unexpected={set(window) - expected} "
+        f"round-12 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r10-checked) rides at the very back
-    tail = names[-len(r10):]
-    assert set(tail) == r10, "r10-banked queries must occupy the registry tail"
+    # freshest evidence (r11-checked) rides at the very back
+    tail = names[-len(r11):]
+    assert set(tail) == r11, "r11-banked queries must occupy the registry tail"
