@@ -476,7 +476,20 @@ def compact(
         return 0
     seq = int(cur.split("-")[1].split(".")[0]) + 1
     staging = pathlib.Path(root, f".compact-{seq}")
-    scan = spark.read.schema(schema).parquet(*[str(data / f) for f in live])
+    doc = _manifest_doc(root, cur)
+    if doc.get("columns") is not None:
+        # schema-tracked table: the rewrite must resolve each file
+        # through its pinned field-id mapping (post-widen/rename the
+        # caller's flat schema cannot read the older files), and the
+        # replacement files — written under the CURRENT logical schema
+        # — get the identity colmap at commit, which also COALESCES
+        # historical schema groups into one: compaction doubles as
+        # physical schema migration, exactly Iceberg's rewrite action
+        scan = _scan_files_evolved(spark, root, doc, live)
+    else:
+        scan = spark.read.schema(schema).parquet(
+            *[str(data / f) for f in live]
+        )
     if cluster:
         from pyspark.sql import functions as F
 
@@ -545,11 +558,20 @@ def merge_upsert(
     data = pathlib.Path(root, "data")
     seq = int(cur.split("-")[1].split(".")[0]) + 1
     staging = pathlib.Path(root, f".merge-{seq}")
-    base = (
-        spark.read.schema(schema).parquet(*[str(data / f) for f in touched])
-        if touched
-        else spark.createDataFrame([], schema)
-    )
+    doc = _manifest_doc(root, cur)
+    if doc.get("columns") is not None:
+        # schema-tracked: resolve touched files via their pinned
+        # mappings; ``updates`` must arrive under the CURRENT logical
+        # schema (unionByName below is loud on a mismatch)
+        base = _scan_files_evolved(spark, root, doc, touched)
+    else:
+        base = (
+            spark.read.schema(schema).parquet(
+                *[str(data / f) for f in touched]
+            )
+            if touched
+            else spark.createDataFrame([], schema)
+        )
     (
         base.join(updates.select(key), key, "left_anti")
         .unionByName(updates)
@@ -606,9 +628,13 @@ def delete_where(
     data = pathlib.Path(root, "data")
     seq = int(cur.split("-")[1].split(".")[0]) + 1
     staging = pathlib.Path(root, f".delete-{seq}")
-    base = spark.read.schema(schema).parquet(
-        *[str(data / f) for f in touched]
-    )
+    doc = _manifest_doc(root, cur)
+    if doc.get("columns") is not None:
+        base = _scan_files_evolved(spark, root, doc, touched)
+    else:
+        base = spark.read.schema(schema).parquet(
+            *[str(data / f) for f in touched]
+        )
     survivors = base.filter(
         ~F.coalesce(F.col(col).between(lo, hi), F.lit(False))
     )
@@ -992,13 +1018,24 @@ def read_evolved(
         if name is None:
             raise ValueError(f"{root} has no committed version")
     doc = _manifest_doc(root, name)
-    columns = doc.get("columns")
-    if columns is None:
+    if doc.get("columns") is None:
         raise ValueError(
             f"{root}@{name} does not track its schema; use read_table"
         )
+    return _scan_files_evolved(spark, root, doc, doc["files"])
+
+
+def _scan_files_evolved(
+    spark: SparkSession, root: str, doc: dict, files: list[str]
+) -> DataFrame:
+    """Field-id-resolved scan of a FILE SUBSET under a manifest doc's
+    logical schema — the shared core of :func:`read_evolved` and the
+    evolution-aware rewrite verbs (which scan only their touched
+    files)."""
+    from pyspark.sql import functions as F
+
+    columns = doc["columns"]
     ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
-    files = doc["files"]
     if not files:
         return spark.createDataFrame([], ddl)
     colmap = doc.get("colmap", {})

@@ -206,3 +206,68 @@ def test_changes_null_key_rewrite_is_ballast_not_phantom(spark, tmp_path):
     feed = changes(spark, root, SCHEMA, "doc_id", from_name).collect()
     got = {(r.doc_id, r.text, r._change) for r in feed}
     assert got == {(4, "x", "delete"), (5, "y", "delete")}
+
+
+def test_ingest_races_compactor_no_commit_lost(spark, tmp_path):
+    """The production two-writer deployment: an INGEST thread appending
+    micro-batches races a COMPACTOR thread looping compact() — the
+    rewrite verb whose stale-base commits must conflict, not silently
+    drop interleaved appends. The compactor retries through
+    CommitConflict like a real table service; afterwards EVERY appended
+    row must be present and a final quiesced compaction must succeed
+    and bound the file count."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        compact,
+    )
+
+    root = str(tmp_path / "t")
+    n_batches = 6
+    errors: list[BaseException] = []
+    done = threading.Event()
+    compactions = {"ok": 0, "conflict": 0}
+
+    def ingest() -> None:
+        try:
+            for i in range(n_batches):
+                df = spark.createDataFrame(
+                    [(i, f"row{i}")], SCHEMA
+                ).coalesce(1)
+                append_batch(df, root, i)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            done.set()
+
+    def compactor() -> None:
+        try:
+            while not done.is_set():
+                try:
+                    if compact(spark, root, SCHEMA, target_files=1) > 0:
+                        compactions["ok"] += 1
+                except CommitConflict:
+                    compactions["conflict"] += 1  # stale base: retry
+        except BaseException as e:
+            errors.append(e)
+
+    t_i = threading.Thread(target=ingest)
+    t_c = threading.Thread(target=compactor)
+    t_i.start(); t_c.start()
+    t_i.join(); t_c.join()
+    assert not errors, errors
+
+    rows = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    assert rows == {(i, f"row{i}") for i in range(n_batches)}, (
+        f"lost a committed append (compactions={compactions})"
+    )
+    # quiesced: one final compaction settles the table to one file
+    compact(spark, root, SCHEMA, target_files=1)
+    _, live = read_manifest(root)
+    assert len(live) == 1
+    final = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    assert final == rows

@@ -141,3 +141,59 @@ def test_evolution_verb_contracts(spark, tmp_path):
         widen_column(untracked, "k", "bigint")
     with pytest.raises(ValueError, match="use read_table"):
         read_evolved(spark, untracked)
+
+
+def test_rewrite_verbs_compose_with_evolution(spark, tmp_path):
+    """The rewrite verbs are evolution-aware: on a schema-tracked
+    table, compact/merge/delete resolve each touched file through its
+    pinned field-id mapping instead of a flat caller schema — so they
+    keep working AFTER a widen+rename, and compaction doubles as
+    physical schema migration (replacement files are written under the
+    current logical schema, coalescing historical schema groups)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        compact,
+        delete_where,
+        merge_upsert,
+        read_manifest,
+        _manifest_doc,
+    )
+
+    root = _build(spark, tmp_path)  # v0: (doc_id, n int, lang), 2 rows
+    widen_column(root, "n", "bigint")
+    rename_column(root, "lang", "language")
+    more = spark.createDataFrame(
+        [(3, 30, "fr"), (4, 40, "it")],
+        "doc_id long, n bigint, language string",
+    ).coalesce(1)
+    append_batch(more, root, 1)
+
+    import json as _json
+
+    def _groups(doc, live):
+        return {
+            _json.dumps(doc["colmap"][f], sort_keys=True) for f in live
+        }
+
+    # two historical schema groups before the rewrite, one after
+    cur, live = read_manifest(root)
+    doc = _manifest_doc(root, cur)
+    assert len(_groups(doc, live)) == 2
+    reduced = compact(spark, root, schema=None, target_files=1)
+    assert reduced > 0
+    cur, live = read_manifest(root)
+    doc = _manifest_doc(root, cur)
+    groups_after = _groups(doc, live)
+    assert len(groups_after) == 1, "compaction must migrate the old group"
+    assert _rows(read_evolved(spark, root)) == [
+        (1, 10, "en"), (2, 20, "de"), (3, 30, "fr"), (4, 40, "it"),
+    ]
+
+    # merge and delete on the evolved table
+    upd = spark.createDataFrame(
+        [(2, 200, "de2")], "doc_id long, n bigint, language string"
+    ).coalesce(1)
+    merge_upsert(spark, root, None, upd, "doc_id")
+    delete_where(spark, root, None, "doc_id", 4, 4)
+    assert _rows(read_evolved(spark, root)) == [
+        (1, 10, "en"), (2, 200, "de2"), (3, 30, "fr"),
+    ]
