@@ -197,3 +197,123 @@ def test_rewrite_verbs_compose_with_evolution(spark, tmp_path):
     assert _rows(read_evolved(spark, root)) == [
         (1, 10, "en"), (2, 200, "de2"), (3, 30, "fr"),
     ]
+
+
+# --- Property: any evolution/append sequence reconstructs exactly ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# op encodings: ("append", salt) | ("widen",) | ("rename", suffix) |
+# ("add", type_code) | ("drop",). The model interprets them against
+# its own current schema, so every generated sequence is valid by
+# construction.
+_evo_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 99)),
+        st.tuples(st.just("widen")),
+        st.tuples(st.just("rename"), st.integers(0, 9)),
+        st.tuples(st.just("add"), st.sampled_from(["int", "bigint", "string"])),
+        st.tuples(st.just("drop")),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_evo_ops)
+@_SETTINGS
+def test_evolution_reconstructs_model(spark, tmp_path_factory, ops):
+    """Field-id resolution as an algebraic property: for ANY sequence
+    of appends and evolution verbs, `read_evolved` must equal a pure
+    Python model that stores row values BY FIELD ID — so renames
+    carry data, widens keep values, drops hide ids, re-adds NULL-fill
+    — both at HEAD and at a mid-sequence snapshot (time travel)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        read_manifest,
+    )
+
+    root = str(tmp_path_factory.mktemp("evoprop") / "t")
+    # model state: columns as [id, name, type]; rows as {id: value}
+    cols = [[0, "k", "bigint"], [1, "a", "int"], [2, "b", "string"]]
+    next_id = 3
+    rows: list[dict[int, object]] = []
+    key = [0]  # unique key counter for appended rows
+
+    def do_append(salt: int) -> None:
+        batch = []
+        for _ in range(2):
+            r = {}
+            for cid, name, typ in cols:
+                if typ == "string":
+                    r[cid] = f"s{(key[0] + salt) % 7}"
+                else:
+                    r[cid] = key[0] if name == "k" else (key[0] * 3 + salt)
+            batch.append(r)
+            key[0] += 1
+        ddl = ", ".join(f"`{n}` {t}" for _, n, t in cols)
+        df = spark.createDataFrame(
+            [tuple(r[cid] for cid, _, _ in cols) for r in batch], ddl
+        ).coalesce(1)
+        append_batch(df, root, key[0], track_schema=True)
+        rows.extend(batch)
+
+    do_append(0)  # the table always starts with one tracked commit
+    snapshots = []  # (manifest, frozen cols, frozen rows)
+
+    for op in ops:
+        if op[0] == "append":
+            do_append(op[1])
+        elif op[0] == "widen":
+            target = next((c for c in cols if c[2] == "int"), None)
+            if target is None:
+                continue
+            widen_column(root, target[1], "bigint")
+            target[2] = "bigint"
+        elif op[0] == "rename":
+            target = cols[op[1] % len(cols)]
+            new_name = f"{target[1]}_r{op[1]}"
+            if any(c[1] == new_name for c in cols):
+                continue
+            rename_column(root, target[1], new_name)
+            target[1] = new_name
+        elif op[0] == "add":
+            name = f"c{next_id}"
+            add_column(root, name, op[1])
+            cols.append([next_id, name, op[1]])
+            next_id += 1
+        elif op[0] == "drop":
+            if len(cols) <= 1:
+                continue
+            target = cols[-1] if cols[-1][1] != "k" else cols[0]
+            drop_column(root, target[1])
+            cols.remove(target)
+        name, _ = read_manifest(root)
+        snapshots.append(
+            (name, [list(c) for c in cols], [dict(r) for r in rows])
+        )
+
+    def model_rows(mcols, mrows):
+        return sorted(
+            tuple(r.get(cid) for cid, _, _ in mcols) for r in mrows
+        )
+
+    def spark_rows(manifest):
+        return sorted(
+            tuple(r) for r in read_evolved(spark, root, manifest).collect()
+        )
+
+    # HEAD must match the model exactly — names, order, and values
+    head = read_evolved(spark, root)
+    assert [(f.name, f.dataType.simpleString()) for f in head.schema.fields] \
+        == [(n, t) for _, n, t in cols]
+    assert sorted(tuple(r) for r in head.collect()) == model_rows(cols, rows)
+    # and a mid-sequence snapshot reads under ITS schema (time travel)
+    mid = snapshots[len(snapshots) // 2]
+    assert spark_rows(mid[0]) == model_rows(mid[1], mid[2])
