@@ -880,12 +880,16 @@ def zorder32(xcol, ycol, x_range: tuple, y_range: tuple):
 _WIDENINGS = {("int", "bigint"), ("float", "double")}
 
 
-def _evolve_commit(root: str, note: str, mutate) -> str:
+def _evolve_commit(root: str, note: str, mutate, rekey_stats=None) -> str:
     """Shared optimistic-concurrency loop for the evolution verbs:
     metadata-only, conflict-checked, retried — the verb composes with
     concurrent appends the way an ALTER TABLE must (``mutate`` re-runs
     against the fresh schema on every retry, so a lost race never
-    applies the change to a stale column list)."""
+    applies the change to a stale column list). ``rekey_stats``
+    transforms the carried per-file stats map (rename uses it to move
+    entries to the new column name so data skipping survives the
+    rename — stats are name-keyed, and a stale key would silently
+    degrade every later range read to a full scan)."""
     for _ in range(64):
         cur, files = read_manifest(root)
         if cur is None:
@@ -902,9 +906,12 @@ def _evolve_commit(root: str, note: str, mutate) -> str:
         )
         new_columns, new_next_id = mutate([dict(c) for c in columns],
                                           next_id)
+        stats = doc.get("stats")
+        if stats is not None and rekey_stats is not None:
+            stats = rekey_stats(stats)
         try:
             return _flip(
-                root, files, note, doc.get("stats"),
+                root, files, note, stats,
                 base=cur,
                 extra={"columns": new_columns,
                        "next_field_id": new_next_id},
@@ -949,7 +956,15 @@ def rename_column(root: str, old: str, new: str) -> str:
                 return columns, next_id
         raise ValueError(f"no column {old!r} to rename")
 
-    return _evolve_commit(root, f"rename {old} -> {new}", mutate)
+    def rekey(stats):
+        # carry each file's [min, max] to the new name: data skipping
+        # must survive a rename (the entries are name-keyed)
+        return {
+            f: {(new if c == old else c): mm for c, mm in ent.items()}
+            for f, ent in stats.items()
+        }
+
+    return _evolve_commit(root, f"rename {old} -> {new}", mutate, rekey)
 
 
 def drop_column(root: str, name: str) -> str:

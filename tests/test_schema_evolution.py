@@ -317,3 +317,31 @@ def test_evolution_reconstructs_model(spark, tmp_path_factory, ops):
     # and a mid-sequence snapshot reads under ITS schema (time travel)
     mid = snapshots[len(snapshots) // 2]
     assert spark_rows(mid[0]) == model_rows(mid[1], mid[2])
+
+
+def test_data_skipping_survives_rename(spark, tmp_path):
+    """Manifest stats are name-keyed, so a rename must REKEY each
+    file's [min, max] entry to the new name or every later range read
+    silently degrades to a full scan — correctness would survive (the
+    row predicate still applies) but the pruning contract would not."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        pruned_files,
+    )
+
+    root = str(tmp_path / "t")
+    for i, ids in enumerate(([0, 5, 9], [10, 15, 19], [20, 25, 29])):
+        df = spark.createDataFrame(
+            [(j, f"d{j}") for j in ids], "doc_id long, text string"
+        ).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id", track_schema=True)
+
+    rename_column(root, "doc_id", "id")
+    name, live = read_manifest(root)
+    kept, total = pruned_files(root, name, "id", 12, 17)
+    assert total == 3 and len(kept) == 1, (
+        "rename lost the stats entries — range reads stopped pruning"
+    )
+    # and the old name no longer prunes anything (entries moved, not
+    # duplicated): a query still using it keeps all files conservatively
+    kept_old, _ = pruned_files(root, name, "doc_id", 12, 17)
+    assert len(kept_old) == 3
