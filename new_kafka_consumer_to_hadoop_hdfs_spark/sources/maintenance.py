@@ -1014,7 +1014,11 @@ def table_columns(root: str, name: str | None = None) -> list[dict] | None:
 
 
 def read_evolved(
-    spark: SparkSession, root: str, name: str | None = None
+    spark: SparkSession,
+    root: str,
+    name: str | None = None,
+    *,
+    where_between=None,
 ) -> DataFrame:
     """Read a schema-tracked table under the LOGICAL schema of version
     ``name`` (CURRENT by default). Files are grouped by their pinned
@@ -1025,7 +1029,14 @@ def read_evolved(
     carries its data, a dropped column vanishes from current reads but
     survives in snapshot reads of pre-drop versions. The group count
     is bounded by the number of schema versions that ever committed a
-    file — a handful — never by file count."""
+    file — a handful — never by file count.
+
+    ``where_between=(col, lo, hi)`` range-reads with the same manifest
+    data skipping as :func:`read_table`: ``col`` is the CURRENT
+    logical name (rename rekeys the stats, so pruning survives
+    evolution), files whose recorded range cannot overlap are dropped
+    before the scan plans, and the row predicate applies on top so
+    results never depend on stats coverage."""
     from pyspark.sql import functions as F
 
     if name is None:
@@ -1037,7 +1048,14 @@ def read_evolved(
         raise ValueError(
             f"{root}@{name} does not track its schema; use read_table"
         )
-    return _scan_files_evolved(spark, root, doc, doc["files"])
+    files = doc["files"]
+    if where_between is not None:
+        col, lo, hi = where_between
+        files, _ = pruned_files(root, name, col, lo, hi)
+    out = _scan_files_evolved(spark, root, doc, files)
+    if where_between is not None:
+        out = out.filter(F.col(col).between(lo, hi))
+    return out
 
 
 def _scan_files_evolved(

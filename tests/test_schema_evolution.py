@@ -345,3 +345,6 @@ def test_data_skipping_survives_rename(spark, tmp_path):
     # duplicated): a query still using it keeps all files conservatively
     kept_old, _ = pruned_files(root, name, "doc_id", 12, 17)
     assert len(kept_old) == 3
+    # end-to-end: the evolved range read prunes AND filters correctly
+    got = _rows(read_evolved(spark, root, where_between=("id", 12, 17)))
+    assert got == [(15, "d15")]
