@@ -271,3 +271,70 @@ def test_ingest_races_compactor_no_commit_lost(spark, tmp_path):
         for r in read_table(spark, root, SCHEMA).collect()
     }
     assert final == rows
+
+
+def test_cross_process_commit_race_loses_nothing(tmp_path):
+    """The thread tests share a GIL; real deployments are separate
+    PROCESSES (ingest job + compactor service), where the only thing
+    serializing commits is the filesystem's create-exclusive guarantee
+    itself. Four processes each drive 8 blind-append-style commits
+    (read → union own marker file → _flip(base), retry on conflict)
+    against one table; afterwards the table must hold all 32 markers
+    across exactly 32 committed versions — no lost update under true
+    OS-level concurrency."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "t")
+    n_workers, n_commits = 4, 8
+
+    ctx = mp.get_context("spawn")
+    errors = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_commit_worker, args=(root, wid, n_commits, errors)
+        )
+        for wid in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+    assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
+    assert errors.empty(), errors.get()
+
+    _, files = read_manifest(root)
+    expect = {
+        f"w{w}c{i}.parquet" for w in range(n_workers) for i in range(n_commits)
+    }
+    assert set(files) == expect, "a committed file was lost cross-process"
+    assert len(list_manifests(root)) == n_workers * n_commits
+
+
+def _commit_worker(root: str, wid: int, n_commits: int, errors) -> None:
+    """Module-level so the spawn context can pickle it."""
+    try:
+        from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+            CommitConflict as CC,
+        )
+        from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+            _flip,
+            read_manifest as rm,
+        )
+
+        for i in range(n_commits):
+            marker = f"w{wid}c{i}.parquet"
+            for _ in range(512):
+                cur, live = rm(root)
+                try:
+                    _flip(
+                        root, sorted(set(live) | {marker}),
+                        f"w{wid} commit {i}", base=cur,
+                    )
+                    break
+                except CC:
+                    continue
+            else:
+                raise RuntimeError(f"w{wid}c{i} starved after 512 races")
+    except BaseException as e:  # surfaced by the parent
+        errors.put(f"worker {wid}: {type(e).__name__}: {e}")
+        raise SystemExit(1)
