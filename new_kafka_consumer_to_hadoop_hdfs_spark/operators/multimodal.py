@@ -348,7 +348,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         )
     if width <= 0 or height <= 0:
         raise ValueError(f"bad PNG dimensions {width}x{height}")
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the codec's single malformed-input contract: callers at
+        # the decode_stub seam classify ValueError as "bad media"
+        raise ValueError(f"PNG zlib stream corrupt: {exc}") from exc
     stride = width * 3
     if len(raw) != height * (1 + stride):
         raise ValueError(

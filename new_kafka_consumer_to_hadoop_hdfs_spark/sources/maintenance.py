@@ -54,6 +54,7 @@ import pathlib
 import shutil
 import threading
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -388,10 +389,15 @@ def append_batch(
     # livelock guard, not a correctness limit.
     df_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for _ in range(64):
-        cur, live = read_manifest(root)
-        stats = dict(manifest_stats(root, cur)) if cur else {}
+        # one manifest parse per attempt: the doc carries files, stats,
+        # and columns together (it grows with table size — re-parsing
+        # it three times per retry is the expensive way to read it)
+        cur, _live = read_manifest(root)
+        doc = _manifest_doc(root, cur) if cur else {}
+        live = doc.get("files", [])
+        stats = dict(doc.get("stats", {}))
         stats.update(new_stats)
-        columns = _manifest_doc(root, cur).get("columns") if cur else None
+        columns = doc.get("columns")
         extra = None
         if columns is not None:
             want = {(c["name"], c["type"]) for c in columns}
@@ -474,8 +480,18 @@ def compact(
     target = target_files or max(1, math.ceil(total / target_bytes))
     if target >= len(live):
         return 0
-    seq = int(cur.split("-")[1].split(".")[0]) + 1
-    staging = pathlib.Path(root, f".compact-{seq}")
+    # WRITER-UNIQUE staging dir and adopted names: two rewriters that
+    # derived the same base must never share an output location — a
+    # deterministic name would let the conflict LOSER overwrite the
+    # winner's already-committed immutable files via mode("overwrite")
+    # + os.replace before its own flip even gets to raise. The loser's
+    # uniquely-named orphans are unreferenced and vacuumed. (Appends
+    # keep deterministic per-batch_id names on purpose: retry
+    # idempotency of the SAME epoch; distinct writers use distinct
+    # batch-id namespaces.)
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]
+    staging = pathlib.Path(root, f".compact-{seq}.{nonce}")
     doc = _manifest_doc(root, cur)
     if doc.get("columns") is not None:
         # schema-tracked table: the rewrite must resolve each file
@@ -501,7 +517,7 @@ def compact(
     else:
         rewritten = scan.coalesce(target)
     rewritten.write.mode("overwrite").parquet(str(staging))
-    adopted = _adopt(staging, data, f"c{seq:08d}")
+    adopted = _adopt(staging, data, f"c{seq:08d}-{nonce}")
     stats = _record_stats(data, adopted, stats_cols)
     # base=cur: a concurrent commit (even a blind append) invalidates
     # this rewrite — its output omits the newly appended files — so the
@@ -556,8 +572,9 @@ def merge_upsert(
         touched = list(live)  # no usable stats: rewrite everything
     untouched = [f for f in live if f not in set(touched)]
     data = pathlib.Path(root, "data")
-    seq = int(cur.split("-")[1].split(".")[0]) + 1
-    staging = pathlib.Path(root, f".merge-{seq}")
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
+    staging = pathlib.Path(root, f".merge-{seq}.{nonce}")
     doc = _manifest_doc(root, cur)
     if doc.get("columns") is not None:
         # schema-tracked: resolve touched files via their pinned
@@ -579,7 +596,7 @@ def merge_upsert(
         .write.mode("overwrite")
         .parquet(str(staging))
     )
-    adopted = _adopt(staging, data, f"u{seq:08d}")
+    adopted = _adopt(staging, data, f"u{seq:08d}-{nonce}")
     stats = dict(manifest_stats(root, cur))
     stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
     name = _flip(
@@ -626,8 +643,9 @@ def delete_where(
         return cur, 0, len(live)
     untouched = [f for f in live if f not in set(touched)]
     data = pathlib.Path(root, "data")
-    seq = int(cur.split("-")[1].split(".")[0]) + 1
-    staging = pathlib.Path(root, f".delete-{seq}")
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
+    staging = pathlib.Path(root, f".delete-{seq}.{nonce}")
     doc = _manifest_doc(root, cur)
     if doc.get("columns") is not None:
         base = _scan_files_evolved(spark, root, doc, touched)
@@ -641,7 +659,7 @@ def delete_where(
     survivors.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(
         str(staging)
     )
-    adopted = _adopt(staging, data, f"d{seq:08d}")
+    adopted = _adopt(staging, data, f"d{seq:08d}-{nonce}")
     stats = dict(manifest_stats(root, cur))
     stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
     name = _flip(
@@ -958,11 +976,19 @@ def rename_column(root: str, old: str, new: str) -> str:
 
     def rekey(stats):
         # carry each file's [min, max] to the new name: data skipping
-        # must survive a rename (the entries are name-keyed)
-        return {
-            f: {(new if c == old else c): mm for c, mm in ent.items()}
-            for f, ent in stats.items()
-        }
+        # must survive a rename (the entries are name-keyed). Any
+        # stale entry already sitting under ``new`` is DISCARDED first
+        # — it can only belong to a dead column (``new`` is not in the
+        # live schema), and letting it win the key collision would
+        # prune the renamed column's range reads with the dead
+        # column's numbers (silent wrong results, not a crash)
+        out = {}
+        for f, ent in stats.items():
+            kept = {c: mm for c, mm in ent.items() if c != new}
+            if old in kept:
+                kept[new] = kept.pop(old)
+            out[f] = kept
+        return out
 
     return _evolve_commit(root, f"rename {old} -> {new}", mutate, rekey)
 
@@ -982,7 +1008,17 @@ def drop_column(root: str, name: str) -> str:
             raise ValueError("cannot drop the last column")
         return kept, next_id
 
-    return _evolve_commit(root, f"drop {name}", mutate)
+    def rekey(stats):
+        # purge the dropped column's name-keyed stats: a later rename
+        # onto this name must not inherit a DEAD column's [min, max]
+        # (that collision silently mis-prunes range reads — it would
+        # assign the dropped column's range to the renamed one)
+        return {
+            f: {c: mm for c, mm in ent.items() if c != name}
+            for f, ent in stats.items()
+        }
+
+    return _evolve_commit(root, f"drop {name}", mutate, rekey)
 
 
 def add_column(root: str, name: str, dtype: str) -> str:
@@ -1098,10 +1134,18 @@ def _scan_files_evolved(
             )
             for c in columns
         ]
-        phys_ddl = ", ".join(f"`{n}` {t}" for n, t in phys)
-        scan = spark.read.schema(phys_ddl).parquet(
-            *[str(data / f) for f in sorted(fs)]
-        )
+        paths = [str(data / f) for f in sorted(fs)]
+        if phys:
+            scan = spark.read.schema(
+                ", ".join(f"`{n}` {t}" for n, t in phys)
+            ).parquet(*paths)
+        else:
+            # a file sharing NO live field ids with the current schema
+            # (every column it carries was dropped) still contributes
+            # its ROWS, all-NULL-filled: read with the file's own
+            # schema and let Catalyst prune to a count-style scan —
+            # an empty explicit schema would be a ParseException
+            scan = spark.read.parquet(*paths)
         parts.append(scan.select(*sel))
     out = parts[0]
     for p in parts[1:]:

@@ -407,3 +407,21 @@ def test_decode_stub_dispatches_png():
     w, h, off, px = png_pixels_for_text(b"seam check")
     d = decode_stub(encode_png(px, w, h, filter_offset=off), "image/png")
     assert (d["width"], d["height"], d["pixels"]) == (w, h, px)
+
+
+def test_png_no_idat_raises_value_error():
+    """Review-found (r12): a CRC-valid PNG with IHDR+IEND but zero
+    IDAT chunks must raise the codec's documented ValueError, not leak
+    zlib.error past the decode_stub seam's malformed-media contract."""
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    payload = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(payload)
+    # and a present-but-corrupt stream classifies the same way
+    import zlib as _zlib
+
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", b"\x00not-deflate"
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="zlib|corrupt"):
+        decode_png(bad)

@@ -348,3 +348,51 @@ def test_data_skipping_survives_rename(spark, tmp_path):
     # end-to-end: the evolved range read prunes AND filters correctly
     got = _rows(read_evolved(spark, root, where_between=("id", 12, 17)))
     assert got == [(15, "d15")]
+
+
+def test_rename_does_not_inherit_dead_column_stats(spark, tmp_path):
+    """Review-found (r12): renaming a column ONTO a previously dropped
+    column's name must not inherit the dead column's [min, max] — the
+    collision would prune the renamed column's range reads with the
+    dead column's numbers and silently LOSE rows. drop purges its
+    stats entries; rename discards any stale entry under the target
+    name before moving its own."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        pruned_files,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 150, 2), (2, 160, 3)], "k long, a long, b long"
+    ).coalesce(1)
+    append_batch(df, root, 0, stats_col=("a", "b"), track_schema=True)
+    drop_column(root, "b")
+    rename_column(root, "a", "b")
+
+    # the renamed column's range read must see its own data — with the
+    # stale [2, 3] entry this pruned the only file and returned NOTHING
+    got = _rows(read_evolved(spark, root, where_between=("b", 140, 170)))
+    assert got == [(1, 150), (2, 160)]
+    name, _ = read_manifest(root)
+    kept, total = pruned_files(root, name, "b", 140, 170)
+    assert (len(kept), total) == (1, 1)
+    # and a disjoint range still prunes (the rekeyed entry is a's)
+    kept, _ = pruned_files(root, name, "b", 0, 10)
+    assert kept == []
+
+
+def test_file_with_all_columns_dropped_still_contributes_rows(spark, tmp_path):
+    """Review-found (r12): a file sharing NO live field ids with the
+    current schema (every column it carried was dropped) must
+    NULL-fill its rows, not crash the evolved read with an empty-DDL
+    ParseException."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, a long").coalesce(1)
+    append_batch(df, root, 0, track_schema=True)
+    add_column(root, "c", "string")
+    drop_column(root, "k")
+    drop_column(root, "a")
+
+    cur = read_evolved(spark, root)
+    assert [f.name for f in cur.schema.fields] == ["c"]
+    assert _rows(cur) == [(None,), (None,)]
