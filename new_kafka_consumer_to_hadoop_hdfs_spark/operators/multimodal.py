@@ -706,6 +706,24 @@ WAV_STATS_SCHEMA = StructType(
 )
 
 
+def _oracle_text_bytes(text: str) -> bytes:
+    """UTF-8 bytes of a document text, ASSERTED ASCII: the codec
+    oracles (plans/multimodal.py) restate the pixel/sample rules with
+    DuckDB CHARACTER semantics — ``length(text)``,
+    ``unicode(substr(...))`` — while the encoders consume BYTES;
+    the two agree only for ASCII. The fixture corpus is ASCII by
+    construction, and this assertion makes that latent invariant loud
+    at the fixture boundary instead of letting a non-ASCII document
+    silently diverge dims, filter offsets, and channel sums."""
+    if not text.isascii():
+        raise ValueError(
+            "codec fixture requires ASCII document text: the DuckDB "
+            "oracle's character semantics equal this encoder's byte "
+            "semantics only for ASCII"
+        )
+    return text.encode("utf-8")
+
+
 def documents_as_wav_assets(documents: DataFrame) -> DataFrame:
     """Synthesize REAL RIFF/WAVE PCM files from the documents table —
     the audio twin of :func:`documents_as_bmp_assets`, same honesty
@@ -718,7 +736,7 @@ def documents_as_wav_assets(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                ch, sr, samples = wav_samples_for_text(text.encode("utf-8"))
+                ch, sr, samples = wav_samples_for_text(_oracle_text_bytes(text))
                 payloads.append(encode_wav(samples, ch, sr))
             yield pd.DataFrame(
                 {
@@ -782,7 +800,7 @@ def documents_as_png_assets(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                w, h, off, px = png_pixels_for_text(text.encode("utf-8"))
+                w, h, off, px = png_pixels_for_text(_oracle_text_bytes(text))
                 payloads.append(encode_png(px, w, h, filter_offset=off))
             yield pd.DataFrame(
                 {
@@ -814,7 +832,7 @@ def documents_as_bmp_assets(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                w, h, px = bmp_pixels_for_text(text.encode("utf-8"))
+                w, h, px = bmp_pixels_for_text(_oracle_text_bytes(text))
                 payloads.append(encode_bmp(px, w, h))
             yield pd.DataFrame(
                 {

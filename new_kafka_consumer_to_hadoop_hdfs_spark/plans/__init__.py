@@ -267,19 +267,51 @@ DRIVER_CHECKED_R11 = frozenset({
     "window_range_frame", "window_topk_per_group",
 })
 
-# Queries whose ORACLE was upgraded AFTER their most recent driver row:
-# the banked evidence predates the contract it would vouch for, so the
-# rotation treats them as never-checked until a fresh driver row lands
-# (precedent: sim_topk_pq's r6 row was a `no_oracle` rows-only check;
-# its hash oracle landed in r7 and its driver-of-record row in r8).
-# Round-11 reset: sim_recall_report earned its 6-row driver-of-record
-# row in CORRECTNESS_r10. No upgrades this round — the r11 ADVICE
-# fixes (seed-width pushdown, ivf_assign invalid-drop) change behavior
-# only on invalid-vector edges the oracles already excluded, so the
-# banked evidence still vouches for the live contracts. (q11's one-
-# round pin also retired: its r10 row confirms the scale-free
-# threshold.)
-ORACLE_UPGRADED_SINCE_LAST_CHECK = frozenset()
+# Checked in round 12 (CORRECTNESS_r12.json: 47 hash-green + 3
+# rows-only-by-design sketches, zero failures) — the freshest driver
+# evidence. Composition: the 2 new r12 queries (PNG codec, schema
+# widen), and the full 24-query r8-stale leftover cohort + 24 of the
+# r9 cohort's head.
+DRIVER_CHECKED_R12 = frozenset({
+    "agg_approx_count_distinct", "agg_approx_percentiles", "agg_argmax",
+    "agg_count_distinct", "agg_grouping_sets", "agg_hll_union_rollup",
+    "agg_percentiles", "agg_pivot", "agg_rollup", "dedup_containment",
+    "event_funnel_stages", "event_gapfill_locf", "event_retention_cohorts",
+    "event_user_paths", "join_anti", "join_broadcast_dims",
+    "join_bucketed_colocated", "join_left_outer", "join_right_outer",
+    "join_semi", "multimodal_decode_png", "multimodal_feature_extract",
+    "pipeline_cdc_merge", "pipeline_chunk_sliding", "pipeline_corpus_diff",
+    "pipeline_dataset_card", "pipeline_dedup_keep_best",
+    "pipeline_graph_pagerank", "pipeline_outlier_filter",
+    "pipeline_pii_scrub", "pipeline_quality_buckets",
+    "pipeline_token_budget_select", "pipeline_token_budget_threshold",
+    "pipeline_weighted_sample", "q10_returned_items", "q12_shiplag_priority",
+    "q14_promo_effect", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q4_order_priority", "q7_volume_shipping", "scan_partition_pruned",
+    "sink_csv_roundtrip", "sink_jsonl_roundtrip",
+    "sink_versioned_schema_widen", "text_bigram_surprisal",
+    "text_heavy_hitters", "window_lag_lead_rank", "window_running_sum",
+})
+
+# Queries whose ORACLE or PLAN changed AFTER their most recent driver
+# row: the banked evidence predates the contract (or physical plan) it
+# would vouch for, so the rotation treats them as never-checked until a
+# fresh driver row lands (precedent: sim_topk_pq's r6 row was a
+# `no_oracle` rows-only check; its hash oracle landed in r7 and its
+# driver-of-record row in r8). Membership is keyed off
+# tools/plan_fingerprints.json diffs as well as oracle edits (r12
+# ADVICE): a code change that alters a query's physical plan makes its
+# old driver row vouch for a plan that no longer runs.
+# Round-13 entries: the r12 `<=>` null-safe CDF-key rewrite changed
+# sink_versioned_changes / sink_versioned_incremental_agg's plans, and
+# the Decimal(repr) MMR rounding change altered sim_topk_mmr's
+# tie-breaking surface — all three were last driver-checked in r11,
+# BEFORE those changes landed.
+PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
+    "sink_versioned_changes", "sink_versioned_incremental_agg",
+    "sim_topk_mmr",
+})
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -316,11 +348,13 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
         # queries whose oracle was upgraded after their last check.
-        # The r12 window (first 50) is therefore: any new queries,
-        # then the 24 r8-stale leftovers, then the r9 cohort's head in
-        # module order.
-        if name in ORACLE_UPGRADED_SINCE_LAST_CHECK:
+        # The r13 window (first 50) is therefore: any new queries and
+        # the 3 plan-changed re-rides, then the 24 r9-stale leftovers,
+        # then the r10 cohort's head in module order.
+        if name in PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK:
             return 0
+        if name in DRIVER_CHECKED_R12:
+            return 10
         if name in DRIVER_CHECKED_R11:
             return 9
         if name in DRIVER_CHECKED_R10:

@@ -19,10 +19,14 @@ from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 12 — no banked evidence exists,
-# so they lead the window. VERDICT r11 task 2 requires the complete
-# 24-query r8-stale cohort inside the r12 window, so this set must
-# stay ≤ 26 (24 + 26 = the 50-slot window).
+# Oracle-backed queries ADDED in round 13 — no banked evidence exists,
+# so they lead the window. VERDICT r12 task 3 requires the complete
+# 24-query r9-stale cohort inside the r13 window alongside the 3
+# plan-changed re-rides, so this set must stay ≤ 23
+# (24 + 3 + 23 = the 50-slot window).
+NEW_IN_R13: set[str] = set()
+
+# Round 12's additions, both driver-checked in CORRECTNESS_r12.json.
 NEW_IN_R12: set[str] = {
     # real truecolor PNG codec behind the decode_stub seam (VERDICT
     # r11 task 5): stdlib-zlib chunk walk + per-row filter
@@ -176,7 +180,8 @@ def _registry():
         DRIVER_CHECKED_R9,
         DRIVER_CHECKED_R10,
         DRIVER_CHECKED_R11,
-        ORACLE_UPGRADED_SINCE_LAST_CHECK,
+        DRIVER_CHECKED_R12,
+        PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
         merged_registry,
     )
 
@@ -193,15 +198,17 @@ def _registry():
         DRIVER_CHECKED_R9,
         DRIVER_CHECKED_R10,
         DRIVER_CHECKED_R11,
-        ORACLE_UPGRADED_SINCE_LAST_CHECK,
+        DRIVER_CHECKED_R12,
+        PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
     )
 
 
 def test_banked_names_exist():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, upgraded = _registry()
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+     changed) = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
-        ("R8", r8), ("R9", r9), ("R10", r10), ("R11", r11),
+        ("R8", r8), ("R9", r9), ("R10", r10), ("R11", r11), ("R12", r12),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -255,60 +262,80 @@ def test_banked_names_exist():
     assert not (r9 & r11) and not (r10 & r11), (
         "round 11's window re-checked no r9/r10-banked query"
     )
-    # Round-12 reset: no oracle contract changed after its banked row
-    # (the r12 protocol work — O_EXCL commits, null-safe CDF keys —
-    # leaves every registered oracle's observable contract intact).
-    assert upgraded == set()
+    # r12's window: round 12's 2 new queries, the full 24-query
+    # r8-stale leftover cohort (VERDICT r11 task 2 executed), and 24 of
+    # the r9-stale cohort's head
+    assert len(r12) == 50
+    assert NEW_IN_R12 <= r12 and len(NEW_IN_R12) == 2
+    assert len(r12 & (r8 - r9 - r10 - r11)) == 24
+    assert len(r12 & (r9 - r10 - r11)) == 24
+    assert not (r10 & r12) and not (r11 & r12), (
+        "round 12's window re-checked no r10/r11-banked query"
+    )
+    # Round-13 plan-changed set: the r12 `<=>` CDF rewrite and the
+    # Decimal(repr) MMR rounding change landed AFTER those queries' r11
+    # driver rows — their banked evidence predates the live plans.
+    assert changed == {
+        "sink_versioned_changes", "sink_versioned_incremental_agg",
+        "sim_topk_mmr",
+    }
+    assert changed <= r11, "the plan-changed set was last checked in r11"
 
 
 def test_every_query_has_banked_or_new_status():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, _u = _registry()
-    never = set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10 - r11
-    assert never == NEW_IN_R12, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R12} — newly "
-        "added oracle queries must be registered in NEW_IN_R12"
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+     _c) = _registry()
+    never = (set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10 - r11
+             - r12)
+    assert never == NEW_IN_R13, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R13} — newly "
+        "added oracle queries must be registered in NEW_IN_R13"
     )
 
 
 def test_window_is_staleness_ordered():
-    names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, upgraded = _registry()
-    later = r5 | r6 | r7 | r8 | r9 | r10 | r11
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+     changed) = _registry()
+    later = r5 | r6 | r7 | r8 | r9 | r10 | r11 | r12
     assert not (r23 - later), "every r3-era query re-checked"
     assert not (r4 - later), "every r4-era query re-checked"
-    assert not (r5 - r6 - r7 - r8 - r9 - r10 - r11), (
+    assert not (r5 - r6 - r7 - r8 - r9 - r10 - r11 - r12), (
         "every r5-era query was re-checked (event_anomaly_zscore rode in r9)"
     )
-    assert not (r6 - r7 - r8 - r9 - r10 - r11), (
+    assert not (r6 - r7 - r8 - r9 - r10 - r11 - r12), (
         "every r6-era query was re-checked (the 9-query cohort rode in r10)"
     )
-    assert not (r7 - r8 - r9 - r10 - r11), (
+    assert not (r7 - r8 - r9 - r10 - r11 - r12), (
         "every r7-era query was re-checked (the 11-query cohort rode in r11)"
     )
-    # new + oracle-upgraded queries lead
-    head = NEW_IN_R12 | upgraded
+    assert not (r8 - r9 - r10 - r11 - r12), (
+        "every r8-era query was re-checked (the 24-query cohort rode in r12)"
+    )
+    # new + plan-changed queries lead
+    head = NEW_IN_R13 | changed
     assert set(names[: len(head)]) == head
-    # the full 24-query r8-stale cohort follows in module order —
-    # VERDICT r11 task 2: after the r12 window lands, no query's latest
-    # driver row is older than r9
-    stale_r8 = r8 - r9 - r10 - r11
-    assert len(stale_r8) == 24
-    assert set(names[len(head): len(head) + 24]) == stale_r8
-    # the window's remaining slots go to the r9-stale cohort's head in
+    # the full 24-query r9-stale cohort follows in module order —
+    # VERDICT r12 task 3: after the r13 window lands, no query's latest
+    # driver row is older than r10
+    stale_r9 = r9 - r10 - r11 - r12
+    assert len(stale_r9) == 24
+    assert set(names[len(head): len(head) + 24]) == stale_r9
+    # the window's remaining slots go to the r10-stale cohort's head in
     # module order
     window = names[:WINDOW]
-    stale_r9 = r9 - r10 - r11
-    assert len(stale_r9) == 48  # 50 minus sim_recall_report/q11 r10 re-rides
-    n_r9_slots = WINDOW - len(head) - len(stale_r8)
-    assert n_r9_slots >= 0, "new-query additions overflowed the window"
+    stale_r10 = r10 - r11 - r12
+    assert len(stale_r10) == 50
+    n_r10_slots = WINDOW - len(head) - len(stale_r9)
+    assert n_r10_slots >= 0, "new-query additions overflowed the window"
     expected = (
         head
-        | stale_r8
-        | set([n for n in names if n in stale_r9][:n_r9_slots])
+        | stale_r9
+        | set([n for n in names if n in stale_r10][:n_r10_slots])
     )
     assert set(window) == expected, (
-        f"round-12 window drifted: unexpected={set(window) - expected} "
+        f"round-13 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r11-checked) rides at the very back
-    tail = names[-len(r11):]
-    assert set(tail) == r11, "r11-banked queries must occupy the registry tail"
+    # freshest evidence (r12-checked) rides at the very back
+    tail = names[-len(r12):]
+    assert set(tail) == r12, "r12-banked queries must occupy the registry tail"
