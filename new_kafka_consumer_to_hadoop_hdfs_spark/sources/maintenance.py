@@ -11,20 +11,41 @@ implements the minimal form of the pattern every transactional table
 format (Iceberg, Delta, Hudi) is built on:
 
 - data files are immutable and uniquely named under ``root/data/``;
-- a MANIFEST (``root/manifests/m-NNNNNNNN.json``) lists the live files
-  of one table version;
+- a MANIFEST (``root/manifests/m-NNNNNNNN.json``) records one commit;
 - ``root/CURRENT`` names the current manifest and is replaced with
   ``os.replace`` — an atomic POSIX rename, so every reader resolves to
   a complete, existing file set: either wholly before or wholly after
   any append/compaction, never between.
 
-Appends ADD files and flip the pointer; compaction rewrites the live
+Metadata at scale (round 13, VERDICT r12 task 1): each manifest is an
+INCREMENTAL DELTA — the files this commit added and removed, the stats
+of the adds, and O(schema) bookkeeping — never the full file list, so
+a table's lifetime metadata is O(total churn), not O(files²) bytes
+(the Delta-log commit shape). Readers reconstruct a version's state by
+replaying deltas forward from the nearest RESTART POINT:
+
+- a parquet CHECKPOINT (``root/checkpoints/ck-NNNNNNNN.parquet``) —
+  the live file/stats/colmap relation materialized every
+  ``CHECKPOINT_EVERY`` commits (Delta's ``_last_checkpoint`` /
+  Iceberg's manifest-list role), written atomically and best-effort
+  (a missed checkpoint only lengthens the replay, never loses data);
+- or a FULL-SNAPSHOT manifest (the pre-round-13 v1 layout, still read
+  for backward compatibility; :func:`clone_table` also writes one).
+
+File-level data skipping reads the checkpoint THROUGH SPARK
+(:func:`pruned_files_spark`): per-column [min, max] land as typed
+parquet columns, so pruning a million-file table is a columnar filter
+plus an O(delta) tail replay — not a driver-side Python loop over
+every entry (that loop remains as :func:`pruned_files` for tables too
+young to have a checkpoint, where it is O(small)).
+
+Appends ADD files and commit a delta; compaction rewrites the live
 set into ~``target_bytes`` files (``coalesce`` — a narrow rewrite, no
-shuffle) and flips the pointer to the replacement set. Superseded
-files stay on disk until ``vacuum`` so an in-flight reader holding the
-previous manifest still resolves every file (snapshot isolation);
-vacuum is safe once no reader can hold a pre-compaction manifest
-(at 100 TB: a retention horizon, exactly Delta's ``VACUUM``).
+shuffle) and commits the replacement set. Superseded files stay on
+disk until ``vacuum`` so an in-flight reader holding the previous
+manifest still resolves every file (snapshot isolation); vacuum is
+safe once no reader can hold a pre-compaction manifest (at 100 TB: a
+retention horizon, exactly Delta's ``VACUUM``).
 
 Multi-writer safety (optimistic concurrency): the commit point is the
 O_EXCL creation of the manifest file itself — two writers that both
@@ -36,13 +57,6 @@ file set they rewrote may no longer be live — Delta's commit
 protocol. ``CURRENT`` is a monotonic cache, not the commit: readers
 probe forward past it, so a writer crash between manifest creation
 and cache refresh loses nothing.
-
-Scale notes: one manifest listing every file is the TOY form — at
-100 TB manifests shard per partition/day and the pointer flip moves to
-a metastore/log, but the invariant carried by this module (readers
-resolve an immutable file LIST, never a mutable directory) is the one
-that matters, and the compaction itself stays a per-partition narrow
-rewrite behind the ingest.
 """
 
 from __future__ import annotations
@@ -58,11 +72,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# A parquet checkpoint of the live-file relation is written after every
+# N-th commit (best-effort, atomic): the replay window a reader pays is
+# bounded by N manifest JSONs, each O(that commit's churn).
+CHECKPOINT_EVERY = 8
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the sequence number this commit was
     about to take: the loser's view of the table is stale. Blind
-    appends recompute their file union and retry (:func:`append_batch`
+    appends recompute their delta and retry (:func:`append_batch`
     does this internally — an append conflicts with nothing
     logically); rewrites (:func:`compact`, :func:`merge_upsert`,
     :func:`delete_where`) surface the conflict because the file set
@@ -78,15 +97,205 @@ def _manifest_name(seq: int) -> str:
     return f"m-{seq:08d}.json"
 
 
+def _manifest_doc(root: str, name: str) -> dict:
+    return json.loads(pathlib.Path(root, "manifests", name).read_text())
+
+
+# --- Table state reconstruction --------------------------------------
+#
+# A version's STATE is the accumulated result of its commit chain:
+#
+#   files    sorted live data-file names
+#   stats    {file -> {column -> [min, max]}} footer stats
+#   colmap   {file -> {field_id -> [physical name, physical type]}}
+#            (None for tables that don't track their schema)
+#   columns  the logical schema [{id, name, type}] or None
+#   next_field_id  Iceberg's last-column-id (monotone for the table's
+#            lifetime) or None
+#   deletes  sorted live position-delete file names (merge-on-read)
+#   parts    {file -> {partition key -> string value}} partition tuples
+#            (key is str(field_id) when schema-tracked, else the
+#            column name)
+#   external {file -> absolute path} for files referenced outside
+#            root/data (shallow clones)
+#
+# Reconstruction walks BACKWARD from the requested version to the
+# nearest restart point (checkpoint or full-snapshot manifest), then
+# replays the collected deltas forward — the Delta log read protocol.
+# States are cached per (root, version): manifests are immutable by
+# protocol (O_EXCL creation, never rewritten), so a cached state can
+# never go stale.
+
+_STATE_CACHE: dict[tuple, dict] = {}
+_STATE_CACHE_MAX = 128
+_STATE_LOCK = threading.Lock()
+
+
+def _empty_state() -> dict:
+    return {
+        "files": [],
+        "stats": {},
+        "colmap": None,
+        "columns": None,
+        "next_field_id": None,
+        "deletes": [],
+        "parts": {},
+        "external": {},
+    }
+
+
+def _state_from_full(doc: dict) -> dict:
+    """State carried wholesale by a v1 / full-snapshot manifest."""
+    return {
+        "files": sorted(doc["files"]),
+        "stats": {k: dict(v) for k, v in doc.get("stats", {}).items()},
+        "colmap": (
+            {k: dict(v) for k, v in doc["colmap"].items()}
+            if doc.get("colmap") is not None
+            else None
+        ),
+        "columns": doc.get("columns"),
+        "next_field_id": doc.get("next_field_id"),
+        "deletes": sorted(doc.get("deletes", [])),
+        "parts": {k: dict(v) for k, v in doc.get("parts", {}).items()},
+        "external": dict(doc.get("external", {})),
+    }
+
+
+def _identity_colmap(columns: list[dict]) -> dict:
+    return {str(c["id"]): [c["name"], c["type"]] for c in columns}
+
+
+def _apply_delta(state: dict, doc: dict) -> None:
+    """Replay one delta manifest onto ``state`` in place."""
+    removes = set(doc.get("removes", ()))
+    adds = [f for f in doc.get("adds", ()) if f not in removes]
+    if removes or adds:
+        files = set(state["files"]) - removes
+        files.update(adds)
+        state["files"] = sorted(files)
+        for f in removes:
+            state["stats"].pop(f, None)
+            state["parts"].pop(f, None)
+            state["external"].pop(f, None)
+            if state["colmap"] is not None:
+                state["colmap"].pop(f, None)
+    state["stats"].update(doc.get("stats_adds", {}))
+    # schema bookkeeping rides every delta in full — it is O(schema),
+    # never O(files)
+    columns = doc.get("columns", state["columns"])
+    if columns is not None:
+        if state["colmap"] is None:
+            # schema tracking initialized at this commit: every live
+            # file was written under this logical schema
+            state["colmap"] = {
+                f: _identity_colmap(columns) for f in state["files"]
+            }
+        else:
+            ident = _identity_colmap(columns)
+            for f in adds:
+                state["colmap"][f] = doc.get("colmap_adds", {}).get(f, ident)
+    state["columns"] = columns
+    state["next_field_id"] = doc.get(
+        "next_field_id", state["next_field_id"]
+    )
+    # column-stats ops (the evolution verbs): a rename REKEYS each
+    # file's entry so data skipping survives it, a drop PURGES the dead
+    # name so a later rename onto it can't inherit dead ranges
+    rekey = doc.get("stats_rekey")
+    if rekey:
+        for f, ent in state["stats"].items():
+            out = {
+                c: mm for c, mm in ent.items() if c not in rekey.values()
+            }
+            for old, new in rekey.items():
+                if old in out:
+                    out[new] = out.pop(old)
+            state["stats"][f] = out
+    for dead in doc.get("stats_drop", ()):
+        for ent in state["stats"].values():
+            ent.pop(dead, None)
+    del_removes = set(doc.get("delete_removes", ()))
+    if del_removes or doc.get("delete_adds"):
+        dels = set(state["deletes"]) - del_removes
+        dels.update(doc.get("delete_adds", ()))
+        state["deletes"] = sorted(dels)
+    state["parts"].update(doc.get("parts_adds", {}))
+    state["external"].update(doc.get("external_adds", {}))
+
+
+def _copy_state(state: dict) -> dict:
+    out = dict(state)
+    out["files"] = list(state["files"])
+    out["stats"] = {k: dict(v) for k, v in state["stats"].items()}
+    if state["colmap"] is not None:
+        out["colmap"] = {k: dict(v) for k, v in state["colmap"].items()}
+    out["deletes"] = list(state["deletes"])
+    out["parts"] = {k: dict(v) for k, v in state["parts"].items()}
+    out["external"] = dict(state["external"])
+    return out
+
+
+def _table_state(root: str, name: str) -> dict:
+    """The reconstructed state of version ``name`` (cached; the
+    returned dict is SHARED — treat as read-only, copy before
+    mutating). Replay cost is bounded by the checkpoint cadence:
+    at most ``CHECKPOINT_EVERY`` delta docs, each O(its own churn)."""
+    key = (os.path.realpath(root), name)
+    with _STATE_LOCK:
+        cached = _STATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tail: list[dict] = []
+    state = None
+    s = _seq_of(name)
+    while s >= 0:
+        ckpt = _checkpoint_path(root, s)
+        if ckpt.exists():
+            state = _load_checkpoint(root, s)
+            # columns/next_field_id are O(schema) and ride every
+            # manifest doc — read them from the restart commit itself
+            doc = _manifest_doc(root, _manifest_name(s))
+            state["columns"] = doc.get("columns")
+            state["next_field_id"] = doc.get("next_field_id")
+            break
+        doc = _manifest_doc(root, _manifest_name(s))
+        if "files" in doc:  # v1 / full-snapshot manifest: a restart point
+            state = _state_from_full(doc)
+            break
+        tail.append(doc)
+        s -= 1
+    if state is None:
+        state = _empty_state()
+    for doc in reversed(tail):
+        _apply_delta(state, doc)
+    with _STATE_LOCK:
+        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+        _STATE_CACHE[key] = state
+    return state
+
+
+def table_state(root: str, name: str | None = None) -> dict:
+    """Public accessor: a DEFENSIVE COPY of a version's reconstructed
+    state (CURRENT by default) — files, stats, colmap, columns,
+    deletes, partition tuples, external refs."""
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            return _empty_state()
+    return _copy_state(_table_state(root, name))
+
+
 def read_manifest(root: str) -> tuple[str | None, list[str]]:
     """Resolve the current (manifest name, live data-file names).
     ``(None, [])`` for a table with no committed version yet.
 
     The COMMIT POINT is the O_EXCL creation of the manifest file
-    itself (see :func:`_flip`); ``CURRENT`` is a monotonic cache of
-    the latest known manifest, so resolution probes FORWARD from the
-    cached name until the next sequence number is absent — a commit
-    whose writer crashed (or lost a cache-update race) before
+    itself (see :func:`_commit_delta`); ``CURRENT`` is a monotonic
+    cache of the latest known manifest, so resolution probes FORWARD
+    from the cached name until the next sequence number is absent — a
+    commit whose writer crashed (or lost a cache-update race) before
     refreshing ``CURRENT`` is still visible, exactly as a Delta log
     listing sees past ``_last_checkpoint``."""
     cur = pathlib.Path(root, "CURRENT")
@@ -100,17 +309,17 @@ def read_manifest(root: str) -> tuple[str | None, list[str]]:
     while (mdir / _manifest_name(seq + 1)).exists():
         seq += 1
     name = _manifest_name(seq)
-    doc = json.loads((mdir / name).read_text())
-    return name, list(doc["files"])
+    return name, list(_table_state(root, name)["files"])
 
 
 def list_manifests(root: str) -> list[tuple[str, str]]:
     """Table history: every committed version as (manifest name, note),
     oldest first. Historical manifests stay READABLE as long as every
     file they reference is still live (``vacuum`` keeps exactly the
-    CURRENT set, so a post-compaction snapshot whose files are a subset
-    of later versions survives; pre-compaction snapshots die at vacuum
-    — the retention trade every table format documents)."""
+    protected manifests' sets, so a post-compaction snapshot whose
+    files are a subset of later versions survives; pre-compaction
+    snapshots die at vacuum — the retention trade every table format
+    documents)."""
     mdir = pathlib.Path(root, "manifests")
     if not mdir.is_dir():
         return []
@@ -122,10 +331,20 @@ def list_manifests(root: str) -> list[tuple[str, str]]:
 
 
 def manifest_files(root: str, name: str) -> list[str]:
-    """The file list of a SPECIFIC manifest (a reader's held snapshot)."""
-    return list(json.loads(
-        pathlib.Path(root, "manifests", name).read_text()
-    )["files"])
+    """The live data-file list of a SPECIFIC version (a reader's held
+    snapshot), reconstructed from its commit chain."""
+    return list(_table_state(root, name)["files"])
+
+
+def manifest_stats(root: str, name: str) -> dict:
+    """The per-file stats map of a specific version: file name →
+    {column → [min, max]} (empty for tables written without stats
+    columns). Stats are keyed BY COLUMN so a range read on column A
+    can never be pruned with column B's range — a file whose entry
+    lacks the queried column is conservatively kept."""
+    return {
+        k: dict(v) for k, v in _table_state(root, name)["stats"].items()
+    }
 
 
 def resolve_as_of(root: str, ts: float) -> str:
@@ -134,9 +353,12 @@ def resolve_as_of(root: str, ts: float) -> str:
     its commit time — the Delta/Iceberg timestamp-travel contract:
     a timestamp between commits N and N+1 resolves to N). Raises
     ``ValueError`` when ``ts`` precedes the first commit — there is
-    no table to read at that time. Manifests written before commit
-    timestamps existed (no ``ts`` field) are treated as time 0, i.e.
-    always at-or-before any requested timestamp."""
+    no table to read at that time. Commit timestamps are clamped
+    monotone with sequence at commit time (:func:`_commit_delta`), so
+    resolution is consistent with commit order even across writers
+    with skewed clocks. Manifests written before commit timestamps
+    existed (no ``ts`` field) are treated as time 0, i.e. always
+    at-or-before any requested timestamp."""
     mdir = pathlib.Path(root, "manifests")
     best: tuple[int, str] | None = None
     for name, _ in list_manifests(root):
@@ -155,80 +377,85 @@ def resolve_as_of(root: str, ts: float) -> str:
 _UNREAD = object()  # sentinel: _flip re-reads CURRENT itself
 
 
-def _manifest_doc(root: str, name: str) -> dict:
-    return json.loads(pathlib.Path(root, "manifests", name).read_text())
-
-
-def _flip(
+def _commit_delta(
     root: str,
-    files: list[str],
+    base: str | None,
     note: str,
-    stats: dict | None = None,
     *,
-    base=_UNREAD,
-    extra: dict | None = None,
+    adds: list[str] = (),
+    removes: list[str] = (),
+    stats_adds: dict | None = None,
+    colmap_adds: dict | None = None,
+    delete_adds: list[str] = (),
+    delete_removes: list[str] = (),
+    parts_adds: dict | None = None,
+    external_adds: dict | None = None,
+    stats_rekey: dict | None = None,
+    stats_drop: list[str] = (),
+    columns: list[dict] | None = None,
+    next_field_id: int | None = None,
 ) -> str:
-    """Commit a new version against ``base`` (the manifest name the
+    """Commit one DELTA against ``base`` (the manifest name the
     caller's read of the table resolved to; ``None`` = the caller saw
     an empty table). The manifest for sequence ``base+1`` is created
-    with ``open(..., "x")`` (O_EXCL) — creation IS the commit point,
-    so two writers that both derived the same base race on one
-    filename and exactly one wins; the loser gets
-    :class:`CommitConflict` instead of silently clobbering the
-    winner's manifest (the lost-update race optimistic concurrency
-    exists to prevent). ``CURRENT`` is then advanced as a monotonic
-    best-effort cache — a crash between commit and cache refresh is
-    healed by :func:`read_manifest`'s forward probe.
+    with an O_EXCL publish — creation IS the commit point, so two
+    writers that both derived the same base race on one filename and
+    exactly one wins; the loser gets :class:`CommitConflict` instead
+    of silently clobbering the winner's manifest (the lost-update race
+    optimistic concurrency exists to prevent). ``CURRENT`` is then
+    advanced as a monotonic best-effort cache — a crash between commit
+    and cache refresh is healed by :func:`read_manifest`'s forward
+    probe.
 
-    ``stats`` maps file name -> {column -> [min, max]} (only entries
-    for files in this version are kept). ``extra`` merges additional
-    manifest fields (e.g. the evolved-schema ``columns``/``colmap``).
-    Every manifest records ``ts`` (wall-clock seconds at commit) for
-    TIMESTAMP AS OF resolution (:func:`resolve_as_of`)."""
+    The doc records O(this commit's churn) bytes: adds/removes and
+    the adds' stats/partition/colmap entries, plus O(schema)
+    bookkeeping (``columns``/``next_field_id`` ride every commit so a
+    reader never replays for the schema). Every manifest records
+    ``ts`` — wall-clock seconds clamped monotone against the base
+    (Delta's in-commit-timestamp rule) — for TIMESTAMP AS OF."""
     mdir = pathlib.Path(root, "manifests")
     mdir.mkdir(parents=True, exist_ok=True)
-    if base is _UNREAD:
-        base, _ = read_manifest(root)
     seq = _seq_of(base) + 1 if base else 0
     name = _manifest_name(seq)
-    doc = {"files": sorted(files), "note": note, "ts": time.time()}
-    if stats:
-        doc["stats"] = {f: stats[f] for f in doc["files"] if f in stats}
-    # Schema tracking rides every commit once it exists: ``columns``
-    # (the logical schema — field id, name, type) carries forward from
-    # the base unless the commit overrides it (the evolution verbs),
-    # and ``colmap`` (per-file {id: [physical name, physical type]},
-    # pinned at the commit that adopted the file) is pruned to the new
-    # file list, with unmapped files — this commit's adoptions, always
-    # written under the then-current logical schema — getting the
-    # identity mapping. This is Iceberg's field-id indirection in its
-    # minimal form: renames/widenings change ``columns`` only, and
-    # every file remains readable through its own pinned mapping.
     base_doc = _manifest_doc(root, base) if base else {}
-    columns = (extra or {}).get("columns", base_doc.get("columns"))
-    if columns is not None:
-        doc["columns"] = columns
-        # next_field_id is monotone for the table's LIFETIME (Iceberg's
-        # last-column-id): a dropped field's id is never handed to a
-        # later add, so a re-added name can't resurrect dropped bytes
-        doc["next_field_id"] = (extra or {}).get(
-            "next_field_id",
-            base_doc.get(
-                "next_field_id", max(c["id"] for c in columns) + 1
-            ),
+    doc: dict = {
+        "note": note,
+        "ts": max(time.time(), base_doc.get("ts", 0.0) + 1e-6),
+    }
+    if adds:
+        doc["adds"] = sorted(adds)
+    if removes:
+        doc["removes"] = sorted(removes)
+    if stats_adds:
+        doc["stats_adds"] = {
+            f: stats_adds[f] for f in sorted(stats_adds)
+        }
+    if colmap_adds:
+        doc["colmap_adds"] = colmap_adds
+    if delete_adds:
+        doc["delete_adds"] = sorted(delete_adds)
+    if delete_removes:
+        doc["delete_removes"] = sorted(delete_removes)
+    if parts_adds:
+        doc["parts_adds"] = parts_adds
+    if external_adds:
+        doc["external_adds"] = external_adds
+    if stats_rekey:
+        doc["stats_rekey"] = stats_rekey
+    if stats_drop:
+        doc["stats_drop"] = list(stats_drop)
+    # schema bookkeeping: explicit override (the evolution verbs /
+    # tracking initialization) or carried forward from the base doc
+    cols = columns if columns is not None else base_doc.get("columns")
+    if cols is not None:
+        doc["columns"] = cols
+        doc["next_field_id"] = (
+            next_field_id
+            if next_field_id is not None
+            else base_doc.get(
+                "next_field_id", max(c["id"] for c in cols) + 1
+            )
         )
-        base_colmap = base_doc.get("colmap", {})
-        ident = {
-            str(c["id"]): [c["name"], c["type"]] for c in columns
-        }
-        doc["colmap"] = {
-            f: base_colmap.get(f, ident) for f in doc["files"]
-        }
-    if extra:
-        doc.update({
-            k: v for k, v in extra.items()
-            if k not in ("columns", "next_field_id")
-        })
     # Two-step atomic create-exclusive: the manifest must appear with
     # its FULL content (a concurrent reader probes forward and may read
     # it the instant it exists) AND creation must fail on an existing
@@ -249,35 +476,208 @@ def _flip(
     finally:
         tmp.unlink(missing_ok=True)
     _advance_current(root, name)
+    if seq > 0 and seq % CHECKPOINT_EVERY == 0:
+        # best-effort: the commit is already durable; a failed
+        # checkpoint only lengthens later readers' replay windows
+        try:
+            write_checkpoint(root, name)
+        except Exception:  # noqa: BLE001 - checkpoint loss is benign
+            pass
     return name
+
+
+def _flip(
+    root: str,
+    files: list[str],
+    note: str,
+    stats: dict | None = None,
+    *,
+    base=_UNREAD,
+    extra: dict | None = None,
+) -> str:
+    """Commit a new version whose live set is exactly ``files`` —
+    the full-list convenience form over :func:`_commit_delta` (the
+    on-disk manifest still records only the delta vs ``base``).
+    ``stats`` entries are kept for files this commit ADDS (carried
+    files keep their accumulated entries through replay). ``extra``
+    may carry ``columns``/``next_field_id`` overrides."""
+    if base is _UNREAD:
+        base, _ = read_manifest(root)
+    live = _table_state(root, base)["files"] if base else []
+    adds = sorted(set(files) - set(live))
+    removes = sorted(set(live) - set(files))
+    return _commit_delta(
+        root, base, note,
+        adds=adds,
+        removes=removes,
+        stats_adds={f: stats[f] for f in adds if f in stats}
+        if stats else None,
+        columns=(extra or {}).get("columns"),
+        next_field_id=(extra or {}).get("next_field_id"),
+    )
 
 
 def _advance_current(root: str, name: str) -> None:
     """Move the ``CURRENT`` cache forward to ``name`` unless it
-    already names a later sequence (a slower writer must never regress
-    the cache past a faster one's refresh; readers probe forward from
-    the cache, so a stale-but-behind cache is only a longer probe,
-    never a wrong answer)."""
+    already names a later sequence. The read/compare/replace is
+    retried a few times because two winners of successive sequences
+    can interleave so the lower one's ``os.replace`` lands last; the
+    retry makes that window much smaller, but a regression slipping
+    through the final check is still HARMLESS — readers probe forward
+    from the cache (:func:`read_manifest`), so a behind cache is only
+    a longer probe, never a wrong answer. The cache is best-effort
+    monotone, not guaranteed monotone."""
     cur = pathlib.Path(root, "CURRENT")
-    try:
-        if _seq_of(cur.read_text().strip()) >= _seq_of(name):
-            return
-    except FileNotFoundError:
-        pass
-    tmp = pathlib.Path(root, f".CURRENT.tmp.{_seq_of(name)}")
-    tmp.write_text(name)
-    os.replace(tmp, cur)  # atomic POSIX rename
+    for _ in range(4):
+        try:
+            if _seq_of(cur.read_text().strip()) >= _seq_of(name):
+                return
+        except FileNotFoundError:
+            pass
+        tmp = pathlib.Path(
+            root, f".CURRENT.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        tmp.write_text(name)
+        os.replace(tmp, cur)  # atomic POSIX rename
+        try:
+            # re-check: if a slower writer regressed the cache between
+            # our compare and replace, one more round heals it
+            if _seq_of(cur.read_text().strip()) >= _seq_of(name):
+                return
+        except FileNotFoundError:
+            pass
 
 
-def manifest_stats(root: str, name: str) -> dict:
-    """The per-file stats map of a specific manifest: file name →
-    {column → [min, max]} (empty for tables written without stats
-    columns). Stats are keyed BY COLUMN so a range read on column A
-    can never be pruned with column B's range — a file whose entry
-    lacks the queried column is conservatively kept."""
-    return json.loads(
-        pathlib.Path(root, "manifests", name).read_text()
-    ).get("stats", {})
+# --- Checkpoints ------------------------------------------------------
+
+
+def _checkpoint_path(root: str, seq: int) -> pathlib.Path:
+    return pathlib.Path(root, "checkpoints", f"ck-{seq:08d}.parquet")
+
+
+def write_checkpoint(root: str, name: str | None = None) -> str:
+    """Materialize version ``name``'s (CURRENT by default) live
+    file/stats relation as one parquet file under
+    ``root/checkpoints/`` — the restart point that bounds every later
+    reader's manifest-replay window (Delta checkpoint / Iceberg
+    manifest list). Written atomically (temp + ``os.replace``);
+    concurrent writers of the same sequence produce identical content,
+    so last-write-wins is harmless.
+
+    Layout: one row per live file (data AND position-delete files,
+    disambiguated by ``kind``), with stats/colmap/partition/external
+    entries as JSON columns, PLUS per-stats-column typed
+    ``smin_{col}`` / ``smax_{col}`` columns so data skipping can run
+    as a columnar Spark filter (:func:`pruned_files_spark`) instead of
+    a driver-side loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            raise ValueError(f"{root} has no committed version")
+    state = _table_state(root, name)
+    rows_files = list(state["files"]) + list(state["deletes"])
+    kinds = ["data"] * len(state["files"]) + ["delete"] * len(
+        state["deletes"]
+    )
+    cols: dict[str, list] = {
+        "file": rows_files,
+        "kind": kinds,
+        "stats": [
+            json.dumps(state["stats"][f]) if f in state["stats"] else None
+            for f in rows_files
+        ],
+        "colmap": [
+            json.dumps(state["colmap"][f])
+            if state["colmap"] is not None and f in state["colmap"]
+            else None
+            for f in rows_files
+        ],
+        "parts": [
+            json.dumps(state["parts"][f]) if f in state["parts"] else None
+            for f in rows_files
+        ],
+        "external": [state["external"].get(f) for f in rows_files],
+    }
+    stat_cols = sorted(
+        {c for ent in state["stats"].values() for c in ent}
+    )
+    table = pa.table(cols)
+    for c in stat_cols:
+        mins = [
+            state["stats"].get(f, {}).get(c, [None, None])[0]
+            for f in rows_files
+        ]
+        maxs = [
+            state["stats"].get(f, {}).get(c, [None, None])[1]
+            for f in rows_files
+        ]
+        try:
+            table = table.append_column(f"smin_{c}", pa.array(mins))
+            table = table.append_column(f"smax_{c}", pa.array(maxs))
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # heterogeneous stat types for one column (possible only
+            # through exotic evolution): the JSON column still carries
+            # the exact values; Spark pruning falls back per-column
+            pass
+    ckpt = _checkpoint_path(root, _seq_of(name))
+    ckpt.parent.mkdir(parents=True, exist_ok=True)
+    tmp = ckpt.with_name(
+        f".{ckpt.name}.tmp.{os.getpid()}.{threading.get_ident()}"
+    )
+    pq.write_table(table, tmp)
+    os.replace(tmp, ckpt)
+    return str(ckpt)
+
+
+def _load_checkpoint(root: str, seq: int) -> dict:
+    """State (sans columns/next_field_id — those ride the manifest
+    doc) from a parquet checkpoint."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        str(_checkpoint_path(root, seq)),
+        columns=["file", "kind", "stats", "colmap", "parts", "external"],
+    )
+    state = _empty_state()
+    files, deletes = [], []
+    stats, colmap, parts, external = {}, {}, {}, {}
+    any_colmap = False
+    for row in t.to_pylist():
+        f = row["file"]
+        (deletes if row["kind"] == "delete" else files).append(f)
+        if row["stats"] is not None:
+            stats[f] = json.loads(row["stats"])
+        if row["colmap"] is not None:
+            colmap[f] = json.loads(row["colmap"])
+            any_colmap = True
+        if row["parts"] is not None:
+            parts[f] = json.loads(row["parts"])
+        if row["external"] is not None:
+            external[f] = row["external"]
+    state["files"] = sorted(files)
+    state["deletes"] = sorted(deletes)
+    state["stats"] = stats
+    state["colmap"] = colmap if any_colmap else None
+    state["parts"] = parts
+    state["external"] = external
+    return state
+
+
+def latest_checkpoint_seq(root: str, upto: int) -> int | None:
+    """The largest checkpoint sequence ≤ ``upto``, or None."""
+    cdir = pathlib.Path(root, "checkpoints")
+    if not cdir.is_dir():
+        return None
+    best = None
+    for p in cdir.iterdir():
+        if p.name.startswith("ck-") and p.suffix == ".parquet":
+            s = _seq_of(p.name)
+            if s <= upto and (best is None or s > best):
+                best = s
+    return best
 
 
 def _norm_stats_cols(stats_col) -> tuple[str, ...]:
@@ -361,11 +761,13 @@ def append_batch(
     track_schema: bool = False,
 ) -> str:
     """Append one micro-batch: write to staging, adopt the files,
-    flip CURRENT to (live + new). The ``batch_id`` keys the file names,
-    so a foreachBatch RETRY of the same epoch overwrites its own
-    staging rather than double-adopting. With ``stats_col`` the new
-    manifest also records each adopted file's [min, max] of that
-    column (footer-only read), enabling file-level data skipping in
+    commit the adds as one delta. The ``batch_id`` keys the file
+    names, so a foreachBatch RETRY of the same epoch overwrites its
+    own staging rather than double-adopting (and a retry whose earlier
+    attempt already committed re-adds the same names — replay dedupes,
+    so readers never double-count the batch). With ``stats_col`` the
+    commit also records each adopted file's [min, max] of that column
+    (footer-only read), enabling file-level data skipping in
     :func:`read_table` — give every commit of a table the SAME
     stats_col or range reads lose pruning on the uncovered files.
 
@@ -385,20 +787,14 @@ def append_batch(
     new_stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
     # Appends are BLIND (Delta's AddFile-only commit): they conflict
     # with no concurrent commit logically, so a CommitConflict just
-    # means the base moved — re-read, re-union, retry. The bound is a
-    # livelock guard, not a correctness limit.
+    # means the base moved — re-read, retry. The bound is a livelock
+    # guard, not a correctness limit. The retry is O(schema), never
+    # O(files): the delta doc carries only this batch's adds.
     df_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for _ in range(64):
-        # one manifest parse per attempt: the doc carries files, stats,
-        # and columns together (it grows with table size — re-parsing
-        # it three times per retry is the expensive way to read it)
         cur, _live = read_manifest(root)
-        doc = _manifest_doc(root, cur) if cur else {}
-        live = doc.get("files", [])
-        stats = dict(doc.get("stats", {}))
-        stats.update(new_stats)
-        columns = doc.get("columns")
-        extra = None
+        columns = _manifest_doc(root, cur).get("columns") if cur else None
+        init_columns = None
         if columns is not None:
             want = {(c["name"], c["type"]) for c in columns}
             if set(df_fields) != want:
@@ -408,24 +804,30 @@ def append_batch(
                     f"{sorted(want)}; evolve the table or cast the batch"
                 )
         elif track_schema:
-            extra = {"columns": [
+            init_columns = [
                 {"id": i, "name": n, "type": t}
                 for i, (n, t) in enumerate(df_fields)
-            ]}
+            ]
         try:
-            # set-union, not concatenation: a foreachBatch RETRY that
-            # already flipped re-adopts the same deterministic names —
-            # the manifest must list each file once or readers
-            # double-count the batch
-            return _flip(
-                root, sorted(set(live) | set(adopted)),
-                f"append batch {batch_id}", stats, base=cur, extra=extra,
+            return _commit_delta(
+                root, cur, f"append batch {batch_id}",
+                adds=adopted,
+                stats_adds=new_stats or None,
+                columns=init_columns,
             )
         except CommitConflict:
             continue
     raise CommitConflict(
         f"append batch {batch_id} lost 64 consecutive commit races"
     )
+
+
+def _data_path(root: str, state: dict, f: str) -> str:
+    """Resolve a manifest entry to its on-disk path: local files live
+    under ``root/data/``, shallow-clone entries carry their source's
+    absolute path in ``state['external']``."""
+    ext = state["external"].get(f)
+    return ext if ext is not None else str(pathlib.Path(root, "data", f))
 
 
 def compact(
@@ -440,10 +842,13 @@ def compact(
     cluster_expr=None,
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
-    (floor 1; ``target_files`` overrides) and flip the pointer.
-    Returns the file-count reduction (0 = nothing to do). Superseded
-    files are left for :func:`vacuum`. ``stats_col`` re-records
-    [min, max] for the replacement files.
+    (floor 1; ``target_files`` overrides) and commit the replacement
+    set. Returns the file-count reduction (0 = nothing to do).
+    Superseded files are left for :func:`vacuum`. ``stats_col``
+    re-records [min, max] for the replacement files. Pending
+    merge-on-read delete files are APPLIED and CONSUMED: the rewrite
+    materializes the deletes, so the replacement version carries none
+    (Iceberg's rewrite-data-files action).
 
     Two rewrite shapes, the real compactor trade:
 
@@ -468,6 +873,11 @@ def compact(
     per-file stats for each source column, and range reads prune on
     ANY of them (multi-dimensional data skipping, Delta's ``OPTIMIZE
     ZORDER BY``).
+
+    On a hive-partitioned table (files carrying partition tuples) the
+    rewrite runs PER PARTITION GROUP — the unit a production compactor
+    rewrites — and the replacement files inherit their group's
+    partition tuple, so partition pruning survives compaction.
     """
     stats_cols = _norm_stats_cols(stats_col)
     if cluster and not stats_cols and cluster_expr is None:
@@ -475,58 +885,82 @@ def compact(
     cur, live = read_manifest(root)
     if len(live) <= 1:
         return 0
+    state = _table_state(root, cur)
     data = pathlib.Path(root, "data")
-    total = sum((data / f).stat().st_size for f in live)
-    target = target_files or max(1, math.ceil(total / target_bytes))
-    if target >= len(live):
-        return 0
-    # WRITER-UNIQUE staging dir and adopted names: two rewriters that
-    # derived the same base must never share an output location — a
-    # deterministic name would let the conflict LOSER overwrite the
-    # winner's already-committed immutable files via mode("overwrite")
-    # + os.replace before its own flip even gets to raise. The loser's
-    # uniquely-named orphans are unreferenced and vacuumed. (Appends
-    # keep deterministic per-batch_id names on purpose: retry
-    # idempotency of the SAME epoch; distinct writers use distinct
-    # batch-id namespaces.)
+    # one rewrite group per partition tuple (a single group for
+    # unpartitioned tables); file counts and byte targets are computed
+    # per group so a small partition never inflates a big one's files
+    groups: dict[tuple, list[str]] = {}
+    for f in live:
+        sig = tuple(sorted(state["parts"].get(f, {}).items()))
+        groups.setdefault(sig, []).append(f)
+    total_before = len(live)
+    adopted_all: list[str] = []
+    removed: list[str] = []
+    parts_adds: dict = {}
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]
-    staging = pathlib.Path(root, f".compact-{seq}.{nonce}")
-    doc = _manifest_doc(root, cur)
-    if doc.get("columns") is not None:
-        # schema-tracked table: the rewrite must resolve each file
-        # through its pinned field-id mapping (post-widen/rename the
-        # caller's flat schema cannot read the older files), and the
-        # replacement files — written under the CURRENT logical schema
-        # — get the identity colmap at commit, which also COALESCES
-        # historical schema groups into one: compaction doubles as
-        # physical schema migration, exactly Iceberg's rewrite action
-        scan = _scan_files_evolved(spark, root, doc, live)
-    else:
-        scan = spark.read.schema(schema).parquet(
-            *[str(data / f) for f in live]
+    for gi, (sig, gfiles) in enumerate(sorted(groups.items())):
+        total = sum(
+            os.stat(_data_path(root, state, f)).st_size for f in gfiles
         )
-    if cluster:
-        from pyspark.sql import functions as F
+        target = target_files or max(1, math.ceil(total / target_bytes))
+        if target >= len(gfiles):
+            # nothing to do for this group: keep its files as-is
+            continue
+        # WRITER-UNIQUE staging dir and adopted names: two rewriters
+        # that derived the same base must never share an output
+        # location — a deterministic name would let the conflict LOSER
+        # overwrite the winner's already-committed immutable files via
+        # mode("overwrite") + os.replace before its own commit even
+        # gets to raise. The loser's uniquely-named orphans are
+        # unreferenced and vacuumed. (Appends keep deterministic
+        # per-batch_id names on purpose: retry idempotency of the SAME
+        # epoch; distinct writers use distinct batch-id namespaces.)
+        staging = pathlib.Path(root, f".compact-{seq}.{nonce}.{gi}")
+        scan = _scan_files_state(
+            spark, root, state, gfiles, schema, apply_deletes=True
+        )
+        if cluster:
+            from pyspark.sql import functions as F
 
-        key = cluster_expr if cluster_expr is not None \
-            else F.col(stats_cols[0])
-        rewritten = scan.repartitionByRange(
-            target, key
-        ).sortWithinPartitions(key)
-    else:
-        rewritten = scan.coalesce(target)
-    rewritten.write.mode("overwrite").parquet(str(staging))
-    adopted = _adopt(staging, data, f"c{seq:08d}-{nonce}")
-    stats = _record_stats(data, adopted, stats_cols)
+            key = cluster_expr if cluster_expr is not None \
+                else F.col(stats_cols[0])
+            rewritten = scan.repartitionByRange(
+                target, key
+            ).sortWithinPartitions(key)
+        else:
+            rewritten = scan.coalesce(target)
+        rewritten.write.mode("overwrite").parquet(str(staging))
+        adopted = _adopt(staging, data, f"c{seq:08d}-{nonce}-{gi}")
+        adopted_all.extend(adopted)
+        removed.extend(gfiles)
+        if sig:
+            # the replacement files physically CONTAIN the partition
+            # columns (the group scan re-attached them); the recorded
+            # tuple keeps partition pruning alive post-compaction
+            for f in adopted:
+                parts_adds[f] = dict(sig)
+    if not adopted_all:
+        return 0
+    stats = _record_stats(data, adopted_all, stats_cols)
     # base=cur: a concurrent commit (even a blind append) invalidates
     # this rewrite — its output omits the newly appended files — so the
     # conflict must surface; the caller re-reads and re-compacts.
-    _flip(
-        root, adopted, f"compact {len(live)} -> {len(adopted)} files", stats,
-        base=cur,
+    # Position-delete files whose every entry referenced a rewritten
+    # file are CONSUMED (the rewrite applied them); entries referencing
+    # a skipped group's files must survive.
+    _commit_delta(
+        root, cur,
+        f"compact {total_before} -> "
+        f"{total_before - len(removed) + len(adopted_all)} files",
+        adds=adopted_all,
+        removes=removed,
+        stats_adds=stats or None,
+        parts_adds=parts_adds or None,
+        delete_removes=_consumed_deletes(spark, root, state, removed),
     )
-    return len(live) - len(adopted)
+    return len(removed) - len(adopted_all)
 
 
 def merge_upsert(
@@ -567,28 +1001,15 @@ def merge_upsert(
     if lo is None:  # empty updates: nothing to do
         return cur, 0, len(live)
     if stats_col == key:
-        touched, _ = pruned_files(root, cur, key, lo, hi)
+        touched, _ = pruned_files(root, cur, key, lo, hi, spark=spark)
     else:
         touched = list(live)  # no usable stats: rewrite everything
-    untouched = [f for f in live if f not in set(touched)]
+    state = _table_state(root, cur)
     data = pathlib.Path(root, "data")
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
     staging = pathlib.Path(root, f".merge-{seq}.{nonce}")
-    doc = _manifest_doc(root, cur)
-    if doc.get("columns") is not None:
-        # schema-tracked: resolve touched files via their pinned
-        # mappings; ``updates`` must arrive under the CURRENT logical
-        # schema (unionByName below is loud on a mismatch)
-        base = _scan_files_evolved(spark, root, doc, touched)
-    else:
-        base = (
-            spark.read.schema(schema).parquet(
-                *[str(data / f) for f in touched]
-            )
-            if touched
-            else spark.createDataFrame([], schema)
-        )
+    base = _scan_files_state(spark, root, state, touched, schema)
     (
         base.join(updates.select(key), key, "left_anti")
         .unionByName(updates)
@@ -597,12 +1018,14 @@ def merge_upsert(
         .parquet(str(staging))
     )
     adopted = _adopt(staging, data, f"u{seq:08d}-{nonce}")
-    stats = dict(manifest_stats(root, cur))
-    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
-    name = _flip(
-        root, untouched + adopted,
+    stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    name = _commit_delta(
+        root, cur,
         f"merge upsert: rewrote {len(touched)} of {len(live)} files",
-        stats, base=cur,
+        adds=adopted,
+        removes=touched,
+        stats_adds=stats or None,
+        delete_removes=_consumed_deletes(spark, root, state, touched),
     )
     return name, len(touched), len(live)
 
@@ -621,7 +1044,8 @@ def delete_where(
     the write-path mirror of :func:`read_table`'s data skipping, and
     the third mutation verb next to append and merge (Delta/Iceberg
     ``DELETE FROM ... WHERE``). Returns (new manifest name, files
-    rewritten, live files before).
+    rewritten, live files before). For the merge-on-read form that
+    rewrites NO data files, see :func:`delete_where_merge_on_read`.
 
     With ``stats_col == col`` manifest min/max stats prune the rewrite
     set to files whose range can contain a victim row — a bounded
@@ -636,23 +1060,17 @@ def delete_where(
     if not live:
         return cur, 0, 0
     if stats_col == col:
-        touched, _ = pruned_files(root, cur, col, lo, hi)
+        touched, _ = pruned_files(root, cur, col, lo, hi, spark=spark)
     else:
         touched = list(live)  # no usable stats: rewrite everything
     if not touched:  # no file can contain a victim: no-op commit-wise
         return cur, 0, len(live)
-    untouched = [f for f in live if f not in set(touched)]
+    state = _table_state(root, cur)
     data = pathlib.Path(root, "data")
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
     staging = pathlib.Path(root, f".delete-{seq}.{nonce}")
-    doc = _manifest_doc(root, cur)
-    if doc.get("columns") is not None:
-        base = _scan_files_evolved(spark, root, doc, touched)
-    else:
-        base = spark.read.schema(schema).parquet(
-            *[str(data / f) for f in touched]
-        )
+    base = _scan_files_state(spark, root, state, touched, schema)
     survivors = base.filter(
         ~F.coalesce(F.col(col).between(lo, hi), F.lit(False))
     )
@@ -660,15 +1078,128 @@ def delete_where(
         str(staging)
     )
     adopted = _adopt(staging, data, f"d{seq:08d}-{nonce}")
-    stats = dict(manifest_stats(root, cur))
-    stats.update(_record_stats(data, adopted, _norm_stats_cols(stats_col)))
-    name = _flip(
-        root, untouched + adopted,
+    stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    name = _commit_delta(
+        root, cur,
         f"delete {col} in [{lo}, {hi}]: rewrote {len(touched)} of "
         f"{len(live)} files",
-        stats, base=cur,
+        adds=adopted,
+        removes=touched,
+        stats_adds=stats or None,
+        delete_removes=_consumed_deletes(spark, root, state, touched),
     )
     return name, len(touched), len(live)
+
+
+def _consumed_deletes(
+    spark: SparkSession, root: str, state: dict, rewritten: list[str]
+) -> list[str]:
+    """Position-delete files FULLY consumed by rewriting ``rewritten``
+    data files: a delete file whose every entry references a rewritten
+    file carries no live information afterwards and leaves the
+    manifest. Delete files that also reference surviving data files
+    stay (their surviving entries still apply; entries for removed
+    files are dead weight a later compact clears)."""
+    if not state["deletes"]:
+        return []
+    rewritten_set = set(rewritten)
+    consumed = []
+    for d in state["deletes"]:
+        refs = _delete_file_refs(root, state, d)
+        if refs and refs <= rewritten_set:
+            consumed.append(d)
+    return consumed
+
+
+def _delete_file_refs(root: str, state: dict, delete_file: str) -> set[str]:
+    """The distinct data-file names a position-delete file references
+    (footer+column read of a metadata-sized file)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _data_path(root, state, delete_file), columns=["file"]
+    )
+    return set(t.column("file").to_pylist())
+
+
+def delete_where_merge_on_read(
+    spark: SparkSession,
+    root: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    *,
+    stats_col: str | None = None,
+) -> tuple[str, int]:
+    """MERGE-ON-READ DELETE (Iceberg v2 position deletes / Delta
+    deletion vectors): instead of rewriting every file that contains a
+    victim row (:func:`delete_where`'s copy-on-write), commit a small
+    POSITION-DELETE FILE of (data file, row position) pairs; reads
+    subtract it with an anti-join, and :func:`compact` materializes it
+    later. Returns (new manifest name, victim row count). A 1-row
+    delete in a 1 GB file costs a few metadata bytes now and folds
+    into the next compaction — the at-scale answer to frequent small
+    deletes that copy-on-write cannot afford.
+
+    With ``stats_col == col`` the victim SCAN is stats-pruned to the
+    files whose range can contain a victim; the commit itself rewrites
+    ZERO data files regardless. Rows with a NULL ``col`` never match
+    BETWEEN and are never deleted. Supported on tables whose live
+    files all carry the queried column physically (schema-tracked
+    tables with renamed/widened history included — the scan resolves
+    each file through its pinned mapping)."""
+    from pyspark.sql import functions as F
+
+    cur, live = read_manifest(root)
+    if not live:
+        raise ValueError(f"{root} has no committed version")
+    if stats_col == col:
+        touched, _ = pruned_files(root, cur, col, lo, hi, spark=spark)
+    else:
+        touched = list(live)
+    state = _table_state(root, cur)
+    if not touched:
+        return cur, 0
+    # victim positions: scan ONLY the touched files, with file identity
+    # and row position from the parquet reader's metadata columns; the
+    # position-delete entries key by BASENAME so a shallow clone (whose
+    # external paths differ) still resolves them
+    scan = _scan_files_state(
+        spark, root, state, touched, schema,
+        with_meta=True, apply_deletes=True,
+    )
+    victims = (
+        scan.filter(F.coalesce(F.col(col).between(lo, hi), F.lit(False)))
+        .select(
+            F.col("__mor_file").alias("file"),
+            F.col("__mor_pos").alias("pos"),
+        )
+    )
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]
+    staging = pathlib.Path(root, f".mordelete-{seq}.{nonce}")
+    victims.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    data = pathlib.Path(root, "data")
+    adopted = _adopt(staging, data, f"pd{seq:08d}-{nonce}")
+    n = _count_rows(data / adopted[0])
+    if n == 0:
+        # no victim row: drop the empty delete file, no commit
+        (data / adopted[0]).unlink()
+        return cur, 0
+    name = _commit_delta(
+        root, cur,
+        f"merge-on-read delete {col} in [{lo}, {hi}]: {n} positions, "
+        f"0 data files rewritten",
+        delete_adds=adopted,
+    )
+    return name, n
+
+
+def _count_rows(path: pathlib.Path) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(str(path)).metadata.num_rows
 
 
 def changes(
@@ -683,10 +1214,11 @@ def changes(
 ) -> DataFrame:
     """Change data feed: the row-level diff between two committed
     versions (Delta CDF / Iceberg incremental read), computed WITHOUT
-    replaying a log — manifest diff names the files each commit added
-    or removed, and a key-level reconciliation over JUST those files
-    separates real changes from copy-on-write ballast (rows a rewrite
-    carried verbatim because they shared a file with a change).
+    replaying a log — the state diff names the data files each commit
+    added or removed (and the position-delete files it added), and a
+    key-level reconciliation over JUST those files separates real
+    changes from copy-on-write ballast (rows a rewrite carried
+    verbatim because they shared a file with a change).
 
     Returns the table columns plus ``_change``: ``insert`` and
     ``update_post`` rows carry the post-image, ``delete`` rows the
@@ -696,6 +1228,12 @@ def changes(
     an incremental aggregate subtracts the pre-image and adds the
     post-image. ``key`` must be unique per version (the same contract
     as :func:`merge_upsert`). ``to_name=None`` reads CURRENT.
+
+    Merge-on-read deletes in the window surface as ``delete`` rows:
+    a data file untouched on disk whose rows were position-deleted
+    contributes those rows to the old side only, so the reconcile
+    emits them — the reader of the feed cannot tell (and must not
+    care) whether a delete was copy-on-write or merge-on-read.
 
     Scale contract: both join sides are bounded by the files the
     window's commits touched — an incremental consumer pays for the
@@ -723,12 +1261,37 @@ def changes(
         to_name, _ = read_manifest(root)
         if to_name is None:
             raise ValueError("table has no committed version")
-    from_files = set(manifest_files(root, from_name))
-    to_files = set(manifest_files(root, to_name))
+    st_from = _table_state(root, from_name)
+    st_to = _table_state(root, to_name)
+    from_files = set(st_from["files"])
+    to_files = set(st_to["files"])
     removed = sorted(from_files - to_files)
     added = sorted(to_files - from_files)
-    data = pathlib.Path(root, "data")
-    missing = [f for f in (*removed, *added) if not (data / f).exists()]
+    # position-delete churn: data files live at BOTH versions whose
+    # visible rows may differ because a delete file was added (or,
+    # conservatively, removed) in the window
+    dels_from = set(st_from["deletes"])
+    dels_to = set(st_to["deletes"])
+    affected: set[str] = set()
+    for d in (dels_to - dels_from) | (dels_from - dels_to):
+        st_ref = st_to if d in dels_to else st_from
+        affected.update(_delete_file_refs(root, st_ref, d))
+    affected &= from_files & to_files  # only both-live files reconcile
+    old_files = sorted(set(removed) | affected)
+    new_files = sorted(set(added) | affected)
+    missing = [
+        f
+        for f in {*old_files, *new_files}
+        if not pathlib.Path(
+            _data_path(root, st_to if f in to_files else st_from, f)
+        ).exists()
+    ] + [
+        d
+        for d in dels_from | dels_to
+        if not pathlib.Path(
+            _data_path(root, st_to if d in dels_to else st_from, d)
+        ).exists()
+    ]
     if missing:
         raise RuntimeError(
             f"change feed {from_name}..{to_name} needs vacuumed files "
@@ -739,18 +1302,18 @@ def changes(
     empty = spark.createDataFrame(
         [], out_schema.add("_change", "string", False)
     )
-    if not removed and not added:
+    if not old_files and not new_files:
         return empty
 
-    def _side(files: list[str], tag: str) -> DataFrame:
+    def _side(files: list[str], state: dict, tag: str) -> DataFrame:
         if not files:
             return empty.select(
                 F.col(key).alias(f"__k_{tag}"),
                 F.struct(*cols).alias(f"__row_{tag}"),
                 F.lit("").alias(f"__h_{tag}"),
             )
-        df = spark.read.schema(out_schema).parquet(
-            *[str(data / f) for f in files]
+        df = _scan_files_state(
+            spark, root, state, files, out_schema, apply_deletes=True
         )
         # null-safe payload fingerprint: to_json is deterministic for
         # identical values and both sides hash through the same code
@@ -760,8 +1323,8 @@ def changes(
             F.md5(F.to_json(F.struct(*cols))).alias(f"__h_{tag}"),
         )
 
-    old = _side(removed, "old")
-    new = _side(added, "new")
+    old = _side(old_files, st_from, "old")
+    new = _side(new_files, st_to, "new")
     # `<=>` (EqualNullSafe) is still an equi-join key for the planner
     # (sort-merge/shuffled-hash, never BNLJ) and lets a NULL-key row
     # reconcile with itself across a copy-on-write rewrite
@@ -796,52 +1359,145 @@ def changes(
     )
 
 
-def vacuum(root: str, *, keep_last: int = 1) -> int:
+def vacuum(root: str, *, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
     """Delete data files referenced by none of the ``keep_last`` most
     recent manifests (default 1: only CURRENT survives). Returns the
-    number of files removed.
+    number of files removed. Position-delete files referenced by a
+    protected manifest are kept like data files. Shallow-clone
+    EXTERNAL references live in the source table's directory and are
+    never this table's to delete (and conversely, vacuum here never
+    consults other tables' clones — see :func:`clone_table` for the
+    retention contract).
 
     ``keep_last`` IS the retention horizon: every snapshot read or
     change-feed window over the protected versions stays serviceable
     after the vacuum, anything older fails loudly (:func:`changes`
     checks). Production formats express the same knob in time
     (``VACUUM ... RETAIN n HOURS``); version count is the
-    deterministic equivalent for a fixture-driven engine."""
+    deterministic equivalent for a fixture-driven engine.
+
+    Multi-writer contract: a CONCURRENT writer between its adopt and
+    its commit has files on disk that no manifest references yet —
+    vacuum would delete them and the writer's later commit would
+    publish a manifest pointing at missing files (a corrupt table, not
+    a :class:`CommitConflict`). ``grace_seconds`` is the protection:
+    files younger than it (by mtime) are never deleted, so set it
+    longer than any in-flight commit's adopt→flip window (Delta's
+    time-based retention serves the same purpose). The default 0 keeps
+    vacuum exact for single-writer use; with concurrent writers a
+    zero-grace vacuum requires external exclusion."""
     protected = [n for n, _ in list_manifests(root)][-max(keep_last, 1):]
     keep: set[str] = set()
     for name in protected:
-        keep.update(manifest_files(root, name))
+        st = _table_state(root, name)
+        keep.update(st["files"])
+        keep.update(st["deletes"])
     data = pathlib.Path(root, "data")
     removed = 0
+    horizon = time.time() - grace_seconds
     if data.is_dir():
         for p in list(data.iterdir()):
-            if p.name not in keep and not p.name.startswith("."):
-                p.unlink()
-                removed += 1
+            if p.name in keep or p.name.startswith("."):
+                continue
+            if grace_seconds > 0 and p.stat().st_mtime > horizon:
+                continue  # possibly an in-flight writer's adopted file
+            p.unlink()
+            removed += 1
     return removed
 
 
+def _range_keep(rng, lo, hi) -> bool:
+    # column-keyed lookup upstream guarantees rng is the queried
+    # column's range; a file without stats is conservatively kept
+    return rng is None or not (rng[1] < lo or rng[0] > hi)
+
+
 def pruned_files(
-    root: str, name: str, col: str, lo, hi
+    root: str, name: str, col: str, lo, hi, *, spark=None
 ) -> tuple[list[str], int]:
-    """Data skipping: the subset of manifest ``name``'s files whose
+    """Data skipping: the subset of version ``name``'s files whose
     [min, max] stats for ``col`` overlap [lo, hi] (files without stats
     are conservatively kept), plus the total live count. Pruning is an
     OPTIMIZATION only — callers still apply the row predicate, so a
     stats bug can cost speed, never correctness... except a too-narrow
-    stat, which parquet footers cannot produce (they are exact)."""
-    files = manifest_files(root, name)
-    stats = manifest_stats(root, name)
+    stat, which parquet footers cannot produce (they are exact).
 
-    def _keep(f: str) -> bool:
-        rng = stats.get(f, {}).get(col)
-        # column-keyed lookup: a file with stats for OTHER columns only
-        # is conservatively kept — column A's range must never prune on
-        # column B (this is why stats carry their column name)
-        return rng is None or not (rng[1] < lo or rng[0] > hi)
+    With ``spark`` given and a parquet checkpoint present, the filter
+    runs through :func:`pruned_files_spark` — a columnar DataFrame
+    filter over the checkpoint relation plus an O(delta) tail replay —
+    instead of this driver-side Python loop, which at 10⁵-10⁶ files
+    would make every range read a driver bottleneck."""
+    if spark is not None:
+        got = pruned_files_spark(spark, root, name, col, lo, hi)
+        if got is not None:
+            return got
+    state = _table_state(root, name)
+    stats = state["stats"]
+    kept = [
+        f
+        for f in state["files"]
+        if _range_keep(stats.get(f, {}).get(col), lo, hi)
+    ]
+    return kept, len(state["files"])
 
-    kept = [f for f in files if _keep(f)]
-    return kept, len(files)
+
+def pruned_files_spark(
+    spark: SparkSession, root: str, name: str, col: str, lo, hi
+) -> tuple[list[str], int] | None:
+    """Checkpoint-relation data skipping (VERDICT r12 task 1): evaluate
+    the [min, max] overlap test as a SPARK FILTER over the typed
+    ``smin_{col}`` / ``smax_{col}`` columns of the nearest checkpoint
+    ≤ ``name``, then replay the manifest tail (O(delta) docs) on the
+    driver — adds are tested from their own ``stats_adds``, removes
+    drop out. Returns None when no checkpoint covers the version (the
+    caller falls back to the Python loop, which is O(small) exactly
+    then) or when a tail commit REKEYED/DROPPED stats columns (a
+    rename/drop between checkpoint and head re-keys what the
+    checkpoint's typed columns mean — rare, metadata-only, and the
+    next checkpoint heals it; correctness over cleverness).
+
+    The collected result is the KEPT file list — the same driver
+    memory any scan planner needs to enumerate its input split."""
+    from pyspark.sql import functions as F
+
+    seq = _seq_of(name)
+    ck = latest_checkpoint_seq(root, seq)
+    if ck is None:
+        return None
+    tail_docs = [
+        _manifest_doc(root, _manifest_name(s))
+        for s in range(ck + 1, seq + 1)
+    ]
+    if any(
+        d.get("stats_rekey") or d.get("stats_drop") or "files" in d
+        for d in tail_docs
+    ):
+        return None  # stats keys moved after the checkpoint: fall back
+    ckdf = spark.read.parquet(str(_checkpoint_path(root, ck))).filter(
+        F.col("kind") == "data"
+    )
+    smin, smax = f"smin_{col}", f"smax_{col}"
+    if smin in ckdf.columns:
+        ckdf = ckdf.filter(
+            F.col(smin).isNull()
+            | ((F.col(smax) >= F.lit(lo)) & (F.col(smin) <= F.lit(hi)))
+        )
+    # else: the checkpoint has no typed range for this column — every
+    # checkpointed file is conservatively kept
+    kept = {r[0] for r in ckdf.select("file").collect()}
+    for d in tail_docs:
+        for f in d.get("removes", ()):
+            kept.discard(f)
+        for f in d.get("adds", ()):
+            rng = d.get("stats_adds", {}).get(f, {}).get(col)
+            if _range_keep(rng, lo, hi):
+                kept.add(f)
+            else:
+                kept.discard(f)
+    state = _table_state(root, name)
+    files_now = state["files"]
+    ordered = [f for f in files_now if f in kept]
+    return ordered, len(files_now)
 
 
 def zorder32(xcol, ycol, x_range: tuple, y_range: tuple):
@@ -898,18 +1554,21 @@ def zorder32(xcol, ycol, x_range: tuple, y_range: tuple):
 _WIDENINGS = {("int", "bigint"), ("float", "double")}
 
 
-def _evolve_commit(root: str, note: str, mutate, rekey_stats=None) -> str:
+def _evolve_commit(
+    root: str, note: str, mutate, *, stats_rekey=None, stats_drop=(),
+) -> str:
     """Shared optimistic-concurrency loop for the evolution verbs:
     metadata-only, conflict-checked, retried — the verb composes with
     concurrent appends the way an ALTER TABLE must (``mutate`` re-runs
     against the fresh schema on every retry, so a lost race never
-    applies the change to a stale column list). ``rekey_stats``
-    transforms the carried per-file stats map (rename uses it to move
-    entries to the new column name so data skipping survives the
-    rename — stats are name-keyed, and a stale key would silently
-    degrade every later range read to a full scan)."""
+    applies the change to a stale column list). ``stats_rekey`` /
+    ``stats_drop`` ride the delta doc as REPLAYABLE ops — rename moves
+    each file's [min, max] entry to the new column name so data
+    skipping survives the rename, drop purges the dead name so a later
+    rename onto it can't inherit dead ranges; the ops are O(1) bytes
+    in the manifest no matter how many files the table holds."""
     for _ in range(64):
-        cur, files = read_manifest(root)
+        cur, _files = read_manifest(root)
         if cur is None:
             raise ValueError(f"{root} has no committed version to evolve")
         doc = _manifest_doc(root, cur)
@@ -924,15 +1583,13 @@ def _evolve_commit(root: str, note: str, mutate, rekey_stats=None) -> str:
         )
         new_columns, new_next_id = mutate([dict(c) for c in columns],
                                           next_id)
-        stats = doc.get("stats")
-        if stats is not None and rekey_stats is not None:
-            stats = rekey_stats(stats)
         try:
-            return _flip(
-                root, files, note, stats,
-                base=cur,
-                extra={"columns": new_columns,
-                       "next_field_id": new_next_id},
+            return _commit_delta(
+                root, cur, note,
+                columns=new_columns,
+                next_field_id=new_next_id,
+                stats_rekey=stats_rekey,
+                stats_drop=stats_drop,
             )
         except CommitConflict:
             continue
@@ -963,7 +1620,13 @@ def rename_column(root: str, old: str, new: str) -> str:
     """Rename as a metadata-only commit: the field id is stable, so
     files written under the old name keep resolving through their
     pinned colmap — no NULL-out, no rewrite (the by-name resolution
-    failure mode renames exist to avoid)."""
+    failure mode renames exist to avoid). The delta doc carries a
+    ``stats_rekey`` op so each file's [min, max] follows the name at
+    replay — data skipping survives the rename, and any stale entry
+    already under the target name is DISCARDED first (it can only
+    belong to a dead column, and letting it win the key collision
+    would prune the renamed column's range reads with the dead
+    column's numbers — silent wrong results, not a crash)."""
 
     def mutate(columns, next_id):
         if any(c["name"] == new for c in columns):
@@ -974,23 +1637,9 @@ def rename_column(root: str, old: str, new: str) -> str:
                 return columns, next_id
         raise ValueError(f"no column {old!r} to rename")
 
-    def rekey(stats):
-        # carry each file's [min, max] to the new name: data skipping
-        # must survive a rename (the entries are name-keyed). Any
-        # stale entry already sitting under ``new`` is DISCARDED first
-        # — it can only belong to a dead column (``new`` is not in the
-        # live schema), and letting it win the key collision would
-        # prune the renamed column's range reads with the dead
-        # column's numbers (silent wrong results, not a crash)
-        out = {}
-        for f, ent in stats.items():
-            kept = {c: mm for c, mm in ent.items() if c != new}
-            if old in kept:
-                kept[new] = kept.pop(old)
-            out[f] = kept
-        return out
-
-    return _evolve_commit(root, f"rename {old} -> {new}", mutate, rekey)
+    return _evolve_commit(
+        root, f"rename {old} -> {new}", mutate, stats_rekey={old: new},
+    )
 
 
 def drop_column(root: str, name: str) -> str:
@@ -998,7 +1647,10 @@ def drop_column(root: str, name: str) -> str:
     schema (current reads never see it) but every file keeps its
     bytes, so a snapshot read of a pre-drop version still returns the
     column — the time-travel contract. Ids are never reused: a later
-    add_column of the same NAME is a NEW field, NULL for old files."""
+    add_column of the same NAME is a NEW field, NULL for old files.
+    The delta doc carries a ``stats_drop`` op purging the dead name's
+    stats at replay (a later rename onto this name must not inherit a
+    dead column's [min, max] — that collision silently mis-prunes)."""
 
     def mutate(columns, next_id):
         kept = [c for c in columns if c["name"] != name]
@@ -1008,17 +1660,9 @@ def drop_column(root: str, name: str) -> str:
             raise ValueError("cannot drop the last column")
         return kept, next_id
 
-    def rekey(stats):
-        # purge the dropped column's name-keyed stats: a later rename
-        # onto this name must not inherit a DEAD column's [min, max]
-        # (that collision silently mis-prunes range reads — it would
-        # assign the dropped column's range to the renamed one)
-        return {
-            f: {c: mm for c, mm in ent.items() if c != name}
-            for f, ent in stats.items()
-        }
-
-    return _evolve_commit(root, f"drop {name}", mutate, rekey)
+    return _evolve_commit(
+        root, f"drop {name}", mutate, stats_drop=[name],
+    )
 
 
 def add_column(root: str, name: str, dtype: str) -> str:
@@ -1079,78 +1723,150 @@ def read_evolved(
         name, _ = read_manifest(root)
         if name is None:
             raise ValueError(f"{root} has no committed version")
-    doc = _manifest_doc(root, name)
-    if doc.get("columns") is None:
+    state = _table_state(root, name)
+    if state["columns"] is None:
         raise ValueError(
             f"{root}@{name} does not track its schema; use read_table"
         )
-    files = doc["files"]
+    files = state["files"]
     if where_between is not None:
         col, lo, hi = where_between
-        files, _ = pruned_files(root, name, col, lo, hi)
-    out = _scan_files_evolved(spark, root, doc, files)
+        files, _ = pruned_files(root, name, col, lo, hi, spark=spark)
+    out = _scan_files_state(
+        spark, root, state, files, None, apply_deletes=True
+    )
     if where_between is not None:
         out = out.filter(F.col(col).between(lo, hi))
     return out
 
 
-def _scan_files_evolved(
-    spark: SparkSession, root: str, doc: dict, files: list[str]
+def _scan_files_state(
+    spark: SparkSession,
+    root: str,
+    state: dict,
+    files: list[str],
+    schema,
+    *,
+    with_meta: bool = False,
+    apply_deletes: bool = False,
 ) -> DataFrame:
-    """Field-id-resolved scan of a FILE SUBSET under a manifest doc's
-    logical schema — the shared core of :func:`read_evolved` and the
-    evolution-aware rewrite verbs (which scan only their touched
-    files)."""
+    """Scan a FILE SUBSET of one version — the shared core of every
+    read path and rewrite verb. Resolves, in order:
+
+    - schema evolution: files group by their pinned field-id mapping
+      and each group scans with its own physical schema, cast/aliased/
+      NULL-filled onto the logical schema (``state['columns']``; for
+      untracked tables ``schema`` is the caller's explicit schema);
+    - external references (shallow clones) via :func:`_data_path`;
+    - merge-on-read position deletes (``apply_deletes=True``): an
+      anti-join on (file basename, row position) against the version's
+      delete files, then the bookkeeping columns drop out;
+    - ``with_meta=True`` keeps ``__mor_file``/``__mor_pos`` in the
+      output (the victim-scan path of
+      :func:`delete_where_merge_on_read`).
+    """
     from pyspark.sql import functions as F
 
-    columns = doc["columns"]
-    ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
-    if not files:
-        return spark.createDataFrame([], ddl)
-    colmap = doc.get("colmap", {})
-    missing = [f for f in files if f not in colmap]
-    if missing:
-        raise ValueError(f"files predate schema tracking: {missing}")
-    groups: dict[tuple, list[str]] = {}
-    for f in files:
-        sig = tuple(sorted((i, tuple(m)) for i, m in colmap[f].items()))
-        groups.setdefault(sig, []).append(f)
-    data = pathlib.Path(root, "data")
-    parts = []
-    for sig, fs in sorted(groups.items()):
-        mapping = dict(sig)  # str(id) -> (physical name, physical type)
-        phys = [
-            mapping[str(c["id"])]
-            for c in columns
-            if str(c["id"]) in mapping
-        ]
-        sel = [
-            (
-                F.col(f"`{mapping[str(c['id'])][0]}`")
-                .cast(c["type"])
-                .alias(c["name"])
+    columns = state["columns"]
+    need_meta = with_meta or (apply_deletes and bool(state["deletes"]))
+
+    def _attach_meta(df):
+        if not need_meta:
+            return df
+        return df.withColumns(
+            {
+                "__mor_file": F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+                "__mor_pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    if columns is not None:
+        ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
+        logical_cols = [c["name"] for c in columns]
+        if not files:
+            return spark.createDataFrame([], ddl)
+        colmap = state["colmap"] or {}
+        missing = [f for f in files if f not in colmap]
+        if missing:
+            raise ValueError(f"files predate schema tracking: {missing}")
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            sig = tuple(sorted((i, tuple(m)) for i, m in colmap[f].items()))
+            groups.setdefault(sig, []).append(f)
+        parts = []
+        for sig, fs in sorted(groups.items()):
+            mapping = dict(sig)  # str(id) -> (phys name, phys type)
+            phys = [
+                mapping[str(c["id"])]
+                for c in columns
                 if str(c["id"]) in mapping
-                else F.lit(None).cast(c["type"]).alias(c["name"])
+            ]
+            sel = [
+                (
+                    F.col(f"`{mapping[str(c['id'])][0]}`")
+                    .cast(c["type"])
+                    .alias(c["name"])
+                    if str(c["id"]) in mapping
+                    else F.lit(None).cast(c["type"]).alias(c["name"])
+                )
+                for c in columns
+            ]
+            paths = [_data_path(root, state, f) for f in sorted(fs)]
+            if phys:
+                scan = spark.read.schema(
+                    ", ".join(f"`{n}` {t}" for n, t in phys)
+                ).parquet(*paths)
+            else:
+                # a file sharing NO live field ids with the current
+                # schema (every column it carries was dropped) still
+                # contributes its ROWS, all-NULL-filled: read with the
+                # file's own schema and let Catalyst prune to a
+                # count-style scan — an empty explicit schema would be
+                # a ParseException
+                scan = spark.read.parquet(*paths)
+            scan = _attach_meta(scan)
+            keep = sel + (
+                [F.col("__mor_file"), F.col("__mor_pos")] if need_meta else []
             )
-            for c in columns
+            parts.append(scan.select(*keep))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    else:
+        if not files:
+            out = spark.createDataFrame([], schema)
+            logical_cols = [f.name for f in out.schema.fields]
+            return out
+        out = _attach_meta(
+            spark.read.schema(schema).parquet(
+                *[_data_path(root, state, f) for f in files]
+            )
+        )
+        logical_cols = [
+            f.name for f in out.schema.fields
+            if f.name not in ("__mor_file", "__mor_pos")
         ]
-        paths = [str(data / f) for f in sorted(fs)]
-        if phys:
-            scan = spark.read.schema(
-                ", ".join(f"`{n}` {t}" for n, t in phys)
-            ).parquet(*paths)
-        else:
-            # a file sharing NO live field ids with the current schema
-            # (every column it carries was dropped) still contributes
-            # its ROWS, all-NULL-filled: read with the file's own
-            # schema and let Catalyst prune to a count-style scan —
-            # an empty explicit schema would be a ParseException
-            scan = spark.read.parquet(*paths)
-        parts.append(scan.select(*sel))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    if apply_deletes and state["deletes"]:
+        dels = spark.read.parquet(
+            *[_data_path(root, state, d) for d in state["deletes"]]
+        ).select(
+            F.col("file").alias("__mor_file"),
+            F.col("pos").alias("__mor_pos"),
+        )
+        out = out.join(dels, ["__mor_file", "__mor_pos"], "left_anti")
+    if need_meta and not with_meta:
+        out = out.select(*logical_cols)
     return out
+
+
+def _scan_files_evolved(
+    spark: SparkSession, root: str, doc_or_state: dict, files: list[str]
+) -> DataFrame:
+    """Back-compat shim for callers holding a state dict (the old
+    manifest-doc form is reconstructed state now)."""
+    return _scan_files_state(spark, root, doc_or_state, files, None)
 
 
 def read_table(
@@ -1163,10 +1879,10 @@ def read_table(
     """Read the CURRENT version — resolve the pointer once, then scan
     an immutable file list (never the mutable directory).
     ``where_between=(col, lo, hi)`` range-reads: manifest stats prune
-    non-overlapping FILES before the scan plans (the manifest-level
-    data skipping a mutable-directory layout cannot offer), and the
-    row predicate is applied on top, so results never depend on stats
-    coverage."""
+    non-overlapping FILES before the scan plans (through the parquet
+    checkpoint relation when one exists — :func:`pruned_files_spark`),
+    and the row predicate is applied on top, so results never depend
+    on stats coverage. Merge-on-read position deletes are applied."""
     name, live = read_manifest(root)
     if not live:
         return spark.createDataFrame([], schema)
@@ -1181,7 +1897,7 @@ def read_snapshot(
     *,
     where_between=None,
 ) -> DataFrame:
-    """Read a SPECIFIC manifest — what an in-flight reader that
+    """Read a SPECIFIC version — what an in-flight reader that
     resolved CURRENT before a concurrent compaction effectively does."""
     files = manifest_files(root, name)
     if not files:
@@ -1192,13 +1908,14 @@ def read_snapshot(
 def _scan(spark, root, name, files, schema, where_between) -> DataFrame:
     from pyspark.sql import functions as F
 
+    state = _table_state(root, name)
     if where_between is not None:
         col, lo, hi = where_between
-        files, _ = pruned_files(root, name, col, lo, hi)
+        files, _ = pruned_files(root, name, col, lo, hi, spark=spark)
         if not files:
             return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[f"{root}/data/{f}" for f in files]
+    df = _scan_files_state(
+        spark, root, state, files, schema, apply_deletes=True
     )
     if where_between is not None:
         df = df.filter(F.col(col).between(lo, hi))

@@ -188,6 +188,79 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
         resolve_as_of(root, ts[0] - 60.0)
 
 
+def test_timestamp_as_of_clamps_clock_skew_monotone(tmp_path):
+    """ADVICE r12: a committer whose wall clock lags the previous
+    writer's must not publish a smaller commit ts — TIMESTAMP AS OF
+    would then resolve to a version inconsistent with commit order.
+    _flip clamps ts to max(now, base_ts + epsilon) (Delta's in-commit
+    timestamp rule). Simulated by doctoring version 0's ts a minute
+    into the future: version 1's ts must still land strictly after."""
+    import time
+
+    root = str(tmp_path / "t")
+    _flip(root, ["a.parquet"], "seed", base=None)
+    m0 = pathlib.Path(root, "manifests", "m-00000000.json")
+    doc = json.loads(m0.read_text())
+    doc["ts"] = time.time() + 60.0  # a fast-clock predecessor
+    m0.write_text(json.dumps(doc))
+    base, _ = read_manifest(root)
+    _flip(root, ["a.parquet", "b.parquet"], "append", base=base)
+    ts = [
+        json.loads(
+            pathlib.Path(root, "manifests", n).read_text()
+        )["ts"]
+        for n, _ in list_manifests(root)
+    ]
+    assert ts[1] > ts[0], "commit ts regressed against sequence order"
+    # and AS OF at the (future) doctored instant resolves to version 0,
+    # never skipping forward past an unreached commit
+    assert resolve_as_of(root, ts[0]) == "m-00000000.json"
+    assert resolve_as_of(root, ts[1]) == "m-00000001.json"
+
+
+def test_vacuum_grace_period_spares_inflight_files(spark, tmp_path):
+    """ADVICE r12: vacuum races the commit protocol — a concurrent
+    writer between adopt and flip has files on disk no manifest
+    references yet; a zero-grace vacuum deletes them and the writer's
+    later commit publishes a manifest pointing at missing files.
+    grace_seconds is the protection: unreferenced files YOUNGER than
+    the grace survive, old superseded files still go."""
+    import os
+    import time
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a")], SCHEMA).coalesce(1)
+    df1 = spark.createDataFrame([(2, "b")], SCHEMA).coalesce(1)
+    append_batch(df0, root, 0)
+    append_batch(df1, root, 1)
+    data = pathlib.Path(root, "data")
+    # supersede version 1's files entirely (a compaction-shaped flip)
+    base, live = read_manifest(root)
+    (data / "rewritten.parquet").write_bytes(b"x")
+    _flip(root, ["rewritten.parquet"], "compact", base=base)
+    # age the superseded files past the grace horizon; an in-flight
+    # writer's just-adopted (unreferenced) file stays young
+    old = time.time() - 3600
+    for f in live:
+        os.utime(data / f, (old, old))
+    inflight = data / "b00000099-00000.parquet"
+    inflight.write_bytes(b"not yet committed")
+
+    removed = vacuum(root, grace_seconds=600)
+    assert removed == len(live), "aged superseded files must be vacuumed"
+    assert inflight.exists(), (
+        "vacuum deleted an in-flight writer's adopted-but-uncommitted "
+        "file inside the grace period"
+    )
+    # zero grace (the documented single-writer mode) removes it
+    assert vacuum(root, grace_seconds=0) == 1
+    assert not inflight.exists()
+
+
 def test_changes_null_key_rewrite_is_ballast_not_phantom(spark, tmp_path):
     """ADVICE r11: a NULL-key row carried verbatim through a
     copy-on-write rewrite must reconcile with itself (null-safe join)

@@ -1,0 +1,331 @@
+"""Versioned-table metadata at scale (VERDICT r12 tasks 1-2).
+
+Round 12's layout re-serialized the FULL file list + stats + colmap
+into every commit's JSON — O(files) bytes per commit, O(files²) over a
+table's lifetime, and pruning walked it in a driver-side Python loop.
+These tests pin the round-13 replacement: each manifest is an
+O(delta) document, parquet CHECKPOINTS bound the replay window, data
+skipping runs as a Spark filter over the checkpoint relation, and
+merge-on-read position deletes commit without rewriting data files.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+    CHECKPOINT_EVERY,
+    _commit_delta,
+    _checkpoint_path,
+    _table_state,
+    append_batch,
+    changes,
+    compact,
+    delete_where_merge_on_read,
+    list_manifests,
+    manifest_files,
+    manifest_stats,
+    pruned_files,
+    pruned_files_spark,
+    read_manifest,
+    read_snapshot,
+    read_table,
+    rename_column,
+    table_state,
+    vacuum,
+    write_checkpoint,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _manifest_bytes(root: str, name: str) -> int:
+    return pathlib.Path(root, "manifests", name).stat().st_size
+
+
+def test_manifest_is_o_delta_not_o_files(tmp_path):
+    """The scale property itself: after N commits of K files each, the
+    LAST manifest must not mention (or pay for) the first commit's
+    files — its byte size is bounded by its own churn, so lifetime
+    metadata is O(total churn), not O(files²)."""
+    root = str(tmp_path / "t")
+    base = None
+    for i in range(40):
+        adds = [f"b{i:04d}-{j}.parquet" for j in range(5)]
+        base = _commit_delta(
+            root, base, f"append {i}",
+            adds=adds,
+            stats_adds={f: {"doc_id": [10 * i, 10 * i + 9]} for f in adds},
+        )
+    name, files = read_manifest(root)
+    assert len(files) == 200
+    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+    assert "files" not in doc, "delta manifests never carry the full list"
+    assert "b0000-0.parquet" not in json.dumps(doc)
+    sizes = [
+        _manifest_bytes(root, n) for n, _ in list_manifests(root)
+    ]
+    # every commit has the same churn, so manifest sizes must be flat —
+    # the v1 layout grew linearly (last ≈ 40× first)
+    assert max(sizes) < 2 * min(sizes), (
+        f"per-commit metadata grew with table size: {sizes[:3]}..{sizes[-3:]}"
+    )
+    # stats accumulate through replay
+    stats = manifest_stats(root, name)
+    assert stats["b0000-0.parquet"]["doc_id"] == [0, 9]
+    assert stats["b0039-4.parquet"]["doc_id"] == [390, 399]
+
+
+def test_checkpoint_is_a_restart_point(tmp_path):
+    """State reconstructed THROUGH a checkpoint must equal the state
+    replayed from scratch, and a reader holding a checkpoint must not
+    need any manifest older than it (deleting them is how we prove
+    the replay window is bounded)."""
+    root = str(tmp_path / "t")
+    base = None
+    for i in range(11):
+        base = _commit_delta(
+            root, base, f"append {i}",
+            adds=[f"b{i:04d}.parquet"],
+            stats_adds={f"b{i:04d}.parquet": {"doc_id": [i, i]}},
+            removes=[f"b{i-2:04d}.parquet"] if i >= 2 else (),
+        )
+    name, files = read_manifest(root)
+    from_scratch = table_state(root, name)
+
+    ck = write_checkpoint(root, name)
+    assert pathlib.Path(ck).exists()
+    # drop the cache and every manifest BEFORE the checkpoint: replay
+    # must restart at the checkpoint, not walk the full history
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    m._STATE_CACHE.clear()
+    for n, _ in list_manifests(root)[:-1]:
+        pathlib.Path(root, "manifests", n).unlink()
+    via_ckpt = table_state(root, name)
+    assert via_ckpt == from_scratch
+    assert via_ckpt["files"] == ["b0009.parquet", "b0010.parquet"]
+    assert via_ckpt["stats"]["b0010.parquet"]["doc_id"] == [10, 10]
+
+
+def test_auto_checkpoint_cadence(spark, tmp_path):
+    """Commits write a checkpoint every CHECKPOINT_EVERY sequences
+    (best-effort, atomic), so a real table's replay window stays
+    bounded without anyone calling write_checkpoint."""
+    root = str(tmp_path / "t")
+    for i in range(CHECKPOINT_EVERY + 2):
+        df = spark.createDataFrame([(i, f"r{i}")], SCHEMA).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id")
+    assert _checkpoint_path(root, CHECKPOINT_EVERY).exists()
+    rows = {(r.doc_id, r.text) for r in read_table(spark, root, SCHEMA).collect()}
+    assert rows == {(i, f"r{i}") for i in range(CHECKPOINT_EVERY + 2)}
+
+
+def test_pruned_files_spark_matches_python(spark, tmp_path):
+    """Data skipping through the checkpoint relation (a columnar Spark
+    filter + O(delta) tail replay) must select exactly the files the
+    driver-side Python loop selects — including files appended AFTER
+    the checkpoint, which only the tail replay can know about."""
+    root = str(tmp_path / "t")
+    n = CHECKPOINT_EVERY + 3  # checkpoint exists + a live tail
+    for i in range(n):
+        df = spark.createDataFrame(
+            [(10 * i + j, f"r{i}") for j in range(3)], SCHEMA
+        ).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id")
+    name, live = read_manifest(root)
+    assert len(live) == n
+
+    py_kept, py_total = pruned_files(root, name, "doc_id", 25, 47)
+    sp = pruned_files_spark(spark, root, name, "doc_id", 25, 47)
+    assert sp is not None, "a checkpoint exists: the Spark path must run"
+    assert sp == (py_kept, py_total)
+    assert 0 < len(py_kept) < py_total, "the range must actually prune"
+    # a range covering only the POST-checkpoint tail
+    tail_lo = 10 * (CHECKPOINT_EVERY + 1)
+    sp2 = pruned_files_spark(
+        spark, root, name, "doc_id", tail_lo, tail_lo + 2
+    )
+    assert sp2 == pruned_files(root, name, "doc_id", tail_lo, tail_lo + 2)
+    assert len(sp2[0]) == 1
+    # and the read path gives the same rows either way
+    got = {
+        r.doc_id
+        for r in read_table(
+            spark, root, SCHEMA, where_between=("doc_id", 25, 47)
+        ).collect()
+    }
+    assert got == {30, 31, 32, 40, 41, 42}
+
+
+def test_pruned_files_spark_declines_after_rekey(spark, tmp_path):
+    """A rename between the checkpoint and the head re-keys what the
+    checkpoint's typed stat columns mean: the Spark path must DECLINE
+    (fall back to the Python loop) rather than prune the renamed
+    column with stale keys."""
+    root = str(tmp_path / "t")
+    for i in range(CHECKPOINT_EVERY + 1):
+        df = spark.createDataFrame(
+            [(10 * i, f"r{i}")], SCHEMA
+        ).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id", track_schema=(i == 0))
+    rename_column(root, "doc_id", "id")
+    name, _ = read_manifest(root)
+    assert pruned_files_spark(spark, root, name, "id", 0, 15) is None
+    kept, total = pruned_files(root, name, "id", 0, 15, spark=spark)
+    assert len(kept) == 2 and total == CHECKPOINT_EVERY + 1
+    # the next checkpoint heals the fast path
+    write_checkpoint(root, name)
+    assert pruned_files_spark(spark, root, name, "id", 0, 15) == (
+        kept, total
+    )
+
+
+def test_v1_full_manifest_backward_compat(spark, tmp_path):
+    """Tables committed under the round-11/12 layout (full-snapshot
+    manifests) must stay readable: a v1 doc is a restart point, and
+    new delta commits stack on top of it."""
+    root = str(tmp_path / "t")
+    data = pathlib.Path(root, "data")
+    data.mkdir(parents=True)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = next(
+        p for p in (tmp_path / "stage").iterdir()
+        if p.name.startswith("part-") and p.suffix == ".parquet"
+    )
+    part.rename(data / "legacy-0.parquet")
+    mdir = pathlib.Path(root, "manifests")
+    mdir.mkdir()
+    (mdir / "m-00000000.json").write_text(json.dumps({
+        "files": ["legacy-0.parquet"],
+        "stats": {"legacy-0.parquet": {"doc_id": [1, 2]}},
+        "note": "v1 legacy commit",
+        "ts": 1.0,
+    }))
+    pathlib.Path(root, "CURRENT").write_text("m-00000000.json")
+
+    assert manifest_files(root, "m-00000000.json") == ["legacy-0.parquet"]
+    rows = {(r.doc_id, r.text) for r in read_table(spark, root, SCHEMA).collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+    df2 = spark.createDataFrame([(3, "c")], SCHEMA).coalesce(1)
+    append_batch(df2, root, 1, stats_col="doc_id")
+    name, files = read_manifest(root)
+    assert len(files) == 2
+    assert manifest_stats(root, name)["legacy-0.parquet"] == {
+        "doc_id": [1, 2]
+    }
+    kept, total = pruned_files(root, name, "doc_id", 3, 3)
+    assert total == 2 and kept == [f for f in files if f != "legacy-0.parquet"]
+
+
+# --- Merge-on-read position deletes (VERDICT r12 task 2) -------------
+
+
+def _build_small(spark, tmp_path, *, files=4):
+    root = str(tmp_path / "t")
+    for i in range(files):
+        df = spark.createDataFrame(
+            [(10 * i + j, f"r{10 * i + j}") for j in range(10)], SCHEMA
+        ).coalesce(1)
+        append_batch(df, root, i, stats_col="doc_id")
+    return root
+
+
+def test_mor_delete_rewrites_zero_data_files(spark, tmp_path):
+    """The merge-on-read contract: the delete commit adds ONE
+    position-delete file and touches no data file — the manifest's
+    adds/removes are empty — while reads subtract the positions."""
+    root = _build_small(spark, tmp_path)
+    _, live_before = read_manifest(root)
+
+    name, n = delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 13, 27, stats_col="doc_id"
+    )
+    assert n == 15
+    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+    assert "adds" not in doc and "removes" not in doc, (
+        "a merge-on-read delete must rewrite zero data files"
+    )
+    assert len(doc["delete_adds"]) == 1
+    _, live_after = read_manifest(root)
+    assert live_after == live_before, "data file set unchanged"
+
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {i for i in range(40) if not 13 <= i <= 27}
+    # stats-pruned victim scan: only the 2 overlapping files were read
+    st = table_state(root)
+    assert len(st["deletes"]) == 1
+
+
+def test_mor_delete_time_travel_and_stacking(spark, tmp_path):
+    """Snapshot isolation composes: the pre-delete version still sees
+    every row; a SECOND merge-on-read delete stacks (both delete files
+    apply); vacuum protects referenced delete files."""
+    root = _build_small(spark, tmp_path)
+    pre, _ = read_manifest(root)
+    delete_where_merge_on_read(spark, root, SCHEMA, "doc_id", 5, 8)
+    delete_where_merge_on_read(spark, root, SCHEMA, "doc_id", 30, 33)
+
+    assert {
+        r.doc_id for r in read_snapshot(spark, root, pre, SCHEMA).collect()
+    } == set(range(40))
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {
+        i for i in range(40) if not (5 <= i <= 8 or 30 <= i <= 33)
+    }
+    st = table_state(root)
+    assert len(st["deletes"]) == 2
+    # vacuum at the head keeps both delete files (they are referenced)
+    vacuum(root)
+    got2 = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got2 == got
+
+
+def test_compact_materializes_mor_deletes(spark, tmp_path):
+    """Compaction is the materialization point: the rewrite applies
+    pending position deletes, and the replacement version carries NO
+    delete files — reads afterwards need no anti-join."""
+    root = _build_small(spark, tmp_path)
+    delete_where_merge_on_read(spark, root, SCHEMA, "doc_id", 13, 27)
+    reduced = compact(spark, root, SCHEMA, target_files=1)
+    assert reduced > 0
+    st = table_state(root)
+    assert st["deletes"] == [], "compact must consume applied deletes"
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {i for i in range(40) if not 13 <= i <= 27}
+    # after vacuum the superseded files AND the consumed delete file go
+    removed = vacuum(root)
+    assert removed >= 5  # 4 data files + 1 delete file
+    got2 = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got2 == got
+
+
+def test_changes_sees_mor_deletes(spark, tmp_path):
+    """The change feed must emit position-deleted rows as `delete`
+    rows — a CDF consumer cannot tell (and must not care) whether a
+    delete was copy-on-write or merge-on-read."""
+    root = _build_small(spark, tmp_path, files=2)
+    from_name, _ = read_manifest(root)
+    delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 3, 5, stats_col="doc_id"
+    )
+    feed = changes(spark, root, SCHEMA, "doc_id", from_name).collect()
+    got = {(r.doc_id, r._change) for r in feed}
+    assert got == {(3, "delete"), (4, "delete"), (5, "delete")}
+
+
+def test_mor_delete_no_victims_is_a_noop(spark, tmp_path):
+    root = _build_small(spark, tmp_path, files=2)
+    before, _ = read_manifest(root)
+    name, n = delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 500, 600
+    )
+    assert n == 0 and name == before
+    assert table_state(root)["deletes"] == []

@@ -155,7 +155,7 @@ def test_rewrite_verbs_compose_with_evolution(spark, tmp_path):
         delete_where,
         merge_upsert,
         read_manifest,
-        _manifest_doc,
+        table_state,
     )
 
     root = _build(spark, tmp_path)  # v0: (doc_id, n int, lang), 2 rows
@@ -176,12 +176,12 @@ def test_rewrite_verbs_compose_with_evolution(spark, tmp_path):
 
     # two historical schema groups before the rewrite, one after
     cur, live = read_manifest(root)
-    doc = _manifest_doc(root, cur)
+    doc = table_state(root, cur)
     assert len(_groups(doc, live)) == 2
     reduced = compact(spark, root, schema=None, target_files=1)
     assert reduced > 0
     cur, live = read_manifest(root)
-    doc = _manifest_doc(root, cur)
+    doc = table_state(root, cur)
     groups_after = _groups(doc, live)
     assert len(groups_after) == 1, "compaction must migrate the old group"
     assert _rows(read_evolved(spark, root)) == [
