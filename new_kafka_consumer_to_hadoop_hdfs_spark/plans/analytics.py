@@ -468,6 +468,322 @@ def sink_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETE_VECTORS_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents, m
+WHERE NOT (doc_id * 8 >= h AND doc_id * 8 < 2 * h)
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_delete_vectors", _DELETE_VECTORS_ORACLE)
+def sink_versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE under the checksum gate (round 13, VERDICT
+    r12 task 2 — Iceberg v2 position deletes / Delta deletion vectors):
+    on the same clustered table as `sink_versioned_pruned_read`, batch
+    1's id band is deleted by committing a POSITION-DELETE FILE —
+    (data file, row position) pairs — instead of rewriting the files
+    that contain the victims. The build REFUSES to install unless the
+    delete commit's manifest rewrote ZERO data files (the whole point
+    of the technique: a delete whose cost is the victim count, not the
+    containing files' bytes), and the registered read — which subtracts
+    the positions with an anti-join — must checksum-match DuckDB's
+    restatement of the surviving rows over the raw table.
+
+    At 100 TB this is the retention/GDPR workhorse: frequent small
+    deletes commit in metadata time and fold into the next compaction
+    (`test_compact_materializes_mor_deletes` pins that half); the read
+    overhead is one broadcast-sized anti-join until then.
+    """
+    import json as _json
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        delete_where_merge_on_read,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        _build_range_table(spark, docs, root, h)
+        lo, hi = (h + 7) // 8, (2 * h + 7) // 8 - 1  # batch 1's band
+        name, n = delete_where_merge_on_read(
+            spark, root, _DOC_SCHEMA, "doc_id", lo, hi, stats_col="doc_id"
+        )
+        if n <= 0:
+            raise RuntimeError("merge-on-read delete found no victims")
+        doc = _json.loads(
+            pathlib.Path(root, "manifests", name).read_text()
+        )
+        if "adds" in doc or "removes" in doc or not doc.get("delete_adds"):
+            raise RuntimeError(
+                f"merge-on-read delete commit rewrote data files: {doc}"
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_dv1", build,
+    )
+    return _roundtrip_checksums(
+        read_table(spark, f"{dest}/table", _DOC_SCHEMA)
+    )
+
+
+_PARTITIONED_READ_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents
+WHERE lang = 'en'
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_partitioned_read", _PARTITIONED_READ_ORACLE)
+def sink_versioned_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE PARTITION COLUMNS in the versioned table (round 13, VERDICT
+    r12 task 5): the documents table arrives as two appends
+    partitioned by ``lang`` — each adopted file's partition tuple
+    lands in the manifest (Iceberg's partition spec in minimal form),
+    the physical files do NOT repeat the column (the read re-attaches
+    it as a typed literal, how hive/Iceberg serve identity-partition
+    columns) — and the registered read asks for one language via
+    ``where_partition`` and REFUSES to answer unless partition pruning
+    actually dropped files (kept < live: pruning is load-bearing, not
+    best-effort; same pattern as `sink_versioned_pruned_read`). The
+    checksum oracle — DuckDB restating ``lang = 'en'`` over the raw
+    table — proves the pruned, literal-reattached scan returns exactly
+    the full predicate's answer.
+
+    At 100 TB a corpus table partitions by (source, language, date);
+    partition pruning cuts the file list BEFORE stats pruning, which
+    is why both compose in `read_table` in that order.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        partition_pruned_files,
+        read_manifest,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        for i in range(2):  # two partitioned appends, like an ingest
+            append_batch(
+                docs.filter(F.col("doc_id") % 2 == i).repartition(2),
+                root, i, partition_by=("lang",),
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_partitioned_lang2", build,
+    )
+    root = f"{dest}/table"
+    name, _live = read_manifest(root)
+    kept, total = partition_pruned_files(root, name, {"lang": "en"})
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"partition pruning failed: kept {len(kept)} of {total}"
+        )
+    return _roundtrip_checksums(
+        read_table(spark, root, _DOC_SCHEMA,
+                   where_partition={"lang": "en"})
+    )
+
+
+_CLONE_READ_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents, m
+WHERE NOT (doc_id * 8 >= 6 * h AND doc_id * 8 < 7 * h)
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_clone_read", _CLONE_READ_ORACLE)
+def sink_versioned_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE under the checksum gate (round 13,
+    VERDICT r12 task 6 — Delta ``SHALLOW CLONE``, the dataset-release
+    reproducibility primitive): the clustered documents table is
+    cloned at HEAD — a metadata-only commit referencing the source's
+    immutable files by absolute path; the build REFUSES to install if
+    the clone copied any data byte (its ``data/`` must hold exactly
+    the one position-delete file the NEXT step commits) — then batch
+    6's id band is merge-on-read-deleted ON THE CLONE, and the build
+    further refuses if the divergence touched the SOURCE (its live
+    set and row count must be unchanged). The registered read scans
+    the diverged clone and must checksum-match DuckDB's restatement;
+    the source's integrity is pinned by the build guard rather than a
+    second registered read (one oracle, two invariants).
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        clone_table,
+        delete_where_merge_on_read,
+        read_manifest,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        src = tmp + "/src"
+        dst = tmp + "/clone"
+        _build_range_table(spark, docs, src, h)
+        _, src_live_before = read_manifest(src)
+        # relative refs: source and clone ship as ONE bundle that the
+        # cache install renames wholesale (the relocatable shape)
+        clone_table(src, dst, paths="relative")
+        if pathlib.Path(dst, "data").exists():
+            raise RuntimeError("shallow clone copied data files")
+        lo, hi = (6 * h + 7) // 8, (7 * h + 7) // 8 - 1  # batch 6's band
+        _, n = delete_where_merge_on_read(
+            spark, dst, _DOC_SCHEMA, "doc_id", lo, hi, stats_col="doc_id"
+        )
+        if n <= 0:
+            raise RuntimeError("clone divergence deleted no rows")
+        clone_data = [
+            p.name for p in pathlib.Path(dst, "data").iterdir()
+        ]
+        if len(clone_data) != 1 or not clone_data[0].startswith("pd"):
+            raise RuntimeError(
+                f"clone data dir must hold exactly the position-delete "
+                f"file, got {clone_data}"
+            )
+        _, src_live_after = read_manifest(src)
+        if src_live_after != src_live_before:
+            raise RuntimeError("writing to the clone mutated the source")
+        if read_table(spark, src, _DOC_SCHEMA).count() != docs.count():
+            raise RuntimeError("the source lost rows to the clone's delete")
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_clone1", build,
+    )
+    return _roundtrip_checksums(
+        read_table(spark, f"{dest}/clone", _DOC_SCHEMA)
+    )
+
+
+_CHECKPOINT_READ_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents, m
+WHERE doc_id * 12 >= 3 * h AND doc_id * 12 < 5 * h
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_checkpoint_read", _CHECKPOINT_READ_ORACLE)
+def sink_versioned_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RELATION DATA SKIPPING (round 13, VERDICT r12 task 1
+    — the Delta `_last_checkpoint` / Iceberg manifest-list pattern):
+    the documents table arrives as 12 range-sliced appends, each an
+    O(delta) manifest; the auto-checkpoint cadence materializes the
+    live file/stats relation as a parquet CHECKPOINT at commit 8, and
+    the registered range read REFUSES to answer unless (a) the
+    checkpoint-backed SPARK pruning path actually ran — a columnar
+    filter over typed per-file [min, max] columns plus an O(delta)
+    tail replay, not the driver-side Python loop — (b) it pruned
+    (kept < live), and (c) its answer equals the Python loop's (the
+    two implementations must agree file-for-file). The query band
+    deliberately straddles the checkpoint boundary: batch 3 is
+    checkpoint-resident, batch 4's files arrive in the replay tail, so
+    BOTH halves of the protocol are load-bearing under the oracle.
+
+    At 10⁵-10⁶ files this is the difference between metadata planning
+    that scales with the cluster and a driver bottleneck — the one
+    remaining scale-killer VERDICT r12 named.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        latest_checkpoint_seq,
+        pruned_files,
+        pruned_files_spark,
+        read_manifest,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        for i in range(12):
+            append_batch(
+                docs.filter(
+                    (F.col("doc_id") * 12 >= i * h)
+                    & (F.col("doc_id") * 12 < (i + 1) * h)
+                ).coalesce(1),
+                root, i, stats_col="doc_id",
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_ckpt12", build,
+    )
+    root = f"{dest}/table"
+    name, live = read_manifest(root)
+    if latest_checkpoint_seq(root, len(live)) is None:
+        raise RuntimeError("auto-checkpoint never materialized")
+    # batches 3-4 as inclusive id bounds: doc_id*12 in [3h, 5h)
+    lo, hi = (3 * h + 11) // 12, (5 * h + 11) // 12 - 1
+    via_spark = pruned_files_spark(spark, root, name, "doc_id", lo, hi)
+    if via_spark is None:
+        raise RuntimeError("checkpoint pruning path declined to run")
+    kept, total = via_spark
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"checkpoint pruning failed: kept {len(kept)} of {total}"
+        )
+    if via_spark != pruned_files(root, name, "doc_id", lo, hi):
+        raise RuntimeError(
+            "Spark checkpoint pruning disagrees with the Python loop"
+        )
+    return _roundtrip_checksums(
+        read_table(spark, root, _DOC_SCHEMA,
+                   where_between=("doc_id", lo, hi))
+    )
+
+
 _SCHEMA_WIDEN_ORACLE = """
 WITH t AS (
   SELECT doc_id,

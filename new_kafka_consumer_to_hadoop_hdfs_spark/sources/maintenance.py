@@ -185,16 +185,19 @@ def _apply_delta(state: dict, doc: dict) -> None:
     # never O(files)
     columns = doc.get("columns", state["columns"])
     if columns is not None:
+        ident = _identity_colmap(columns)
+        cadds = doc.get("colmap_adds", {})
         if state["colmap"] is None:
             # schema tracking initialized at this commit: every live
-            # file was written under this logical schema
+            # file was written under this logical schema — except
+            # files with an explicit mapping (hive-partitioned adopts
+            # physically lack their partition columns)
             state["colmap"] = {
-                f: _identity_colmap(columns) for f in state["files"]
+                f: cadds.get(f, ident) for f in state["files"]
             }
         else:
-            ident = _identity_colmap(columns)
             for f in adds:
-                state["colmap"][f] = doc.get("colmap_adds", {}).get(f, ident)
+                state["colmap"][f] = cadds.get(f, ident)
     state["columns"] = columns
     state["next_field_id"] = doc.get(
         "next_field_id", state["next_field_id"]
@@ -752,6 +755,90 @@ def _adopt(staging: pathlib.Path, data: pathlib.Path, prefix: str) -> list[str]:
     return adopted
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_lit(val: str, dtype):
+    """A partition tuple value as a typed literal column (NULL for
+    hive's default-partition token)."""
+    from pyspark.sql import functions as F
+
+    if val == _HIVE_NULL:
+        return F.lit(None).cast(dtype)
+    return F.lit(val).cast(dtype)
+
+
+def partition_pruned_files(
+    root: str, name: str, filters: dict
+) -> tuple[list[str], int]:
+    """Partition pruning: the subset of version ``name``'s files whose
+    partition tuple matches ``filters`` ({current logical column name
+    → value}), plus the total live count. Files without a recorded
+    tuple (pre-partitioning commits, copy-on-write replacements) are
+    conservatively kept — like stats pruning, this is an OPTIMIZATION;
+    callers still apply the row predicate on top. On schema-tracked
+    tables the tuple is field-id-keyed, so the filter resolves the
+    CURRENT name through the logical schema and a renamed partition
+    column keeps pruning (the spicy case partition specs exist for).
+    Values compare by their hive string form (``str(value)``; None
+    matches hive's default-partition token)."""
+    state = _table_state(root, name)
+    keymap = (
+        {c["name"]: str(c["id"]) for c in state["columns"]}
+        if state["columns"] is not None
+        else {}
+    )
+    want = {
+        keymap.get(col, col): (_HIVE_NULL if v is None else str(v))
+        for col, v in filters.items()
+    }
+    kept = []
+    for f in state["files"]:
+        tup = state["parts"].get(f, {})
+        if all(tup.get(k, want_v) == want_v for k, want_v in want.items()):
+            kept.append(f)
+    return kept, len(state["files"])
+
+
+def _adopt_partitioned(
+    staging: pathlib.Path, data: pathlib.Path, prefix: str,
+    partition_by: tuple[str, ...],
+) -> tuple[list[str], dict]:
+    """Adopt a ``partitionBy`` staging tree: walk the hive directories
+    (``col=value/.../part-*.parquet``), flatten every leaf file into
+    ``data/`` under a unique immutable name, and return (adopted
+    names, {name → {column → hive string value}}). The directory
+    encoding is Spark's hive layout (URL-escaped values,
+    ``__HIVE_DEFAULT_PARTITION__`` for NULL); the manifest stores the
+    DECODED string — Iceberg's partition tuple in its minimal form."""
+    from urllib.parse import unquote
+
+    data.mkdir(parents=True, exist_ok=True)
+    adopted: list[str] = []
+    parts_map: dict = {}
+    leaves = sorted(
+        p for p in staging.rglob("part-*")
+        if p.is_file() and not p.name.endswith(".crc")
+    )
+    for i, p in enumerate(leaves):
+        tup: dict = {}
+        for comp in p.relative_to(staging).parts[:-1]:
+            k, _, v = comp.partition("=")
+            if k in partition_by:
+                tup[k] = unquote(v)
+        missing = set(partition_by) - set(tup)
+        if missing:
+            raise ValueError(
+                f"staging leaf {p} lacks partition dirs for {missing}"
+            )
+        tgt = data / f"{prefix}-{i:05d}{''.join(p.suffixes)}"
+        os.replace(p, tgt)
+        adopted.append(tgt.name)
+        parts_map[tgt.name] = tup
+    shutil.rmtree(staging)
+    return adopted, parts_map
+
+
 def append_batch(
     df: DataFrame,
     root: str,
@@ -759,6 +846,7 @@ def append_batch(
     *,
     stats_col: str | None = None,
     track_schema: bool = False,
+    partition_by: tuple[str, ...] = (),
 ) -> str:
     """Append one micro-batch: write to staging, adopt the files,
     commit the adds as one delta. The ``batch_id`` keys the file
@@ -778,12 +866,35 @@ def append_batch(
     :func:`drop_column` / :func:`add_column`) and :func:`read_evolved`.
     Once a table tracks its schema, every later append is validated
     against the CURRENT logical schema — exact names and types; the
-    writer casts, the table never guesses."""
+    writer casts, the table never guesses.
+
+    ``partition_by`` hive-partitions the batch (VERDICT r12 task 5):
+    the write partitions on the named columns, each adopted file's
+    partition tuple lands in the manifest, and reads prune on it
+    (:func:`read_table`'s ``where_partition``) BEFORE stats pruning —
+    the (source, language, date) layout a real corpus table uses. On a
+    schema-tracked table the tuple is keyed by FIELD ID, so renaming a
+    partition column keeps pruning intact. The partition columns stay
+    part of the logical schema; the physical files just don't repeat
+    them (the read path re-attaches the tuple values as literals,
+    exactly how hive/Iceberg serve identity-partition columns)."""
     root_p = pathlib.Path(root)
     staging = root_p / f".staging-{batch_id}"
-    df.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        missing = set(partition_by) - set(df.columns)
+        if missing:
+            raise ValueError(f"partition_by columns not in batch: {missing}")
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staging))
     data = root_p / "data"
-    adopted = _adopt(staging, data, f"b{batch_id:08d}")
+    if partition_by:
+        adopted, name_parts = _adopt_partitioned(
+            staging, data, f"b{batch_id:08d}", tuple(partition_by)
+        )
+    else:
+        adopted = _adopt(staging, data, f"b{batch_id:08d}")
+        name_parts = {}
     new_stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
     # Appends are BLIND (Delta's AddFile-only commit): they conflict
     # with no concurrent commit logically, so a CommitConflict just
@@ -808,12 +919,40 @@ def append_batch(
                 {"id": i, "name": n, "type": t}
                 for i, (n, t) in enumerate(df_fields)
             ]
+        parts_adds = None
+        colmap_adds = None
+        if partition_by:
+            effective = columns if columns is not None else init_columns
+            if effective is not None:
+                # field-id-keyed partition tuple: a later RENAME of the
+                # partition column is metadata-only and pruning keeps
+                # working (the Iceberg partition-spec indirection)
+                key_of = {c["name"]: str(c["id"]) for c in effective}
+                parts_adds = {
+                    f: {key_of[k]: v for k, v in tup.items()}
+                    for f, tup in name_parts.items()
+                }
+                # the adopted files physically LACK the partition
+                # columns (hive layout): their pinned mapping must say
+                # so, or the evolved scan would ask parquet for a
+                # column that isn't there
+                part_ids = {key_of[k] for k in partition_by}
+                ident = {
+                    str(c["id"]): [c["name"], c["type"]]
+                    for c in effective
+                    if str(c["id"]) not in part_ids
+                }
+                colmap_adds = {f: ident for f in adopted}
+            else:
+                parts_adds = name_parts
         try:
             return _commit_delta(
                 root, cur, f"append batch {batch_id}",
                 adds=adopted,
                 stats_adds=new_stats or None,
                 columns=init_columns,
+                parts_adds=parts_adds,
+                colmap_adds=colmap_adds,
             )
         except CommitConflict:
             continue
@@ -825,9 +964,13 @@ def append_batch(
 def _data_path(root: str, state: dict, f: str) -> str:
     """Resolve a manifest entry to its on-disk path: local files live
     under ``root/data/``, shallow-clone entries carry their source's
-    absolute path in ``state['external']``."""
+    path in ``state['external']`` — absolute (tables that move
+    independently) or relative to this table's root (a clone bundled
+    WITH its source under one movable directory)."""
     ext = state["external"].get(f)
-    return ext if ext is not None else str(pathlib.Path(root, "data", f))
+    if ext is None:
+        return str(pathlib.Path(root, "data", f))
+    return ext if os.path.isabs(ext) else str(pathlib.Path(root, ext))
 
 
 def compact(
@@ -1406,6 +1549,119 @@ def vacuum(root: str, *, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
     return removed
 
 
+def clone_table(
+    src_root: str,
+    dst_root: str,
+    name: str | None = None,
+    *,
+    paths: str = "absolute",
+) -> str:
+    """ZERO-COPY SHALLOW CLONE of version ``name`` (CURRENT by
+    default) into a fresh table at ``dst_root`` (Delta's ``CREATE
+    TABLE ... SHALLOW CLONE``): the clone's first manifest is a
+    full-snapshot doc whose entries reference the SOURCE's immutable
+    files by absolute path — no byte is copied, so cloning a 100 TB
+    corpus at a version is a metadata write. This is the cheap
+    reproducibility primitive for dataset releases: pin the training
+    snapshot, keep curating the source.
+
+    Independence: writes to the clone adopt files into its OWN
+    ``data/`` and never touch the source; rewrite verbs replace
+    external references with local files, so a full :func:`compact`
+    SELF-CONTAINS the clone (the documented escape hatch from the
+    retention coupling below). Vacuum on the clone only ever scans its
+    own ``data/`` directory, so shared source files are structurally
+    out of its reach.
+
+    Retention contract (the documented choice between refcounting and
+    copy-on-vacuum): the source's :func:`vacuum` consults ONLY its own
+    manifests — it does not know about clones. Keep the source's
+    retention horizon covering the cloned version for as long as the
+    clone must stay shallow, or compact the clone to make it
+    self-contained. A vacuumed-away shared file fails the clone's
+    reads LOUDLY (missing path), never silently.
+
+    ``paths``: ``"absolute"`` (default — the tables move
+    independently) or ``"relative"`` (references stored relative to
+    the CLONE's root, so a directory holding both tables stays
+    readable after being moved/renamed wholesale — the relocatable
+    release-bundle shape).
+    """
+    if paths not in ("absolute", "relative"):
+        raise ValueError(f"paths must be absolute|relative, got {paths!r}")
+    if name is None:
+        name, _ = read_manifest(src_root)
+        if name is None:
+            raise ValueError(f"{src_root} has no committed version to clone")
+    src_state = _table_state(src_root, name)
+    dst = pathlib.Path(dst_root)
+    if (dst / "manifests").exists():
+        raise ValueError(f"{dst_root} already has a table")
+
+    def _ref(f: str) -> str:
+        ap = os.path.abspath(_data_path(src_root, src_state, f))
+        if paths == "relative":
+            return os.path.relpath(ap, os.path.abspath(dst_root))
+        return ap
+
+    external = {
+        f: _ref(f) for f in (*src_state["files"], *src_state["deletes"])
+    }
+    doc = {
+        "files": list(src_state["files"]),
+        "stats": src_state["stats"],
+        "deletes": list(src_state["deletes"]),
+        "parts": src_state["parts"],
+        "external": external,
+        "note": f"shallow clone of {src_root}",
+        "ts": time.time(),
+    }
+    if src_state["columns"] is not None:
+        doc["columns"] = src_state["columns"]
+        doc["next_field_id"] = src_state["next_field_id"]
+        doc["colmap"] = src_state["colmap"]
+    mdir = dst / "manifests"
+    mdir.mkdir(parents=True)
+    cname = _manifest_name(0)
+    tmp = mdir / f".{cname}.tmp.{os.getpid()}.{threading.get_ident()}"
+    tmp.write_text(json.dumps(doc))
+    try:
+        os.link(tmp, mdir / cname)  # O_EXCL publish, like every commit
+    except FileExistsError:
+        raise CommitConflict(
+            f"{dst_root} version 0 was committed concurrently"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+    _advance_current(dst_root, cname)
+    return cname
+
+
+def export_manifest(root: str, name: str | None = None) -> list[str]:
+    """The ABSOLUTE paths of a version's live data files — the
+    portable snapshot manifest an external reader (another engine, a
+    release tarball builder) consumes; pairs with
+    :func:`clone_table` for dataset releases. Raises when the version
+    carries pending merge-on-read deletes: a flat file list cannot
+    express them, and exporting it would resurrect deleted rows —
+    compact first (which materializes the deletes), then export."""
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            raise ValueError(f"{root} has no committed version")
+    state = _table_state(root, name)
+    if state["deletes"]:
+        raise ValueError(
+            f"{root}@{name} has pending merge-on-read deletes "
+            f"{state['deletes']}: a flat export would resurrect deleted "
+            "rows; compact to materialize them, then export"
+        )
+    return [
+        str(pathlib.Path(_data_path(root, state, f)).resolve())
+        for f in state["files"]
+    ]
+
+
 def _range_keep(rng, lo, hi) -> bool:
     # column-keyed lookup upstream guarantees rng is the queried
     # column's range; a file without stats is conservatively kept
@@ -1699,6 +1955,7 @@ def read_evolved(
     name: str | None = None,
     *,
     where_between=None,
+    where_partition=None,
 ) -> DataFrame:
     """Read a schema-tracked table under the LOGICAL schema of version
     ``name`` (CURRENT by default). Files are grouped by their pinned
@@ -1729,12 +1986,24 @@ def read_evolved(
             f"{root}@{name} does not track its schema; use read_table"
         )
     files = state["files"]
+    keep = set(files)
+    if where_partition:
+        pkept, _ = partition_pruned_files(root, name, where_partition)
+        keep &= set(pkept)
     if where_between is not None:
         col, lo, hi = where_between
-        files, _ = pruned_files(root, name, col, lo, hi, spark=spark)
+        skept, _ = pruned_files(root, name, col, lo, hi, spark=spark)
+        keep &= set(skept)
+    files = [f for f in files if f in keep]
     out = _scan_files_state(
         spark, root, state, files, None, apply_deletes=True
     )
+    if where_partition:
+        for pcol, v in where_partition.items():
+            out = out.filter(
+                F.col(pcol).isNull() if v is None
+                else F.col(pcol) == F.lit(v)
+            )
     if where_between is not None:
         out = out.filter(F.col(col).between(lo, hi))
     return out
@@ -1761,6 +2030,11 @@ def _scan_files_state(
     - merge-on-read position deletes (``apply_deletes=True``): an
       anti-join on (file basename, row position) against the version's
       delete files, then the bookkeeping columns drop out;
+    - hive partition tuples: a partitioned file doesn't physically
+      carry its partition columns — the scan re-attaches them as typed
+      LITERALS from the manifest tuple (how hive/Iceberg serve
+      identity-partition columns; files group by tuple, so each group
+      is one homogeneous scan);
     - ``with_meta=True`` keeps ``__mor_file``/``__mor_pos`` in the
       output (the victim-scan path of
       :func:`delete_where_merge_on_read`).
@@ -1782,6 +2056,9 @@ def _scan_files_state(
             }
         )
 
+    def _part_sig(f: str) -> tuple:
+        return tuple(sorted(state["parts"].get(f, {}).items()))
+
     if columns is not None:
         ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
         logical_cols = [c["name"] for c in columns]
@@ -1793,26 +2070,37 @@ def _scan_files_state(
             raise ValueError(f"files predate schema tracking: {missing}")
         groups: dict[tuple, list[str]] = {}
         for f in files:
-            sig = tuple(sorted((i, tuple(m)) for i, m in colmap[f].items()))
+            sig = (
+                tuple(sorted((i, tuple(m)) for i, m in colmap[f].items())),
+                _part_sig(f),
+            )
             groups.setdefault(sig, []).append(f)
         parts = []
-        for sig, fs in sorted(groups.items()):
-            mapping = dict(sig)  # str(id) -> (phys name, phys type)
+        for (csig, psig), fs in sorted(groups.items()):
+            mapping = dict(csig)  # str(id) -> (phys name, phys type)
+            pdict = dict(psig)  # str(id) -> hive string value
             phys = [
                 mapping[str(c["id"])]
                 for c in columns
                 if str(c["id"]) in mapping
             ]
-            sel = [
-                (
-                    F.col(f"`{mapping[str(c['id'])][0]}`")
-                    .cast(c["type"])
-                    .alias(c["name"])
-                    if str(c["id"]) in mapping
-                    else F.lit(None).cast(c["type"]).alias(c["name"])
-                )
-                for c in columns
-            ]
+            sel = []
+            for c in columns:
+                cid = str(c["id"])
+                if cid in mapping:
+                    sel.append(
+                        F.col(f"`{mapping[cid][0]}`")
+                        .cast(c["type"])
+                        .alias(c["name"])
+                    )
+                elif cid in pdict:
+                    sel.append(
+                        _part_lit(pdict[cid], c["type"]).alias(c["name"])
+                    )
+                else:
+                    sel.append(
+                        F.lit(None).cast(c["type"]).alias(c["name"])
+                    )
             paths = [_data_path(root, state, f) for f in sorted(fs)]
             if phys:
                 scan = spark.read.schema(
@@ -1839,15 +2127,44 @@ def _scan_files_state(
             out = spark.createDataFrame([], schema)
             logical_cols = [f.name for f in out.schema.fields]
             return out
-        out = _attach_meta(
-            spark.read.schema(schema).parquet(
-                *[_data_path(root, state, f) for f in files]
-            )
-        )
-        logical_cols = [
-            f.name for f in out.schema.fields
-            if f.name not in ("__mor_file", "__mor_pos")
-        ]
+        full = spark.createDataFrame([], schema).schema
+        logical_cols = [f.name for f in full.fields]
+        groups = {}
+        for f in files:
+            groups.setdefault(_part_sig(f), []).append(f)
+        parts = []
+        for psig, fs in sorted(groups.items()):
+            pdict = dict(psig)  # column name -> hive string value
+            paths = [_data_path(root, state, f) for f in sorted(fs)]
+            if pdict:
+                from pyspark.sql.types import StructType
+
+                phys_fields = [
+                    fld for fld in full.fields if fld.name not in pdict
+                ]
+                scan = _attach_meta(
+                    spark.read.schema(StructType(phys_fields)).parquet(
+                        *paths
+                    )
+                )
+                sel = [
+                    _part_lit(pdict[fld.name], fld.dataType).alias(fld.name)
+                    if fld.name in pdict
+                    else F.col(fld.name)
+                    for fld in full.fields
+                ]
+                keep = sel + (
+                    [F.col("__mor_file"), F.col("__mor_pos")]
+                    if need_meta else []
+                )
+                parts.append(scan.select(*keep))
+            else:
+                parts.append(
+                    _attach_meta(spark.read.schema(full).parquet(*paths))
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
     if apply_deletes and state["deletes"]:
         dels = spark.read.parquet(
             *[_data_path(root, state, d) for d in state["deletes"]]
@@ -1875,6 +2192,7 @@ def read_table(
     schema,
     *,
     where_between=None,
+    where_partition=None,
 ) -> DataFrame:
     """Read the CURRENT version — resolve the pointer once, then scan
     an immutable file list (never the mutable directory).
@@ -1882,11 +2200,15 @@ def read_table(
     non-overlapping FILES before the scan plans (through the parquet
     checkpoint relation when one exists — :func:`pruned_files_spark`),
     and the row predicate is applied on top, so results never depend
-    on stats coverage. Merge-on-read position deletes are applied."""
+    on stats coverage. ``where_partition={col: value}`` prunes on the
+    manifest partition tuples first (composable with the range read —
+    partition dimensions cut before stats dimensions, the hive/Iceberg
+    planning order). Merge-on-read position deletes are applied."""
     name, live = read_manifest(root)
     if not live:
         return spark.createDataFrame([], schema)
-    return _scan(spark, root, name, live, schema, where_between)
+    return _scan(spark, root, name, live, schema, where_between,
+                 where_partition)
 
 
 def read_snapshot(
@@ -1896,27 +2218,42 @@ def read_snapshot(
     schema,
     *,
     where_between=None,
+    where_partition=None,
 ) -> DataFrame:
     """Read a SPECIFIC version — what an in-flight reader that
     resolved CURRENT before a concurrent compaction effectively does."""
     files = manifest_files(root, name)
     if not files:
         return spark.createDataFrame([], schema)
-    return _scan(spark, root, name, files, schema, where_between)
+    return _scan(spark, root, name, files, schema, where_between,
+                 where_partition)
 
 
-def _scan(spark, root, name, files, schema, where_between) -> DataFrame:
+def _scan(spark, root, name, files, schema, where_between,
+          where_partition=None) -> DataFrame:
     from pyspark.sql import functions as F
 
     state = _table_state(root, name)
+    keep = set(files)
+    if where_partition:
+        pkept, _ = partition_pruned_files(root, name, where_partition)
+        keep &= set(pkept)
     if where_between is not None:
         col, lo, hi = where_between
-        files, _ = pruned_files(root, name, col, lo, hi, spark=spark)
-        if not files:
-            return spark.createDataFrame([], schema)
+        skept, _ = pruned_files(root, name, col, lo, hi, spark=spark)
+        keep &= set(skept)
+    files = [f for f in files if f in keep]
+    if not files:
+        return spark.createDataFrame([], schema)
     df = _scan_files_state(
         spark, root, state, files, schema, apply_deletes=True
     )
+    if where_partition:
+        for pcol, v in where_partition.items():
+            df = df.filter(
+                F.col(pcol).isNull() if v is None
+                else F.col(pcol) == F.lit(v)
+            )
     if where_between is not None:
         df = df.filter(F.col(col).between(lo, hi))
     return df

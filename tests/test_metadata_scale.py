@@ -329,3 +329,282 @@ def test_mor_delete_no_victims_is_a_noop(spark, tmp_path):
     )
     assert n == 0 and name == before
     assert table_state(root)["deletes"] == []
+
+
+# --- Shallow clone / snapshot export (VERDICT r12 task 6) ------------
+
+
+def test_shallow_clone_reads_equal_and_is_independent(spark, tmp_path):
+    """A clone at a version reads byte-identically to that snapshot
+    WITHOUT copying data; appends to the clone never touch the source,
+    and the source keeps evolving without affecting the clone."""
+    import os
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+        export_manifest,
+    )
+
+    src = _build_small(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_table(src, dst)
+    src_rows = {r.doc_id for r in read_table(spark, src, SCHEMA).collect()}
+    assert {
+        r.doc_id for r in read_table(spark, dst, SCHEMA).collect()
+    } == src_rows
+    # zero-copy: the clone's data dir holds nothing yet
+    assert not pathlib.Path(dst, "data").exists()
+    src_files_before = {
+        p.name: p.stat().st_mtime_ns
+        for p in pathlib.Path(src, "data").iterdir()
+    }
+
+    # divergence: clone gains rows, source gains different rows
+    df = spark.createDataFrame([(100, "clone-only")], SCHEMA).coalesce(1)
+    append_batch(df, dst, 99)
+    df2 = spark.createDataFrame([(200, "src-only")], SCHEMA).coalesce(1)
+    append_batch(df2, src, 99)
+    assert {
+        r.doc_id for r in read_table(spark, dst, SCHEMA).collect()
+    } == src_rows | {100}
+    assert {
+        r.doc_id for r in read_table(spark, src, SCHEMA).collect()
+    } == src_rows | {200}
+    # the source's original files are untouched by the clone's write
+    src_files_after = {
+        p.name: p.stat().st_mtime_ns
+        for p in pathlib.Path(src, "data").iterdir()
+        if not p.name.startswith("b00000099")
+    }
+    assert src_files_after == src_files_before
+    # export: absolute paths, resolvable, spanning both tables' data
+    paths = export_manifest(dst)
+    assert all(os.path.isabs(p) and pathlib.Path(p).exists() for p in paths)
+    roots = {pathlib.Path(p).parent for p in paths}
+    assert pathlib.Path(src, "data") in roots
+    assert pathlib.Path(dst, "data") in roots
+
+
+def test_clone_compact_self_contains_and_survives_source_vacuum(
+    spark, tmp_path
+):
+    """compact on a clone replaces every external reference with local
+    files — the documented escape from the source-retention coupling:
+    afterwards the SOURCE can be vacuumed away entirely and the clone
+    still reads."""
+    import shutil
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+        table_state,
+    )
+
+    src = _build_small(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_table(src, dst)
+    reduced = compact(spark, dst, SCHEMA, target_files=1)
+    assert reduced > 0
+    st = table_state(dst)
+    assert st["external"] == {}, "compact must self-contain the clone"
+    shutil.rmtree(src)  # the source disappears wholesale
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    m._STATE_CACHE.clear()
+    assert {
+        r.doc_id for r in read_table(spark, dst, SCHEMA).collect()
+    } == set(range(40))
+
+
+def test_clone_carries_pending_mor_deletes(spark, tmp_path):
+    """A clone of a version with pending position deletes must apply
+    them (the delete files ride as external references), and a flat
+    export must REFUSE (it would resurrect the deleted rows)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+        export_manifest,
+    )
+
+    src = _build_small(spark, tmp_path)
+    delete_where_merge_on_read(spark, src, SCHEMA, "doc_id", 13, 27)
+    dst = str(tmp_path / "clone")
+    clone_table(src, dst)
+    got = {r.doc_id for r in read_table(spark, dst, SCHEMA).collect()}
+    assert got == {i for i in range(40) if not 13 <= i <= 27}
+    with pytest.raises(ValueError, match="resurrect"):
+        export_manifest(dst)
+    # compact materializes, then export works
+    compact(spark, dst, SCHEMA, target_files=1)
+    assert len(export_manifest(dst)) == 1
+
+
+def test_relative_clone_survives_bundle_relocation(spark, tmp_path):
+    """paths='relative' stores references relative to the clone's
+    root: a directory holding BOTH tables stays readable after being
+    moved wholesale (the release-bundle shape; absolute refs would
+    dangle)."""
+    import shutil
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+    )
+
+    bundle = tmp_path / "bundle"
+    src = str(bundle / "src")
+    for i in range(2):
+        df = spark.createDataFrame(
+            [(10 * i + j, f"r{10 * i + j}") for j in range(5)], SCHEMA
+        ).coalesce(1)
+        append_batch(df, src, i)
+    clone_table(src, str(bundle / "clone"), paths="relative")
+
+    moved = tmp_path / "released"
+    shutil.move(str(bundle), str(moved))
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    m._STATE_CACHE.clear()
+    got = {
+        r.doc_id
+        for r in read_table(spark, str(moved / "clone"), SCHEMA).collect()
+    }
+    assert got == set(range(5)) | set(range(10, 15))
+
+
+# --- Hive partition columns (VERDICT r12 task 5) ----------------------
+
+PSCHEMA = "doc_id long, lang string, text string"
+PROWS = [
+    (i, lang, f"r{i}")
+    for i, lang in enumerate(["en", "en", "de", "de", "fr", None])
+]
+
+
+def _build_partitioned(spark, tmp_path, *, track=False):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        partition_pruned_files,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(PROWS, PSCHEMA).coalesce(1)
+    append_batch(
+        df, root, 0, partition_by=("lang",), stats_col="doc_id",
+        track_schema=track,
+    )
+    name, live = read_manifest(root)
+    # one file per partition value (en/de/fr/NULL)
+    assert len(live) == 4
+    return root, name, partition_pruned_files
+
+
+def test_partitioned_append_prunes_and_reads(spark, tmp_path):
+    """Partition tuples land in the manifest and prune files BEFORE
+    the scan plans; the re-attached literal column makes the read
+    complete (hive layout strips partition columns from the files)."""
+    root, name, ppf = _build_partitioned(spark, tmp_path)
+
+    kept, total = ppf(root, name, {"lang": "en"})
+    assert total == 4 and len(kept) == 1
+    got = {
+        (r.doc_id, r.lang, r.text)
+        for r in read_table(
+            spark, root, PSCHEMA, where_partition={"lang": "en"}
+        ).collect()
+    }
+    assert got == {(0, "en", "r0"), (1, "en", "r1")}
+    # NULL partition: hive's default-partition token round-trips
+    kept_null, _ = ppf(root, name, {"lang": None})
+    assert len(kept_null) == 1
+    got_null = {
+        (r.doc_id, r.lang)
+        for r in read_table(
+            spark, root, PSCHEMA, where_partition={"lang": None}
+        ).collect()
+    }
+    assert got_null == {(5, None)}
+    # composition with a stats range read: both prunings apply
+    got2 = {
+        r.doc_id
+        for r in read_table(
+            spark, root, PSCHEMA,
+            where_partition={"lang": "de"},
+            where_between=("doc_id", 0, 2),
+        ).collect()
+    }
+    assert got2 == {2}
+    # and the unpruned read returns everything, literals included
+    all_rows = {
+        (r.doc_id, r.lang)
+        for r in read_table(spark, root, PSCHEMA).collect()
+    }
+    assert all_rows == {(i, lang) for i, lang, _ in PROWS}
+
+
+def test_partition_column_rename_keeps_pruning(spark, tmp_path):
+    """The spicy case partition specs exist for: on a schema-tracked
+    table the tuple is FIELD-ID-keyed, so renaming the partition
+    column is metadata-only and pruning under the NEW name still
+    drops files."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        read_evolved,
+    )
+
+    root, name, ppf = _build_partitioned(spark, tmp_path, track=True)
+    rename_column(root, "lang", "language")
+    name, _ = read_manifest(root)
+
+    kept, total = ppf(root, name, {"language": "fr"})
+    assert total == 4 and len(kept) == 1
+    got = {
+        (r.doc_id, r.language, r.text)
+        for r in read_evolved(
+            spark, root, where_partition={"language": "fr"}
+        ).collect()
+    }
+    assert got == {(4, "fr", "r4")}
+    # the old name resolves to nothing: no file carries a `lang` key
+    # anymore under the current schema, so pruning keeps all 4
+    # conservatively and the row filter would then fail on a missing
+    # column — exactly a user error, not silent wrong data
+    kept_old, _ = ppf(root, name, {"lang": "fr"})
+    assert len(kept_old) == 4
+
+
+def test_partitioned_compact_preserves_pruning(spark, tmp_path):
+    """Compaction rewrites PER PARTITION GROUP and re-records each
+    group's tuple, so partition pruning survives it (a naive rewrite
+    across partitions would merge tuples and kill pruning)."""
+    root = str(tmp_path / "t")
+    for b in range(3):  # 3 appends × 3 langs = 9 files
+        df = spark.createDataFrame(
+            [(10 * b + i, lang, f"r{10 * b + i}")
+             for i, lang in enumerate(["en", "de", "fr"])],
+            PSCHEMA,
+        ).coalesce(1)
+        append_batch(df, root, b, partition_by=("lang",))
+    _, live = read_manifest(root)
+    assert len(live) == 9
+    reduced = compact(spark, root, PSCHEMA, target_files=1)
+    assert reduced == 6, "3 per-partition rewrites of 3 files -> 1 each"
+    name, live = read_manifest(root)
+    assert len(live) == 3
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        partition_pruned_files,
+    )
+
+    kept, total = partition_pruned_files(root, name, {"lang": "de"})
+    assert total == 3 and len(kept) == 1
+    got = {
+        r.doc_id
+        for r in read_table(
+            spark, root, PSCHEMA, where_partition={"lang": "de"}
+        ).collect()
+    }
+    assert got == {1, 11, 21}
+    vacuum(root)
+    assert {
+        r.doc_id
+        for r in read_table(spark, root, PSCHEMA).collect()
+    } == {10 * b + i for b in range(3) for i in range(3)}

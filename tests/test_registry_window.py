@@ -24,7 +24,24 @@ WINDOW = 50
 # 24-query r9-stale cohort inside the r13 window alongside the 3
 # plan-changed re-rides, so this set must stay ≤ 23
 # (24 + 3 + 23 = the 50-slot window).
-NEW_IN_R13: set[str] = set()
+NEW_IN_R13: set[str] = {
+    # merge-on-read position deletes (VERDICT r12 task 2): a delete
+    # commits a (file, row position) parquet instead of rewriting data
+    # files; reads anti-join it, compaction materializes it
+    "sink_versioned_delete_vectors",
+    # hive partition columns (VERDICT r12 task 5): field-id-keyed
+    # partition tuples in the manifest, literal re-attachment at read,
+    # pruning-or-refuse gate
+    "sink_versioned_partitioned_read",
+    # zero-copy shallow clone (VERDICT r12 task 6): metadata-only
+    # snapshot referencing the source's immutable files; divergence on
+    # the clone must not touch the source (build-guarded)
+    "sink_versioned_clone_read",
+    # checkpoint-relation data skipping (VERDICT r12 task 1): O(delta)
+    # manifests + parquet checkpoint; pruning as a Spark filter that
+    # must agree file-for-file with the Python loop
+    "sink_versioned_checkpoint_read",
+}
 
 # Round 12's additions, both driver-checked in CORRECTNESS_r12.json.
 NEW_IN_R12: set[str] = {
