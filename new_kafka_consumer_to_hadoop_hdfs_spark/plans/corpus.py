@@ -1034,3 +1034,164 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# --- Distributed BPE tokenizer training (round 13, VERDICT r12 task 7)
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_train_ctes(rounds: int) -> str:
+    """The DuckDB restatement of `operators/bpe.train_bpe`'s fixed
+    deterministic merge rounds, as a generated CTE chain (the same
+    unrolled-rounds oracle pattern as the Lloyd-iteration IVF oracles):
+    words → char-symbolized v0 → per round i: adjacent-pair counts
+    p{i}, the (cnt DESC, l, r) argmax b{i}, and the merged vocabulary
+    v{i} via the SAME literal space-wrapped replace the Spark side
+    uses — both engines' `replace` is non-overlapping left-to-right,
+    which on this encoding IS BPE's greedy merge."""
+    parts = [
+        r"""words AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+  GROUP BY w
+),
+v0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq
+       FROM words)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq)::BIGINT AS cnt
+  FROM (SELECT string_split(trim(sym), '  ') AS syms, freq
+        FROM v{i - 1}),
+       UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY l, r
+),
+b{i} AS (SELECT l, r, cnt FROM p{i}
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v{i} AS (
+  SELECT replace(sym, ' ' || l || '  ' || r || ' ',
+                 ' ' || l || r || ' ') AS sym, freq
+  FROM v{i - 1}, b{i}
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_stats_oracle(rounds: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round, l || ' ' || r AS pair, cnt AS pair_count,
+       (SELECT SUM(freq * len(string_split(trim(sym), '  ')))::BIGINT
+        FROM v{i}) AS corpus_tokens
+FROM b{i}"""
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {_bpe_train_ctes(rounds)}\n{rows}\nORDER BY round"
+
+
+@_register("text_bpe_token_stats", _bpe_stats_oracle(_BPE_ROUNDS))
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TOKENIZER TRAINING (round 13, VERDICT r12 task
+    7 — Sennrich et al. 2016, the subword procedure behind GPT/LLaMA
+    vocabularies): learn a merge table over the documents corpus with
+    FIXED deterministic rounds and hash-check every learned merge —
+    pair, count, and the corpus token total after applying it —
+    against DuckDB replaying the identical procedure.
+
+    Spark shape (`operators/bpe.py`): ONE corpus-sized pass builds the
+    (word, freq) vocabulary; each merge round is vocabulary-sized —
+    adjacent-pair counts (map-side-combinable sum) + a 1-row argmax
+    collect (count DESC, pair ASC: the tie-break both engines cut
+    identically) + a literal space-wrapped `replace` that implements
+    the greedy left-to-right merge in whole-stage codegen. Merge
+    rounds never re-read the corpus — the property that makes BPE
+    trainable at 100 TB (the vocabulary relation is millions of rows,
+    not billions of documents).
+
+    The result is the 6-row merge table itself — training's entire
+    driver-side output; a mismatch in ANY round poisons every later
+    round, so the oracle gate is self-amplifying.
+    """
+    from ..operators.bpe import train_bpe, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), _BPE_ROUNDS)
+    rows = [
+        (i + 1, f"{left} {right}", cnt, toks)
+        for i, (left, right, cnt, toks) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "round int, pair string, pair_count long, corpus_tokens long"
+    ).orderBy("round")
+
+
+def _bpe_lang_oracle(rounds: int) -> str:
+    enc = [
+        r"""lang_words AS (
+  SELECT lang, w, COUNT(*) AS freq
+  FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+  GROUP BY lang, w
+),
+e0 AS (SELECT lang, regexp_replace(w, '(.)', ' \1 ', 'g') AS sym,
+              length(w) AS n_chars, freq
+       FROM lang_words)"""
+    ]
+    for i in range(1, rounds + 1):
+        enc.append(f"""e{i} AS (
+  SELECT lang, replace(sym, ' ' || l || '  ' || r || ' ',
+                       ' ' || l || r || ' ') AS sym, n_chars, freq
+  FROM e{i - 1}, b{i}
+)""")
+    return f"""WITH {_bpe_train_ctes(rounds)},
+{",".join(enc)}
+SELECT lang,
+       SUM(freq)::BIGINT AS n_words,
+       SUM(freq * len(string_split(trim(sym), '  ')))::BIGINT AS n_tokens,
+       SUM(freq * n_chars)::BIGINT AS n_chars
+FROM e{rounds}
+GROUP BY lang"""
+
+
+@_register("text_bpe_lang_tokens", _bpe_lang_oracle(_BPE_ROUNDS))
+def text_bpe_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE TOKEN STATISTICS under the learned BPE vocabulary
+    — the `text_token_count` family upgraded from whitespace/char
+    proxies to real subword counts: train the `text_bpe_token_stats`
+    merge table on the global corpus, ENCODE every (lang, word) with
+    the merge chain (literal replaces — one codegen projection, no
+    Python), and report per-language word/token/char totals. The
+    tokens-per-word and chars-per-token ratios these columns induce
+    are the compression diagnostics a tokenizer team actually tracks
+    per language (and the fairness metric multilingual-vocab papers
+    report).
+
+    Scale: encoding is a map-only projection over the per-language
+    vocabulary relation; the corpus was already reduced to it in one
+    pass. Nothing here is corpus-sized except that first reduction.
+    """
+    from ..operators.bpe import (
+        encode_tokens,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), _BPE_ROUNDS)
+    lang_vocab = word_frequencies(docs, extra_cols=("lang",))
+    return (
+        lang_vocab.select(
+            "lang",
+            "freq",
+            F.length("w").alias("n_chars"),
+            encode_tokens(F.col("w"), merges).alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tok")).alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("n_chars")).alias("n_chars"),
+        )
+    )

@@ -727,3 +727,135 @@ def test_changes_reconstructs_state(spark, tmp_path_factory, ops):
             assert item not in reconstructed, f"double-adding {item}"
             reconstructed.add(item)
     assert reconstructed == new_rows
+
+
+# --- BPE tokenizer properties (round 13, VERDICT r12 task 7) ----------
+
+
+def _py_symbolize(word: str) -> str:
+    return " " + "  ".join(word) + " "
+
+
+def _py_merge(sym: str, left: str, right: str) -> str:
+    # Python str.replace is non-overlapping left-to-right — the same
+    # semantics as Spark's `replace` and DuckDB's `replace`, which is
+    # the cross-engine contract the space-wrapped encoding relies on
+    return sym.replace(f" {left}  {right} ", f" {left}{right} ")
+
+
+@given(
+    st.lists(
+        st.text(
+            st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_encode_decode_identity(spark, words, n_merges):
+    """encode∘decode is the identity on any word for ANY merge chain:
+    merging only ever fuses adjacent symbols, so stripping the wrap
+    and separators always reconstructs the original word — the
+    round-trip property that makes a BPE vocabulary lossless."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.bpe import (
+        decode_sym,
+        merge_expr,
+        symbolize,
+        token_count,
+    )
+
+    # learn plausible merges from the words themselves (first n pairs)
+    pairs = []
+    for w in words:
+        for a, b in zip(w, w[1:]):
+            if (a, b) not in pairs:
+                pairs.append((a, b))
+    merges = pairs[:n_merges]
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sym = symbolize(F.col("w"))
+    for left, right in merges:
+        sym = merge_expr(sym, left, right)
+    got = df.select("w", sym.alias("sym"),
+                    token_count(sym).alias("n")).collect()
+    for r in got:
+        assert decode_sym(r.sym) == r.w, (r.sym, r.w)
+        # Spark's replace chain must equal the Python mirror exactly
+        expect = _py_symbolize(r.w)
+        for left, right in merges:
+            expect = _py_merge(expect, left, right)
+        assert r.sym == expect
+        assert r.n == len(expect.strip().split("  "))
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """The classic overlap case: merging (a, a) in 'aaa' must produce
+    ['aa', 'a'] — greedy non-overlapping left-to-right, NOT ['a','aa']
+    and not a double merge. The space-wrapped encoding guarantees it
+    because the first match consumes the shared wrap spaces."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.bpe import (
+        merge_expr,
+        symbolize,
+    )
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("baaab",)], "w string"
+    )
+    got = {
+        r.w: r.sym
+        for r in df.select(
+            "w", merge_expr(symbolize(F.col("w")), "a", "a").alias("sym")
+        ).collect()
+    }
+    assert got["aaa"] == " aa  a "
+    assert got["aaaa"] == " aa  aa "
+    assert got["baaab"] == " b  aa  a  b "
+
+
+def test_bpe_training_matches_sequential_reference(spark):
+    """train_bpe's distributed rounds must equal a straightforward
+    sequential Python BPE (pair counting over a freq dict, same
+    tie-break) on a fixture corpus — the cross-implementation check
+    that the Spark aggregation + argmax + replace chain IS the
+    textbook procedure."""
+    from collections import Counter
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat",
+        "a mat and a hat",
+        "that cat, that hat!",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe(word_frequencies(docs), 5)
+
+    # sequential reference
+    freq = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: _py_symbolize(w) for w in freq}
+    expect = []
+    for _ in range(5):
+        counts: Counter = Counter()
+        for w, f in freq.items():
+            syms = vocab[w].strip().split("  ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        vocab = {w: _py_merge(s, left, right) for w, s in vocab.items()}
+        toks = sum(
+            f * len(vocab[w].strip().split("  ")) for w, f in freq.items()
+        )
+        expect.append((left, right, cnt, toks))
+    assert got == expect

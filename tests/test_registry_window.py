@@ -41,6 +41,13 @@ NEW_IN_R13: set[str] = {
     # manifests + parquet checkpoint; pruning as a Spark filter that
     # must agree file-for-file with the Python loop
     "sink_versioned_checkpoint_read",
+    # distributed BPE tokenizer training (VERDICT r12 task 7): fixed
+    # deterministic merge rounds, every merge + post-merge corpus
+    # token total hash-checked against DuckDB replaying the procedure
+    "text_bpe_token_stats",
+    # per-language word/token/char totals under the learned BPE
+    # vocabulary (encode = chained literal replaces, codegen-only)
+    "text_bpe_lang_tokens",
 }
 
 # Round 12's additions, both driver-checked in CORRECTNESS_r12.json.
