@@ -1345,6 +1345,84 @@ def _count_rows(path: pathlib.Path) -> int:
     return pq.ParquetFile(str(path)).metadata.num_rows
 
 
+def merge_upsert_merge_on_read(
+    spark: SparkSession,
+    root: str,
+    schema,
+    updates: DataFrame,
+    key: str,
+    *,
+    stats_col: str | None = None,
+) -> tuple[str, int]:
+    """MERGE-ON-READ UPSERT (Iceberg v2's delete-file MERGE shape):
+    where :func:`merge_upsert` REWRITES every file that can contain an
+    update key, this commits (a) one position-delete file masking the
+    matched rows' old images and (b) the update rows as NEW data files
+    — zero data files rewritten, so the commit cost is the victim
+    scan plus the update bytes, not the containing files' bytes.
+    Returns (new manifest name, masked row count). Keys matching no
+    row are plain inserts (their mask scan matches nothing). ``key``
+    must be unique per version and per update batch — the same MERGE
+    precondition as the copy-on-write form. :func:`compact`
+    materializes the mask later; the change feed reports the upsert
+    as updates/inserts exactly like the copy-on-write form (the
+    consumer cannot tell which strategy ran — the point).
+
+    With ``stats_col == key`` the victim scan is stats-pruned to the
+    update band's files; pass the same ``stats_col`` as every other
+    commit so the new update files carry range stats too."""
+    from pyspark.sql import functions as F
+
+    cur, live = read_manifest(root)
+    if not live:
+        return append_batch(updates, root, 0, stats_col=stats_col), 0
+    bounds = updates.agg(F.min(key), F.max(key)).first()  # 1 row
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        return cur, 0
+    if stats_col == key:
+        touched, _ = pruned_files(root, cur, key, lo, hi, spark=spark)
+    else:
+        touched = list(live)
+    state = _table_state(root, cur)
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]
+    data = pathlib.Path(root, "data")
+    # 1) the mask: positions of rows whose key matches an update
+    delete_adds: list[str] = []
+    n_masked = 0
+    if touched:
+        scan = _scan_files_state(
+            spark, root, state, touched, schema,
+            with_meta=True, apply_deletes=True,
+        )
+        victims = scan.join(updates.select(key), key, "left_semi").select(
+            F.col("__mor_file").alias("file"),
+            F.col("__mor_pos").alias("pos"),
+        )
+        dstaging = pathlib.Path(root, f".morupsert-{seq}.{nonce}.d")
+        victims.coalesce(1).write.mode("overwrite").parquet(str(dstaging))
+        delete_adds = _adopt(dstaging, data, f"pu{seq:08d}-{nonce}")
+        n_masked = _count_rows(data / delete_adds[0])
+        if n_masked == 0:
+            (data / delete_adds[0]).unlink()
+            delete_adds = []
+    # 2) the post-images: update rows appended as new data files
+    astaging = pathlib.Path(root, f".morupsert-{seq}.{nonce}.a")
+    updates.coalesce(1).write.mode("overwrite").parquet(str(astaging))
+    adopted = _adopt(astaging, data, f"v{seq:08d}-{nonce}")
+    stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    name = _commit_delta(
+        root, cur,
+        f"merge-on-read upsert: masked {n_masked} rows, "
+        f"0 data files rewritten",
+        adds=adopted,
+        stats_adds=stats or None,
+        delete_adds=delete_adds,
+    )
+    return name, n_masked
+
+
 def changes(
     spark: SparkSession,
     root: str,

@@ -331,6 +331,71 @@ def test_mor_delete_no_victims_is_a_noop(spark, tmp_path):
     assert table_state(root)["deletes"] == []
 
 
+def test_mor_upsert_masks_and_inserts_without_rewrites(spark, tmp_path):
+    """The merge-on-read MERGE: matched keys are masked by a position
+    delete + re-inserted as new files, unmatched keys are plain
+    inserts, and the commit removes NO data file. CDF must report the
+    same update/insert classes as the copy-on-write form would."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert_merge_on_read,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # ids 0..19
+    _, live_before = read_manifest(root)
+    from_name = read_manifest(root)[0]
+    updates = spark.createDataFrame(
+        [(5, "FIVE"), (17, "SEVENTEEN"), (100, "HUNDRED")], SCHEMA
+    ).coalesce(1)
+    name, masked = merge_upsert_merge_on_read(
+        spark, root, SCHEMA, updates, "doc_id", stats_col="doc_id"
+    )
+    assert masked == 2  # 5 and 17 existed; 100 is an insert
+    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+    assert "removes" not in doc and len(doc["delete_adds"]) == 1
+    _, live_after = read_manifest(root)
+    assert set(live_before) <= set(live_after), "no data file removed"
+
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    expect = {(i, f"r{i}") for i in range(20) if i not in (5, 17)}
+    expect |= {(5, "FIVE"), (17, "SEVENTEEN"), (100, "HUNDRED")}
+    assert got == expect
+    # the change feed reports updates and the insert, never the masked
+    # old images as bare deletes
+    feed = changes(spark, root, SCHEMA, "doc_id", from_name).collect()
+    classes = {(r.doc_id, r._change) for r in feed}
+    assert classes == {
+        (5, "update_post"), (17, "update_post"), (100, "insert")
+    }
+    # compaction materializes the mask; state carries no deletes after
+    assert compact(spark, root, SCHEMA, target_files=1) > 0
+    assert table_state(root)["deletes"] == []
+    assert {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    } == expect
+
+
+def test_mor_upsert_on_empty_or_no_matches(spark, tmp_path):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert_merge_on_read,
+    )
+
+    root = _build_small(spark, tmp_path, files=1)  # ids 0..9
+    updates = spark.createDataFrame([(50, "fifty")], SCHEMA).coalesce(1)
+    name, masked = merge_upsert_merge_on_read(
+        spark, root, SCHEMA, updates, "doc_id", stats_col="doc_id"
+    )
+    assert masked == 0
+    assert table_state(root)["deletes"] == [], (
+        "a no-match upsert must not commit an empty delete file"
+    )
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(10)) | {50}
+
+
 # --- Shallow clone / snapshot export (VERDICT r12 task 6) ------------
 
 

@@ -48,6 +48,10 @@ NEW_IN_R13: set[str] = {
     # per-language word/token/char totals under the learned BPE
     # vocabulary (encode = chained literal replaces, codegen-only)
     "text_bpe_lang_tokens",
+    # merge-on-read UPSERT (Iceberg v2 delete-file MERGE): mask via
+    # position delete + append post-images, zero rewrites, SAME oracle
+    # as the copy-on-write form — two strategies, one contract
+    "sink_versioned_upsert_mor",
 }
 
 # Round 12's additions, both driver-checked in CORRECTNESS_r12.json.
