@@ -98,6 +98,9 @@ def decode_stub(payload: bytes, media_type: str):
     if media_type == "image/png":
         width, height, pixels = decode_png(payload)
         return {"width": width, "height": height, "pixels": pixels}
+    if media_type == "image/gif":
+        width, height, pixels = decode_gif(payload)
+        return {"width": width, "height": height, "pixels": pixels}
     if media_type == "audio/wav":
         channels, sample_rate, frames, samples = decode_wav(payload)
         return {
@@ -420,6 +423,293 @@ def png_pixels_for_text(text_bytes: bytes) -> tuple[int, int, int, bytes]:
         px[3 * p + 1] = (c * 5 + 3) % 256
         px[3 * p + 2] = (p * p + c) % 256
     return width, height, n % 5, bytes(px)
+
+
+# --- Real stdlib-only GIF87a codec (round 13) ------------------------
+#
+# Palette-indexed GIF with LZW-compressed image data: header + logical
+# screen descriptor + global color table + (a skippable comment
+# extension) + image descriptor + LZW sub-blocks + trailer. Format is
+# public (CompuServe GIF87a/89a specification; Wikipedia "GIF"). This
+# is the repo's SECOND compressed image format and its compression
+# family is disjoint from PNG's (LZW dictionary coding vs DEFLATE), so
+# the two gates cannot vouch for each other's decompressors. Unlike
+# PNG, the stdlib offers no LZW, so the compressor/decompressor are a
+# matched pair here: the container walk, palette mapping, sub-block
+# reassembly, variable code widths, CLEAR/EOI handling, dictionary
+# reconstruction (including the KwKwK case) are all exercised by the
+# pixel-rule-only oracle, and the pair itself is pinned by exhaustive
+# round-trip property tests (tests/test_multimodal_codec.py).
+#
+# Code-width convention (the one subtle spec point, derived in the
+# pair's favor and frozen by tests): the encoder grows its width when
+# its next-code counter EXCEEDS 1 << width after an add; the decoder —
+# whose dictionary famously lags the encoder's by one entry — grows
+# when its counter REACHES 1 << width, which is the same code-stream
+# position. Dictionary caps at 4096 codes; the encoder then emits
+# CLEAR and both sides reset.
+
+
+def _lzw_compress(syms: bytes, mcs: int) -> bytes:
+    """GIF LZW: symbol stream → LSB-first packed code bytes (no
+    sub-blocking — :func:`encode_gif` does that). ``mcs`` is the GIF
+    'minimum code size' (palette index bits, >= 2).
+
+    Code widths are driven by a MIRROR OF THE DECODER'S state, not the
+    encoder's own dictionary counter: the decoder's dictionary lags
+    the encoder's by one entry, and — the tail subtlety that breaks
+    naive pairs — the decoder still performs an add after the FINAL
+    data code while the encoder adds nothing, so the decoder can grow
+    its width right before EOI. Emitting every code at the width the
+    decoder will read it at makes the pair correct by construction."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_c = eoi + 1
+    # decoder-mirror state: width codes are READ at
+    d_width = mcs + 1
+    d_next = eoi + 1
+    first_after_clear = True
+    bits: list[tuple[int, int]] = [(clear, d_width)]
+
+    def d_account() -> None:
+        # what the decoder does after processing one data code: the
+        # first code after a CLEAR adds nothing; every later one adds
+        # an entry and may grow the read width (see _lzw_decompress)
+        nonlocal d_next, d_width, first_after_clear
+        if first_after_clear:
+            first_after_clear = False
+            return
+        if d_next < 4096:
+            d_next += 1
+            if d_next >= (1 << d_width) and d_width < 12:
+                d_width += 1
+
+    def reset() -> None:
+        nonlocal table, next_c, d_next, d_width, first_after_clear
+        table = {bytes([i]): i for i in range(clear)}
+        next_c = eoi + 1
+        d_next = eoi + 1
+        d_width = mcs + 1
+        first_after_clear = True
+
+    w = syms[:1]
+    for k in syms[1:]:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        bits.append((table[w], d_width))
+        d_account()
+        if next_c < 4096:
+            table[wk] = next_c
+            next_c += 1
+        else:
+            bits.append((clear, d_width))
+            reset()
+        w = bytes([k])
+    bits.append((table[w], d_width))
+    d_account()
+    bits.append((eoi, d_width))
+    out = bytearray()
+    acc = nbits = 0
+    for code, cw in bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> bytes:
+    """GIF LZW inverse: packed code bytes → symbol stream. A real
+    decoder, not the compressor mirrored: it reconstructs the
+    dictionary from the code stream alone, including the KwKwK code
+    (a code equal to the next unassigned entry, legal exactly when it
+    means prev + prev[0])."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[int, bytes] = {}
+    next_c = eoi + 1
+    width = mcs + 1
+
+    def reset() -> None:
+        nonlocal table, next_c, width
+        table = {i: bytes([i]) for i in range(clear)}
+        next_c = eoi + 1
+        width = mcs + 1
+
+    reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"GIF LZW: first code {code} not a literal")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_c:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"GIF LZW: code {code} beyond dictionary")
+            if next_c < 4096:
+                table[next_c] = prev + entry[:1]
+                next_c += 1
+                # the decoder's dictionary lags the encoder's by one
+                # entry, so it reaches the width boundary one add later
+                # — growing at >= here lands on the same code-stream
+                # position as the encoder's > (module comment)
+                if next_c >= (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+
+
+def encode_gif(
+    indices: bytes, width: int, height: int, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Encode palette indices as a real GIF87a file: header, logical
+    screen descriptor advertising a global color table, the padded
+    color table, a COMMENT extension (ancillary — a decoder must skip
+    it, like PNG's tEXt), one non-interlaced image descriptor, the LZW
+    data in <=255-byte sub-blocks, trailer."""
+    if len(indices) != width * height:
+        raise ValueError(
+            f"index buffer is {len(indices)} entries; need {width * height}"
+        )
+    npal = len(palette)
+    if npal < 2 or npal > 256 or npal & (npal - 1):
+        raise ValueError(f"palette size {npal} must be a power of two in [2, 256]")
+    if max(indices) >= npal:
+        raise ValueError("palette index out of range")
+    pal_bits = max(npal.bit_length() - 1, 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (pal_bits - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    # ancillary comment extension: 0x21 0xFE, one sub-block, terminator
+    out += b"\x21\xfe\x0enkch-gif-codec\x00"
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    mcs = max(pal_bits, 2)  # spec: minimum code size >= 2
+    out.append(mcs)
+    packed = _lzw_compress(indices, mcs)
+    for i in range(0, len(packed), 255):
+        block = packed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a GIF87a/89a (single non-interlaced image, global color
+    table) to (width, height, top-down RGB). A real parser: validates
+    the signature, walks and SKIPS extension blocks by their sub-block
+    structure, honors the image descriptor's dimensions, reassembles
+    the LZW sub-blocks, and maps decoded indices through the color
+    table. Local color tables, interlacing, and multi-image
+    animations raise — the documented seam boundary (PIL handles
+    those where available)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: signature {payload[:6]!r}")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    npal = 2 << (flags & 0x07)
+    palette = [
+        tuple(payload[pos + 3 * j : pos + 3 * j + 3]) for j in range(npal)
+    ]
+    pos += 3 * npal
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without an image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip whole
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    _x, _y, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF is unsupported")
+    if iflags & 0x80:
+        raise ValueError("local color tables are unsupported")
+    mcs = payload[pos]
+    pos += 1
+    packed = bytearray()
+    while True:
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        packed += payload[pos : pos + n]
+        pos += n
+    indices = _lzw_decompress(bytes(packed), mcs)
+    if len(indices) < width * height:
+        raise ValueError(
+            f"GIF decoded {len(indices)} indices; need {width * height}"
+        )
+    px = bytearray(width * height * 3)
+    for p in range(width * height):
+        r, g, b = palette[indices[p]]
+        px[3 * p] = r
+        px[3 * p + 1] = g
+        px[3 * p + 2] = b
+    return width, height, bytes(px)
+
+
+def gif_pixels_for_text(
+    text_bytes: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], bytes]:
+    """Deterministic text→(dims, palette, indices) rule for the GIF
+    fixture, shared with the DuckDB oracle (plans/multimodal.py
+    `multimodal_decode_gif`): a third rule disjoint from the BMP and
+    PNG ones. Palette sizes cycle 16/32/64, so LZW minimum code sizes
+    4/5/6 are all load-bearing. Changing this rule requires changing
+    the oracle SQL in lockstep."""
+    n = len(text_bytes)
+    if n == 0:
+        raise ValueError("empty payload has no pixel rule")
+    width = (n % 6) + 2
+    height = (n % 4) + 2
+    npal = 1 << ((n % 3) + 4)
+    palette = [
+        ((j * 7 + 1) % 256, (j * 11 + 3) % 256, (j * 13 + 5) % 256)
+        for j in range(npal)
+    ]
+    idx = bytes(
+        (text_bytes[p % n] + 5 * p) % npal for p in range(width * height)
+    )
+    return width, height, palette, idx
 
 
 def bmp_pixels_for_text(text_bytes: bytes) -> tuple[int, int, bytes]:
@@ -806,6 +1096,37 @@ def documents_as_png_assets(documents: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["doc_id"],
                     "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        documents.filter(F.octet_length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode, schema=BMP_ASSET_SCHEMA)
+    )
+
+
+def documents_as_gif_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL GIF87a files from the documents table — the
+    LZW-compressed sibling of :func:`documents_as_png_assets`, same
+    honesty contract: deterministic palette-indexed pixels
+    (:func:`gif_pixels_for_text`) inside a genuine container whose
+    structure (global color table, skippable comment extension,
+    sub-blocked variable-width LZW stream) the downstream decoder
+    must actually parse."""
+    _ship_module_by_value()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                w, h, pal, idx = gif_pixels_for_text(_oracle_text_bytes(text))
+                payloads.append(encode_gif(idx, w, h, pal))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/gif",
                     "payload": payloads,
                 }
             )

@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     decode_wav_stats,
     documents_as_assets,
     documents_as_bmp_assets,
+    documents_as_gif_assets,
     documents_as_png_assets,
     documents_as_wav_assets,
     extract_features,
@@ -225,6 +226,64 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     assets = documents_as_png_assets(docs)
+    return decode_image_stats(assets).orderBy("asset_id")
+
+
+_DECODE_GIF_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         (length(text) % 6) + 2 AS w,
+         (length(text) % 4) + 2 AS h,
+         CASE length(text) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+              ELSE 64 END AS npal
+  FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT doc_id, w, h, p,
+         (unicode(substr(text, CAST(p % L AS INT) + 1, 1)) + 5 * p)
+           % npal AS idx
+  FROM d, UNNEST(range(0, CAST(w * h AS BIGINT))) AS t(p)
+)
+SELECT doc_id AS asset_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       SUM((idx * 7 + 1) % 256)::BIGINT AS sum_r,
+       SUM((idx * 11 + 3) % 256)::BIGINT AS sum_g,
+       SUM((idx * 13 + 5) % 256)::BIGINT AS sum_b,
+       SUM(p * ((idx * 7 + 1) % 256))::BIGINT AS pos_weighted_r
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@_register("multimodal_decode_gif", _DECODE_GIF_ORACLE)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image codec end-to-end (round 13): encode
+    deterministic palette-indexed pixels as genuine GIF87a files, then
+    decode them with the spec-built parser behind the production
+    ``decode_stub`` seam and hash-check per-channel statistics. GIF's
+    compression family (LZW dictionary coding) is disjoint from PNG's
+    (DEFLATE), so the two compressed-format gates cannot vouch for
+    each other's decompressors.
+
+    Honesty of the gate: the oracle restates only the PIXEL rule
+    (operators/multimodal.py `gif_pixels_for_text` — palette from
+    index arithmetic, indices from byte values) — it knows nothing
+    about GIF. The Spark path must therefore round-trip the real
+    container exactly: the global color table, a skippable COMMENT
+    extension, sub-block reassembly, and the variable-code-width LZW
+    stream (palette sizes cycle 16/32/64, so minimum code sizes 4/5/6
+    are all load-bearing); `pos_weighted_r` is position-sensitive so
+    an index-order or dictionary-reconstruction bug cannot cancel in
+    the sums. The LZW pair itself is additionally pinned by
+    round-trip property tests including the KwKwK and table-full
+    paths (no stdlib LZW exists to vouch for it, unlike PNG's zlib).
+
+    Scale shape: two chained ``mapInPandas`` stages, zero shuffle,
+    payload never survives past the decode stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_gif_assets(docs)
     return decode_image_stats(assets).orderBy("asset_id")
 
 

@@ -425,3 +425,123 @@ def test_png_no_idat_raises_value_error():
     ) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="zlib|corrupt"):
         decode_png(bad)
+
+
+# --- GIF87a codec (round 13) ------------------------------------------
+
+
+def _gif_parts(text: bytes):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        encode_gif,
+        gif_pixels_for_text,
+    )
+
+    w, h, pal, idx = gif_pixels_for_text(text)
+    return w, h, pal, idx, encode_gif(idx, w, h, pal)
+
+
+def test_gif_roundtrip_and_extension_skip():
+    """The container walk end-to-end: header, global color table, a
+    COMMENT extension the decoder must skip by sub-block structure,
+    sub-blocked LZW data, trailer."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        decode_gif,
+    )
+
+    w, h, pal, idx, payload = _gif_parts(b"The quick brown fox!")
+    assert payload[:6] == b"GIF87a"
+    assert b"\x21\xfe" in payload  # the comment extension is present
+    W, H, px = decode_gif(payload)
+    assert (W, H) == (w, h)
+    assert px == b"".join(bytes(pal[i]) for i in idx)
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.binary(min_size=1, max_size=4000),
+)
+@settings(max_examples=120, deadline=None)
+def test_gif_lzw_roundtrip_property(mcs, raw):
+    """The matched LZW pair round-trips ANY symbol stream at every
+    minimum code size — including low-entropy streams that drive the
+    dictionary to 4096 (CLEAR + reset) and repeated prefixes that
+    force the KwKwK reconstruction case."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    syms = bytes(b % (1 << mcs) for b in raw)
+    assert _lzw_decompress(_lzw_compress(syms, mcs), mcs) == syms
+
+
+def test_gif_lzw_table_full_and_kwkwk():
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    # KwKwK: the canonical aaa... stream emits codes equal to the
+    # decoder's next unassigned entry on every other step
+    for pat in (b"\x00" * 50000, bytes([0, 1]) * 25000,
+                bytes(range(4)) * 12000):
+        assert _lzw_decompress(_lzw_compress(pat, 2), 2) == pat
+
+
+def test_gif_decode_rejects_bad_inputs():
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        decode_gif,
+    )
+
+    _, _, _, _, payload = _gif_parts(b"hello")
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + payload[6:])
+    # truncate the LZW stream mid-sub-block: EOI never arrives
+    cut = payload[: len(payload) - 6]
+    with pytest.raises((ValueError, IndexError)):
+        decode_gif(cut)
+    # interlaced flag set -> unsupported, loud. The descriptor offset
+    # is computed structurally (header + palette + the 18-byte comment
+    # extension), not byte-searched — 0x2C can occur in palette data.
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        gif_pixels_for_text,
+    )
+
+    _, _, pal, _ = gif_pixels_for_text(b"hello")
+    desc = 13 + 3 * len(pal) + 18
+    mutated = bytearray(payload)
+    assert mutated[desc] == 0x2C
+    mutated[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(mutated))
+
+
+def test_decode_stub_dispatches_gif():
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        decode_stub,
+    )
+
+    w, h, pal, idx, payload = _gif_parts(b"dispatch me")
+    d = decode_stub(payload, "image/gif")
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_gif_pixel_rule_matches_oracle_contract():
+    """The fixture rule the DuckDB oracle restates: dims, palette
+    size, index arithmetic, channel formulas — changing any of these
+    requires changing the oracle SQL in lockstep."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        gif_pixels_for_text,
+    )
+
+    text = b"oracle-contract"
+    n = len(text)
+    w, h, pal, idx = gif_pixels_for_text(text)
+    assert (w, h) == ((n % 6) + 2, (n % 4) + 2)
+    assert len(pal) == 1 << ((n % 3) + 4)
+    for p in range(w * h):
+        assert idx[p] == (text[p % n] + 5 * p) % len(pal)
+    j = idx[3]
+    assert pal[j] == ((j * 7 + 1) % 256, (j * 11 + 3) % 256,
+                      (j * 13 + 5) % 256)

@@ -52,6 +52,10 @@ NEW_IN_R13: set[str] = {
     # position delete + append post-images, zero rewrites, SAME oracle
     # as the copy-on-write form — two strategies, one contract
     "sink_versioned_upsert_mor",
+    # real GIF87a codec behind the decode_stub seam: LZW (a second,
+    # disjoint compression family next to PNG's DEFLATE), global color
+    # table, skippable extensions; pixel-rule-only oracle
+    "multimodal_decode_gif",
 }
 
 # Round 12's additions, both driver-checked in CORRECTNESS_r12.json.
