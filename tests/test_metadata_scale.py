@@ -396,6 +396,58 @@ def test_mor_upsert_on_empty_or_no_matches(spark, tmp_path):
     assert got == set(range(10)) | {50}
 
 
+def test_mor_delete_on_partitioned_table_composes(spark, tmp_path):
+    """The round's features compose: a hive-partitioned table takes a
+    merge-on-read delete (the victim scan must re-attach partition
+    literals to evaluate the predicate AND carry row positions), the
+    partition-pruned read applies the mask, and a later compact both
+    materializes the mask and keeps per-partition tuples."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_where_merge_on_read,
+        partition_pruned_files,
+    )
+
+    root = str(tmp_path / "t")
+    schema = "doc_id long, lang string, text string"
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"r{i}") for i in range(30)
+    ]
+    for b in (0, 1):  # two appends -> 2 files per partition
+        df = spark.createDataFrame(
+            [r for r in rows if (r[0] // 15) == b], schema
+        ).coalesce(1)
+        append_batch(df, root, b, partition_by=("lang",),
+                     stats_col="doc_id")
+
+    _, n = delete_where_merge_on_read(spark, root, schema, "doc_id", 9, 14)
+    assert n == 6
+    name, live = read_manifest(root)
+    assert len(live) == 6  # 3 partitions x 2 appends
+    kept, total = partition_pruned_files(root, name, {"lang": "de"})
+    assert total == 6 and len(kept) == 2
+
+    got = {
+        r.doc_id
+        for r in read_table(
+            spark, root, schema, where_partition={"lang": "de"}
+        ).collect()
+    }
+    assert got == {i for i in range(30) if i % 3 == 1 and not 9 <= i <= 14}
+    # compact materializes the mask per partition group (2 -> 1 each)
+    assert compact(spark, root, schema, target_files=1) == 3
+    st = table_state(root)
+    assert st["deletes"] == []
+    got2 = {
+        (r.doc_id, r.lang)
+        for r in read_table(spark, root, schema).collect()
+    }
+    assert got2 == {
+        (i, ["en", "de", "fr"][i % 3])
+        for i in range(30)
+        if not 9 <= i <= 14
+    }
+
+
 # --- Shallow clone / snapshot export (VERDICT r12 task 6) ------------
 
 
