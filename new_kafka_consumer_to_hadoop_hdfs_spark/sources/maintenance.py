@@ -1265,6 +1265,35 @@ def _delete_file_refs(root: str, state: dict, delete_file: str) -> set[str]:
     return set(t.column("file").to_pylist())
 
 
+def _additive_interleave(root: str, base: str | None, head: str) -> bool:
+    """True when every commit in (base, head] is ADDITIVE-ONLY — new
+    data files, no removes, no delete-file churn, no schema/stats ops,
+    no full-snapshot restart. Against such an interleave a
+    merge-on-read commit's delta stays valid verbatim: its position
+    entries reference files nobody rewrote, and the interleaved adds
+    are untouched by it — so the loser can REBASE (re-commit the same
+    delta on the new head) instead of surfacing the conflict. This is
+    the logical conflict detection optimistic table formats run (Delta
+    allows DELETE/MERGE to commit across concurrent blind appends
+    under write-serializable isolation, with exactly this snapshot
+    semantics: rows appended AFTER the verb's snapshot are not subject
+    to its predicate)."""
+    start = _seq_of(base) + 1 if base else 0
+    for s in range(start, _seq_of(head) + 1):
+        doc = _manifest_doc(root, _manifest_name(s))
+        if "files" in doc:  # full-snapshot restart: can't reason, bail
+            return False
+        if any(
+            doc.get(k)
+            for k in (
+                "removes", "delete_adds", "delete_removes",
+                "stats_rekey", "stats_drop",
+            )
+        ):
+            return False
+    return True
+
+
 def delete_where_merge_on_read(
     spark: SparkSession,
     root: str,
@@ -1330,13 +1359,35 @@ def delete_where_merge_on_read(
         # no victim row: drop the empty delete file, no commit
         (data / adopted[0]).unlink()
         return cur, 0
-    name = _commit_delta(
+    name = _commit_mor(
         root, cur,
         f"merge-on-read delete {col} in [{lo}, {hi}]: {n} positions, "
         f"0 data files rewritten",
         delete_adds=adopted,
     )
     return name, n
+
+
+def _commit_mor(root: str, base: str | None, note: str, **delta) -> str:
+    """Commit a merge-on-read delta with AUTO-REBASE across additive
+    interleaves: a blind append racing this commit bumps the sequence
+    and O_EXCL rejects us, but the delta itself is still valid (its
+    position entries reference files nobody rewrote), so re-commit it
+    on the new head — the ingest-vs-retention pairing every production
+    table runs concurrently. Anything non-additive in the interleave
+    (a rewrite, another mask, a schema op) surfaces
+    :class:`CommitConflict` to the caller, whose snapshot-derived
+    delta may now be wrong — recompute and re-run, exactly the
+    copy-on-write verbs' contract."""
+    for _ in range(64):
+        try:
+            return _commit_delta(root, base, note, **delta)
+        except CommitConflict:
+            head, _ = read_manifest(root)
+            if not _additive_interleave(root, base, head):
+                raise
+            base = head
+    raise CommitConflict(f"{note!r} lost 64 consecutive commit races")
 
 
 def _count_rows(path: pathlib.Path) -> int:
@@ -1412,7 +1463,7 @@ def merge_upsert_merge_on_read(
     updates.coalesce(1).write.mode("overwrite").parquet(str(astaging))
     adopted = _adopt(astaging, data, f"v{seq:08d}-{nonce}")
     stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
-    name = _commit_delta(
+    name = _commit_mor(
         root, cur,
         f"merge-on-read upsert: masked {n_masked} rows, "
         f"0 data files rewritten",

@@ -396,6 +396,85 @@ def test_mor_upsert_on_empty_or_no_matches(spark, tmp_path):
     assert got == set(range(10)) | {50}
 
 
+def test_mor_delete_rebases_over_blind_append(spark, tmp_path):
+    """Logical conflict detection (Delta's write-serializable rule):
+    a merge-on-read delete racing a BLIND APPEND auto-rebases — its
+    position entries reference files nobody rewrote — and both commits
+    survive; the appended rows, being after the delete's snapshot, are
+    NOT subject to its predicate (snapshot semantics)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # ids 0..19
+    appended = spark.createDataFrame(
+        [(13, "appended-13-after-snapshot")], SCHEMA
+    ).coalesce(1)
+
+    # interleave an append between the victim scan and the commit by
+    # hooking the commit primitive's first attempt
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("merge-on-read delete"):
+            state["fired"] = True
+            append_batch(appended, root_, 99)
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        name, n = m.delete_where_merge_on_read(
+            spark, root, SCHEMA, "doc_id", 10, 15, stats_col="doc_id"
+        )
+    finally:
+        m._commit_delta = real
+    assert state["fired"] and n == 6
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    expect = {(i, f"r{i}") for i in range(20) if not 10 <= i <= 15}
+    expect.add((13, "appended-13-after-snapshot"))  # post-snapshot row
+    assert got == expect
+
+
+def test_mor_delete_conflicts_against_interleaved_rewrite(spark, tmp_path):
+    """A rewrite in the interleave (compact) invalidates the mask's
+    position entries — the conflict must SURFACE, never silently
+    commit a mask referencing removed files."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        CommitConflict,
+    )
+
+    root = _build_small(spark, tmp_path, files=3)
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("merge-on-read delete"):
+            state["fired"] = True
+            compact(spark, root_, SCHEMA, target_files=1)
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        with pytest.raises(CommitConflict):
+            m.delete_where_merge_on_read(
+                spark, root, SCHEMA, "doc_id", 5, 8, stats_col="doc_id"
+            )
+    finally:
+        m._commit_delta = real
+    assert state["fired"]
+    # the table is intact: the compact won, no mask was committed
+    assert table_state(root)["deletes"] == []
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(30))
+
+
 def test_mor_delete_on_partitioned_table_composes(spark, tmp_path):
     """The round's features compose: a hive-partitioned table takes a
     merge-on-read delete (the victim scan must re-attach partition
