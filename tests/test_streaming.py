@@ -1426,6 +1426,93 @@ def test_versioned_append_retry_is_idempotent(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_streaming_partitioned_ingest_with_mor_delete(spark, tmp_path):
+    """Round-13 features under a REAL micro-batch stream: each epoch
+    appends hive-PARTITIONED files (partition tuples recorded per
+    file), a merge-on-read DELETE lands mid-stream between epochs —
+    auto-rebasing across the concurrent appends if it loses the race —
+    and after every epoch a partition-pruned read must (a) actually
+    prune files and (b) return exactly the committed rows of that
+    partition minus the mask. This is the production corpus-table
+    loop: ingest by (source, language, date), retention deletes
+    running beside it, readers never blocked."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        append_batch,
+        delete_where_merge_on_read,
+        partition_pruned_files,
+        read_manifest,
+        read_table,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"r{i}") for i in range(60)
+    ]
+    src = tmp_path / "psrc"
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(
+        str(src)
+    )
+    root = str(tmp_path / "ptable")
+    committed: set[int] = set()
+    deleted: set[int] = set()
+    state = {"deleted": False, "epochs": 0}
+
+    def ingest(batch_df, epoch_id):
+        append_batch(batch_df, root, epoch_id, partition_by=("lang",),
+                     stats_col="doc_id")
+        committed.update(r.doc_id for r in batch_df.collect())
+        state["epochs"] += 1
+        if state["epochs"] == 2 and not state["deleted"]:
+            # retention delete beside the ingest (merge-on-read: no
+            # data file rewritten under the stream's feet)
+            _, n = delete_where_merge_on_read(
+                spark, root, schema, "doc_id", 6, 11, stats_col="doc_id"
+            )
+            deleted.update(
+                i for i in committed if 6 <= i <= 11
+            )
+            assert n == len(deleted)
+            state["deleted"] = True
+        # partition-pruned read per epoch: prunes AND is exact
+        name, live = read_manifest(root)
+        kept, total = partition_pruned_files(root, name, {"lang": "de"})
+        assert 0 < len(kept) < total, (
+            f"epoch {epoch_id}: partition pruning did not drop files"
+        )
+        seen = {
+            r.doc_id
+            for r in read_table(
+                spark, root, schema, where_partition={"lang": "de"}
+            ).collect()
+        }
+        expect = {
+            i for i in committed - deleted if i % 3 == 1
+        }
+        assert seen == expect, f"epoch {epoch_id}: partition read drifted"
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert state["epochs"] >= 3 and state["deleted"]
+    assert committed == {i for i in range(60)}
+    got = {
+        (r.doc_id, r.lang)
+        for r in read_table(spark, root, schema).collect()
+    }
+    assert got == {
+        (i, ["en", "de", "fr"][i % 3])
+        for i in range(60)
+        if i not in deleted
+    }
+
+
 def test_versioned_table_stats_pruning_semantics(spark, tmp_path):
     """Manifest data skipping contract: (a) a range read keeps exactly
     the overlapping files, boundary-inclusive on both ends; (b) a file
