@@ -1785,6 +1785,14 @@ def export_manifest(root: str, name: str | None = None) -> list[str]:
             f"{state['deletes']}: a flat export would resurrect deleted "
             "rows; compact to materialize them, then export"
         )
+    if state["parts"]:
+        raise ValueError(
+            f"{root}@{name} carries partition tuples: they are MANIFEST "
+            "metadata, and hive-adopted files do not physically repeat "
+            "the partition columns — a flat export would silently drop "
+            "those columns for the consumer; materialize with a full "
+            "read+write (or read through this module) before exporting"
+        )
     return [
         str(pathlib.Path(_data_path(root, state, f)).resolve())
         for f in state["files"]

@@ -768,6 +768,44 @@ def test_partition_column_rename_keeps_pruning(spark, tmp_path):
     assert len(kept_old) == 4
 
 
+def test_export_refuses_partitioned_tables(spark, tmp_path):
+    """Review-found (r13): hive-adopted files do not physically repeat
+    the partition columns — a flat path export would silently DROP
+    those columns for an external consumer. Refuse loudly, like the
+    pending-deletes case."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        export_manifest,
+    )
+
+    root, _, _ = _build_partitioned(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition"):
+        export_manifest(root)
+
+
+def test_clone_of_partitioned_table_keeps_tuples(spark, tmp_path):
+    """A shallow clone of a partitioned table carries the partition
+    tuples in its full-snapshot manifest: pruned reads on the clone
+    keep working and literals re-attach."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+        partition_pruned_files,
+    )
+
+    root, _, _ = _build_partitioned(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_table(root, dst)
+    name, _ = read_manifest(dst)
+    kept, total = partition_pruned_files(dst, name, {"lang": "en"})
+    assert total == 4 and len(kept) == 1
+    got = {
+        (r.doc_id, r.lang)
+        for r in read_table(
+            spark, dst, PSCHEMA, where_partition={"lang": "en"}
+        ).collect()
+    }
+    assert got == {(0, "en"), (1, "en")}
+
+
 def test_partitioned_compact_preserves_pruning(spark, tmp_path):
     """Compaction rewrites PER PARTITION GROUP and re-records each
     group's tuple, so partition pruning survives it (a naive rewrite
