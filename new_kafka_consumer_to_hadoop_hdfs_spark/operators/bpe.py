@@ -101,6 +101,15 @@ def train_bpe(
     vocab = word_freq.select(
         symbolize(F.col("w")).alias("sym"), F.col("freq")
     ).cache()
+    try:
+        return _train_rounds(vocab, rounds)
+    finally:
+        # release the cached vocabulary even when a round raises
+        # (vocabulary-exhausted, or any Spark failure mid-round)
+        vocab.unpersist()
+
+
+def _train_rounds(vocab, rounds: int) -> list[tuple[str, str, int, int]]:
     merges: list[tuple[str, str, int, int]] = []
     cur = vocab
     for _ in range(rounds):
@@ -144,7 +153,6 @@ def train_bpe(
             ).first()[0]
         )
         merges.append((left, right, cnt, tokens_after))
-    vocab.unpersist()
     return merges
 
 

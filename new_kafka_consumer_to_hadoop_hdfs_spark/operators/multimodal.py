@@ -637,19 +637,27 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     if not flags & 0x80:
         raise ValueError("GIF without a global color table is unsupported")
     npal = 2 << (flags & 0x07)
+    if len(payload) < pos + 3 * npal:
+        raise ValueError("truncated GIF: color table cut short")
     palette = [
         tuple(payload[pos + 3 * j : pos + 3 * j + 3]) for j in range(npal)
     ]
     pos += 3 * npal
+
+    def _at(i: int) -> int:
+        # every walk step bounds-checks so a truncated payload raises
+        # the seam's ValueError contract, never a bare IndexError
+        if i >= len(payload):
+            raise ValueError("truncated GIF: block walk ran off the end")
+        return payload[i]
+
     while True:
-        if pos >= len(payload):
-            raise ValueError("GIF ended without an image descriptor")
-        block = payload[pos]
+        block = _at(pos)
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks, skip whole
             pos += 1
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while _at(pos):
+                pos += 1 + _at(pos)
             pos += 1
         elif block == 0x2C:
             break
@@ -657,20 +665,24 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("GIF trailer before any image data")
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if len(payload) < pos + 9:
+        raise ValueError("truncated GIF: image descriptor cut short")
     _x, _y, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos)
     pos += 9
     if iflags & 0x40:
         raise ValueError("interlaced GIF is unsupported")
     if iflags & 0x80:
         raise ValueError("local color tables are unsupported")
-    mcs = payload[pos]
+    mcs = _at(pos)
     pos += 1
     packed = bytearray()
     while True:
-        n = payload[pos]
+        n = _at(pos)
         pos += 1
         if n == 0:
             break
+        if len(payload) < pos + n:
+            raise ValueError("truncated GIF: sub-block cut short")
         packed += payload[pos : pos + n]
         pos += n
     indices = _lzw_decompress(bytes(packed), mcs)

@@ -824,7 +824,9 @@ def sink_versioned_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
     root = f"{dest}/table"
     name, live = read_manifest(root)
-    if latest_checkpoint_seq(root, len(live)) is None:
+    from ..sources.maintenance import _seq_of
+
+    if latest_checkpoint_seq(root, _seq_of(name)) is None:
         raise RuntimeError("auto-checkpoint never materialized")
     # batches 3-4 as inclusive id bounds: doc_id*12 in [3h, 5h)
     lo, hi = (3 * h + 11) // 12, (5 * h + 11) // 12 - 1

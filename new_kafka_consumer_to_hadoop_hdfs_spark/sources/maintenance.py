@@ -190,11 +190,28 @@ def _apply_delta(state: dict, doc: dict) -> None:
         if state["colmap"] is None:
             # schema tracking initialized at this commit: every live
             # file was written under this logical schema — except
-            # files with an explicit mapping (hive-partitioned adopts
-            # physically lack their partition columns)
-            state["colmap"] = {
-                f: cadds.get(f, ident) for f in state["files"]
-            }
+            # files with an explicit mapping (this commit's
+            # hive-partitioned adopts), and PRE-EXISTING partitioned
+            # files, which physically lack their partition columns:
+            # their pinned mapping must exclude those (or the column
+            # silently reads NULL — review-found r13) and their
+            # name-keyed tuples re-key to the now-stable field ids
+            name_to_id = {c["name"]: str(c["id"]) for c in columns}
+            state["colmap"] = {}
+            for f in state["files"]:
+                if f in cadds:
+                    state["colmap"][f] = cadds[f]
+                    continue
+                tup = state["parts"].get(f)
+                if tup:
+                    state["parts"][f] = {
+                        name_to_id.get(k, k): v for k, v in tup.items()
+                    }
+                    state["colmap"][f] = {
+                        i: m for i, m in ident.items() if m[0] not in tup
+                    }
+                else:
+                    state["colmap"][f] = ident
         else:
             for f in adds:
                 state["colmap"][f] = cadds.get(f, ident)
@@ -986,7 +1003,10 @@ def compact(
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
     (floor 1; ``target_files`` overrides) and commit the replacement
-    set. Returns the file-count reduction (0 = nothing to do).
+    set. Returns the file-count reduction — 0 when there was nothing
+    to do, and ALSO 0 when the rewrite only materialized pending
+    merge-on-read masks without shrinking the file count (check
+    ``table_state(root)['deletes']`` for that distinction).
     Superseded files are left for :func:`vacuum`. ``stats_col``
     re-records [min, max] for the replacement files. Pending
     merge-on-read delete files are APPLIED and CONSUMED: the rewrite
@@ -1026,9 +1046,20 @@ def compact(
     if cluster and not stats_cols and cluster_expr is None:
         raise ValueError("cluster=True requires stats_col or cluster_expr")
     cur, live = read_manifest(root)
-    if len(live) <= 1:
+    if not live:
         return 0
     state = _table_state(root, cur)
+    # files referenced by a pending merge-on-read mask must be
+    # rewritten even when their group already meets its file target —
+    # compact is the MATERIALIZATION point (export_manifest and the
+    # read-path anti-join both rely on "compact clears the masks"),
+    # and a size-only early-out would strand a mask forever
+    # (review-found r13)
+    masked: set[str] = set()
+    for d in state["deletes"]:
+        masked |= _delete_file_refs(root, state, d)
+    if len(live) <= 1 and not masked:
+        return 0
     data = pathlib.Path(root, "data")
     # one rewrite group per partition tuple (a single group for
     # unpartitioned tables); file counts and byte targets are computed
@@ -1049,8 +1080,12 @@ def compact(
         )
         target = target_files or max(1, math.ceil(total / target_bytes))
         if target >= len(gfiles):
-            # nothing to do for this group: keep its files as-is
-            continue
+            if not (masked & set(gfiles)):
+                # nothing to do for this group: keep its files as-is
+                continue
+            # a mask references this group: rewrite it at its current
+            # file count purely to materialize the deletes
+            target = len(gfiles)
         # WRITER-UNIQUE staging dir and adopted names: two rewriters
         # that derived the same base must never share an output
         # location — a deterministic name would let the conflict LOSER
@@ -1152,7 +1187,12 @@ def merge_upsert(
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
     staging = pathlib.Path(root, f".merge-{seq}.{nonce}")
-    base = _scan_files_state(spark, root, state, touched, schema)
+    # apply_deletes: pending merge-on-read masks MUST ride the rewrite
+    # — scanning touched files raw would resurrect masked rows into the
+    # replacement files (review-found r13; compact had this right)
+    base = _scan_files_state(
+        spark, root, state, touched, schema, apply_deletes=True
+    )
     (
         base.join(updates.select(key), key, "left_anti")
         .unionByName(updates)
@@ -1213,7 +1253,12 @@ def delete_where(
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]  # writer-unique: see compact()
     staging = pathlib.Path(root, f".delete-{seq}.{nonce}")
-    base = _scan_files_state(spark, root, state, touched, schema)
+    # apply_deletes: pending merge-on-read masks MUST ride the rewrite
+    # — scanning touched files raw would resurrect masked rows into the
+    # replacement files (review-found r13; compact had this right)
+    base = _scan_files_state(
+        spark, root, state, touched, schema, apply_deletes=True
+    )
     survivors = base.filter(
         ~F.coalesce(F.col(col).between(lo, hi), F.lit(False))
     )
@@ -2313,14 +2358,6 @@ def _scan_files_state(
     if need_meta and not with_meta:
         out = out.select(*logical_cols)
     return out
-
-
-def _scan_files_evolved(
-    spark: SparkSession, root: str, doc_or_state: dict, files: list[str]
-) -> DataFrame:
-    """Back-compat shim for callers holding a state dict (the old
-    manifest-doc form is reconstructed state now)."""
-    return _scan_files_state(spark, root, doc_or_state, files, None)
 
 
 def read_table(

@@ -396,6 +396,110 @@ def test_mor_upsert_on_empty_or_no_matches(spark, tmp_path):
     assert got == set(range(10)) | {50}
 
 
+def test_cow_rewrite_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    """Review-found (r13): a copy-on-write DELETE (or MERGE) rewriting
+    files that carry a pending merge-on-read mask must APPLY the mask
+    — scanning the files raw would write the masked rows into the
+    replacement files and then consume the mask: silent resurrection."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_where,
+    )
+
+    root = _build_small(spark, tmp_path)  # 4 files, ids 0..39
+    delete_where_merge_on_read(spark, root, SCHEMA, "doc_id", 5, 8)
+    # CoW delete with NO stats pruning: touches (and rewrites) all files
+    delete_where(spark, root, SCHEMA, "doc_id", 30, 33)
+    assert table_state(root)["deletes"] == []  # mask consumed...
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {
+        i for i in range(40) if not (5 <= i <= 8 or 30 <= i <= 33)
+    }, "the copy-on-write rewrite resurrected merge-on-read-deleted rows"
+
+
+def test_cow_merge_does_not_duplicate_mor_upserted_keys(spark, tmp_path):
+    """The MERGE flavor of the same review bug: a MoR upsert's masked
+    old images must not re-surface (as duplicate keys) when a later
+    copy-on-write merge rewrites the masked files."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert,
+        merge_upsert_merge_on_read,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # ids 0..19
+    up1 = spark.createDataFrame([(5, "FIVE-mor")], SCHEMA).coalesce(1)
+    merge_upsert_merge_on_read(spark, root, SCHEMA, up1, "doc_id")
+    up2 = spark.createDataFrame([(17, "SEVENTEEN-cow")], SCHEMA).coalesce(1)
+    merge_upsert(spark, root, SCHEMA, up2, "doc_id")  # rewrites all files
+    rows = read_table(spark, root, SCHEMA).collect()
+    by_id: dict = {}
+    for r in rows:
+        assert r.doc_id not in by_id, f"duplicate key {r.doc_id}"
+        by_id[r.doc_id] = r.text
+    assert by_id[5] == "FIVE-mor" and by_id[17] == "SEVENTEEN-cow"
+    assert len(by_id) == 20
+
+
+def test_late_schema_tracking_on_partitioned_table(spark, tmp_path):
+    """Review-found (r13): initializing schema tracking on a table
+    that already holds hive-partitioned files must exclude the
+    physically-absent partition columns from those files' pinned
+    mappings (or the column reads NULL) and re-key their name-keyed
+    tuples to the new field ids (or pruning dies)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        partition_pruned_files,
+        read_evolved,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(PROWS, PSCHEMA).coalesce(1)
+    append_batch(df, root, 0, partition_by=("lang",))  # untracked
+    df2 = spark.createDataFrame(
+        [(100, "it", "late")], PSCHEMA
+    ).coalesce(1)
+    append_batch(df2, root, 1, track_schema=True)  # tracking starts NOW
+
+    got = {
+        (r.doc_id, r.lang)
+        for r in read_evolved(spark, root).collect()
+    }
+    assert got == {(i, lang) for i, lang, _ in PROWS} | {(100, "it")}, (
+        "pre-tracking partitioned files lost their partition values"
+    )
+    name, _ = read_manifest(root)
+    kept, total = partition_pruned_files(root, name, {"lang": "en"})
+    # 2 kept: the en partition file + batch 1's UNpartitioned file
+    # (no tuple -> conservatively kept, correctly)
+    assert total == 5 and len(kept) == 2
+    # and the tuples are id-keyed now: a rename keeps pruning alive
+    rename_column(root, "lang", "language")
+    name, _ = read_manifest(root)
+    kept, _ = partition_pruned_files(root, name, {"language": "en"})
+    assert len(kept) == 2
+
+
+def test_compact_materializes_masks_even_at_file_target(spark, tmp_path):
+    """Review-found (r13): compact is the documented mask
+    materialization point, so it must rewrite mask-referenced groups
+    even when every group already meets its file target — otherwise a
+    single-file table's mask is stranded forever and export_manifest's
+    'compact first' remedy is a dead end."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        export_manifest,
+    )
+
+    root = _build_small(spark, tmp_path, files=1)  # ONE file, ids 0..9
+    delete_where_merge_on_read(spark, root, SCHEMA, "doc_id", 3, 5)
+    reduced = compact(spark, root, SCHEMA, target_files=1)
+    assert reduced == 0  # no file-count change...
+    assert table_state(root)["deletes"] == [], (
+        "...but the mask must be materialized and consumed"
+    )
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {i for i in range(10) if not 3 <= i <= 5}
+    assert len(export_manifest(root)) == 1  # the remedy works now
+
+
 def test_mor_delete_rebases_over_blind_append(spark, tmp_path):
     """Logical conflict detection (Delta's write-serializable rule):
     a merge-on-read delete racing a BLIND APPEND auto-rebases — its
