@@ -1090,6 +1090,29 @@ FROM b{i}"""
     return f"WITH {_bpe_train_ctes(rounds)}\n{rows}\nORDER BY round"
 
 
+# the learned merge table is deterministic per corpus, so the two BPE
+# queries share one training run per (documents fingerprint, rounds) —
+# a tokenizer is trained once and reused, and the memo key is the same
+# (mtime_ns, size) fingerprint every cache in sources/cache.py uses
+_BPE_MERGES_MEMO: dict = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str):
+    import pathlib
+
+    from ..operators.bpe import train_bpe, word_frequencies
+
+    src = pathlib.Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    key = (str(src.resolve()), st.st_mtime_ns, st.st_size, _BPE_ROUNDS)
+    got = _BPE_MERGES_MEMO.get(key)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        got = train_bpe(word_frequencies(docs), _BPE_ROUNDS)
+        _BPE_MERGES_MEMO[key] = got
+    return got
+
+
 @_register("text_bpe_token_stats", _bpe_stats_oracle(_BPE_ROUNDS))
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE TOKENIZER TRAINING (round 13, VERDICT r12 task
@@ -1113,10 +1136,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side output; a mismatch in ANY round poisons every later
     round, so the oracle gate is self-amplifying.
     """
-    from ..operators.bpe import train_bpe, word_frequencies
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(word_frequencies(docs), _BPE_ROUNDS)
+    merges = _learned_merges(spark, sf_dir)
     rows = [
         (i + 1, f"{left} {right}", cnt, toks)
         for i, (left, right, cnt, toks) in enumerate(merges)
@@ -1172,14 +1192,10 @@ def text_bpe_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary relation; the corpus was already reduced to it in one
     pass. Nothing here is corpus-sized except that first reduction.
     """
-    from ..operators.bpe import (
-        encode_tokens,
-        train_bpe,
-        word_frequencies,
-    )
+    from ..operators.bpe import encode_tokens, word_frequencies
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(word_frequencies(docs), _BPE_ROUNDS)
+    merges = _learned_merges(spark, sf_dir)
     lang_vocab = word_frequencies(docs, extra_cols=("lang",))
     return (
         lang_vocab.select(
