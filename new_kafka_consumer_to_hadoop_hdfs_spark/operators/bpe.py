@@ -38,6 +38,7 @@ Determinism contract (what makes the oracle possible):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +167,101 @@ def encode_tokens(word: Column, merges: list[tuple]) -> Column:
     for left, right, *_ in merges:
         sym = merge_expr(sym, left, right)
     return token_count(sym)
+
+
+# Above this merge count the chained-replace expression tree stops
+# being codegen-friendly (Catalyst's generated projection splits /
+# falls back to interpreted mode long before a production 32k-merge
+# vocabulary) and the encode path switches to the Arrow encoder. The
+# value is deliberately conservative: far below Janino's 64KB method
+# limit, far above any oracle-checked test vocabulary (6 merges), so
+# the dispatch never changes an existing query's physical plan.
+CODEGEN_MERGE_LIMIT = 96
+
+
+def _greedy_token_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under a learned merge table, by the
+    classic rank-greedy BPE apply (the GPT-2/HF `bpe()` loop): find
+    the LOWEST-RANK adjacent pair present, merge every non-overlapping
+    occurrence left-to-right, repeat until no learned pair remains.
+
+    Equivalent to applying the merges sequentially in training order
+    (the chained-replace form): merging pair k can only create new
+    adjacencies that involve its output token, and every learned pair
+    containing that token has rank > k (it could only be learned after
+    the token existed) — so after the minimum-rank pair is exhausted no
+    lower-rank pair can appear, and the two application orders produce
+    identical symbol sequences. This property holds for any merge list
+    produced by :func:`train_bpe`; the differential test in
+    tests/test_text_operators.py pins it against the chained form."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        left, right = best
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def encode_tokens_arrow(word: Column, merges: list[tuple]) -> Column:
+    """Arrow-batched twin of :func:`encode_tokens` for vocabularies
+    past the codegen-friendly size (VERDICT r13 item 2): a
+    ``pandas_udf`` running the rank-greedy BPE apply, whose per-word
+    cost scales with the MERGES THAT FIRE on that word, not with the
+    vocabulary size — a 32k-merge production vocabulary costs the same
+    per word as a 100-merge one, where the chained-replace expression
+    walks all 32k literals per row. Repeated words inside an Arrow
+    batch hit a per-batch memo (the encode input is usually the
+    deduplicated (word, freq) relation anyway)."""
+    ranks = {
+        (left, right): i for i, (left, right, *_) in enumerate(merges)
+    }
+
+    @F.pandas_udf("int")
+    def _count(s: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def one(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = _greedy_token_count(w, ranks)
+            return got
+
+        return s.map(one)
+
+    return _count(word)
+
+
+def encode_tokens_auto(
+    word: Column,
+    merges: list[tuple],
+    *,
+    codegen_limit: int = CODEGEN_MERGE_LIMIT,
+) -> Column:
+    """Dispatch the encode path by vocabulary size: small merge lists
+    stay whole-stage-codegen JVM literal replaces (zero Python in the
+    hot path), large ones switch to the Arrow encoder before the
+    expression tree explodes past the codegen limit. Both paths are
+    differentially tested to produce identical counts."""
+    if len(merges) <= codegen_limit:
+        return encode_tokens(word, merges)
+    return encode_tokens_arrow(word, merges)
 
 
 def decode_sym(sym: str) -> str:

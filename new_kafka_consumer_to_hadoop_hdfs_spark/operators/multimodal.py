@@ -462,6 +462,8 @@ def _lzw_compress(syms: bytes, mcs: int) -> bytes:
     data code while the encoder adds nothing, so the decoder can grow
     its width right before EOI. Emitting every code at the width the
     decoder will read it at makes the pair correct by construction."""
+    if not syms:
+        raise ValueError("LZW compress requires a non-empty symbol stream")
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_c = eoi + 1
@@ -690,6 +692,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(
             f"GIF decoded {len(indices)} indices; need {width * height}"
         )
+    # a corrupt stream can decode indices past the palette (mcs may
+    # legally exceed the table's bit width): keep the seam's
+    # fail-loud-with-ValueError contract instead of an IndexError
+    # (ADVICE r13)
+    if indices and max(indices[: width * height]) >= npal:
+        raise ValueError("GIF index outside color table")
     px = bytearray(width * height * 3)
     for p in range(width * height):
         r, g, b = palette[indices[p]]

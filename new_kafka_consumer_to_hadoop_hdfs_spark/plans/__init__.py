@@ -294,6 +294,34 @@ DRIVER_CHECKED_R12 = frozenset({
     "text_heavy_hitters", "window_lag_lead_rank", "window_running_sum",
 })
 
+# Checked in round 13 (CORRECTNESS_r13.json: 50/50 green on
+# rows+schema+hash) — the freshest driver evidence. Composition: the
+# 8 new r13 queries (GIF codec, MoR family ×5, BPE ×2... see QUERIES.md),
+# the 3 plan-changed re-rides, the 24-query r9-stale leftover cohort,
+# and the r10 cohort's text head.
+DRIVER_CHECKED_R13 = frozenset({
+    "agg_salted_skew", "agg_unpivot", "dedup_embedding_lsh",
+    "dedup_exact_docs", "dedup_exact_events", "dedup_near_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "event_anomaly_zscore",
+    "join_bloom_prefilter", "multimodal_decode_gif",
+    "multimodal_decode_real", "multimodal_decode_wav",
+    "q11_important_value", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_count", "q20_excess_shipments",
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "scalar_case_null_handling",
+    "scalar_date_functions", "scalar_json_functions",
+    "scalar_math_functions", "scalar_null_semantics",
+    "scalar_string_functions", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+    "sim_topk_lsh", "sim_topk_mmr", "sink_versioned_changes",
+    "sink_versioned_checkpoint_read", "sink_versioned_clone_read",
+    "sink_versioned_delete_vectors", "sink_versioned_incremental_agg",
+    "sink_versioned_partitioned_read", "sink_versioned_upsert_mor",
+    "sort_topk_global", "sql_adhoc_star_join", "text_bpe_lang_tokens",
+    "text_bpe_token_stats", "text_fingerprint", "text_language_id",
+    "text_quality_score", "text_stats", "text_tfidf_keywords",
+    "text_token_count", "text_token_histogram",
+})
+
 # Queries whose ORACLE or PLAN changed AFTER their most recent driver
 # row: the banked evidence predates the contract (or physical plan) it
 # would vouch for, so the rotation treats them as never-checked until a
@@ -303,15 +331,11 @@ DRIVER_CHECKED_R12 = frozenset({
 # tools/plan_fingerprints.json diffs as well as oracle edits (r12
 # ADVICE): a code change that alters a query's physical plan makes its
 # old driver row vouch for a plan that no longer runs.
-# Round-13 entries: the r12 `<=>` null-safe CDF-key rewrite changed
-# sink_versioned_changes / sink_versioned_incremental_agg's plans, and
-# the Decimal(repr) MMR rounding change altered sim_topk_mmr's
-# tie-breaking surface — all three were last driver-checked in r11,
-# BEFORE those changes landed.
-PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
-    "sink_versioned_changes", "sink_versioned_incremental_agg",
-    "sim_topk_mmr",
-})
+# Round-13's three re-rides (sink_versioned_changes,
+# sink_versioned_incremental_agg, sim_topk_mmr) landed fresh r13 rows,
+# so the set reset to empty at the start of round 14; new entries are
+# added below as round-14 code changes alter checked plans.
+PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset()
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -348,11 +372,13 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # each query's most recent driver CORRECTNESS row, oldest
         # first; never-checked (newly added) queries lead, as do
         # queries whose oracle was upgraded after their last check.
-        # The r13 window (first 50) is therefore: any new queries and
-        # the 3 plan-changed re-rides, then the 24 r9-stale leftovers,
-        # then the r10 cohort's head in module order.
+        # The r14 window (first 50) is therefore: any new queries, then
+        # the 35-query r10-stale cohort (VERDICT r13 item 1), then the
+        # r11 cohort's head in module order.
         if name in PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK:
             return 0
+        if name in DRIVER_CHECKED_R13:
+            return 11
         if name in DRIVER_CHECKED_R12:
             return 10
         if name in DRIVER_CHECKED_R11:

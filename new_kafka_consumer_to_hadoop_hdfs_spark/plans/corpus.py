@@ -1192,7 +1192,7 @@ def text_bpe_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary relation; the corpus was already reduced to it in one
     pass. Nothing here is corpus-sized except that first reduction.
     """
-    from ..operators.bpe import encode_tokens, word_frequencies
+    from ..operators.bpe import encode_tokens_auto, word_frequencies
 
     docs = load_table(spark, sf_dir, "documents")
     merges = _learned_merges(spark, sf_dir)
@@ -1202,7 +1202,10 @@ def text_bpe_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "freq",
             F.length("w").alias("n_chars"),
-            encode_tokens(F.col("w"), merges).alias("n_tok"),
+            # auto-dispatch: at the 6-merge test vocabulary this IS the
+            # chained-codegen form (plan unchanged); past
+            # CODEGEN_MERGE_LIMIT it switches to the Arrow encoder
+            encode_tokens_auto(F.col("w"), merges).alias("n_tok"),
         )
         .groupBy("lang")
         .agg(

@@ -1054,11 +1054,24 @@ def compact(
     # compact is the MATERIALIZATION point (export_manifest and the
     # read-path anti-join both rely on "compact clears the masks"),
     # and a size-only early-out would strand a mask forever
-    # (review-found r13)
+    # (review-found r13). Only LIVE refs count: a mask may also carry
+    # dead refs to files a prior rewrite already consumed (ADVICE r13).
     masked: set[str] = set()
+    live_set = set(live)
     for d in state["deletes"]:
-        masked |= _delete_file_refs(root, state, d)
+        masked |= _delete_file_refs(root, state, d) & live_set
     if len(live) <= 1 and not masked:
+        if state["deletes"]:
+            # every pending mask is dead weight (all refs consumed by
+            # prior rewrites): clear them with a metadata-only commit
+            # so reads stop paying the anti-join and export_manifest's
+            # "compact first" prescription actually works
+            _commit_delta(
+                root, cur,
+                f"compact: cleared {len(state['deletes'])} dead "
+                "delete file(s)",
+                delete_removes=list(state["deletes"]),
+            )
         return 0
     data = pathlib.Path(root, "data")
     # one rewrite group per partition tuple (a single group for
@@ -1120,6 +1133,13 @@ def compact(
             for f in adopted:
                 parts_adds[f] = dict(sig)
     if not adopted_all:
+        dead = _consumed_deletes(spark, root, state, [])
+        if dead:  # all-dead masks with no group to rewrite: clear them
+            _commit_delta(
+                root, cur,
+                f"compact: cleared {len(dead)} dead delete file(s)",
+                delete_removes=dead,
+            )
         return 0
     stats = _record_stats(data, adopted_all, stats_cols)
     # base=cur: a concurrent commit (even a blind append) invalidates
@@ -1283,18 +1303,27 @@ def _consumed_deletes(
     spark: SparkSession, root: str, state: dict, rewritten: list[str]
 ) -> list[str]:
     """Position-delete files FULLY consumed by rewriting ``rewritten``
-    data files: a delete file whose every entry references a rewritten
-    file carries no live information afterwards and leaves the
-    manifest. Delete files that also reference surviving data files
-    stay (their surviving entries still apply; entries for removed
-    files are dead weight a later compact clears)."""
+    data files: a delete file whose every LIVE entry references a
+    rewritten file carries no live information afterwards and leaves
+    the manifest. Delete files that also reference surviving data
+    files stay (their surviving entries still apply).
+
+    The subset test runs on ``refs ∩ live``: entries referencing
+    already-removed files are dead weight (a prior rewrite consumed
+    and dropped their data file but kept this mask for its then-live
+    refs) and must not veto consumption — otherwise a partially
+    consumed mask is stranded FOREVER (its dead ref can never appear
+    in a later commit's rewritten set; ADVICE r13). By the same rule a
+    mask whose live intersection is EMPTY — all refs dead, or an
+    empty delete file — is consumed by whatever commit looks next."""
     if not state["deletes"]:
         return []
     rewritten_set = set(rewritten)
+    live_set = set(state["files"])
     consumed = []
     for d in state["deletes"]:
-        refs = _delete_file_refs(root, state, d)
-        if refs and refs <= rewritten_set:
+        live_refs = _delete_file_refs(root, state, d) & live_set
+        if live_refs <= rewritten_set:
             consumed.append(d)
     return consumed
 
@@ -1323,6 +1352,7 @@ def _additive_interleave(root: str, base: str | None, head: str) -> bool:
     under write-serializable isolation, with exactly this snapshot
     semantics: rows appended AFTER the verb's snapshot are not subject
     to its predicate)."""
+    base_cols = _manifest_doc(root, base).get("columns") if base else None
     start = _seq_of(base) + 1 if base else 0
     for s in range(start, _seq_of(head) + 1):
         doc = _manifest_doc(root, _manifest_name(s))
@@ -1335,6 +1365,16 @@ def _additive_interleave(root: str, base: str | None, head: str) -> bool:
                 "stats_rekey", "stats_drop",
             )
         ):
+            return False
+        # schema evolution is NOT additive (ADVICE r13): widen/rename/
+        # add commits carry only columns/next_field_id deltas, but a
+        # rebased merge-on-read commit would adopt its post-image data
+        # files (written under the PRE-evolution schema) with the
+        # post-evolution identity colmap, pinning the wrong physical
+        # type onto them and corrupting the evolved scan. columns ride
+        # every commit once tracking starts, so compare against the
+        # base's — any difference means an evolution interleaved.
+        if doc.get("columns") != base_cols:
             return False
     return True
 

@@ -946,3 +946,149 @@ def test_partitioned_compact_preserves_pruning(spark, tmp_path):
         r.doc_id
         for r in read_table(spark, root, PSCHEMA).collect()
     } == {10 * b + i for b in range(3) for i in range(3)}
+
+
+def test_partially_consumed_mask_is_not_stranded(spark, tmp_path):
+    """ADVICE r13 (medium): a mask spanning files A and B survives a
+    stats-pruned rewrite of A alone (B's entries still apply) but
+    keeps a DEAD ref to A. The subset test must run on live refs only
+    — otherwise a later rewrite of B can never satisfy
+    refs <= rewritten (A is gone from every future commit's removes)
+    and the mask is stranded forever: every read pays the anti-join
+    and export_manifest permanently refuses."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_where,
+    )
+
+    root = _build_small(spark, tmp_path)  # 4 files: 0-9/10-19/20-29/30-39
+    # mask spans files 0 and 1
+    delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 5, 15, stats_col="doc_id"
+    )
+    assert len(table_state(root)["deletes"]) == 1
+    # stats-pruned CoW rewrite of file 0 only: mask survives (its file-1
+    # entries still apply) but its file-0 ref is now dead
+    delete_where(spark, root, SCHEMA, "doc_id", 0, 2, stats_col="doc_id")
+    assert len(table_state(root)["deletes"]) == 1
+    # stats-pruned CoW rewrite of file 1: every LIVE ref of the mask is
+    # now rewritten — the mask must be consumed despite the dead ref
+    delete_where(spark, root, SCHEMA, "doc_id", 17, 19, stats_col="doc_id")
+    assert table_state(root)["deletes"] == [], (
+        "mask with a dead ref was stranded after its last live ref "
+        "was rewritten"
+    )
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {3, 4, 16} | set(range(20, 40))
+    # the consumed delete file is vacuumable and reads stay correct
+    vacuum(root)
+    assert {
+        r.doc_id for r in read_table(spark, root, SCHEMA).collect()
+    } == got
+
+
+def test_compact_clears_all_dead_masks(spark, tmp_path):
+    """A mask whose EVERY ref is dead (legacy stranding, or a raw
+    delta that removed its files without consuming it) is pure dead
+    weight: compact must clear it with a metadata-only commit even
+    when no rewrite group needs work, so export_manifest's
+    'compact first' prescription actually terminates."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        _adopt,
+        export_manifest,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # 0-9 / 10-19
+    delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 5, 15, stats_col="doc_id"
+    )
+    cur, live = read_manifest(root)
+    # simulate the pre-fix stranded state: a raw rewrite commit that
+    # replaces BOTH masked files but does not consume the mask
+    staging = pathlib.Path(root, ".legacy-rewrite")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in list(range(5)) + list(range(16, 20))],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+    adopted = _adopt(staging, pathlib.Path(root, "data"), "legacy")
+    cur = _commit_delta(
+        root, cur, "legacy rewrite that strands the mask",
+        adds=adopted, removes=list(live),
+    )
+    st = table_state(root)
+    assert len(st["deletes"]) == 1 and len(st["files"]) == 1
+    # single live file, mask refs all dead: compact has no rewrite to
+    # do but must still clear the dead mask
+    assert compact(spark, root, SCHEMA, target_files=1) == 0
+    assert table_state(root)["deletes"] == [], (
+        "compact left an all-dead mask in the manifest"
+    )
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(5)) | set(range(16, 20))
+    # the prescription now terminates: export works post-compact
+    assert export_manifest(root)
+
+
+def test_compact_clears_dead_masks_multifile_noop(spark, tmp_path):
+    """Same dead-mask clearing when several live files exist but no
+    group is below its file target (the adopted_all-empty path)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        _adopt,
+    )
+
+    root = _build_small(spark, tmp_path, files=3)  # 0-9 / 10-19 / 20-29
+    delete_where_merge_on_read(
+        spark, root, SCHEMA, "doc_id", 5, 15, stats_col="doc_id"
+    )
+    cur, live = read_manifest(root)
+    masked_two = [f for f in live][:2]
+    staging = pathlib.Path(root, ".legacy-rewrite")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in list(range(5)) + list(range(16, 20))],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+    adopted = _adopt(staging, pathlib.Path(root, "data"), "legacy")
+    _commit_delta(
+        root, cur, "legacy rewrite that strands the mask",
+        adds=adopted, removes=masked_two,
+    )
+    st = table_state(root)
+    assert len(st["deletes"]) == 1 and len(st["files"]) == 2
+    # both live files already meet target_files=2: nothing to rewrite,
+    # but the dead mask must still be cleared
+    assert compact(spark, root, SCHEMA, target_files=2) == 0
+    assert table_state(root)["deletes"] == []
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(5)) | set(range(16, 30))
+
+
+def test_mor_rebase_refuses_schema_evolution_interleave(spark, tmp_path):
+    """ADVICE r13: schema-evolution commits carry only columns /
+    next_field_id deltas, so the additive-interleave check used to
+    auto-rebase a merge-on-read commit across a concurrent widen —
+    pinning the post-widen identity colmap onto pre-widen data files.
+    An interleaved evolution must surface CommitConflict instead."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        _additive_interleave,
+        _commit_mor,
+        CommitConflict,
+        widen_column,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2, "en"), (2, 3, "de")],
+                               "doc_id bigint, n int, lang string")
+    append_batch(df.coalesce(1), root, 0, track_schema=True)
+    base, _ = read_manifest(root)
+
+    # blind append: still additive, rebase allowed
+    append_batch(df.coalesce(1), root, 1, track_schema=True)
+    head, _ = read_manifest(root)
+    assert _additive_interleave(root, base, head) is True
+
+    # widen interleaves: NOT additive
+    widen_column(root, "n", "bigint")
+    head2, _ = read_manifest(root)
+    assert _additive_interleave(root, base, head2) is False
+    with pytest.raises(CommitConflict):
+        _commit_mor(root, base, "mor across widen",
+                    delete_adds=["pd-phantom.parquet"])

@@ -545,3 +545,38 @@ def test_gif_pixel_rule_matches_oracle_contract():
     j = idx[3]
     assert pal[j] == ((j * 7 + 1) % 256, (j * 11 + 3) % 256,
                       (j * 13 + 5) % 256)
+
+
+def test_gif_decode_rejects_index_outside_palette():
+    """ADVICE r13: a corrupt stream whose minimum code size exceeds the
+    palette's bit width can decode symbols past the color table; the
+    seam's fail-loud contract is ValueError, never a bare IndexError."""
+    import struct
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        _lzw_compress,
+        decode_gif,
+    )
+
+    # 4-entry palette (pal_bits=2) but mcs=3 smuggles symbol 5 through
+    payload = bytearray(b"GIF87a")
+    payload += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+    for j in range(4):
+        payload += bytes((j, j, j))
+    payload += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    payload.append(3)  # minimum code size
+    packed = _lzw_compress(bytes([0, 1, 2, 5]), 3)
+    payload.append(len(packed))
+    payload += packed
+    payload += b"\x00\x3b"
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(bytes(payload))
+
+
+def test_gif_lzw_compress_rejects_empty_stream():
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
+        _lzw_compress,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        _lzw_compress(b"", 2)

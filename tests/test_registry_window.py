@@ -11,7 +11,7 @@ evidence predates a contract change); one-shot pin sets (r9's seeded
 contracts, r10's q11) are retired once their driver rows land. These
 tests lock that ordering so a refactor can't silently rotate coverage
 back, and force every newly added oracle query to be registered in
-``NEW_IN_R12`` below (it claims a window slot from the stale cohort's
+``NEW_IN_R14`` below (it claims a window slot from the stale cohort's
 tail — keep new queries per round small or the stalest cohort spills).
 """
 
@@ -19,11 +19,13 @@ from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 13 — no banked evidence exists,
-# so they lead the window. VERDICT r12 task 3 requires the complete
-# 24-query r9-stale cohort inside the r13 window alongside the 3
-# plan-changed re-rides, so this set must stay ≤ 23
-# (24 + 3 + 23 = the 50-slot window).
+# Oracle-backed queries ADDED in round 14 — no banked evidence exists,
+# so they lead the window. VERDICT r13 task 1 requires the complete
+# 35-query r10-stale cohort inside the r14 window, so this set must
+# stay <= 15 (|new| + 35 <= the 50-slot window).
+NEW_IN_R14: set[str] = set()
+
+# Round 13's additions, all driver-checked in CORRECTNESS_r13.json.
 NEW_IN_R13: set[str] = {
     # merge-on-read position deletes (VERDICT r12 task 2): a delete
     # commits a (file, row position) parquet instead of rewriting data
@@ -213,6 +215,7 @@ def _registry():
         DRIVER_CHECKED_R10,
         DRIVER_CHECKED_R11,
         DRIVER_CHECKED_R12,
+        DRIVER_CHECKED_R13,
         PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
         merged_registry,
     )
@@ -231,16 +234,18 @@ def _registry():
         DRIVER_CHECKED_R10,
         DRIVER_CHECKED_R11,
         DRIVER_CHECKED_R12,
+        DRIVER_CHECKED_R13,
         PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
     )
 
 
 def test_banked_names_exist():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
      changed) = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
         ("R8", r8), ("R9", r9), ("R10", r10), ("R11", r11), ("R12", r12),
+        ("R13", r13),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -304,31 +309,41 @@ def test_banked_names_exist():
     assert not (r10 & r12) and not (r11 & r12), (
         "round 12's window re-checked no r10/r11-banked query"
     )
-    # Round-13 plan-changed set: the r12 `<=>` CDF rewrite and the
-    # Decimal(repr) MMR rounding change landed AFTER those queries' r11
-    # driver rows — their banked evidence predates the live plans.
-    assert changed == {
+    # r13's window: round 13's 8 new queries, the 3 plan-changed r11
+    # re-rides (the r12 `<=>` CDF rewrite and the Decimal(repr) MMR
+    # rounding change landed after their r11 rows), the full 24-query
+    # r9-stale leftover cohort (VERDICT r12 task 3 executed), and 15 of
+    # the r10-stale cohort's head
+    assert len(r13) == 50
+    assert NEW_IN_R13 <= r13 and len(NEW_IN_R13) == 8
+    assert r13 & r11 == {
         "sink_versioned_changes", "sink_versioned_incremental_agg",
         "sim_topk_mmr",
     }
-    assert changed <= r11, "the plan-changed set was last checked in r11"
+    assert len(r13 & (r9 - r10 - r11 - r12)) == 24
+    assert len(r13 & (r10 - r11 - r12)) == 15
+    assert not (r12 & r13), "round 13's window re-checked no r12-banked query"
+    # Round-14 plan-changed set: empty at round start (r13's three
+    # re-rides landed fresh rows); entries accrue as r14 code changes
+    # alter already-checked plans.
+    assert changed == set()
 
 
 def test_every_query_has_banked_or_new_status():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
      _c) = _registry()
     never = (set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10 - r11
-             - r12)
-    assert never == NEW_IN_R13, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R13} — newly "
-        "added oracle queries must be registered in NEW_IN_R13"
+             - r12 - r13)
+    assert never == NEW_IN_R14, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R14} — newly "
+        "added oracle queries must be registered in NEW_IN_R14"
     )
 
 
 def test_window_is_staleness_ordered():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
      changed) = _registry()
-    later = r5 | r6 | r7 | r8 | r9 | r10 | r11 | r12
+    later = r5 | r6 | r7 | r8 | r9 | r10 | r11 | r12 | r13
     assert not (r23 - later), "every r3-era query re-checked"
     assert not (r4 - later), "every r4-era query re-checked"
     assert not (r5 - r6 - r7 - r8 - r9 - r10 - r11 - r12), (
@@ -340,34 +355,36 @@ def test_window_is_staleness_ordered():
     assert not (r7 - r8 - r9 - r10 - r11 - r12), (
         "every r7-era query was re-checked (the 11-query cohort rode in r11)"
     )
-    assert not (r8 - r9 - r10 - r11 - r12), (
+    assert not (r8 - r9 - r10 - r11 - r12 - r13), (
         "every r8-era query was re-checked (the 24-query cohort rode in r12)"
     )
+    assert not (r9 - r10 - r11 - r12 - r13), (
+        "every r9-era query was re-checked (the 24-query cohort rode in r13)"
+    )
     # new + plan-changed queries lead
-    head = NEW_IN_R13 | changed
+    head = NEW_IN_R14 | changed
     assert set(names[: len(head)]) == head
-    # the full 24-query r9-stale cohort follows in module order —
-    # VERDICT r12 task 3: after the r13 window lands, no query's latest
-    # driver row is older than r10
-    stale_r9 = r9 - r10 - r11 - r12
-    assert len(stale_r9) == 24
-    assert set(names[len(head): len(head) + 24]) == stale_r9
-    # the window's remaining slots go to the r10-stale cohort's head in
-    # module order
+    # the full 35-query r10-stale cohort follows in module order —
+    # VERDICT r13 task 1: after the r14 window lands, no query's latest
+    # driver row is older than r11
     window = names[:WINDOW]
-    stale_r10 = r10 - r11 - r12
-    assert len(stale_r10) == 50
-    n_r10_slots = WINDOW - len(head) - len(stale_r9)
-    assert n_r10_slots >= 0, "new-query additions overflowed the window"
+    stale_r10 = r10 - r11 - r12 - r13
+    assert len(stale_r10) == 35
+    assert set(names[len(head): len(head) + 35]) == stale_r10
+    # the window's remaining slots go to the r11-stale cohort's head in
+    # module order
+    stale_r11 = r11 - r12 - r13
+    n_r11_slots = WINDOW - len(head) - len(stale_r10)
+    assert n_r11_slots >= 0, "new-query additions overflowed the window"
     expected = (
         head
-        | stale_r9
-        | set([n for n in names if n in stale_r10][:n_r10_slots])
+        | stale_r10
+        | set([n for n in names if n in stale_r11][:n_r11_slots])
     )
     assert set(window) == expected, (
-        f"round-13 window drifted: unexpected={set(window) - expected} "
+        f"round-14 window drifted: unexpected={set(window) - expected} "
         f"missing={expected - set(window)}"
     )
-    # freshest evidence (r12-checked) rides at the very back
-    tail = names[-len(r12):]
-    assert set(tail) == r12, "r12-banked queries must occupy the registry tail"
+    # freshest evidence (r13-checked) rides at the very back
+    tail = names[-len(r13):]
+    assert set(tail) == r13, "r13-banked queries must occupy the registry tail"
