@@ -602,6 +602,177 @@ def sink_versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_POINT_READ_BLOOM_ORACLE = """
+WITH probe AS (SELECT (2 * (MAX(doc_id) + 1)) // 3 AS pid FROM documents)
+SELECT doc_id, lang, source, n_chars, text
+FROM documents, probe
+WHERE doc_id = pid
+"""
+
+
+@_register("sink_versioned_point_read_bloom", _POINT_READ_BLOOM_ORACLE)
+def sink_versioned_point_read_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING for point lookups (round 14, VERDICT
+    r13 task 7): the documents table is ingested as 8 ROUND-ROBIN
+    appends (``doc_id % 8``), so every file's [min, max] range spans
+    essentially the whole id domain — range stats are structurally
+    USELESS for an equality probe, the layout that defeats
+    `sink_versioned_pruned_read`'s mechanism. Each commit also records
+    a ~1 KiB per-file Bloom sketch of its doc_ids; the registered
+    point read REFUSES to install unless (a) min/max kept every file
+    (proving ranges could not prune here) AND (b) the bloom pruned the
+    read to a strict subset — pruning evidence, not best-effort. The
+    probed row must hash-match DuckDB's restatement of the same
+    data-derived id over the raw table; bloom false positives cost a
+    scan, never a wrong answer (the row predicate rides on top).
+
+    At 100 TB this is the merge-on-read point-lookup path: a keyed
+    CDC reconcile or GDPR subject read probes one key against a table
+    whose clustering serves a DIFFERENT dimension — the membership
+    sketch is what turns that from a full scan into one file.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        point_pruned_files,
+        read_manifest,
+        read_point,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        for i in range(8):  # round-robin: every file spans the domain
+            append_batch(
+                docs.filter(F.col("doc_id") % 8 == i).coalesce(1),
+                root, i, stats_col="doc_id", bloom_col="doc_id",
+            )
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_roundrobin_bloom8", build,
+    )
+    root = f"{dest}/table"
+    probe = (2 * h) // 3
+    name, _live = read_manifest(root)
+    kept, mm_kept, total = point_pruned_files(root, name, "doc_id", probe)
+    if mm_kept < total:
+        raise RuntimeError(
+            f"round-robin layout leaked range pruning: min/max kept "
+            f"{mm_kept} of {total}"
+        )
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"bloom failed to prune where ranges could not: kept "
+            f"{len(kept)} of {total}"
+        )
+    return read_point(spark, root, _DOC_SCHEMA, "doc_id", probe).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+
+
+_DELETE_EQUALITY_ORACLE = """
+WITH m AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
+survivors AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents, m
+  WHERE NOT (doc_id * 8 >= h AND doc_id * 8 < 2 * h)
+  UNION ALL
+  SELECT doc_id, text || '~' AS text, lang, source, n_chars
+  FROM documents, m
+  WHERE doc_id * 8 >= h AND doc_id * 8 < 2 * h AND doc_id % 3 = 0
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM survivors
+GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_delete_equality", _DELETE_EQUALITY_ORACLE)
+def sink_versioned_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY DELETE under the checksum gate (round 14, VERDICT r13
+    task 3 — Iceberg v2 equality delete files): batch 1's id band is
+    deleted by committing the KEY VALUES themselves — the build
+    REFUSES to install unless the delete commit's manifest touched
+    ZERO data files AND resolved zero positions (no adds, removes, or
+    position-delete files: where `sink_versioned_delete_vectors` still
+    pays a victim scan, this is the no-read-before-write shape a
+    streaming CDC upsert needs). A third of the band's keys are then
+    RE-APPENDED with ``'~'`` marking their text, and the registered
+    read must hash-match DuckDB restating (survivors ∪ restored):
+    the data-sequence-number rule — an equality delete masks only
+    files STRICTLY OLDER than itself — is load-bearing in the hash
+    from both directions (mask too much and the restored rows vanish;
+    mask too little and the band resurrects).
+
+    At 100 TB this is the Flink→Iceberg upsert-sink cost model: a
+    keyed delete commits in O(its own bytes) wherever the victims
+    live; every read pays one broadcast anti-join (keys × older files)
+    until compaction folds the mask — pinned by the compact/vacuum
+    interplay tests in test_metadata_scale.py.
+    """
+    import json as _json
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        delete_by_key,
+        read_table,
+    )
+    from .corpus import _DOC_COLS, _DOC_SCHEMA, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+    h = docs.agg(F.max("doc_id")).first()[0] + 1  # 1-row, data-derived
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        _build_range_table(spark, docs, root, h)
+        band = docs.filter(
+            (F.col("doc_id") * 8 >= h) & (F.col("doc_id") * 8 < 2 * h)
+        )
+        name, n = delete_by_key(
+            spark, root, _DOC_SCHEMA, "doc_id", band.select("doc_id")
+        )
+        if n <= 0:
+            raise RuntimeError("equality delete committed no keys")
+        doc = _json.loads(
+            pathlib.Path(root, "manifests", name).read_text()
+        )
+        if (
+            "adds" in doc
+            or "removes" in doc
+            or doc.get("delete_adds")
+            or not doc.get("eq_delete_adds")
+        ):
+            raise RuntimeError(
+                f"equality delete touched data files or positions: {doc}"
+            )
+        restored = band.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit("~"))
+        )
+        append_batch(restored.coalesce(1), root, 100, stats_col="doc_id")
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_rangetable_eq1", build,
+    )
+    return _roundtrip_checksums(
+        read_table(spark, f"{dest}/table", _DOC_SCHEMA)
+    )
+
+
 _PARTITIONED_READ_ORACLE = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
@@ -671,6 +842,70 @@ def sink_versioned_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFra
         read_table(spark, root, _DOC_SCHEMA,
                    where_partition={"lang": "en"})
     )
+
+
+_EXPORT_HIVE_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       bit_xor(doc_id) AS id_checksum,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_checksum
+FROM documents GROUP BY lang, source
+"""
+
+
+@_register("sink_versioned_export_hive", _EXPORT_HIVE_ORACLE)
+def sink_versioned_export_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY HIVE-LAYOUT RELEASE BUNDLE under the checksum gate
+    (round 14, VERDICT r13 task 5 — the export path partitioned
+    tables previously lacked): a lang-partitioned versioned table is
+    exported with `export_hive_bundle` — every live file HARDLINKED
+    into ``lang=<value>/`` directories derived from its manifest
+    partition tuple, zero bytes rewritten — and the bundle is re-read
+    by a PLAIN Spark parquet scan with hive partition discovery (no
+    table-format code on the read side: the point of a release
+    bundle). The checksums must match DuckDB restating the whole raw
+    documents table, so the path-encoded partition column carries
+    exactly the manifest's tuples and no row was dropped, duplicated,
+    or mis-partitioned. The flat `export_manifest` still refuses this
+    table (pinned in tests) — the bundle IS the prescribed path.
+
+    At 100 TB: a release is one hardlink per file plus the directory
+    tree — metadata cost, same as the manifest export for flat tables.
+    """
+    import pathlib
+
+    from ..sources.cache import cached_materialization
+    from ..sources.maintenance import (
+        append_batch,
+        export_hive_bundle,
+    )
+    from .corpus import _DOC_COLS, _roundtrip_checksums
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        root = tmp + "/table"
+        for i in range(2):
+            append_batch(
+                docs.filter(F.col("doc_id") % 2 == i).repartition(2),
+                root, i, partition_by=("lang",),
+            )
+        made = export_hive_bundle(root, tmp + "/bundle")
+        if not made or not any("lang=" in p for p in made):
+            raise RuntimeError(f"bundle export produced no hive dirs: {made}")
+        pathlib.Path(tmp, "_SUCCESS").touch()
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet",
+        "documents_partitioned_hivebundle1", build,
+    )
+    back = (
+        spark.read.option("basePath", f"{dest}/bundle")
+        .parquet(f"{dest}/bundle")
+        .select(*_DOC_COLS)
+    )
+    return _roundtrip_checksums(back)
 
 
 _CLONE_READ_ORACLE = """

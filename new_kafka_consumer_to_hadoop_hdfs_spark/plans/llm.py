@@ -2683,6 +2683,84 @@ def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_DEDUP_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         [substr(md5(substr(text, i, 8)), 1, 8)
+          for i in range(1, length(text) - 6)] AS h
+  FROM documents WHERE length(text) >= 8
+),
+win AS (
+  SELECT doc_id,
+         [{'j': i, 'fp': list_min(h[i:i+3])}
+          for i in range(1, len(h) - 2)] AS wins
+  FROM g WHERE len(h) >= 4
+),
+wx AS (
+  SELECT doc_id, u.j AS j, u.fp AS fp
+  FROM (SELECT doc_id, unnest(wins) AS u FROM win)
+),
+shared AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wx)
+  GROUP BY fp HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT w.doc_id, w.j + o.off AS p
+  FROM (SELECT wx.doc_id, wx.j FROM wx JOIN shared USING (fp)) w,
+       (SELECT unnest(range(0, 11)) AS off) o
+),
+chars AS (
+  SELECT doc_id, p, substr(text, p::INT, 1) AS ch
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text) + 1)) AS p
+        FROM documents)
+),
+kept AS (
+  SELECT c.doc_id,
+         COALESCE(string_agg(c.ch, '' ORDER BY c.p), '') AS clean_text
+  FROM chars c ANTI JOIN covered v ON c.doc_id = v.doc_id AND c.p = v.p
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       (length(d.text) - length(COALESCE(k.clean_text, '')))::BIGINT
+         AS n_cut
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@_register("pipeline_span_dedup", _SPAN_DEDUP_ORACLE)
+def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-DEDUP SPAN REMOVAL (round 14, VERDICT r13 task 8 —
+    the ACTION `dedup_span_duplication` only ranks): every character
+    covered by a winnow window (k=8, w=4) whose fingerprint appears in
+    ≥ 2 distinct documents is cut, and the document is re-emitted with
+    the surviving characters joined in order — RefinedWeb / Lee et
+    al. ACL'22's "remove the duplicated span, keep the document". The
+    full CLEANED TEXT is hash-gated: DuckDB restates winnowing, the
+    shared-fingerprint set, and the cut by the CHAR-COVERAGE rule
+    directly — explode every covered position, anti-join the
+    character sequence, reassemble with an ordered string_agg — so
+    every span boundary must match to the character. (The oracle
+    deliberately avoids DuckDB lambdas here: a list_reduce whose
+    lambda referenced the outer text column returned row-misaligned
+    results under the harness connection — the relational restatement
+    is engine-bug-proof, and at oracle scale the char explosion is
+    cheap. Spark keeps the O(dup-windows) fold.)
+
+    Scale: winnowing is map-side, the shared-fp set is one
+    md5-key-uniform shuffle, and the cut is an O(dup windows) per-doc
+    fold — no per-character explosion anywhere (the formulation a
+    100 TB corpus requires; see `excise_duplicated_spans`).
+    Idempotence on the corpus (a second pass cuts ~nothing) is pinned
+    in tests/test_text_operators.py.
+    """
+    from ..operators.text import excise_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return excise_duplicated_spans(d, "doc_id", "text", k=8, w=4)
+
+
 _ZIPF_ORACLE = f"""
 WITH tok AS (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents),
 cnt AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),

@@ -69,6 +69,7 @@ import shutil
 import threading
 import time
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -113,6 +114,12 @@ def _manifest_doc(root: str, name: str) -> dict:
 #   next_field_id  Iceberg's last-column-id (monotone for the table's
 #            lifetime) or None
 #   deletes  sorted live position-delete file names (merge-on-read)
+#   eq_deletes {delete file -> {"key": column, "seq": commit seq}}
+#            equality-delete files (merge-on-read, Iceberg v2): each
+#            masks rows whose key column matches one of its values IN
+#            DATA FILES OLDER THAN IT (seq_added < its seq)
+#   seq_added {file -> commit seq that added it} — the data sequence
+#            number equality-delete applicability is decided by
 #   parts    {file -> {partition key -> string value}} partition tuples
 #            (key is str(field_id) when schema-tracked, else the
 #            column name)
@@ -139,15 +146,23 @@ def _empty_state() -> dict:
         "columns": None,
         "next_field_id": None,
         "deletes": [],
+        "eq_deletes": {},
+        "seq_added": {},
         "parts": {},
         "external": {},
     }
 
 
-def _state_from_full(doc: dict) -> dict:
-    """State carried wholesale by a v1 / full-snapshot manifest."""
+def _state_from_full(doc: dict, seq: int) -> dict:
+    """State carried wholesale by a v1 / full-snapshot manifest.
+    ``seq_added`` defaults every file to the snapshot's own sequence
+    unless the doc carries explicit values (a shallow clone preserves
+    the source's relative file/eq-delete ordering — flattening it
+    would wrongly mask files added after an equality delete)."""
+    files = sorted(doc["files"])
+    seq_added = doc.get("seq_added")
     return {
-        "files": sorted(doc["files"]),
+        "files": files,
         "stats": {k: dict(v) for k, v in doc.get("stats", {}).items()},
         "colmap": (
             {k: dict(v) for k, v in doc["colmap"].items()}
@@ -157,6 +172,14 @@ def _state_from_full(doc: dict) -> dict:
         "columns": doc.get("columns"),
         "next_field_id": doc.get("next_field_id"),
         "deletes": sorted(doc.get("deletes", [])),
+        "eq_deletes": {
+            k: dict(v) for k, v in doc.get("eq_deletes", {}).items()
+        },
+        "seq_added": (
+            {f: int(seq_added[f]) for f in files}
+            if seq_added is not None
+            else {f: seq for f in files}
+        ),
         "parts": {k: dict(v) for k, v in doc.get("parts", {}).items()},
         "external": dict(doc.get("external", {})),
     }
@@ -166,18 +189,26 @@ def _identity_colmap(columns: list[dict]) -> dict:
     return {str(c["id"]): [c["name"], c["type"]] for c in columns}
 
 
-def _apply_delta(state: dict, doc: dict) -> None:
-    """Replay one delta manifest onto ``state`` in place."""
+def _apply_delta(state: dict, doc: dict, seq: int) -> None:
+    """Replay one delta manifest (committed at sequence ``seq``) onto
+    ``state`` in place."""
     removes = set(doc.get("removes", ()))
     adds = [f for f in doc.get("adds", ()) if f not in removes]
     if removes or adds:
         files = set(state["files"]) - removes
         files.update(adds)
         state["files"] = sorted(files)
+        for f in adds:
+            # setdefault: a retry re-adding a still-live name (same
+            # epoch, same content) keeps the ORIGINAL sequence — the
+            # row data dates from the first commit, and bumping it
+            # would un-apply equality deletes that landed in between
+            state["seq_added"].setdefault(f, seq)
         for f in removes:
             state["stats"].pop(f, None)
             state["parts"].pop(f, None)
             state["external"].pop(f, None)
+            state["seq_added"].pop(f, None)
             if state["colmap"] is not None:
                 state["colmap"].pop(f, None)
     state["stats"].update(doc.get("stats_adds", {}))
@@ -224,22 +255,32 @@ def _apply_delta(state: dict, doc: dict) -> None:
     # name so a later rename onto it can't inherit dead ranges
     rekey = doc.get("stats_rekey")
     if rekey:
+        # bloom entries follow their column through the rename too
+        full_rekey = dict(rekey)
+        for old, new in rekey.items():
+            full_rekey[_BLOOM_KEY + old] = _BLOOM_KEY + new
         for f, ent in state["stats"].items():
             out = {
-                c: mm for c, mm in ent.items() if c not in rekey.values()
+                c: mm for c, mm in ent.items()
+                if c not in full_rekey.values()
             }
-            for old, new in rekey.items():
+            for old, new in full_rekey.items():
                 if old in out:
                     out[new] = out.pop(old)
             state["stats"][f] = out
     for dead in doc.get("stats_drop", ()):
         for ent in state["stats"].values():
             ent.pop(dead, None)
+            ent.pop(_BLOOM_KEY + dead, None)
     del_removes = set(doc.get("delete_removes", ()))
     if del_removes or doc.get("delete_adds"):
         dels = set(state["deletes"]) - del_removes
         dels.update(doc.get("delete_adds", ()))
         state["deletes"] = sorted(dels)
+    for d in doc.get("eq_delete_removes", ()):
+        state["eq_deletes"].pop(d, None)
+    for d, meta in doc.get("eq_delete_adds", {}).items():
+        state["eq_deletes"][d] = {"key": meta["key"], "seq": seq}
     state["parts"].update(doc.get("parts_adds", {}))
     state["external"].update(doc.get("external_adds", {}))
 
@@ -251,6 +292,10 @@ def _copy_state(state: dict) -> dict:
     if state["colmap"] is not None:
         out["colmap"] = {k: dict(v) for k, v in state["colmap"].items()}
     out["deletes"] = list(state["deletes"])
+    out["eq_deletes"] = {
+        k: dict(v) for k, v in state["eq_deletes"].items()
+    }
+    out["seq_added"] = dict(state["seq_added"])
     out["parts"] = {k: dict(v) for k, v in state["parts"].items()}
     out["external"] = dict(state["external"])
     return out
@@ -266,7 +311,7 @@ def _table_state(root: str, name: str) -> dict:
         cached = _STATE_CACHE.get(key)
     if cached is not None:
         return cached
-    tail: list[dict] = []
+    tail: list[tuple[int, dict]] = []
     state = None
     s = _seq_of(name)
     while s >= 0:
@@ -281,14 +326,14 @@ def _table_state(root: str, name: str) -> dict:
             break
         doc = _manifest_doc(root, _manifest_name(s))
         if "files" in doc:  # v1 / full-snapshot manifest: a restart point
-            state = _state_from_full(doc)
+            state = _state_from_full(doc, s)
             break
-        tail.append(doc)
+        tail.append((s, doc))
         s -= 1
     if state is None:
         state = _empty_state()
-    for doc in reversed(tail):
-        _apply_delta(state, doc)
+    for s, doc in reversed(tail):
+        _apply_delta(state, doc, s)
     with _STATE_LOCK:
         if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
             _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
@@ -408,6 +453,8 @@ def _commit_delta(
     colmap_adds: dict | None = None,
     delete_adds: list[str] = (),
     delete_removes: list[str] = (),
+    eq_delete_adds: dict | None = None,
+    eq_delete_removes: list[str] = (),
     parts_adds: dict | None = None,
     external_adds: dict | None = None,
     stats_rekey: dict | None = None,
@@ -456,6 +503,15 @@ def _commit_delta(
         doc["delete_adds"] = sorted(delete_adds)
     if delete_removes:
         doc["delete_removes"] = sorted(delete_removes)
+    if eq_delete_adds:
+        # {file -> {"key": column}}: the seq is stamped at replay from
+        # the committing manifest's own sequence number
+        doc["eq_delete_adds"] = {
+            f: {"key": eq_delete_adds[f]["key"]}
+            for f in sorted(eq_delete_adds)
+        }
+    if eq_delete_removes:
+        doc["eq_delete_removes"] = sorted(eq_delete_removes)
     if parts_adds:
         doc["parts_adds"] = parts_adds
     if external_adds:
@@ -598,13 +654,29 @@ def write_checkpoint(root: str, name: str | None = None) -> str:
         if name is None:
             raise ValueError(f"{root} has no committed version")
     state = _table_state(root, name)
-    rows_files = list(state["files"]) + list(state["deletes"])
-    kinds = ["data"] * len(state["files"]) + ["delete"] * len(
-        state["deletes"]
+    eq_files = sorted(state["eq_deletes"])
+    rows_files = list(state["files"]) + list(state["deletes"]) + eq_files
+    kinds = (
+        ["data"] * len(state["files"])
+        + ["delete"] * len(state["deletes"])
+        + ["eqdelete"] * len(eq_files)
     )
     cols: dict[str, list] = {
         "file": rows_files,
         "kind": kinds,
+        # data rows: the commit sequence that added the file; eqdelete
+        # rows: the delete's own sequence (applicability is decided by
+        # seq_added < delete seq); position-delete rows: None
+        "seq_added": [
+            state["seq_added"].get(f)
+            if k == "data"
+            else (state["eq_deletes"][f]["seq"] if k == "eqdelete" else None)
+            for f, k in zip(rows_files, kinds)
+        ],
+        "eq_key": [
+            state["eq_deletes"][f]["key"] if k == "eqdelete" else None
+            for f, k in zip(rows_files, kinds)
+        ],
         "stats": [
             json.dumps(state["stats"][f]) if f in state["stats"] else None
             for f in rows_files
@@ -622,7 +694,15 @@ def write_checkpoint(root: str, name: str | None = None) -> str:
         "external": [state["external"].get(f) for f in rows_files],
     }
     stat_cols = sorted(
-        {c for ent in state["stats"].values() for c in ent}
+        {
+            c
+            for ent in state["stats"].values()
+            for c in ent
+            # bloom sketches are dict-valued and only consulted by the
+            # driver-side point-pruning path; they ride the JSON stats
+            # column, not the typed smin/smax pair
+            if not c.startswith(_BLOOM_KEY)
+        }
     )
     table = pa.table(cols)
     for c in stat_cols:
@@ -657,17 +737,33 @@ def _load_checkpoint(root: str, seq: int) -> dict:
     doc) from a parquet checkpoint."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        str(_checkpoint_path(root, seq)),
-        columns=["file", "kind", "stats", "colmap", "parts", "external"],
-    )
+    path = str(_checkpoint_path(root, seq))
+    want = ["file", "kind", "stats", "colmap", "parts", "external",
+            "seq_added", "eq_key"]
+    have = set(pq.ParquetFile(path).schema_arrow.names)
+    t = pq.read_table(path, columns=[c for c in want if c in have])
     state = _empty_state()
     files, deletes = [], []
     stats, colmap, parts, external = {}, {}, {}, {}
+    eq_deletes, seq_added = {}, {}
     any_colmap = False
     for row in t.to_pylist():
         f = row["file"]
-        (deletes if row["kind"] == "delete" else files).append(f)
+        kind = row["kind"]
+        if kind == "delete":
+            deletes.append(f)
+        elif kind == "eqdelete":
+            eq_deletes[f] = {
+                "key": row["eq_key"], "seq": int(row["seq_added"])
+            }
+        else:
+            files.append(f)
+            # pre-eq-delete checkpoints lack seq_added: default to the
+            # checkpoint's own sequence — every equality delete
+            # postdates such checkpoints, so the default stays correct
+            # (seq_added <= ckpt seq < any eq-delete seq)
+            s_add = row.get("seq_added")
+            seq_added[f] = int(s_add) if s_add is not None else seq
         if row["stats"] is not None:
             stats[f] = json.loads(row["stats"])
         if row["colmap"] is not None:
@@ -679,6 +775,8 @@ def _load_checkpoint(root: str, seq: int) -> dict:
             external[f] = row["external"]
     state["files"] = sorted(files)
     state["deletes"] = sorted(deletes)
+    state["eq_deletes"] = eq_deletes
+    state["seq_added"] = seq_added
     state["stats"] = stats
     state["colmap"] = colmap if any_colmap else None
     state["parts"] = parts
@@ -709,12 +807,90 @@ def _norm_stats_cols(stats_col) -> tuple[str, ...]:
     return tuple(stats_col)
 
 
+# Reserved stats-entry key prefix for per-file Bloom filters: a
+# bloom for column `c` lives in the same {file -> {key -> ...}}
+# relation as the [min, max] ranges, under key `__bloom__c` — it rides
+# every manifest/checkpoint/rekey path the ranges already ride.
+_BLOOM_KEY = "__bloom__"
+_BLOOM_M_BITS = 8192  # 1 KiB of bits per (file, column)
+_BLOOM_K = 6
+
+
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    # double hashing (Kirsch-Mitzenmacher): two keyed blake2b digests
+    # of the value's repr drive all k probe positions. repr() gives a
+    # stable canonical form for the int/str/date scalars stats cover.
+    import hashlib
+
+    s = repr(value).encode()
+    h1 = int.from_bytes(
+        hashlib.blake2b(s, digest_size=8, person=b"nkchblm1").digest(),
+        "big",
+    )
+    h2 = int.from_bytes(
+        hashlib.blake2b(s, digest_size=8, person=b"nkchblm2").digest(),
+        "big",
+    ) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m_bits: int = _BLOOM_M_BITS,
+                 k: int = _BLOOM_K) -> dict:
+    import base64
+
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_hashes(v, m_bits, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "m": m_bits,
+        "k": k,
+        "z": base64.b64encode(zlib.compress(bytes(bits), 6)).decode(),
+    }
+
+
+def _bloom_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = zlib.decompress(base64.b64decode(bloom["z"]))
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(value, bloom["m"], bloom["k"])
+    )
+
+
+def _file_column_values(path: pathlib.Path, col: str) -> list | None:
+    """One column of one parquet file (the bloom build's input). None
+    when the column is physically absent."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(str(path))
+    if col not in pf.schema_arrow.names:
+        return None
+    return pf.read(columns=[col]).column(col).to_pylist()
+
+
 def _record_stats(
-    data: pathlib.Path, files: list[str], stats_cols: tuple[str, ...]
+    data: pathlib.Path,
+    files: list[str],
+    stats_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict:
     """Column-keyed footer stats for newly adopted files: {file →
     {col → [min, max]}}; columns whose footers lack min/max are simply
-    absent (the file is then never pruned on that column)."""
+    absent (the file is then never pruned on that column).
+
+    ``bloom_cols`` additionally records a per-file BLOOM FILTER under
+    the reserved ``__bloom__{col}`` key — the point-lookup complement
+    to ranges: min/max cannot prune an equality probe on a
+    high-cardinality key whose values interleave across files (every
+    range overlaps), a membership sketch can. Building it reads the
+    column once from the writer's OWN just-written file (production
+    formats compute it inline in the write task — same bytes, earlier);
+    the sketch itself is ~1 KiB compressed per (file, column), the
+    same O(files) metadata class as the ranges."""
     out: dict = {}
     for f in files:
         ent = {}
@@ -722,6 +898,10 @@ def _record_stats(
             mm = _file_minmax(data / f, col)
             if mm is not None:
                 ent[col] = mm
+        for col in bloom_cols:
+            vals = _file_column_values(data / f, col)
+            if vals is not None:
+                ent[_BLOOM_KEY + col] = _bloom_build(vals)
         if ent:
             out[f] = ent
     return out
@@ -862,6 +1042,7 @@ def append_batch(
     batch_id: int,
     *,
     stats_col: str | None = None,
+    bloom_col: str | None = None,
     track_schema: bool = False,
     partition_by: tuple[str, ...] = (),
 ) -> str:
@@ -912,7 +1093,13 @@ def append_batch(
     else:
         adopted = _adopt(staging, data, f"b{batch_id:08d}")
         name_parts = {}
-    new_stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    # ``bloom_col`` records a per-file membership sketch next to the
+    # ranges (see _record_stats) — the point-lookup complement for a
+    # high-cardinality key whose values interleave across files
+    new_stats = _record_stats(
+        data, adopted, _norm_stats_cols(stats_col),
+        bloom_cols=_norm_stats_cols(bloom_col),
+    )
     # Appends are BLIND (Delta's AddFile-only commit): they conflict
     # with no concurrent commit logically, so a CommitConflict just
     # means the base moved — re-read, retry. The bound is a livelock
@@ -921,6 +1108,24 @@ def append_batch(
     df_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for _ in range(64):
         cur, _live = read_manifest(root)
+        if cur is not None:
+            # batch-id collision with a shallow clone's CARRIED file:
+            # the deterministic per-epoch names exist for retry
+            # idempotency WITHIN one table's history, but a clone
+            # inherits its source's names by external reference — an
+            # append reusing one of those batch ids would silently
+            # shadow its own data behind the external mapping. Refuse
+            # loudly (a genuine retry never collides with an external:
+            # its first attempt adopted locally).
+            ext = _table_state(root, cur)["external"]
+            shadowed = [f for f in adopted if f in ext]
+            if shadowed:
+                raise ValueError(
+                    f"append batch {batch_id} adopts file name(s) "
+                    f"{shadowed} already carried by this table as "
+                    "external (shallow-clone) references; use a batch "
+                    "id the clone's source never used"
+                )
         columns = _manifest_doc(root, cur).get("columns") if cur else None
         init_columns = None
         if columns is not None:
@@ -1000,6 +1205,8 @@ def compact(
     stats_col=None,
     cluster: bool = False,
     cluster_expr=None,
+    partition: dict | None = None,
+    force: bool = False,
 ) -> int:
     """Rewrite the live set into ``ceil(total/target_bytes)`` files
     (floor 1; ``target_files`` overrides) and commit the replacement
@@ -1041,6 +1248,22 @@ def compact(
     rewrite runs PER PARTITION GROUP — the unit a production compactor
     rewrites — and the replacement files inherit their group's
     partition tuple, so partition pruning survives compaction.
+
+    ``partition`` ({current logical column name → value}) SCOPES the
+    compaction to groups whose tuple matches exactly (files without a
+    tuple are out of scope) — the one-partition-at-a-time unit a
+    production compactor schedules. Two scoped compactions of DISJOINT
+    partitions are serializable: a loser whose interleave rewrote only
+    files outside its own rewrite set auto-rebases and commits
+    (:func:`_rewrite_interleave_ok`); overlapping rewrites still
+    surface :class:`CommitConflict`.
+
+    ``force=True`` rewrites every (scoped) group even when it already
+    meets its file target — the rewrite-everything action (Iceberg's
+    ``rewrite-data-files`` with a min-input threshold of 1) that
+    materializes schema evolution into the files themselves, which is
+    what :func:`export_hive_bundle`'s pre-evolution refusal
+    prescribes.
     """
     stats_cols = _norm_stats_cols(stats_col)
     if cluster and not stats_cols and cluster_expr is None:
@@ -1060,17 +1283,21 @@ def compact(
     live_set = set(live)
     for d in state["deletes"]:
         masked |= _delete_file_refs(root, state, d) & live_set
+    for d in state["eq_deletes"]:
+        masked |= _eq_affected(state, d)
     if len(live) <= 1 and not masked:
-        if state["deletes"]:
+        if state["deletes"] or state["eq_deletes"]:
             # every pending mask is dead weight (all refs consumed by
             # prior rewrites): clear them with a metadata-only commit
             # so reads stop paying the anti-join and export_manifest's
             # "compact first" prescription actually works
             _commit_delta(
                 root, cur,
-                f"compact: cleared {len(state['deletes'])} dead "
-                "delete file(s)",
+                f"compact: cleared "
+                f"{len(state['deletes']) + len(state['eq_deletes'])} "
+                "dead delete file(s)",
                 delete_removes=list(state["deletes"]),
+                eq_delete_removes=list(state["eq_deletes"]),
             )
         return 0
     data = pathlib.Path(root, "data")
@@ -1081,6 +1308,23 @@ def compact(
     for f in live:
         sig = tuple(sorted(state["parts"].get(f, {}).items()))
         groups.setdefault(sig, []).append(f)
+    if partition is not None:
+        keymap = (
+            {c["name"]: str(c["id"]) for c in state["columns"]}
+            if state["columns"] is not None
+            else {}
+        )
+        want = {
+            keymap.get(col, col): (_HIVE_NULL if v is None else str(v))
+            for col, v in partition.items()
+        }
+        groups = {
+            sig: fs
+            for sig, fs in groups.items()
+            if all(dict(sig).get(k) == v for k, v in want.items())
+        }
+        if not groups:
+            return 0
     total_before = len(live)
     adopted_all: list[str] = []
     removed: list[str] = []
@@ -1092,7 +1336,7 @@ def compact(
             os.stat(_data_path(root, state, f)).st_size for f in gfiles
         )
         target = target_files or max(1, math.ceil(total / target_bytes))
-        if target >= len(gfiles):
+        if target >= len(gfiles) and not force:
             if not (masked & set(gfiles)):
                 # nothing to do for this group: keep its files as-is
                 continue
@@ -1134,29 +1378,36 @@ def compact(
                 parts_adds[f] = dict(sig)
     if not adopted_all:
         dead = _consumed_deletes(spark, root, state, [])
-        if dead:  # all-dead masks with no group to rewrite: clear them
+        dead_eq = _consumed_eq_deletes(state, [])
+        if dead or dead_eq:  # all-dead masks, no group to rewrite
             _commit_delta(
                 root, cur,
-                f"compact: cleared {len(dead)} dead delete file(s)",
+                f"compact: cleared {len(dead) + len(dead_eq)} dead "
+                "delete file(s)",
                 delete_removes=dead,
+                eq_delete_removes=dead_eq,
             )
         return 0
     stats = _record_stats(data, adopted_all, stats_cols)
-    # base=cur: a concurrent commit (even a blind append) invalidates
-    # this rewrite — its output omits the newly appended files — so the
-    # conflict must surface; the caller re-reads and re-compacts.
+    # base=cur, with DISJOINT-REWRITE auto-rebase: a concurrent commit
+    # that touched none of this rewrite's inputs (a blind append, a
+    # compaction of a disjoint partition group) composes — the loser
+    # re-commits the same delta on the new head. Anything overlapping
+    # (shared removes, masks on our inputs, schema ops) still
+    # surfaces; the caller re-reads and re-compacts.
     # Position-delete files whose every entry referenced a rewritten
     # file are CONSUMED (the rewrite applied them); entries referencing
     # a skipped group's files must survive.
-    _commit_delta(
+    _commit_rewrite(
         root, cur,
         f"compact {total_before} -> "
         f"{total_before - len(removed) + len(adopted_all)} files",
+        removed,
         adds=adopted_all,
-        removes=removed,
         stats_adds=stats or None,
         parts_adds=parts_adds or None,
         delete_removes=_consumed_deletes(spark, root, state, removed),
+        eq_delete_removes=_consumed_eq_deletes(state, removed),
     )
     return len(removed) - len(adopted_all)
 
@@ -1229,6 +1480,7 @@ def merge_upsert(
         removes=touched,
         stats_adds=stats or None,
         delete_removes=_consumed_deletes(spark, root, state, touched),
+        eq_delete_removes=_consumed_eq_deletes(state, touched),
     )
     return name, len(touched), len(live)
 
@@ -1295,6 +1547,7 @@ def delete_where(
         removes=touched,
         stats_adds=stats or None,
         delete_removes=_consumed_deletes(spark, root, state, touched),
+        eq_delete_removes=_consumed_eq_deletes(state, touched),
     )
     return name, len(touched), len(live)
 
@@ -1326,6 +1579,33 @@ def _consumed_deletes(
         if live_refs <= rewritten_set:
             consumed.append(d)
     return consumed
+
+
+def _eq_affected(state: dict, eq_file: str) -> set[str]:
+    """Live data files an equality-delete file can still mask: every
+    live file STRICTLY OLDER than the delete (``seq_added < seq``).
+    Conservative — key presence is not consulted (that would need the
+    scan merge-on-read exists to avoid)."""
+    s = state["eq_deletes"][eq_file]["seq"]
+    return {
+        f for f in state["files"] if state["seq_added"].get(f, 0) < s
+    }
+
+
+def _consumed_eq_deletes(state: dict, rewritten: list[str]) -> list[str]:
+    """Equality-delete files FULLY consumed by rewriting ``rewritten``:
+    once every live file older than the delete is rewritten (the
+    replacements carry a NEWER sequence), the delete can never mask
+    another row and leaves the manifest. A delete no live file is
+    older than is dead weight and consumed by whatever commit looks
+    next — same rule as :func:`_consumed_deletes`."""
+    if not state["eq_deletes"]:
+        return []
+    rewritten_set = set(rewritten)
+    return [
+        d for d in state["eq_deletes"]
+        if _eq_affected(state, d) <= rewritten_set
+    ]
 
 
 def _delete_file_refs(root: str, state: dict, delete_file: str) -> set[str]:
@@ -1362,6 +1642,7 @@ def _additive_interleave(root: str, base: str | None, head: str) -> bool:
             doc.get(k)
             for k in (
                 "removes", "delete_adds", "delete_removes",
+                "eq_delete_adds", "eq_delete_removes",
                 "stats_rekey", "stats_drop",
             )
         ):
@@ -1377,6 +1658,82 @@ def _additive_interleave(root: str, base: str | None, head: str) -> bool:
         if doc.get("columns") != base_cols:
             return False
     return True
+
+
+def _rewrite_interleave_ok(
+    root: str, base: str | None, head: str, removes: set[str]
+) -> bool:
+    """True when every commit in (base, head] composes with a REWRITE
+    whose read-and-remove set is ``removes`` — the disjoint-rewrite
+    serializability check (VERDICT r13 task 4). Two compactions of
+    disjoint partition groups (or disjoint file sets) are serializable:
+    the loser's output was derived only from files the interleave
+    never touched, so re-committing the same delta on the new head is
+    the serial schedule. The interleave must NOT:
+
+    - be a full-snapshot restart (can't reason about it);
+    - remove any file in ``removes`` (double-rewrite: the loser would
+      re-add rows the winner already rewrote);
+    - add a position-delete mask referencing ``removes`` (the loser's
+      replacement files did not apply it — committing would resurrect
+      masked rows);
+    - add an equality delete (the loser's replacements carry a NEWER
+      sequence than the interleaved delete, so rows that should be
+      masked would escape it);
+    - change the schema or rekey/drop stats (the loser's recorded
+      stats/colmap entries speak the base's schema).
+
+    Blind appends and disjoint rewrites pass; everything else
+    surfaces :class:`CommitConflict` to the caller."""
+    base_cols = _manifest_doc(root, base).get("columns") if base else None
+    head_state = _table_state(root, head)
+    start = _seq_of(base) + 1 if base else 0
+    for s in range(start, _seq_of(head) + 1):
+        doc = _manifest_doc(root, _manifest_name(s))
+        if "files" in doc:
+            return False
+        if any(
+            doc.get(k)
+            for k in ("eq_delete_adds", "stats_rekey", "stats_drop")
+        ):
+            return False
+        if set(doc.get("removes", ())) & removes:
+            return False
+        if doc.get("columns") != base_cols:
+            return False
+        for d in doc.get("delete_adds", ()):
+            if d in head_state["deletes"] or d in head_state["external"]:
+                refs = _delete_file_refs(root, head_state, d)
+            else:
+                # the mask was already consumed later in the interleave
+                # — its surviving refs are whatever that consumer
+                # rewrote, which the remove-disjointness check covers
+                continue
+            if refs & removes:
+                return False
+    return True
+
+
+def _commit_rewrite(
+    root: str, base: str | None, note: str, removes: list[str], **delta
+) -> str:
+    """Commit a rewrite delta with AUTO-REBASE across interleaves that
+    :func:`_rewrite_interleave_ok` proves disjoint — the compactor
+    sibling of :func:`_commit_mor`. A 1000-partition table compacted
+    by independent per-partition jobs must not serialize them through
+    commit-retry storms; disjointness makes the rebase a no-op
+    logically, so the loser just re-commits on the new head."""
+    removes_set = set(removes)
+    for _ in range(64):
+        try:
+            return _commit_delta(root, base, note, removes=removes,
+                                 **delta)
+        except CommitConflict:
+            head, _ = read_manifest(root)
+            if not _rewrite_interleave_ok(root, base, head, removes_set):
+                raise
+            base = head
+    raise CommitConflict(f"{note!r} lost 64 consecutive commit races")
 
 
 def delete_where_merge_on_read(
@@ -1559,6 +1916,132 @@ def merge_upsert_merge_on_read(
     return name, n_masked
 
 
+def delete_by_key(
+    spark: SparkSession,
+    root: str,
+    schema,
+    key: str,
+    keys_df: DataFrame,
+) -> tuple[str, int]:
+    """EQUALITY DELETE (Iceberg v2 equality delete files): commit a
+    keyed delete WITHOUT scanning a single data file — where
+    :func:`delete_where_merge_on_read` still pays a victim SCAN to
+    resolve (file, position) pairs, this writes the key VALUES
+    themselves as the delete file and lets every read (and the next
+    compaction) subtract matching rows. Returns (new manifest name,
+    distinct key count). The at-scale shape for streaming CDC: a
+    delete/upsert event commits in O(its own bytes) regardless of
+    where the victim rows live — no read-before-write, which is
+    exactly why Flink→Iceberg upsert pipelines emit equality deletes.
+
+    Applicability is decided by DATA SEQUENCE NUMBER: the delete masks
+    rows only in files committed BEFORE it (``seq_added < delete
+    seq``), so keys re-inserted afterwards are visible — and an upsert
+    can ship its post-images in the very same commit unmasked. NULL
+    keys never match (write a position delete for those). ``keys_df``
+    must carry the key under the column name ``key`` with the table's
+    own type.
+
+    Concurrency: commits through the additive auto-rebase. NOTE the
+    deliberately different contract vs position deletes — a rebased
+    equality delete also masks matching rows of blind appends that
+    interleaved (its re-commit bumps its sequence past theirs). That
+    is keyed last-writer-wins, the semantics a CDC stream applying
+    ordered events wants; position deletes pin their snapshot instead.
+    """
+    from pyspark.sql import functions as F
+
+    cur, live = read_manifest(root)
+    if not live:
+        raise ValueError(f"{root} has no committed version")
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]
+    staging = pathlib.Path(root, f".eqdelete-{seq}.{nonce}")
+    keys_df.select(F.col(key)).filter(
+        F.col(key).isNotNull()
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(str(staging))
+    data = pathlib.Path(root, "data")
+    adopted = _adopt(staging, data, f"ed{seq:08d}-{nonce}")
+    n = _count_rows(data / adopted[0])
+    if n == 0:
+        (data / adopted[0]).unlink()
+        return cur, 0
+    name = _commit_mor(
+        root, cur,
+        f"equality delete on {key}: {n} keys, 0 files scanned",
+        eq_delete_adds={adopted[0]: {"key": key}},
+    )
+    return name, n
+
+
+def merge_upsert_equality(
+    spark: SparkSession,
+    root: str,
+    schema,
+    updates: DataFrame,
+    key: str,
+    *,
+    stats_col: str | None = None,
+) -> tuple[str, int]:
+    """EQUALITY-DELETE UPSERT: one commit carrying (a) an
+    equality-delete file of the update keys and (b) the update rows as
+    new data files — ZERO reads of the base table. This is the third
+    point on the MERGE cost spectrum: copy-on-write
+    (:func:`merge_upsert`) rewrites the touched files, position-delete
+    merge-on-read (:func:`merge_upsert_merge_on_read`) still scans
+    them to resolve victim positions, and this form touches nothing —
+    commit cost is exactly the update bytes, the shape a
+    high-frequency streaming CDC upsert needs (Flink's Iceberg upsert
+    sink emits precisely this pair).
+
+    The same-commit post-images stay visible because equality deletes
+    apply only to STRICTLY OLDER files (``seq_added < delete seq``);
+    masked old images surface in the change feed as deletes/updates
+    like every other strategy. Returns (new manifest name, update row
+    count — matched rows are unknowable without the scan this verb
+    exists to avoid; :func:`compact` materializes the mask later).
+    ``key`` must be unique per version and per update batch. Rows with
+    a NULL key are appended but never mask anything."""
+    cur, live = read_manifest(root)
+    if not live:
+        return append_batch(updates, root, 0, stats_col=stats_col), 0
+    seq = _seq_of(cur) + 1
+    nonce = uuid.uuid4().hex[:8]
+    data = pathlib.Path(root, "data")
+    from pyspark.sql import functions as F
+
+    kstaging = pathlib.Path(root, f".equpsert-{seq}.{nonce}.k")
+    updates.select(F.col(key)).filter(
+        F.col(key).isNotNull()
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(str(kstaging))
+    eq_adds = _adopt(kstaging, data, f"eu{seq:08d}-{nonce}")
+    n_keys = _count_rows(data / eq_adds[0])
+    if n_keys == 0:
+        (data / eq_adds[0]).unlink()
+        eq_adds = []
+    astaging = pathlib.Path(root, f".equpsert-{seq}.{nonce}.a")
+    updates.coalesce(1).write.mode("overwrite").parquet(str(astaging))
+    adopted = _adopt(astaging, data, f"w{seq:08d}-{nonce}")
+    n_rows = sum(_count_rows(data / f) for f in adopted)
+    if n_rows == 0:
+        for f in adopted:
+            (data / f).unlink()
+        for f in eq_adds:
+            (data / f).unlink()
+        return cur, 0
+    stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
+    name = _commit_mor(
+        root, cur,
+        f"equality-delete upsert: {n_rows} rows, 0 files scanned",
+        adds=adopted,
+        stats_adds=stats or None,
+        eq_delete_adds=(
+            {eq_adds[0]: {"key": key}} if eq_adds else None
+        ),
+    )
+    return name, n_rows
+
+
 def changes(
     spark: SparkSession,
     root: str,
@@ -1633,6 +2116,14 @@ def changes(
     for d in (dels_to - dels_from) | (dels_from - dels_to):
         st_ref = st_to if d in dels_to else st_from
         affected.update(_delete_file_refs(root, st_ref, d))
+    # equality-delete churn: a both-live file's visible rows change
+    # when a delete that can mask it (file older than the delete)
+    # appeared or disappeared in the window
+    eq_from = set(st_from["eq_deletes"])
+    eq_to = set(st_to["eq_deletes"])
+    for d in (eq_to - eq_from) | (eq_from - eq_to):
+        st_ref = st_to if d in eq_to else st_from
+        affected.update(_eq_affected(st_ref, d))
     affected &= from_files & to_files  # only both-live files reconcile
     old_files = sorted(set(removed) | affected)
     new_files = sorted(set(added) | affected)
@@ -1647,6 +2138,12 @@ def changes(
         for d in dels_from | dels_to
         if not pathlib.Path(
             _data_path(root, st_to if d in dels_to else st_from, d)
+        ).exists()
+    ] + [
+        d
+        for d in eq_from | eq_to
+        if not pathlib.Path(
+            _data_path(root, st_to if d in eq_to else st_from, d)
         ).exists()
     ]
     if missing:
@@ -1749,6 +2246,7 @@ def vacuum(root: str, *, keep_last: int = 1, grace_seconds: float = 0.0) -> int:
         st = _table_state(root, name)
         keep.update(st["files"])
         keep.update(st["deletes"])
+        keep.update(st["eq_deletes"])
     data = pathlib.Path(root, "data")
     removed = 0
     horizon = time.time() - grace_seconds
@@ -1819,12 +2317,34 @@ def clone_table(
         return ap
 
     external = {
-        f: _ref(f) for f in (*src_state["files"], *src_state["deletes"])
+        f: _ref(f)
+        for f in (
+            *src_state["files"],
+            *src_state["deletes"],
+            *src_state["eq_deletes"],
+        )
     }
+    # preserve the source's RELATIVE file/eq-delete sequence order but
+    # shift it to <= 0: the clone's own commits restart at sequence 1,
+    # and a carried equality delete must never outrank them (it would
+    # mask clone-committed files) — nor may it be flattened level with
+    # the carried files (it would mask files the source added after it)
+    all_seqs = [
+        *src_state["seq_added"].values(),
+        *(m["seq"] for m in src_state["eq_deletes"].values()),
+    ]
+    shift = max(all_seqs) if all_seqs else 0
     doc = {
         "files": list(src_state["files"]),
         "stats": src_state["stats"],
         "deletes": list(src_state["deletes"]),
+        "eq_deletes": {
+            d: {"key": m["key"], "seq": m["seq"] - shift}
+            for d, m in src_state["eq_deletes"].items()
+        },
+        "seq_added": {
+            f: s - shift for f, s in src_state["seq_added"].items()
+        },
         "parts": src_state["parts"],
         "external": external,
         "note": f"shallow clone of {src_root}",
@@ -1864,24 +2384,139 @@ def export_manifest(root: str, name: str | None = None) -> list[str]:
         if name is None:
             raise ValueError(f"{root} has no committed version")
     state = _table_state(root, name)
-    if state["deletes"]:
+    if state["deletes"] or state["eq_deletes"]:
         raise ValueError(
             f"{root}@{name} has pending merge-on-read deletes "
-            f"{state['deletes']}: a flat export would resurrect deleted "
-            "rows; compact to materialize them, then export"
+            f"{state['deletes'] + sorted(state['eq_deletes'])}: a flat "
+            "export would resurrect deleted rows; compact to "
+            "materialize them, then export"
         )
     if state["parts"]:
         raise ValueError(
             f"{root}@{name} carries partition tuples: they are MANIFEST "
             "metadata, and hive-adopted files do not physically repeat "
             "the partition columns — a flat export would silently drop "
-            "those columns for the consumer; materialize with a full "
-            "read+write (or read through this module) before exporting"
+            "those columns for the consumer; use export_hive_bundle "
+            "(zero-copy hive layout) or materialize with a full "
+            "read+write before exporting"
         )
     return [
         str(pathlib.Path(_data_path(root, state, f)).resolve())
         for f in state["files"]
     ]
+
+
+def export_hive_bundle(
+    root: str, dest: str, name: str | None = None
+) -> list[str]:
+    """ZERO-COPY RELEASE BUNDLE of a version in hive layout (VERDICT
+    r13 task 5 — the partitioned-table export path `export_manifest`
+    refuses): each live data file is HARDLINKED (copy fallback) into
+    ``dest/<col>=<value>/...`` directories built from its manifest
+    partition tuple, so any hive-aware reader (Spark partition
+    discovery, DuckDB ``hive_partitioning``) recovers the partition
+    columns from the paths — no byte rewritten, which is what makes a
+    100 TB release bundle a metadata operation. Unpartitioned files
+    land at the bundle root; partition directory nesting is by sorted
+    column name (deterministic; tuples record no order). Returns the
+    created file paths.
+
+    Preconditions, each with the compact prescription: pending
+    merge-on-read deletes refuse (links cannot express masks); a file
+    carrying pre-evolution physical column names refuses (a raw link
+    would expose them); and a MIXED layout refuses — some files
+    physically complete (compaction rewrites partition literals back
+    into its outputs) while others lack their partition columns is not
+    a structure hive discovery can read, so the bundle must be
+    uniformly hive-adopted (columns in paths) or uniformly complete
+    (columns in files, exported flat). Every file is classified by its
+    own parquet FOOTER — metadata-only reads, so the gate costs
+    O(files), never O(bytes)."""
+    import pyarrow.parquet as pq
+
+    if name is None:
+        name, _ = read_manifest(root)
+        if name is None:
+            raise ValueError(f"{root} has no committed version")
+    state = _table_state(root, name)
+    if state["deletes"] or state["eq_deletes"]:
+        raise ValueError(
+            f"{root}@{name} has pending merge-on-read deletes: a "
+            "linked bundle would resurrect deleted rows; compact to "
+            "materialize them, then export"
+        )
+    id_to_name = (
+        {str(c["id"]): c["name"] for c in state["columns"]}
+        if state["columns"] is not None
+        else {}
+    )
+    logical = (
+        {c["name"] for c in state["columns"]}
+        if state["columns"] is not None
+        else None
+    )
+    hive_files: list[tuple[str, dict]] = []
+    flat_files: list[str] = []
+    for f in state["files"]:
+        tup = state["parts"].get(f, {})
+        pcols = {id_to_name.get(k, k) for k in tup}
+        phys = set(
+            pq.ParquetFile(_data_path(root, state, f)).schema_arrow.names
+        )
+        if logical is not None and not phys <= logical:
+            raise ValueError(
+                f"{f} was written under a pre-evolution schema "
+                f"(physical columns {sorted(phys - logical)} are not in "
+                "the current logical schema); compact (rewriting it "
+                "under the current schema) before exporting"
+            )
+        if pcols and not (pcols & phys):
+            hive_files.append((f, tup))
+        elif pcols <= phys:
+            flat_files.append(f)
+        else:
+            raise ValueError(
+                f"{f} carries only part of its partition tuple "
+                f"physically ({sorted(pcols & phys)} of {sorted(pcols)}); "
+                "compact before exporting"
+            )
+    if hive_files and flat_files:
+        raise ValueError(
+            f"{root}@{name} mixes hive-adopted files (partition columns "
+            "in paths) with physically-complete files (columns in the "
+            "parquet): no uniform bundle layout exists — compact "
+            "(which rewrites everything complete) before exporting"
+        )
+    from urllib.parse import quote
+
+    dest_p = pathlib.Path(dest)
+
+    def _link(src: pathlib.Path, tgt: pathlib.Path) -> None:
+        if tgt.exists():
+            raise ValueError(f"bundle target {tgt} already exists")
+        try:
+            os.link(src, tgt)
+        except OSError:
+            shutil.copy2(src, tgt)
+
+    out: list[str] = []
+    for f, tup in hive_files:
+        comps = [
+            f"{id_to_name.get(k, k)}={quote(str(v), safe='')}"
+            for k, v in sorted(
+                tup.items(), key=lambda kv: id_to_name.get(kv[0], kv[0])
+            )
+        ]
+        d = dest_p.joinpath(*comps)
+        d.mkdir(parents=True, exist_ok=True)
+        _link(pathlib.Path(_data_path(root, state, f)).resolve(), d / f)
+        out.append(str(d / f))
+    for f in flat_files:
+        dest_p.mkdir(parents=True, exist_ok=True)
+        _link(pathlib.Path(_data_path(root, state, f)).resolve(),
+              dest_p / f)
+        out.append(str(dest_p / f))
+    return out
 
 
 def _range_keep(rng, lo, hi) -> bool:
@@ -1917,6 +2552,69 @@ def pruned_files(
         if _range_keep(stats.get(f, {}).get(col), lo, hi)
     ]
     return kept, len(state["files"])
+
+
+def point_pruned_files(
+    root: str, name: str, col: str, value
+) -> tuple[list[str], int, int]:
+    """Point-lookup data skipping (VERDICT r13 task 7): the subset of
+    version ``name``'s files that can contain ``col == value``, plus
+    (min/max-surviving count, total live count) so callers can see
+    WHICH sketch did the pruning. Two stages compose:
+
+    1. the [min, max] range test — free, but useless against a
+       high-cardinality key whose values interleave across files
+       (every file's range covers the probe);
+    2. the per-file BLOOM FILTER recorded by ``bloom_col`` commits —
+       a membership sketch with no false negatives, so dropping a
+       file on a bloom miss is exact; a hit keeps the file and the
+       row predicate decides (false positives cost a scan, never a
+       wrong answer). Files without a sketch are conservatively kept.
+
+    This is the MoR point-lookup path: under merge-on-read a keyed
+    read (CDC reconcile, GDPR subject lookup) probes doc_id equality
+    against a table min/max cannot help — the bloom cuts it from
+    "scan every file" to "scan the containing file (+ ~1% false
+    positives)". State comes from the checkpoint relation when one
+    covers the version (the sketches ride the stats JSON column), so
+    the compose-with-checkpoint contract holds by construction."""
+    state = _table_state(root, name)
+    total = len(state["files"])
+    kept: list[str] = []
+    mm_kept = 0
+    for f in state["files"]:
+        ent = state["stats"].get(f, {})
+        rng = ent.get(col)
+        if rng is not None and not (rng[0] <= value <= rng[1]):
+            continue
+        mm_kept += 1
+        bloom = ent.get(_BLOOM_KEY + col)
+        if bloom is not None and not _bloom_contains(bloom, value):
+            continue
+        kept.append(f)
+    return kept, mm_kept, total
+
+
+def read_point(
+    spark: SparkSession, root: str, schema, col: str, value
+) -> DataFrame:
+    """Keyed point read of the CURRENT version: bloom+range file
+    pruning (:func:`point_pruned_files`), then the pruned scan with
+    merge-on-read masks applied, then the exact row predicate on top —
+    pruning remains an optimization, never the answer."""
+    from pyspark.sql import functions as F
+
+    name, live = read_manifest(root)
+    if not live:
+        return spark.createDataFrame([], schema)
+    kept, _mm, _total = point_pruned_files(root, name, col, value)
+    if not kept:
+        return spark.createDataFrame([], schema)
+    state = _table_state(root, name)
+    df = _scan_files_state(
+        spark, root, state, kept, schema, apply_deletes=True
+    )
+    return df.filter(F.col(col) == F.lit(value))
 
 
 def pruned_files_spark(
@@ -2049,6 +2747,22 @@ def _evolve_commit(
         cur, _files = read_manifest(root)
         if cur is None:
             raise ValueError(f"{root} has no committed version to evolve")
+        # a rename/drop of a pending equality delete's KEY column would
+        # break the read-path anti-join (the delete file's physical
+        # column keeps the old name; the scan's logical side moves):
+        # refuse with the same "compact first" prescription as export
+        if stats_rekey or stats_drop:
+            touched_names = set(stats_drop) | set(stats_rekey or {})
+            pend = {
+                m["key"]
+                for m in _table_state(root, cur)["eq_deletes"].values()
+            }
+            if pend & touched_names:
+                raise ValueError(
+                    f"column(s) {sorted(pend & touched_names)} key "
+                    "pending equality deletes; compact to materialize "
+                    "them before renaming/dropping"
+                )
         doc = _manifest_doc(root, cur)
         columns = doc.get("columns")
         if columns is None:
@@ -2252,6 +2966,12 @@ def _scan_files_state(
     - merge-on-read position deletes (``apply_deletes=True``): an
       anti-join on (file basename, row position) against the version's
       delete files, then the bookkeeping columns drop out;
+    - merge-on-read EQUALITY deletes (``apply_deletes=True``): per key
+      column, a broadcast anti-join of the key values against rows
+      whose file is OLDER than the delete (``seq_added < delete seq``
+      — Iceberg v2's data-sequence-number rule, which is what lets an
+      upsert commit its own post-images unmasked in the same commit);
+      NULL keys never match (same as Iceberg);
     - hive partition tuples: a partitioned file doesn't physically
       carry its partition columns — the scan re-attaches them as typed
       LITERALS from the manifest tuple (how hive/Iceberg serve
@@ -2264,7 +2984,10 @@ def _scan_files_state(
     from pyspark.sql import functions as F
 
     columns = state["columns"]
-    need_meta = with_meta or (apply_deletes and bool(state["deletes"]))
+    need_meta = with_meta or (
+        apply_deletes
+        and bool(state["deletes"] or state["eq_deletes"])
+    )
 
     def _attach_meta(df):
         if not need_meta:
@@ -2395,6 +3118,39 @@ def _scan_files_state(
             F.col("pos").alias("__mor_pos"),
         )
         out = out.join(dels, ["__mor_file", "__mor_pos"], "left_anti")
+    if apply_deletes and state["eq_deletes"]:
+        # per-file data sequence numbers ride in as a broadcast join on
+        # the file basename (metadata-sized: one row per scanned file)
+        seq_df = spark.createDataFrame(
+            [(f, state["seq_added"].get(f, 0)) for f in files],
+            "__mor_file string, __seq_added long",
+        )
+        out = out.join(F.broadcast(seq_df), "__mor_file", "left")
+        by_key: dict[str, list[tuple[str, int]]] = {}
+        for d, meta in state["eq_deletes"].items():
+            by_key.setdefault(meta["key"], []).append((d, meta["seq"]))
+        for k, dels_k in sorted(by_key.items()):
+            sides = []
+            for d, s in sorted(dels_k):
+                sides.append(
+                    spark.read.parquet(_data_path(root, state, d)).select(
+                        F.col(f"`{k}`").alias("__eq_val"),
+                        F.lit(s).alias("__eq_seq"),
+                    )
+                )
+            eq = sides[0]
+            for p in sides[1:]:
+                eq = eq.unionByName(p)
+            # equality-delete files are metadata-sized (the keys one
+            # commit deleted), so the anti-join broadcasts; `==` makes
+            # NULL keys unmatched by construction
+            out = out.join(
+                F.broadcast(eq),
+                (F.col(f"`{k}`") == F.col("__eq_val"))
+                & (F.col("__seq_added") < F.col("__eq_seq")),
+                "left_anti",
+            )
+        out = out.drop("__seq_added")
     if need_meta and not with_meta:
         out = out.select(*logical_cols)
     return out

@@ -1092,3 +1092,697 @@ def test_mor_rebase_refuses_schema_evolution_interleave(spark, tmp_path):
     with pytest.raises(CommitConflict):
         _commit_mor(root, base, "mor across widen",
                     delete_adds=["pd-phantom.parquet"])
+
+
+# --- Equality deletes (Iceberg v2, round 14) --------------------------
+
+
+def test_eq_delete_scans_zero_files_and_masks(spark, tmp_path):
+    """The equality-delete contract: the commit carries ONLY an
+    eq_delete_adds entry — no data-file adds/removes, no position
+    file, no victim scan — while reads subtract matching keys from
+    files older than the delete."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+    )
+
+    root = _build_small(spark, tmp_path)  # 4 files: 0-9/.../30-39
+    keys = spark.createDataFrame([(5,), (17,), (33,)], "doc_id long")
+    name, n = delete_by_key(spark, root, SCHEMA, "doc_id", keys)
+    assert n == 3
+    doc = json.loads(pathlib.Path(root, "manifests", name).read_text())
+    assert "adds" not in doc and "removes" not in doc
+    assert "delete_adds" not in doc
+    assert len(doc["eq_delete_adds"]) == 1
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(40)) - {5, 17, 33}
+    st = table_state(root)
+    assert len(st["eq_deletes"]) == 1 and st["deletes"] == []
+
+
+def test_eq_delete_sequence_rule_reinsert_visible(spark, tmp_path):
+    """The data-sequence-number rule: an equality delete masks rows
+    ONLY in files strictly older than it — a key re-appended after
+    the delete is visible, and stacked deletes each apply to their
+    own past."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # 0-9 / 10-19
+    keys = spark.createDataFrame([(5,), (15,)], "doc_id long")
+    delete_by_key(spark, root, SCHEMA, "doc_id", keys)
+    # re-insert key 5 AFTER the delete: must be visible
+    append_batch(
+        spark.createDataFrame([(5, "reborn")], SCHEMA).coalesce(1),
+        root, 50,
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+        if r.doc_id in (5, 15)
+    }
+    assert got == {(5, "reborn")}
+    # a SECOND delete of key 5 masks the re-insert too (it is older
+    # than the new delete)
+    delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(5,)], "doc_id long"),
+    )
+    got2 = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert 5 not in got2 and 15 not in got2
+    assert len(got2) == 18
+
+
+def test_eq_upsert_matches_cow_merge_contract(spark, tmp_path):
+    """Two strategies, one contract: merge_upsert_equality (zero base
+    reads) must produce the same visible table as copy-on-write
+    merge_upsert applying the identical update batch — post-images
+    visible in the SAME commit, old images masked."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert,
+        merge_upsert_equality,
+    )
+
+    updates = [(7, "u7"), (13, "u13"), (99, "new99")]
+    roots = []
+    for sub, verb in (("cow", merge_upsert), ("eq", merge_upsert_equality)):
+        root = _build_small(spark, tmp_path / sub)
+        udf_ = spark.createDataFrame(updates, SCHEMA)
+        verb(spark, root, SCHEMA, udf_, "doc_id", stats_col="doc_id")
+        roots.append(root)
+    got = [
+        {(r.doc_id, r.text)
+         for r in read_table(spark, r_, SCHEMA).collect()}
+        for r_ in roots
+    ]
+    assert got[0] == got[1]
+    assert (99, "new99") in got[0] and (7, "u7") in got[0]
+    # the equality form's commit touched no data file and scanned no
+    # victim positions
+    name, _ = read_manifest(roots[1])
+    doc = json.loads(
+        pathlib.Path(roots[1], "manifests", name).read_text()
+    )
+    assert "removes" not in doc and "delete_adds" not in doc
+    assert doc.get("eq_delete_adds") and doc.get("adds")
+
+
+def test_eq_delete_compact_materializes_and_consumes(spark, tmp_path):
+    """Compaction applies and consumes equality deletes like position
+    deletes: the replacement version carries none, reads stay stable,
+    vacuum collects the consumed delete file."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+        export_manifest,
+    )
+
+    root = _build_small(spark, tmp_path)
+    delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(i,) for i in range(13, 28)], "doc_id long"),
+    )
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        export_manifest(root)
+    assert compact(spark, root, SCHEMA, target_files=1) > 0
+    st = table_state(root)
+    assert st["eq_deletes"] == {} and st["deletes"] == []
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {i for i in range(40) if not 13 <= i <= 27}
+    removed = vacuum(root)
+    assert removed >= 5  # 4 data files + 1 eq-delete file
+    assert {
+        r.doc_id for r in read_table(spark, root, SCHEMA).collect()
+    } == got
+    assert export_manifest(root)
+
+
+def test_eq_delete_partial_rewrite_consumption(spark, tmp_path):
+    """A band rewrite consumes an equality delete only when every
+    live file OLDER than it was rewritten; until then the delete
+    stays (its keys may still mask surviving older files)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+        delete_where,
+    )
+
+    root = _build_small(spark, tmp_path, files=3)  # 0-9/10-19/20-29
+    delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(5,), (25,)], "doc_id long"),
+    )
+    # rewrite file 0 only: the delete must survive (files 1, 2 older)
+    delete_where(spark, root, SCHEMA, "doc_id", 0, 2, stats_col="doc_id")
+    assert len(table_state(root)["eq_deletes"]) == 1
+    # rewrite files 1 and 2: every older live file rewritten → consumed
+    delete_where(spark, root, SCHEMA, "doc_id", 11, 28, stats_col="doc_id")
+    assert table_state(root)["eq_deletes"] == {}
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(30)) - {0, 1, 2, 5} - set(range(11, 29))
+
+
+def test_eq_delete_checkpoint_roundtrip(spark, tmp_path):
+    """seq_added and eq-delete metadata survive the parquet
+    checkpoint: a reader restarting from the checkpoint applies the
+    same masks (including the strictly-older rule) as a full replay."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)
+    delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(3,), (12,)], "doc_id long"),
+    )
+    append_batch(
+        spark.createDataFrame([(3, "reborn")], SCHEMA).coalesce(1),
+        root, 60,
+    )
+    name, _ = read_manifest(root)
+    write_checkpoint(root, name)
+    # drop the state cache so the next read resolves via the checkpoint
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as M,
+    )
+
+    with M._STATE_LOCK:
+        M._STATE_CACHE.clear()
+    st = table_state(root)
+    assert len(st["eq_deletes"]) == 1
+    assert set(st["seq_added"]) == set(st["files"])
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+        if r.doc_id in (3, 12)
+    }
+    assert got == {(3, "reborn")}
+
+
+def test_eq_delete_clone_preserves_sequence(spark, tmp_path):
+    """A shallow clone preserves the RELATIVE order of carried files
+    and equality deletes (shifted below the clone's own sequences):
+    the clone reads identically, and rows the clone itself appends
+    are never masked by a carried delete."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+        delete_by_key,
+    )
+
+    src = _build_small(spark, tmp_path / "src", files=2)
+    delete_by_key(
+        spark, src, SCHEMA, "doc_id",
+        spark.createDataFrame([(4,), (14,)], "doc_id long"),
+    )
+    append_batch(
+        spark.createDataFrame([(4, "late")], SCHEMA).coalesce(1), src, 70,
+    )
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst)
+    src_rows = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, src, SCHEMA).collect()
+    }
+    dst_rows = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, dst, SCHEMA).collect()
+    }
+    assert dst_rows == src_rows
+    # reusing a batch id the SOURCE already used would shadow the new
+    # data behind the carried external reference: refused loudly
+    with pytest.raises(ValueError, match="external"):
+        append_batch(
+            spark.createDataFrame([(14, "x")], SCHEMA).coalesce(1), dst, 0,
+        )
+    # the clone's own append of a deleted key must be visible
+    append_batch(
+        spark.createDataFrame([(14, "clone-side")], SCHEMA).coalesce(1),
+        dst, 90,
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, dst, SCHEMA).collect()
+        if r.doc_id == 14
+    }
+    assert got == {(14, "clone-side")}
+    # ...and the source is untouched
+    assert {
+        (r.doc_id, r.text)
+        for r in read_table(spark, src, SCHEMA).collect()
+    } == src_rows
+
+
+def test_eq_delete_null_keys_never_match(spark, tmp_path):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+    )
+
+    root = str(tmp_path / "t")
+    append_batch(
+        spark.createDataFrame(
+            [(None, "nullkey"), (1, "one"), (2, "two")], SCHEMA
+        ).coalesce(1),
+        root, 0,
+    )
+    # NULL values in the keys frame are dropped before the commit
+    name, n = delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(None,), (1,)], "doc_id long"),
+    )
+    assert n == 1
+    got = {r.text for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == {"nullkey", "two"}
+
+
+def test_eq_delete_changes_feed(spark, tmp_path):
+    """The change feed reports equality-deleted rows as deletes and
+    the same-commit post-images of an equality upsert as
+    updates/inserts — indistinguishable from the other strategies."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert_equality,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)
+    from_name, _ = read_manifest(root)
+    merge_upsert_equality(
+        spark, root, SCHEMA,
+        spark.createDataFrame([(7, "u7"), (99, "new")], SCHEMA),
+        "doc_id",
+    )
+    feed = changes(spark, root, SCHEMA, "doc_id", from_name).collect()
+    got = {(r.doc_id, r._change) for r in feed}
+    assert got == {(7, "update_post"), (99, "insert")}
+
+
+def test_rename_refuses_pending_eq_key(spark, tmp_path):
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_by_key,
+    )
+
+    root = str(tmp_path / "t")
+    append_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1),
+        root, 0, track_schema=True,
+    )
+    delete_by_key(
+        spark, root, SCHEMA, "doc_id",
+        spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    with pytest.raises(ValueError, match="pending equality deletes"):
+        rename_column(root, "doc_id", "id")
+    # compact clears the mask, then the rename goes through
+    compact(spark, root, SCHEMA, target_files=1)
+    rename_column(root, "doc_id", "id")
+
+
+def test_streaming_upsert_equality_never_scans_base(spark, tmp_path):
+    """The streaming CDC shape VERDICT r13 task 3 asks for: a sequence
+    of keyed upsert batches applied with merge_upsert_equality — every
+    commit is adds + one equality-delete file, NO base-file reads —
+    and the final table equals the last-writer-wins recompute."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        merge_upsert_equality,
+    )
+
+    root = str(tmp_path / "t")
+    batches = [
+        [(1, "a0"), (2, "b0"), (3, "c0")],
+        [(2, "b1"), (4, "d1")],
+        [(1, "a2"), (4, "d2"), (5, "e2")],
+        [(3, "c3"), (5, "e3")],
+    ]
+    for i, rows in enumerate(batches):
+        merge_upsert_equality(
+            spark, root,
+            SCHEMA, spark.createDataFrame(rows, SCHEMA), "doc_id",
+        )
+        if i > 0:  # every post-bootstrap commit: adds + eq delete only
+            name, _ = read_manifest(root)
+            doc = json.loads(
+                pathlib.Path(root, "manifests", name).read_text()
+            )
+            assert "removes" not in doc and "delete_adds" not in doc
+            assert doc.get("eq_delete_adds") and doc.get("adds")
+    # last-writer-wins recompute
+    lww: dict[int, str] = {}
+    for rows in batches:
+        for k, v in rows:
+            lww[k] = v
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    assert got == set(lww.items())
+    # compaction folds all masks; the table stays LWW-correct
+    compact(spark, root, SCHEMA, target_files=1)
+    st = table_state(root)
+    assert st["eq_deletes"] == {} and st["deletes"] == []
+    assert {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    } == set(lww.items())
+
+
+# --- Disjoint-rewrite concurrency (round 14) --------------------------
+
+
+def _build_partitioned_langs(spark, tmp_path, files_per_lang=3):
+    root = str(tmp_path / "pt")
+    schema = "doc_id long, lang string, text string"
+    n = 0
+    for i in range(files_per_lang):
+        rows = []
+        for lang in ("en", "de"):
+            rows += [(n + j, lang, f"{lang}{n + j}") for j in range(4)]
+            n += 4
+        append_batch(
+            spark.createDataFrame(rows, schema).coalesce(1),
+            root, i, partition_by=("lang",),
+        )
+    return root, schema, n
+
+
+def test_disjoint_partition_compactions_both_commit(spark, tmp_path):
+    """VERDICT r13 task 4: two compactions of DISJOINT partition
+    groups are serializable — the loser's inputs were untouched by the
+    winner, so it auto-rebases and both commits land (no retry storm
+    between per-partition compaction jobs)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root, schema, n = _build_partitioned_langs(spark, tmp_path)
+    before = {
+        (r.doc_id, r.lang, r.text)
+        for r in read_table(spark, root, schema).collect()
+    }
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("compact"):
+            state["fired"] = True
+            # the de-compaction lands first, between the en-compaction's
+            # rewrite and its commit
+            compact(spark, root_, schema, target_files=1,
+                    partition={"lang": "de"})
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        reduced = compact(spark, root, schema, target_files=1,
+                          partition={"lang": "en"})
+    finally:
+        m._commit_delta = real
+    assert state["fired"] and reduced > 0
+    # both compactions' outputs are live: one file per lang
+    st = table_state(root)
+    langs = {}
+    for f in st["files"]:
+        langs.setdefault(st["parts"][f]["lang"], []).append(f)
+    assert {k: len(v) for k, v in langs.items()} == {"en": 1, "de": 1}
+    assert {
+        (r.doc_id, r.lang, r.text)
+        for r in read_table(spark, root, schema).collect()
+    } == before
+
+
+def test_overlapping_compactions_still_conflict(spark, tmp_path):
+    """Two rewrites sharing an input file must NOT both commit: the
+    loser's output would re-add rows the winner already rewrote."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root, schema, n = _build_partitioned_langs(spark, tmp_path)
+    before = {
+        (r.doc_id, r.lang, r.text)
+        for r in read_table(spark, root, schema).collect()
+    }
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("compact"):
+            state["fired"] = True
+            compact(spark, root_, schema, target_files=1,
+                    partition={"lang": "en"})  # SAME partition
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        with pytest.raises(m.CommitConflict):
+            compact(spark, root, schema, target_files=1,
+                    partition={"lang": "en"})
+    finally:
+        m._commit_delta = real
+    assert state["fired"]
+    # the winner's compaction stands; no row lost or duplicated
+    assert {
+        (r.doc_id, r.lang, r.text)
+        for r in read_table(spark, root, schema).collect()
+    } == before
+
+
+def test_compact_rebases_over_blind_append(spark, tmp_path):
+    """A compaction racing a blind append composes: the appended files
+    are not in the rewrite's input set, so the loser re-commits and
+    the appended rows survive uncompacted."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root = _build_small(spark, tmp_path, files=3)
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("compact"):
+            state["fired"] = True
+            append_batch(
+                spark.createDataFrame([(100, "late")], SCHEMA).coalesce(1),
+                root_, 77,
+            )
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        reduced = compact(spark, root, SCHEMA, target_files=1)
+    finally:
+        m._commit_delta = real
+    assert state["fired"] and reduced > 0
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(30)) | {100}
+
+
+def test_compact_conflicts_against_interleaved_eq_delete(spark, tmp_path):
+    """An equality delete in the interleave invalidates the rewrite:
+    the replacement files would carry a newer sequence and escape the
+    mask. The conflict must surface; the caller's re-run then applies
+    the mask correctly."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("compact"):
+            state["fired"] = True
+            m.delete_by_key(
+                spark, root_, SCHEMA, "doc_id",
+                spark.createDataFrame([(5,)], "doc_id long"),
+            )
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        with pytest.raises(m.CommitConflict):
+            compact(spark, root, SCHEMA, target_files=1)
+    finally:
+        m._commit_delta = real
+    assert state["fired"]
+    # the re-run compacts with the mask applied and consumed
+    assert compact(spark, root, SCHEMA, target_files=1) > 0
+    st = table_state(root)
+    assert st["eq_deletes"] == {}
+    got = {r.doc_id for r in read_table(spark, root, SCHEMA).collect()}
+    assert got == set(range(20)) - {5}
+
+
+def test_export_hive_bundle_roundtrip(spark, tmp_path):
+    """The partitioned release path (VERDICT r13 task 5): every live
+    file links into its hive directory, a plain hive-discovery read
+    recovers the partition column (including the NULL token), and the
+    flat export still refuses the same table."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        export_hive_bundle,
+        export_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    schema = "doc_id long, lang string, text string"
+    rows = [
+        (1, "en", "a"), (2, "en", "b"), (3, "de", "c"),
+        (4, None, "d"),  # hive default-partition token
+    ]
+    append_batch(
+        spark.createDataFrame(rows, schema).coalesce(1),
+        root, 0, partition_by=("lang",),
+    )
+    with pytest.raises(ValueError, match="export_hive_bundle"):
+        export_manifest(root)
+    dest = str(tmp_path / "bundle")
+    made = export_hive_bundle(root, dest)
+    assert len(made) == 3  # one file per partition dir
+    assert any("lang=en" in p for p in made)
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in made)
+    back = spark.read.option("basePath", dest).parquet(dest)
+    got = {
+        (r.doc_id, r.lang, r.text)
+        for r in back.select("doc_id", "lang", "text").collect()
+    }
+    assert got == {
+        (1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, None, "d"),
+    }
+    # a MIXED layout (a physically-complete unpartitioned append next
+    # to hive-adopted files) has no uniform bundle structure: refuse
+    append_batch(
+        spark.createDataFrame([(9, "fr", "flat")], schema).coalesce(1),
+        root, 1,
+    )
+    with pytest.raises(ValueError, match="mixes"):
+        export_hive_bundle(root, str(tmp_path / "b2"))
+    # zero-copy: same inode where linking is possible
+    import os
+
+    src_dir = pathlib.Path(root, "data")
+    linked = [p for p in made if "lang=en" in p]
+    assert any(
+        os.stat(p).st_ino in {os.stat(s).st_ino for s in src_dir.iterdir()}
+        for p in linked
+    )
+
+
+def test_export_hive_bundle_refusals(spark, tmp_path):
+    """Pending masks and pre-evolution files refuse with the compact
+    prescription; compact clears both refusals."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        delete_where_merge_on_read,
+        export_hive_bundle,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    schema = "doc_id long, lang string, text string"
+    append_batch(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], schema
+        ).coalesce(1),
+        root, 0, partition_by=("lang",), track_schema=True,
+    )
+    delete_where_merge_on_read(spark, root, schema, "doc_id", 2, 2)
+    with pytest.raises(ValueError, match="compact"):
+        export_hive_bundle(root, str(tmp_path / "b1"))
+    compact(spark, root, schema, target_files=1)
+    # rename a NON-partition column: the surviving file was written
+    # pre-rename, so a raw link would expose the old physical name
+    rename_column(root, "text", "body")
+    with pytest.raises(ValueError, match="pre-evolution"):
+        export_hive_bundle(root, str(tmp_path / "b2"))
+    compact(spark, root, "doc_id long, lang string, body string",
+            target_files=1, force=True)
+    # the second compact rewrote everything physically COMPLETE (the
+    # partition literal is materialized back into the file), so the
+    # bundle is uniformly flat — columns in the parquet, no hive dirs
+    made = export_hive_bundle(root, str(tmp_path / "b3"))
+    assert made and all("lang=" not in p for p in made)
+    back = spark.read.parquet(str(tmp_path / "b3"))
+    assert {tuple(r) for r in back.select("doc_id", "lang", "body").collect()} \
+        == {(1, "en", "a")}
+
+
+# --- Bloom file skipping (round 14) -----------------------------------
+
+
+def test_bloom_point_pruning_no_false_negatives(spark, tmp_path):
+    """Round-robin layout: ranges keep every file; the bloom keeps the
+    containing file for EVERY present key (no false negative — the
+    exactness that makes dropping a file safe) and prunes most files
+    for most probes."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        point_pruned_files,
+        read_point,
+    )
+
+    root = str(tmp_path / "t")
+    n = 200
+    for i in range(4):
+        rows = [(j, f"r{j}") for j in range(n) if j % 4 == i]
+        append_batch(
+            spark.createDataFrame(rows, SCHEMA).coalesce(1),
+            root, i, stats_col="doc_id", bloom_col="doc_id",
+        )
+    name, _ = read_manifest(root)
+    total_kept = 0
+    # interior probes: every file's round-robin range contains them
+    # (edge ids CAN be range-pruned — min/max still composes first)
+    for probe in range(4, n - 4, 7):
+        kept, mm_kept, total = point_pruned_files(
+            root, name, "doc_id", probe
+        )
+        assert mm_kept == total == 4  # ranges can never prune here
+        # no false negative: the containing file always survives
+        got = {r.doc_id for r in read_point(
+            spark, root, SCHEMA, "doc_id", probe
+        ).collect()}
+        assert got == {probe}
+        total_kept += len(kept)
+    # the sketch actually prunes: on average nearly one file per probe
+    assert total_kept < 2 * len(range(0, n, 7))
+    # an absent key prunes to nothing almost surely (and the read is
+    # empty regardless)
+    kept, _, _ = point_pruned_files(root, name, "doc_id", 10**9)
+    assert read_point(
+        spark, root, SCHEMA, "doc_id", 10**9
+    ).count() == 0
+
+
+def test_bloom_rides_checkpoint_and_rename(spark, tmp_path):
+    """The sketch lives in the stats relation: it survives the parquet
+    checkpoint and FOLLOWS its column through a rename; files without
+    a sketch are conservatively kept."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as M,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        point_pruned_files,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        rows = [(j, f"r{j}") for j in range(90) if j % 3 == i]
+        append_batch(
+            spark.createDataFrame(rows, SCHEMA).coalesce(1),
+            root, i, stats_col="doc_id", bloom_col="doc_id",
+            track_schema=(i == 0),
+        )
+    # one sketchless append: conservatively kept by every probe
+    append_batch(
+        spark.createDataFrame([(1000, "x")], SCHEMA).coalesce(1), root, 9,
+    )
+    name, _ = read_manifest(root)
+    write_checkpoint(root, name)
+    with M._STATE_LOCK:
+        M._STATE_CACHE.clear()
+    kept, mm, total = point_pruned_files(root, name, "doc_id", 42)
+    # the sketchless file carries NO stats: conservatively kept by
+    # both stages (pruning never drops what it cannot judge)
+    assert total == 4 and mm == 4
+    assert "b00000009-00000.snappy.parquet" in kept
+    assert len(kept) <= 3
+    rename_column(root, "doc_id", "id")
+    name2, _ = read_manifest(root)
+    kept2, _, _ = point_pruned_files(root, name2, "id", 42)
+    assert set(kept2) == set(kept), "bloom must follow the rename"

@@ -23,7 +23,28 @@ WINDOW = 50
 # so they lead the window. VERDICT r13 task 1 requires the complete
 # 35-query r10-stale cohort inside the r14 window, so this set must
 # stay <= 15 (|new| + 35 <= the 50-slot window).
-NEW_IN_R14: set[str] = set()
+NEW_IN_R14: set[str] = {
+    # equality deletes (VERDICT r13 task 3 — Iceberg v2 equality
+    # delete files): a keyed delete commits the key VALUES with zero
+    # base-file reads; applicability by data sequence number
+    # (strictly-older files only), made load-bearing in the hash by a
+    # post-delete re-insert of a third of the band
+    "sink_versioned_delete_equality",
+    # zero-copy hive-layout release bundle (VERDICT r13 task 5): every
+    # live file hardlinked into lang=<value>/ dirs from its manifest
+    # tuple; re-read by PLAIN Spark hive discovery under the
+    # whole-table checksum oracle; flat export still refuses
+    "sink_versioned_export_hive",
+    # per-file Bloom sketches in the manifest stats (VERDICT r13 task
+    # 7): a round-robin layout defeats min/max entirely; the point
+    # read refuses unless ranges kept everything AND the bloom pruned
+    "sink_versioned_point_read_bloom",
+    # substring-dedup span REMOVAL (VERDICT r13 task 8): chars covered
+    # by winnow windows shared across docs are excised; the full
+    # cleaned text is hash-gated (relational char-coverage oracle);
+    # idempotence pinned in tests
+    "pipeline_span_dedup",
+}
 
 # Round 13's additions, all driver-checked in CORRECTNESS_r13.json.
 NEW_IN_R13: set[str] = {

@@ -7,7 +7,8 @@ from __future__ import annotations
 import math
 
 import pytest
-
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from new_kafka_consumer_to_hadoop_hdfs_spark.operators.multimodal import (
@@ -1182,3 +1183,131 @@ def test_empty_bigram_index_raises(spark):
         score_against_bigram_index(
             probe, "doc_id", "text", index, n_index_bigrams=0
         )
+
+
+# --- Span excision (round 14) -----------------------------------------
+
+
+def _py_excise(texts: dict, k: int = 8, w: int = 4) -> dict:
+    """Naive reference: winnow per doc, find fingerprints shared by
+    >= 2 docs, cut every char covered by a duplicated window."""
+    import hashlib
+
+    L = k + w - 1
+    fps = {}
+    wins = {}
+    for did, t in texts.items():
+        hs = [
+            hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+            for i in range(len(t) - k + 1)
+        ]
+        if len(hs) < w:
+            wins[did] = []
+            continue
+        wins[did] = [
+            (j + 1, min(hs[j : j + w])) for j in range(len(hs) - w + 1)
+        ]
+        fps[did] = {fp for _, fp in wins[did]}
+    shared = {
+        fp
+        for did, s in fps.items()
+        for fp in s
+        if sum(1 for o, so in fps.items() if o != did and fp in so) >= 1
+    }
+    out = {}
+    for did, t in texts.items():
+        cov = set()
+        for j, fp in wins[did]:
+            if fp in shared:
+                cov.update(range(j, j + L))  # 1-based chars j..j+L-1
+        out[did] = "".join(
+            c for p, c in enumerate(t, start=1) if p not in cov
+        )
+    return out
+
+
+def test_excise_spans_planted_duplicates(spark):
+    """A span planted in two documents is cut from BOTH; text outside
+    any shared window survives; a doc sharing nothing is untouched."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    texts = {
+        1: "alpha unique opening. " + boiler + " trailing one.",
+        2: "totally different body! " + boiler + " closing words.",
+        3: "this document shares nothing with the others at all.",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut)
+        for r in excise_duplicated_spans(df, "doc_id", "text").collect()
+    }
+    expect = _py_excise(texts)
+    for did in texts:
+        assert got[did][0] == expect[did], did
+        assert got[did][1] == len(texts[did]) - len(expect[did])
+    assert boiler not in got[1][0] and boiler not in got[2][0]
+    assert got[3] == (texts[3], 0)
+
+
+@given(
+    st.lists(
+        st.text(
+            st.characters(min_codepoint=97, max_codepoint=102),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_excise_spans_matches_reference(spark, raws):
+    """Differential gate on a tiny low-entropy alphabet (maximizes
+    shared substrings): the distributed fold must equal the naive
+    per-char reference on every document, including fully-excised and
+    too-short-to-fingerprint ones."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+
+    texts = dict(enumerate(raws))
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in excise_duplicated_spans(df, "doc_id", "text").collect()
+    }
+    expect = _py_excise(texts)
+    assert got == expect
+
+
+def test_excise_spans_idempotent_on_fixture(spark, sf_dir):
+    """Substring dedup settles: re-running the excision on its own
+    output cuts (almost) nothing — duplicated spans were removed from
+    EVERY document carrying them, so the only possible second-pass
+    cuts are coincidental k-gram collisions created at cut seams.
+    On the fixture corpus there are none."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    once = excise_duplicated_spans(d, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    cut_first = excise_duplicated_spans(d, "doc_id", "text").agg(
+        F.sum("n_cut")
+    ).first()[0]
+    assert cut_first > 0, "fixture corpus must contain duplicated spans"
+    twice = excise_duplicated_spans(once, "doc_id", "text")
+    assert twice.agg(F.sum("n_cut")).first()[0] == 0
