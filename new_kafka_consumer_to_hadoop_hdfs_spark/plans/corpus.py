@@ -475,6 +475,41 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_checksums(back)
 
 
+@_register("sink_avro_roundtrip", _ROUNDTRIP_ORACLE)
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO write→read roundtrip under the same checksum gate as the
+    JSON-lines/CSV/ORC sinks (round 14 — closing the
+    environment-blocked format row): the container ships no
+    ``spark-avro`` connector jar, so the Object Container File codec
+    is built from the PUBLIC Avro spec in stdlib Python
+    (`sources/avro.py` — zigzag varints, null-union branches, raw
+    RFC-1951 deflate blocks, sync markers) behind Arrow-batched
+    ``mapInPandas`` plumbing: writes emit one container file per batch
+    per partition with no shuffle and no driver data collection; reads
+    go through Spark's built-in ``binaryFile`` source, one task per
+    file, with an EXPLICIT schema (the same no-inference discipline as
+    the text sinks). A hash match against DuckDB's checksums of the
+    raw parquet proves byte-exact fidelity through the whole binary
+    encoding — varints, unions, deflate, sync-marker verification all
+    load-bearing (hypothesis round-trips + malformed-input contracts
+    in tests/test_avro_codec.py)."""
+    import pathlib
+
+    from ..sources.avro import read_avro, write_avro
+
+    docs = load_table(spark, sf_dir, "documents").select(*_DOC_COLS)
+
+    def build(tmp: str) -> None:
+        write_avro(docs.repartition(4), tmp)
+
+    dest = cached_materialization(
+        pathlib.Path(sf_dir) / "documents.parquet", "documents_avro1",
+        build,
+    )
+    back = read_avro(spark, dest, _DOC_SCHEMA)
+    return _roundtrip_checksums(back)
+
+
 # ---------------------------------------------------------------------------
 # Clickstream transition matrix
 # ---------------------------------------------------------------------------

@@ -44,6 +44,11 @@ NEW_IN_R14: set[str] = {
     # cleaned text is hash-gated (relational char-coverage oracle);
     # idempotence pinned in tests
     "pipeline_span_dedup",
+    # Avro sink/source (closes the environment-blocked spark-avro row
+    # the way the image codecs closed PIL): stdlib spec-built Object
+    # Container codec + mapInPandas/binaryFile plumbing, under the
+    # same roundtrip checksum oracle as the jsonl/csv/orc sinks
+    "sink_avro_roundtrip",
 }
 
 # Round 13's additions, all driver-checked in CORRECTNESS_r13.json.
