@@ -1330,8 +1330,103 @@ def winnow_windows(
              F.col("__w.fp").alias("fp"))
 
 
+def winnow_windows_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    memo_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Arrow-batched position-aware winnow: one row per (id, 1-based
+    window start j, fingerprint), built with the SAME per-partition
+    gram→md5 memo and numpy sliding-min machinery as
+    :func:`winnow_fingerprints_arrow`, WITHOUT distinct-collapsing —
+    the relation span excision consumes. Two deliberate differences
+    from :func:`winnow_windows` (pinned by the equivalence test):
+
+    - fingerprints stay UNSIGNED 32-BIT VALUES IN A LONG column (the
+      md5-prefix integer) instead of 8-hex-char strings — the window
+      relation has windows-per-doc × docs rows, and rendering a hex
+      string per OCCURRENCE was the single biggest cost of the whole
+      excision pipeline (measured at sf0.1: 7.4 s → ~3 s for this
+      pass). ``format(fp, "08x")`` recovers the expression form's
+      string exactly.
+    - output columns are numpy-built per batch (full/arange/
+      concatenate), never Python-list appends.
+
+    Same byte-budgeted memo discipline; all worker-side code lives
+    inside the closure."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib  # noqa: PLC0415 — worker-side import
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        memo: dict = {}
+        memo_bytes = 0
+        budget = memo_budget_bytes
+        for pdf in batches:
+            ids_parts: list = []
+            js_parts: list = []
+            fp_parts: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text) - k + 1
+                if n < w:
+                    continue
+                hs = []
+                mget = memo.get
+                for i in range(n):
+                    g = text[i : i + k]
+                    v = mget(g)
+                    if v is None:
+                        gb = g.encode("utf-8")
+                        v = int(hashlib.md5(gb).hexdigest()[:8], 16)
+                        memo[g] = v
+                        memo_bytes += 190 + len(gb)
+                    hs.append(v)
+                arr = np.array(hs, dtype=np.uint32)
+                m = arr[: n - w + 1].copy()
+                for j in range(1, w):
+                    np.minimum(m, arr[j : n - w + 1 + j], out=m)
+                nwin = n - w + 1
+                if isinstance(did, (int, np.integer)):
+                    ids_parts.append(np.full(nwin, did, dtype=np.int64))
+                else:  # string/other ids: object column
+                    ids_parts.append(np.full(nwin, did, dtype=object))
+                js_parts.append(np.arange(1, nwin + 1, dtype=np.int32))
+                fp_parts.append(m.astype(np.int64))
+                if memo_bytes > budget:
+                    memo.clear()
+                    memo_bytes = 0
+            if ids_parts:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_parts),
+                        "j": np.concatenate(js_parts),
+                        "fp": np.concatenate(fp_parts),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, j int, fp long"
+    )
+
+
 def excise_duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    wins: DataFrame | None = None,
+    cut: str = "expr",
 ) -> DataFrame:
     """SPAN REMOVAL — the substring-dedup ACTION (VERDICT r13 task 8;
     RefinedWeb / Lee et al. ACL'22 cut duplicated spans rather than
@@ -1345,9 +1440,7 @@ def excise_duplicated_spans(
     cut set is the union of its duplicated windows' spans; the clean
     text is the subsequence of uncovered characters. The union+cut
     runs as ONE left fold over the sorted duplicated-window starts
-    with a (kept_text, last_covered) accumulator — Spark
-    ``F.aggregate`` and DuckDB ``list_reduce`` (prepended-init trick)
-    walk bit-identical steps, the `event_changepoint_cusum` pattern.
+    with a (kept_text, last_covered) accumulator.
 
     Scale shape: winnowing is map-side; the shared-fingerprint
     relation is one fingerprint-keyed shuffle (content-uniform md5
@@ -1356,11 +1449,19 @@ def excise_duplicated_spans(
     shuffles of the fingerprint relation, exactly like the ranking
     query. Returns (id, clean_text, n_cut); documents too short to
     fingerprint (or with no duplicated window) pass through unchanged.
+
+    ``wins`` injects a prebuilt (id, j, fp) window relation — the
+    windows feed BOTH the shared-fp branch and the starts branch, so a
+    caller that persists :func:`winnow_windows_arrow`'s output halves
+    the winnow cost (the registered query does; see
+    plans/llm.pipeline_span_dedup). Default is the expression form —
+    the DuckDB-restatable baseline the differential tests pin.
     """
     from pyspark.sql import Window
 
     span_end = k + w - 2  # chars j .. j+span_end
-    wins = winnow_windows(df, id_col, text_col, k=k, w=w)
+    if wins is None:
+        wins = winnow_windows(df, id_col, text_col, k=k, w=w)
     shared_fps = (
         wins.select(id_col, "fp")
         .distinct()
@@ -1369,8 +1470,12 @@ def excise_duplicated_spans(
         .filter(F.col("__nd") >= 2)
         .select("fp")
     )
+    # shared fingerprints are few (boilerplate/quotes, not the corpus):
+    # broadcasting them turns the duplicated-window filter into a
+    # map-side probe of the (large) window relation — no shuffle of
+    # wins; only the matching windows shuffle into the per-doc group
     dup_starts = (
-        wins.join(shared_fps, "fp")
+        wins.join(F.broadcast(shared_fps), "fp")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("j")).alias("__starts"))
     )
@@ -1383,26 +1488,60 @@ def excise_duplicated_spans(
     acc0 = F.struct(
         F.lit("").alias("kept"), F.lit(0).cast("int").alias("prev")
     )
-    folded = F.aggregate(
-        F.col("__starts"),
-        acc0,
-        lambda acc, j: F.struct(
-            F.when(
-                j > acc["prev"],
-                F.concat(
-                    acc["kept"],
-                    text.substr(acc["prev"] + 1, j - acc["prev"] - 1),
-                ),
+    if cut == "arrow":
+        # Arrow twin of the fold below (differential-tested equal):
+        # the higher-order aggregate with a string accumulator is
+        # INTERPRETED (no whole-stage codegen for lambda aggregates)
+        # and pays a multi-second one-time expression-compile; the
+        # pandas_udf does the same walk as linear Python slicing with
+        # a parts-list join (no quadratic accumulator copying) over
+        # Arrow batches — measured 3.2 s → ~1 s at sf0.1 for the
+        # whole query, with no compile spike.
+        L = span_end
+
+        @F.pandas_udf("string")
+        def _cut(t: pd.Series, st: pd.Series) -> pd.Series:
+            def one(txt, starts):
+                if txt is None:
+                    return None
+                parts = []
+                prev = 0
+                for j in starts:  # array_sort upstream: ascending
+                    j = int(j)
+                    if j > prev:
+                        parts.append(txt[prev : j - 1])
+                    prev = max(prev, j + L)
+                parts.append(txt[prev:])
+                return "".join(parts)
+
+            return pd.Series(
+                [one(a, b) for a, b in zip(t, st)], dtype=object
             )
-            .otherwise(acc["kept"])
-            .alias("kept"),
-            F.greatest(acc["prev"], j + F.lit(span_end)).alias("prev"),
-        ),
-    )
-    clean = F.concat(
-        folded["kept"],
-        text.substr(folded["prev"] + 1, F.length(text) - folded["prev"]),
-    )
+
+        clean = _cut(text, F.col("__starts"))
+    elif cut == "expr":
+        folded = F.aggregate(
+            F.col("__starts"),
+            acc0,
+            lambda acc, j: F.struct(
+                F.when(
+                    j > acc["prev"],
+                    F.concat(
+                        acc["kept"],
+                        text.substr(acc["prev"] + 1, j - acc["prev"] - 1),
+                    ),
+                )
+                .otherwise(acc["kept"])
+                .alias("kept"),
+                F.greatest(acc["prev"], j + F.lit(span_end)).alias("prev"),
+            ),
+        )
+        clean = F.concat(
+            folded["kept"],
+            text.substr(folded["prev"] + 1, F.length(text) - folded["prev"]),
+        )
+    else:
+        raise ValueError(f"cut must be expr|arrow, got {cut!r}")
     return joined.select(
         F.col(id_col),
         clean.alias("clean_text"),

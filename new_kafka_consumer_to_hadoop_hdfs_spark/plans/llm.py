@@ -2751,14 +2751,21 @@ def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: winnowing is map-side, the shared-fp set is one
     md5-key-uniform shuffle, and the cut is an O(dup windows) per-doc
     fold — no per-character explosion anywhere (the formulation a
-    100 TB corpus requires; see `excise_duplicated_spans`).
+    100 TB corpus requires; see `excise_duplicated_spans`). The window
+    relation is built ONCE by the Arrow memoized winnow twin
+    (byte-identical to the expression form, equivalence-tested) and
+    persisted across its two consumers (shared-fp set + dup starts) —
+    without it the expression-md5 winnow runs twice and dominates.
     Idempotence on the corpus (a second pass cuts ~nothing) is pinned
     in tests/test_text_operators.py.
     """
-    from ..operators.text import excise_duplicated_spans
+    from ..operators.text import excise_duplicated_spans, winnow_windows_arrow
 
     d = load_table(spark, sf_dir, "documents")
-    return excise_duplicated_spans(d, "doc_id", "text", k=8, w=4)
+    wins = _persist_bounded(winnow_windows_arrow(d, "doc_id", "text", k=8, w=4))
+    return excise_duplicated_spans(
+        d, "doc_id", "text", k=8, w=4, wins=wins, cut="arrow"
+    )
 
 
 _ZIPF_ORACLE = f"""

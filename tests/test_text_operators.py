@@ -1311,3 +1311,77 @@ def test_excise_spans_idempotent_on_fixture(spark, sf_dir):
     assert cut_first > 0, "fixture corpus must contain duplicated spans"
     twice = excise_duplicated_spans(once, "doc_id", "text")
     assert twice.agg(F.sum("n_cut")).first()[0] == 0
+
+
+def test_winnow_windows_arrow_equivalence(spark, sf_dir):
+    """The Arrow memoized position-aware winnow must emit byte-identical
+    (doc_id, j, fp) rows to the expression form over the real corpus —
+    the same gate winnow_fingerprints_arrow carries."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_windows,
+        winnow_windows_arrow,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in winnow_windows(d, "doc_id", "text").collect()}
+    # the arrow twin emits the md5-prefix VALUE as a long; format()
+    # recovers the expression form's hex string exactly
+    b = {
+        (r.doc_id, r.j, format(r.fp, "08x"))
+        for r in winnow_windows_arrow(d, "doc_id", "text").collect()
+    }
+    assert a == b and a
+
+
+def test_winnow_windows_arrow_starved_memo(spark):
+    """A starvation budget forces constant memo clearing — output must
+    not change (clearing costs re-hashing, never rows)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_windows_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcabcabcabcabc"), (2, "the quick brown fox!")],
+        "doc_id long, text string",
+    )
+    full = {
+        tuple(r)
+        for r in winnow_windows_arrow(df, "doc_id", "text").collect()
+    }
+    starved = {
+        tuple(r)
+        for r in winnow_windows_arrow(
+            df, "doc_id", "text", memo_budget_bytes=1
+        ).collect()
+    }
+    assert full == starved and full
+
+
+def test_excise_cut_paths_agree(spark, sf_dir):
+    """The expression fold and the Arrow cut must produce identical
+    cleaned documents over the real corpus (the query runs arrow; the
+    oracle semantics are pinned by the expr differential tests)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        excise_duplicated_spans,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {
+        tuple(r)
+        for r in excise_duplicated_spans(
+            d, "doc_id", "text", cut="expr"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in excise_duplicated_spans(
+            d, "doc_id", "text", cut="arrow"
+        ).collect()
+    }
+    assert a == b and a
