@@ -237,7 +237,16 @@ def encode_tokens_arrow(word: Column, merges: list[tuple]) -> Column:
     def _count(s: pd.Series) -> pd.Series:
         memo: dict[str, int] = {}
 
-        def one(w: str) -> int:
+        def one(w) -> int | None:
+            # parity with the chained form on the edge inputs
+            # (review-found r14): a NULL word yields NULL (the codegen
+            # expressions propagate it), and the empty string yields 1
+            # (split("", "  ") == [""] — one empty symbol), where the
+            # raw greedy walk would crash / return 0.
+            if w is None or (not isinstance(w, str) and pd.isna(w)):
+                return None
+            if w == "":
+                return 1
             got = memo.get(w)
             if got is None:
                 got = memo[w] = _greedy_token_count(w, ranks)

@@ -672,9 +672,11 @@ def sink_versioned_point_read_bloom(spark: SparkSession, sf_dir: str) -> DataFra
             f"bloom failed to prune where ranges could not: kept "
             f"{len(kept)} of {total}"
         )
-    return read_point(spark, root, _DOC_SCHEMA, "doc_id", probe).select(
-        "doc_id", "lang", "source", "n_chars", "text"
-    )
+    # the evidence pass above already decompressed every sketch: hand
+    # its kept list to the read so the prune runs once per query
+    return read_point(
+        spark, root, _DOC_SCHEMA, "doc_id", probe, kept=kept
+    ).select("doc_id", "lang", "source", "n_chars", "text")
 
 
 _DELETE_EQUALITY_ORACLE = """

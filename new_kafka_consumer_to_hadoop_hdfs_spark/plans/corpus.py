@@ -501,6 +501,11 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(tmp: str) -> None:
         write_avro(docs.repartition(4), tmp)
+        # write_avro writes its own files (no Spark committer), so the
+        # cache's validity marker must be created explicitly — without
+        # it the materialization rebuilds (and retires the live dir)
+        # on every run (review-found r14)
+        pathlib.Path(tmp, "_SUCCESS").touch()
 
     dest = cached_materialization(
         pathlib.Path(sf_dir) / "documents.parquet", "documents_avro1",

@@ -816,13 +816,37 @@ _BLOOM_M_BITS = 8192  # 1 KiB of bits per (file, column)
 _BLOOM_K = 6
 
 
+def _bloom_canon(value) -> str:
+    """Type-stable canonical form of a bloom key: SQL-equal values must
+    hash identically whatever Python type carried them, or an
+    equal-but-differently-typed probe (int column probed with 2.0, a
+    numpy scalar from user code) becomes a bloom FALSE NEGATIVE and
+    point pruning silently drops the containing file (review-found
+    r14 — the one bug class a membership sketch must not have; false
+    POSITIVES from canonical collisions only cost a scan). Numerics
+    collapse to their integer repr when integral; numpy scalars unbox
+    via .item(); everything else keeps repr()."""
+    if hasattr(value, "item"):  # numpy scalar: unbox to the Python type
+        try:
+            value = value.item()
+        except Exception:  # noqa: BLE001 - non-numpy .item()
+            pass
+    if isinstance(value, bool):
+        return repr(int(value))
+    if isinstance(value, (int, float)):
+        f = float(value)
+        if f.is_integer() and abs(f) < 2**53:
+            return repr(int(f))
+        return repr(f)
+    return repr(value)
+
+
 def _bloom_hashes(value, m: int, k: int) -> list[int]:
     # double hashing (Kirsch-Mitzenmacher): two keyed blake2b digests
-    # of the value's repr drive all k probe positions. repr() gives a
-    # stable canonical form for the int/str/date scalars stats cover.
+    # of the value's canonical form drive all k probe positions.
     import hashlib
 
-    s = repr(value).encode()
+    s = _bloom_canon(value).encode()
     h1 = int.from_bytes(
         hashlib.blake2b(s, digest_size=8, person=b"nkchblm1").digest(),
         "big",
@@ -980,21 +1004,31 @@ def partition_pruned_files(
     Values compare by their hive string form (``str(value)``; None
     matches hive's default-partition token)."""
     state = _table_state(root, name)
-    keymap = (
-        {c["name"]: str(c["id"]) for c in state["columns"]}
-        if state["columns"] is not None
-        else {}
-    )
-    want = {
-        keymap.get(col, col): (_HIVE_NULL if v is None else str(v))
-        for col, v in filters.items()
-    }
+    want = _partition_want(state, filters)
     kept = []
     for f in state["files"]:
         tup = state["parts"].get(f, {})
         if all(tup.get(k, want_v) == want_v for k, want_v in want.items()):
             kept.append(f)
     return kept, len(state["files"])
+
+
+def _partition_want(state: dict, filters: dict) -> dict:
+    """Normalize a user partition filter ({current logical column name
+    → value}) into manifest-tuple keys and hive string values — the
+    ONE place the field-id resolution and hive-value rendering
+    (``str(value)``, ``_HIVE_NULL`` for None) live, shared by
+    :func:`partition_pruned_files` and :func:`compact`'s partition
+    scoping so the two can never disagree on partition membership."""
+    keymap = (
+        {c["name"]: str(c["id"]) for c in state["columns"]}
+        if state["columns"] is not None
+        else {}
+    )
+    return {
+        keymap.get(col, col): (_HIVE_NULL if v is None else str(v))
+        for col, v in filters.items()
+    }
 
 
 def _adopt_partitioned(
@@ -1120,6 +1154,13 @@ def append_batch(
             ext = _table_state(root, cur)["external"]
             shadowed = [f for f in adopted if f in ext]
             if shadowed:
+                # unwind the adopt before refusing: the local bytes
+                # share a live external name, so they would be both
+                # unreadable (_data_path resolves external first) and
+                # unvacuumable (the name is in the keep set) —
+                # permanent orphans (review-found r14)
+                for f in adopted:
+                    (data / f).unlink(missing_ok=True)
                 raise ValueError(
                     f"append batch {batch_id} adopts file name(s) "
                     f"{shadowed} already carried by this table as "
@@ -1285,7 +1326,7 @@ def compact(
         masked |= _delete_file_refs(root, state, d) & live_set
     for d in state["eq_deletes"]:
         masked |= _eq_affected(state, d)
-    if len(live) <= 1 and not masked:
+    if len(live) <= 1 and not masked and not force:
         if state["deletes"] or state["eq_deletes"]:
             # every pending mask is dead weight (all refs consumed by
             # prior rewrites): clear them with a metadata-only commit
@@ -1309,15 +1350,10 @@ def compact(
         sig = tuple(sorted(state["parts"].get(f, {}).items()))
         groups.setdefault(sig, []).append(f)
     if partition is not None:
-        keymap = (
-            {c["name"]: str(c["id"]) for c in state["columns"]}
-            if state["columns"] is not None
-            else {}
-        )
-        want = {
-            keymap.get(col, col): (_HIVE_NULL if v is None else str(v))
-            for col, v in partition.items()
-        }
+        # strict membership (files without a tuple are OUT of scope):
+        # a scoped compaction is a disjointness unit, unlike read-path
+        # pruning's conservative keep-the-unknown
+        want = _partition_want(state, partition)
         groups = {
             sig: fs
             for sig, fs in groups.items()
@@ -1916,6 +1952,30 @@ def merge_upsert_merge_on_read(
     return name, n_masked
 
 
+def _stage_eq_keys(
+    root: str, df: DataFrame, key: str, seq: int, nonce: str, prefix: str
+) -> tuple[list[str], int]:
+    """Write the DISTINCT NON-NULL values of ``df[key]`` as one
+    equality-delete parquet and adopt it under ``prefix``; returns
+    (adopted names, key count) — ``([], 0)`` when nothing survives
+    (the empty file is unlinked). One implementation shared by
+    :func:`delete_by_key` and :func:`merge_upsert_equality` so the
+    NULL-filter / distinct / empty-unlink contract cannot drift."""
+    from pyspark.sql import functions as F
+
+    staging = pathlib.Path(root, f".{prefix}stage-{seq}.{nonce}")
+    df.select(F.col(key)).filter(
+        F.col(key).isNotNull()
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(str(staging))
+    data = pathlib.Path(root, "data")
+    adopted = _adopt(staging, data, f"{prefix}{seq:08d}-{nonce}")
+    n = _count_rows(data / adopted[0])
+    if n == 0:
+        (data / adopted[0]).unlink()
+        return [], 0
+    return adopted, n
+
+
 def delete_by_key(
     spark: SparkSession,
     root: str,
@@ -1949,22 +2009,13 @@ def delete_by_key(
     is keyed last-writer-wins, the semantics a CDC stream applying
     ordered events wants; position deletes pin their snapshot instead.
     """
-    from pyspark.sql import functions as F
-
     cur, live = read_manifest(root)
     if not live:
         raise ValueError(f"{root} has no committed version")
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]
-    staging = pathlib.Path(root, f".eqdelete-{seq}.{nonce}")
-    keys_df.select(F.col(key)).filter(
-        F.col(key).isNotNull()
-    ).distinct().coalesce(1).write.mode("overwrite").parquet(str(staging))
-    data = pathlib.Path(root, "data")
-    adopted = _adopt(staging, data, f"ed{seq:08d}-{nonce}")
-    n = _count_rows(data / adopted[0])
+    adopted, n = _stage_eq_keys(root, keys_df, key, seq, nonce, "ed")
     if n == 0:
-        (data / adopted[0]).unlink()
         return cur, 0
     name = _commit_mor(
         root, cur,
@@ -2008,17 +2059,7 @@ def merge_upsert_equality(
     seq = _seq_of(cur) + 1
     nonce = uuid.uuid4().hex[:8]
     data = pathlib.Path(root, "data")
-    from pyspark.sql import functions as F
-
-    kstaging = pathlib.Path(root, f".equpsert-{seq}.{nonce}.k")
-    updates.select(F.col(key)).filter(
-        F.col(key).isNotNull()
-    ).distinct().coalesce(1).write.mode("overwrite").parquet(str(kstaging))
-    eq_adds = _adopt(kstaging, data, f"eu{seq:08d}-{nonce}")
-    n_keys = _count_rows(data / eq_adds[0])
-    if n_keys == 0:
-        (data / eq_adds[0]).unlink()
-        eq_adds = []
+    eq_adds, _n_keys = _stage_eq_keys(root, updates, key, seq, nonce, "eu")
     astaging = pathlib.Path(root, f".equpsert-{seq}.{nonce}.a")
     updates.coalesce(1).write.mode("overwrite").parquet(str(astaging))
     adopted = _adopt(astaging, data, f"w{seq:08d}-{nonce}")
@@ -2455,6 +2496,16 @@ def export_hive_bundle(
         if state["columns"] is not None
         else None
     )
+    # the current logical (name, type) per field id: a file may only be
+    # linked raw if every column it physically carries matches BOTH —
+    # a widen_column changes only the TYPE, and a bundle mixing int32
+    # and int64 physical encodings of one column breaks the plain
+    # hive-aware reader this export exists for (review-found r14)
+    ident = (
+        _identity_colmap(state["columns"])
+        if state["columns"] is not None
+        else None
+    )
     hive_files: list[tuple[str, dict]] = []
     flat_files: list[str] = []
     for f in state["files"]:
@@ -2470,6 +2521,19 @@ def export_hive_bundle(
                 "the current logical schema); compact (rewriting it "
                 "under the current schema) before exporting"
             )
+        if ident is not None and state["colmap"] is not None:
+            stale = {
+                cid: m
+                for cid, m in state["colmap"].get(f, {}).items()
+                if cid in ident and list(m) != list(ident[cid])
+            }
+            if stale:
+                raise ValueError(
+                    f"{f} was written under a pre-evolution schema "
+                    f"(pinned mapping {stale} differs from the current "
+                    "logical name/type); compact (force=True rewrites "
+                    "at-target groups) before exporting"
+                )
         if pcols and not (pcols & phys):
             hive_files.append((f, tup))
         elif pcols <= phys:
@@ -2596,18 +2660,23 @@ def point_pruned_files(
 
 
 def read_point(
-    spark: SparkSession, root: str, schema, col: str, value
+    spark: SparkSession, root: str, schema, col: str, value,
+    *, kept: list[str] | None = None,
 ) -> DataFrame:
     """Keyed point read of the CURRENT version: bloom+range file
     pruning (:func:`point_pruned_files`), then the pruned scan with
     merge-on-read masks applied, then the exact row predicate on top —
-    pruning remains an optimization, never the answer."""
+    pruning remains an optimization, never the answer. ``kept``
+    injects a precomputed prune result (same version/col/value!) so a
+    caller that already ran :func:`point_pruned_files` for its own
+    evidence doesn't decompress every bloom sketch a second time."""
     from pyspark.sql import functions as F
 
     name, live = read_manifest(root)
     if not live:
         return spark.createDataFrame([], schema)
-    kept, _mm, _total = point_pruned_files(root, name, col, value)
+    if kept is None:
+        kept, _mm, _total = point_pruned_files(root, name, col, value)
     if not kept:
         return spark.createDataFrame([], schema)
     state = _table_state(root, name)

@@ -1786,3 +1786,86 @@ def test_bloom_rides_checkpoint_and_rename(spark, tmp_path):
     name2, _ = read_manifest(root)
     kept2, _, _ = point_pruned_files(root, name2, "id", 42)
     assert set(kept2) == set(kept), "bloom must follow the rename"
+
+
+def test_bloom_is_type_insensitive(spark, tmp_path):
+    """SQL-equal probes of different Python types must never be bloom
+    false negatives (review-found r14): an int column probed with a
+    float (or a numpy scalar) keeps the containing file."""
+    import numpy as np
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        _bloom_build,
+        _bloom_contains,
+        point_pruned_files,
+        read_point,
+    )
+
+    b = _bloom_build([1, 2, 3, 100])
+    assert _bloom_contains(b, 2.0)
+    assert _bloom_contains(b, np.int64(2))
+    assert _bloom_contains(b, np.float64(100.0))
+    assert not _bloom_contains(b, 4)
+
+    root = str(tmp_path / "t")
+    append_batch(
+        spark.createDataFrame(
+            [(j, f"r{j}") for j in range(10)], SCHEMA
+        ).coalesce(1),
+        root, 0, stats_col="doc_id", bloom_col="doc_id",
+    )
+    name, _ = read_manifest(root)
+    kept, _, _ = point_pruned_files(root, name, "doc_id", 7.0)
+    assert kept, "float probe of a long column must keep the file"
+    got = {r.doc_id for r in read_point(
+        spark, root, SCHEMA, "doc_id", 7.0
+    ).collect()}
+    assert got == {7}
+
+
+def test_export_hive_refuses_type_only_evolution(spark, tmp_path):
+    """A widen_column changes only the TYPE: pre-widen files pass the
+    name check but must still refuse a raw link (a bundle mixing
+    int32/int64 physical encodings of one column breaks the plain
+    hive reader; review-found r14)."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        export_hive_bundle,
+        widen_column,
+    )
+
+    root = str(tmp_path / "t")
+    schema = "doc_id bigint, n int, lang string"
+    append_batch(
+        spark.createDataFrame([(1, 2, "en")], schema).coalesce(1),
+        root, 0, partition_by=("lang",), track_schema=True,
+    )
+    widen_column(root, "n", "bigint")
+    with pytest.raises(ValueError, match="pre-evolution"):
+        export_hive_bundle(root, str(tmp_path / "b"))
+    compact(spark, root, "doc_id bigint, n bigint, lang string",
+            target_files=1, force=True)
+    made = export_hive_bundle(root, str(tmp_path / "b"))
+    assert made
+
+
+def test_clone_shadow_refusal_leaves_no_orphans(spark, tmp_path):
+    """The batch-id collision refusal must unwind its adopt: the local
+    bytes would otherwise be unreadable (external wins resolution) and
+    unvacuumable (the name is protected) forever."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.maintenance import (
+        clone_table,
+    )
+
+    src = _build_small(spark, tmp_path / "src", files=1)
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst)
+    before = set()
+    data = pathlib.Path(dst, "data")
+    if data.is_dir():
+        before = {p.name for p in data.iterdir()}
+    with pytest.raises(ValueError, match="external"):
+        append_batch(
+            spark.createDataFrame([(99, "x")], SCHEMA).coalesce(1), dst, 0,
+        )
+    after = {p.name for p in data.iterdir()} if data.is_dir() else set()
+    assert after == before, f"refusal leaked orphans: {after - before}"
