@@ -1509,11 +1509,16 @@ def merge_upsert(
     )
     adopted = _adopt(staging, data, f"u{seq:08d}-{nonce}")
     stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
-    name = _commit_delta(
+    # disjoint-rewrite auto-rebase (same rule as compact): a blind
+    # append or a rewrite of OTHER files composes with this merge —
+    # rows appended after the snapshot are not subject to the update
+    # set (Delta's write-serializable MERGE-across-appends rule) —
+    # while anything touching this merge's inputs still conflicts
+    name = _commit_rewrite(
         root, cur,
         f"merge upsert: rewrote {len(touched)} of {len(live)} files",
+        touched,
         adds=adopted,
-        removes=touched,
         stats_adds=stats or None,
         delete_removes=_consumed_deletes(spark, root, state, touched),
         eq_delete_removes=_consumed_eq_deletes(state, touched),
@@ -1575,12 +1580,17 @@ def delete_where(
     )
     adopted = _adopt(staging, data, f"d{seq:08d}-{nonce}")
     stats = _record_stats(data, adopted, _norm_stats_cols(stats_col))
-    name = _commit_delta(
+    # disjoint-rewrite auto-rebase (same rule as compact): retention
+    # deletes and ingest appends run concurrently in production — a
+    # blind append composes (rows appended after the snapshot are not
+    # subject to the predicate, write-serializable semantics), as does
+    # a rewrite of other files; overlap still conflicts
+    name = _commit_rewrite(
         root, cur,
         f"delete {col} in [{lo}, {hi}]: rewrote {len(touched)} of "
         f"{len(live)} files",
+        touched,
         adds=adopted,
-        removes=touched,
         stats_adds=stats or None,
         delete_removes=_consumed_deletes(spark, root, state, touched),
         eq_delete_removes=_consumed_eq_deletes(state, touched),

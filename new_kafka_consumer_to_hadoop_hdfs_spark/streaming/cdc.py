@@ -144,3 +144,53 @@ def stateful_cdc_merge(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def upsert_equality_batch_fn(
+    root: str,
+    schema,
+    key: str,
+    *,
+    order_col: str | None = None,
+    stats_col: str | None = None,
+):
+    """Build a ``foreachBatch`` function that applies each micro-batch
+    as an EQUALITY-DELETE UPSERT against the versioned table at
+    ``root`` — the Flink→Iceberg upsert-sink shape: every epoch
+    commits (one equality-delete file of the batch's keys + the rows
+    as new data files) with ZERO reads of the base table, so commit
+    cost tracks the batch, never the table
+    (sources/maintenance.merge_upsert_equality; the spectrum's other
+    points — copy-on-write and position-delete MoR — both scan).
+
+    ``order_col`` names the event-order column used to reduce each
+    epoch to its per-key LAST event before committing
+    (merge_upsert_equality requires unique keys per batch; an
+    availableNow catch-up epoch may carry several events per key).
+    Without it the batch must already be key-unique. Cross-epoch
+    ordering is the stream's delivery order, as for every keyed-CDC
+    consumer. Pending masks fold at the next
+    :func:`sources.maintenance.compact` — schedule one per N epochs in
+    production.
+    """
+    from ..sources.maintenance import merge_upsert_equality
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = batch_df
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            latest = (
+                batch_df.withColumn(
+                    "__rn", F.row_number().over(w)
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        spark = batch_df.sparkSession
+        merge_upsert_equality(
+            spark, root, schema, latest, key, stats_col=stats_col
+        )
+
+    return _apply

@@ -1869,3 +1869,85 @@ def test_clone_shadow_refusal_leaves_no_orphans(spark, tmp_path):
         )
     after = {p.name for p in data.iterdir()} if data.is_dir() else set()
     assert after == before, f"refusal leaked orphans: {after - before}"
+
+
+def test_cow_delete_rebases_over_blind_append(spark, tmp_path):
+    """Retention deletes and ingest appends run concurrently in
+    production: a copy-on-write delete racing a blind append
+    auto-rebases (write-serializable — rows appended after the
+    snapshot are NOT subject to the predicate), and both commits
+    survive."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)  # ids 0..19
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("delete "):
+            state["fired"] = True
+            append_batch(
+                spark.createDataFrame(
+                    [(12, "appended-after-snapshot")], SCHEMA
+                ).coalesce(1),
+                root_, 88,
+            )
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        _, rewrote, _ = m.delete_where(
+            spark, root, SCHEMA, "doc_id", 10, 15, stats_col="doc_id"
+        )
+    finally:
+        m._commit_delta = real
+    assert state["fired"] and rewrote == 1
+    got = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    expect = {(i, f"r{i}") for i in range(20) if not 10 <= i <= 15}
+    expect.add((12, "appended-after-snapshot"))  # post-snapshot row
+    assert got == expect
+
+
+def test_cow_merge_conflicts_against_overlapping_rewrite(spark, tmp_path):
+    """A rewrite sharing an input file with a concurrent copy-on-write
+    merge must still surface CommitConflict — the loser's output would
+    re-add rows the winner rewrote."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources import (
+        maintenance as m,
+    )
+
+    root = _build_small(spark, tmp_path, files=2)
+    before = {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    }
+    real = m._commit_delta
+    state = {"fired": False}
+
+    def hooked(root_, base, note, **kw):
+        if not state["fired"] and note.startswith("merge upsert"):
+            state["fired"] = True
+            compact(spark, root_, SCHEMA, target_files=1)  # overlaps
+        return real(root_, base, note, **kw)
+
+    m._commit_delta = hooked
+    try:
+        with pytest.raises(m.CommitConflict):
+            m.merge_upsert(
+                spark, root, SCHEMA,
+                spark.createDataFrame([(5, "u5")], SCHEMA),
+                "doc_id", stats_col="doc_id",
+            )
+    finally:
+        m._commit_delta = real
+    assert state["fired"]
+    # the compaction won; no row lost or duplicated
+    assert {
+        (r.doc_id, r.text)
+        for r in read_table(spark, root, SCHEMA).collect()
+    } == before

@@ -2321,20 +2321,18 @@ def test_streaming_upsert_equality_foreachbatch(spark, tmp_path):
     root = str(tmp_path / "uptable")
     epochs: list[int] = []
 
-    def upsert(batch_df, epoch_id):
-        # within one epoch several LOGICAL batches may arrive; keep the
-        # per-key LAST event by the stream's own seq column before the
-        # keyed commit (merge_upsert_equality requires unique keys)
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+    # the first-class helper: per-key last event by the stream's own
+    # seq column, then the zero-base-read keyed commit
+    from new_kafka_consumer_to_hadoop_hdfs_spark.streaming.cdc import (
+        upsert_equality_batch_fn,
+    )
 
-        w = Window.partitionBy("doc_id").orderBy(F.desc("seq"))
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        merge_upsert_equality(spark, root, SCHEMA, latest, "doc_id")
+    apply_fn = upsert_equality_batch_fn(
+        root, SCHEMA, "doc_id", order_col="seq"
+    )
+
+    def upsert(batch_df, epoch_id):
+        apply_fn(batch_df, epoch_id)
         epochs.append(epoch_id)
 
     q = (
