@@ -403,6 +403,11 @@ def shingle_elements(
     grams = F.array_distinct(
         F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
     )
+    # NOT parallelism-floored (cf. the winnow/simhash operators): the
+    # r14 A/B measured every shingle consumer 0.4-2.0 s SLOWER with a
+    # floored input — the xxhash gram pass is cheap relative to the
+    # extra exchange plus the wider task fan-out it forces on the many
+    # downstream candidate/verify stages.
     return df.select(
         F.col(id_col),
         F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__h"),
@@ -829,9 +834,15 @@ def simhash_signatures(
             out[i] = int(sig_u.astype(np.int64))
         return pd.Series(out)
 
+    from .parallel import parallelism_floor
+
     token_hash = hash_expr if hash_expr is not None else F.xxhash64
     hashes = F.transform(F.col(token_col), lambda t: token_hash(t))
-    return df.filter(F.size(F.col(token_col)) > 0).select(
+    # Per-token hashing (md5 on the oracle-portable path) + the Arrow
+    # vote fold are CPU-bound narrow work; floor the input parallelism
+    # (no-op at scale, see operators/parallel.py).
+    src = parallelism_floor(df.select(F.col(id_col), F.col(token_col)))
+    return src.filter(F.size(F.col(token_col)) > 0).select(
         F.col(id_col), _sig(hashes).alias(out_col)
     )
 
@@ -1048,7 +1059,9 @@ def winnow_fingerprints_arrow(
                     memo_bytes = 0
             yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from .parallel import parallelism_floor
+
+    return parallelism_floor(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {id_type}, fingerprint string"
     )
 
@@ -1413,7 +1426,9 @@ def winnow_windows_arrow(
                     }
                 )
 
-    return df.select(id_col, text_col).mapInPandas(
+    from .parallel import parallelism_floor
+
+    return parallelism_floor(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {id_type}, j int, fp long"
     )
 

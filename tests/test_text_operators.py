@@ -1385,3 +1385,24 @@ def test_excise_cut_paths_agree(spark, sf_dir):
         ).collect()
     }
     assert a == b and a
+
+
+def test_parallelism_floor_guard(spark):
+    """The r14 scale-adaptive parallelism floor: a starved input (fewer
+    partitions than defaultParallelism) is repartitioned up to it; an
+    input already at/above the target is returned UNCHANGED (the
+    production-scale no-op guarantee), and row content is preserved."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.parallel import (
+        parallelism_floor,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    starved = spark.range(0, 100, 1, 1)
+    floored = parallelism_floor(starved)
+    assert floored.rdd.getNumPartitions() == target
+    assert sorted(r.id for r in floored.collect()) == list(range(100))
+
+    wide = spark.range(0, 100, 1, target + 4)
+    same = parallelism_floor(wide)
+    # at/above the floor: the exact same plan object, no added exchange
+    assert same is wide
