@@ -1433,6 +1433,105 @@ def winnow_windows_arrow(
     )
 
 
+def winnow_window_groups_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    memo_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """GROUPED position-aware winnow (r14 optimization): one row per
+    (id, fingerprint) carrying the ASCENDING array of that
+    fingerprint's 1-based window starts — exactly
+    :func:`winnow_windows_arrow` pre-aggregated by (id, fp) inside the
+    Arrow worker (equivalence-pinned by
+    ``test_winnow_window_groups_match_flat``).
+
+    Why the grouped shape: the flat window relation has one row per
+    WINDOW (windows/doc × docs ≈ chars × docs at w=4), and span
+    excision only ever consumes it per (doc, fingerprint) — the
+    shared-fingerprint count needs DISTINCT (doc, fp), and the cut
+    needs each duplicated fingerprint's starts. Grouping in the worker
+    (a numpy argsort + boundary split per document, no Python inner
+    loop) means ~2.5× fewer rows cross the Python→JVM boundary, the
+    downstream ``distinct()`` pass over the full window relation
+    disappears entirely (rows are already distinct per (id, fp)), and
+    every later exchange moves the grouped relation instead of the
+    window-count one. Same per-partition gram→md5 memo discipline."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib  # noqa: PLC0415 — worker-side import
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        memo: dict = {}
+        memo_bytes = 0
+        budget = memo_budget_bytes
+        for pdf in batches:
+            ids_parts: list = []
+            fp_parts: list = []
+            starts_out: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text) - k + 1
+                if n < w:
+                    continue
+                hs = []
+                mget = memo.get
+                for i in range(n):
+                    g = text[i : i + k]
+                    v = mget(g)
+                    if v is None:
+                        gb = g.encode("utf-8")
+                        v = int(hashlib.md5(gb).hexdigest()[:8], 16)
+                        memo[g] = v
+                        memo_bytes += 190 + len(gb)
+                    hs.append(v)
+                arr = np.array(hs, dtype=np.uint32)
+                m = arr[: n - w + 1].copy()
+                for j in range(1, w):
+                    np.minimum(m, arr[j : n - w + 1 + j], out=m)
+                # group window starts by fingerprint: stable argsort
+                # keeps starts ascending within each fp group
+                order = np.argsort(m, kind="stable")
+                sorted_fp = m[order]
+                starts = (order + 1).astype(np.int32)  # 1-based j
+                cuts = np.nonzero(np.diff(sorted_fp))[0] + 1
+                groups = np.split(starts, cuts)
+                uniq_fp = np.concatenate(
+                    ([sorted_fp[0]], sorted_fp[cuts])
+                ).astype(np.int64)
+                ng = len(uniq_fp)
+                if isinstance(did, (int, np.integer)):
+                    ids_parts.append(np.full(ng, did, dtype=np.int64))
+                else:  # string/other ids: object column
+                    ids_parts.append(np.full(ng, did, dtype=object))
+                fp_parts.append(uniq_fp)
+                starts_out.extend(groups)
+                if memo_bytes > budget:
+                    memo.clear()
+                    memo_bytes = 0
+            if ids_parts:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_parts),
+                        "fp": np.concatenate(fp_parts),
+                        "starts": starts_out,
+                    }
+                )
+
+    from .parallel import parallelism_floor
+
+    return parallelism_floor(df.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, fp long, starts array<int>"
+    )
+
+
 def excise_duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -1441,6 +1540,7 @@ def excise_duplicated_spans(
     k: int = 8,
     w: int = 4,
     wins: DataFrame | None = None,
+    win_groups: DataFrame | None = None,
     cut: str = "expr",
 ) -> DataFrame:
     """SPAN REMOVAL — the substring-dedup ACTION (VERDICT r13 task 8;
@@ -1465,35 +1565,64 @@ def excise_duplicated_spans(
     query. Returns (id, clean_text, n_cut); documents too short to
     fingerprint (or with no duplicated window) pass through unchanged.
 
-    ``wins`` injects a prebuilt (id, j, fp) window relation — the
-    windows feed BOTH the shared-fp branch and the starts branch, so a
-    caller that persists :func:`winnow_windows_arrow`'s output halves
-    the winnow cost (the registered query does; see
-    plans/llm.pipeline_span_dedup). Default is the expression form —
-    the DuckDB-restatable baseline the differential tests pin.
+    ``wins`` injects a prebuilt (id, j, fp) window relation; the
+    faster ``win_groups`` injects the GROUPED (id, fp, starts) form
+    from :func:`winnow_window_groups_arrow` (r14) — one row per
+    (doc, fingerprint) with starts pre-sorted, so the shared-fp count
+    skips the ``distinct()`` pass over the window relation entirely
+    and every exchange moves the smaller grouped rows. Either way the
+    relation feeds BOTH the shared-fp branch and the starts branch, so
+    a caller that persists it halves the winnow cost (the registered
+    query does; see plans/llm.pipeline_span_dedup). Default is the
+    expression form — the DuckDB-restatable baseline the differential
+    tests pin.
     """
     from pyspark.sql import Window
 
     span_end = k + w - 2  # chars j .. j+span_end
-    if wins is None:
-        wins = winnow_windows(df, id_col, text_col, k=k, w=w)
-    shared_fps = (
-        wins.select(id_col, "fp")
-        .distinct()
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("fp")
-    )
-    # shared fingerprints are few (boilerplate/quotes, not the corpus):
-    # broadcasting them turns the duplicated-window filter into a
-    # map-side probe of the (large) window relation — no shuffle of
-    # wins; only the matching windows shuffle into the per-doc group
-    dup_starts = (
-        wins.join(F.broadcast(shared_fps), "fp")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("j")).alias("__starts"))
-    )
+    if win_groups is not None:
+        # rows are already distinct per (id, fp): the fingerprint
+        # sharing count is a direct groupBy — no distinct pass
+        shared_fps = (
+            win_groups.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+            .select("fp")
+        )
+        # window starts within a document are unique across its
+        # fingerprints (each window has exactly one fp), so the
+        # flattened list needs no dedup — array_sort restores the
+        # global ascending order the cut fold requires
+        dup_starts = (
+            win_groups.join(F.broadcast(shared_fps), "fp")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("starts"))).alias(
+                    "__starts"
+                )
+            )
+        )
+    else:
+        if wins is None:
+            wins = winnow_windows(df, id_col, text_col, k=k, w=w)
+        shared_fps = (
+            wins.select(id_col, "fp")
+            .distinct()
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+            .select("fp")
+        )
+        # shared fingerprints are few (boilerplate/quotes, not the
+        # corpus): broadcasting them turns the duplicated-window filter
+        # into a map-side probe of the (large) window relation — no
+        # shuffle of wins; only matching windows shuffle into the
+        # per-doc group
+        dup_starts = (
+            wins.join(F.broadcast(shared_fps), "fp")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_set("j")).alias("__starts"))
+        )
     base = df.select(id_col, text_col)
     joined = base.join(dup_starts, id_col, "left").withColumn(
         "__starts",

@@ -2752,19 +2752,33 @@ def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-key-uniform shuffle, and the cut is an O(dup windows) per-doc
     fold — no per-character explosion anywhere (the formulation a
     100 TB corpus requires; see `excise_duplicated_spans`). The window
-    relation is built ONCE by the Arrow memoized winnow twin
-    (byte-identical to the expression form, equivalence-tested) and
-    persisted across its two consumers (shared-fp set + dup starts) —
-    without it the expression-md5 winnow runs twice and dominates.
-    Idempotence on the corpus (a second pass cuts ~nothing) is pinned
-    in tests/test_text_operators.py.
+    relation is the GROUPED Arrow memoized winnow twin (r14 —
+    equivalence-tested against the flat/expression forms), consumed
+    twice (shared-fp set + dup starts) as parallel recompute passes of
+    one job; the cheap Arrow winnow made recompute faster than the
+    cache-fill + job barrier a persist costs (the expression-md5 form
+    this replaced was the opposite trade). Idempotence on the corpus
+    (a second pass cuts ~nothing) is pinned in
+    tests/test_text_operators.py.
     """
-    from ..operators.text import excise_duplicated_spans, winnow_windows_arrow
+    from ..operators.text import (
+        excise_duplicated_spans,
+        winnow_window_groups_arrow,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    wins = _persist_bounded(winnow_windows_arrow(d, "doc_id", "text", k=8, w=4))
+    # r14: the GROUPED window relation — one row per (doc, fp) with the
+    # starts array, built in the Arrow worker. ~2.5× fewer rows cross
+    # the Python boundary and the shared-fp distinct() pass disappears
+    # (plan: 1 Exchange less; see OPTIMIZATION_r14.md). Deliberately
+    # NOT persisted: the two consumers' winnow passes run as parallel
+    # stages of one job, and the A/B measured recompute FASTER than
+    # cache-fill + barrier (3.0 s vs 3.6 s at sf0.1) — at 100 TB the
+    # same trade holds (two streaming corpus passes vs materializing a
+    # corpus-sized intermediate to memory/disk).
+    wins = winnow_window_groups_arrow(d, "doc_id", "text", k=8, w=4)
     return excise_duplicated_spans(
-        d, "doc_id", "text", k=8, w=4, wins=wins, cut="arrow"
+        d, "doc_id", "text", k=8, w=4, win_groups=wins, cut="arrow"
     )
 
 

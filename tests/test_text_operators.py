@@ -1406,3 +1406,33 @@ def test_parallelism_floor_guard(spark):
     same = parallelism_floor(wide)
     # at/above the floor: the exact same plan object, no added exchange
     assert same is wide
+
+
+def test_winnow_window_groups_match_flat(spark, sf_dir):
+    """`winnow_window_groups_arrow` (r14) must be exactly
+    `winnow_windows_arrow` grouped by (id, fp) with ascending start
+    arrays — the grouped relation span excision consumes."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        winnow_window_groups_arrow,
+        winnow_windows_arrow,
+    )
+    from new_kafka_consumer_to_hadoop_hdfs_spark.sources.files import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        winnow_windows_arrow(docs, "doc_id", "text", k=8, w=4)
+        .groupBy("doc_id", "fp")
+        .agg(F.array_sort(F.collect_list("j")).alias("starts"))
+    )
+    grouped = winnow_window_groups_arrow(docs, "doc_id", "text", k=8, w=4)
+    a = {(r.doc_id, r.fp, tuple(r.starts)) for r in flat.collect()}
+    b = {(r.doc_id, r.fp, tuple(r.starts)) for r in grouped.collect()}
+    assert a == b and a
+    # within-group starts must arrive ascending straight from the worker
+    bad = grouped.filter(
+        F.col("starts") != F.array_sort(F.col("starts"))
+    ).count()
+    assert bad == 0
