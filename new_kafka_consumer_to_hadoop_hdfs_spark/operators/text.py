@@ -431,10 +431,16 @@ def _band_relation(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        # |set| rides the signature aggregate for free (r14): the same
+        # groupBy that folds the minima counts the rows, so candidate
+        # pairs can carry both set sizes and the verify stage skips
+        # its sizes aggregate + two joins back.
+        F.count(F.lit(1)).alias("__sz"),
     )
     return mins.select(
         F.col(id_col),
+        F.col("__sz"),
         F.posexplode(
             F.array(
                 *[
@@ -476,6 +482,10 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
             F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            # sizes are functions of the ids: distinct cardinality is
+            # unchanged, and verify skips its sizes joins (r14)
+            F.col("a.__sz").alias("__sza"),
+            F.col("b.__sz").alias("__szb"),
         )
         .distinct()
     )
@@ -519,6 +529,10 @@ def minhash_candidate_pairs_between(
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
             F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            # sizes ride the band relation (r14) so verify skips its
+            # sizes aggregate + joins — same trade as the self-join form
+            F.col("a.__sz").alias("__sza"),
+            F.col("b.__sz").alias("__szb"),
         )
         .distinct()
     )
@@ -545,15 +559,22 @@ def prefix_filter_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    sizes = element_set_sizes(ex, id_col)
     freq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
+    # |set| per id as a COUNT WINDOW over the id partition the
+    # row_number pass already establishes (r14): the separate
+    # element_set_sizes aggregate + join back cost one more full
+    # exchange of the element relation at scale (locally, one more
+    # cached scan) for the same number — both count every (id, __h)
+    # row. Same partitioning, no extra sort (the unordered count
+    # window stacks on the ranked one).
+    wsz = Window.partitionBy(id_col)
     prefix_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
     ).cast("int")
     pref = (
         ex.join(freq, "__h")
-        .join(sizes, id_col)
+        .withColumn("__sz", F.count(F.lit(1)).over(wsz))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
         .select(id_col, "__h", F.col("__sz").alias("__set_size"), "__rn")
@@ -590,6 +611,12 @@ def prefix_filter_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
             F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            # carry both set sizes with the pair (r14): they are
+            # functions of the ids (distinct cardinality unchanged)
+            # and let the verify stage skip its sizes aggregate and
+            # two joins back — see jaccard_verify_elements.
+            F.col("a.__set_size").alias("__sza"),
+            F.col("b.__set_size").alias("__szb"),
         )
         .distinct()
     )
@@ -606,8 +633,30 @@ def jaccard_verify_elements(
     """Exact Jaccard for candidate pairs from the element relation:
     intersection = equi-join on (pair, element hash) + count, union via
     |a|+|b|-|a∩b|. All codegen; the candidate side broadcasts when
-    small (LSH/prefix filtering's whole job is making it small)."""
+    small (LSH/prefix filtering's whole job is making it small).
+
+    When the candidate relation already carries ``__sza``/``__szb``
+    (the r14 generators emit them — sizes are free at candidate time),
+    the per-pair set sizes ride the intersection groupBy as extra keys
+    (functionally dependent on the ids, so grouping is unchanged) and
+    the sizes aggregate + two joins back disappear from the plan."""
     ida, idb = f"{id_col}_a", f"{id_col}_b"
+    if "__sza" in cands.columns and "__szb" in cands.columns:
+        return (
+            cands.join(ex.withColumnRenamed(id_col, ida), ida)
+            .join(ex.withColumnRenamed(id_col, idb), [idb, "__h"])
+            .groupBy(ida, idb, "__sza", "__szb")
+            .agg(F.count("*").alias("__inter"))
+            .withColumn(
+                out_col,
+                F.col("__inter").cast("double")
+                / (
+                    F.col("__sza") + F.col("__szb") - F.col("__inter")
+                ).cast("double"),
+            )
+            .filter(F.col(out_col) >= threshold)
+            .select(ida, idb, F.round(out_col, 6).alias(out_col))
+        )
     sizes = element_set_sizes(ex, id_col)
     inter = (
         cands.join(ex.withColumnRenamed(id_col, ida), ida)
@@ -689,9 +738,19 @@ def containment_candidate_pairs(
         ),
     )
     pa, pb = F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+    # carry both set sizes with the (min-id, max-id) normalization
+    # (r14): functions of the ids, so the distinct is unchanged and
+    # the verify stage skips its sizes aggregate + two joins back
+    p_first = pa < pb
     return joined.select(
         F.least(pa, pb).alias(f"{id_col}_a"),
         F.greatest(pa, pb).alias(f"{id_col}_b"),
+        F.when(p_first, F.col("p.__psz"))
+        .otherwise(F.col("i.__sz"))
+        .alias("__sza"),
+        F.when(p_first, F.col("i.__sz"))
+        .otherwise(F.col("p.__psz"))
+        .alias("__szb"),
     ).distinct()
 
 
@@ -705,8 +764,22 @@ def overlap_verify_elements(
 ) -> DataFrame:
     """Exact overlap coefficient |A∩B| / min(|A|,|B|) for candidate
     pairs — :func:`jaccard_verify_elements` with the min-size
-    denominator. All codegen; touches only the candidate relation."""
+    denominator, including its r14 carried-sizes fast path. All
+    codegen; touches only the candidate relation."""
     ida, idb = f"{id_col}_a", f"{id_col}_b"
+    oc = F.col("__inter").cast("double") / F.least(
+        F.col("__sza"), F.col("__szb")
+    ).cast("double")
+    if "__sza" in cands.columns and "__szb" in cands.columns:
+        return (
+            cands.join(ex.withColumnRenamed(id_col, ida), ida)
+            .join(ex.withColumnRenamed(id_col, idb), [idb, "__h"])
+            .groupBy(ida, idb, "__sza", "__szb")
+            .agg(F.count("*").alias("__inter"))
+            .withColumn(out_col, oc)
+            .filter(F.col(out_col) >= threshold)
+            .select(ida, idb, F.round(out_col, 6).alias(out_col))
+        )
     sizes = element_set_sizes(ex, id_col)
     inter = (
         cands.join(ex.withColumnRenamed(id_col, ida), ida)
@@ -714,9 +787,6 @@ def overlap_verify_elements(
         .groupBy(ida, idb)
         .agg(F.count("*").alias("__inter"))
     )
-    oc = F.col("__inter").cast("double") / F.least(
-        F.col("__sza"), F.col("__szb")
-    ).cast("double")
     return (
         inter.join(
             sizes.select(F.col(id_col).alias(ida), F.col("__sz").alias("__sza")), ida
