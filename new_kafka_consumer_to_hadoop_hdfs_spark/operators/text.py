@@ -1274,12 +1274,21 @@ def _doc_bigrams(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
 def _bigram_counts(grams: DataFrame) -> DataFrame:
     """(__gram, __c2, __c1) from a __gram stream: bigram count and
     context (first-word) total — the corpus bigram LM in relational
-    form. Both aggs are map-side combinable; the context table derives
-    from the already vocab-sized count table."""
+    form. The bigram count is one map-side-combinable aggregate; the
+    context total C(w1·) is a SUM WINDOW partitioned by first word
+    over the already vocab-sized count relation. An earlier form
+    aggregated the context totals into a second relation and joined
+    it back — but Spark plans the shared count subtree TWICE when it
+    feeds both join sides (no cross-branch reuse without an explicit
+    persist), so the corpus-sized gram stream was derived and
+    aggregated once per side: the window form consumes the expensive
+    subtree exactly once and exchanges only the vocab-sized count
+    rows (r14; same integer sums, so results are bit-identical)."""
+    from pyspark.sql import Window
+
     cb = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
     w1 = F.split(F.col("__gram"), " ").getItem(0)
-    cw = cb.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
-    return cb.withColumn("__w1", w1).join(cw, "__w1").drop("__w1")
+    return cb.withColumn("__c1", F.sum("__c2").over(Window.partitionBy(w1)))
 
 
 def bigram_count_index(df: DataFrame, text_col: str) -> DataFrame:

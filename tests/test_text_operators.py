@@ -1436,3 +1436,46 @@ def test_winnow_window_groups_match_flat(spark, sf_dir):
         F.col("starts") != F.array_sort(F.col("starts"))
     ).count()
     assert bad == 0
+
+
+def test_bigram_counts_window_matches_join_form(spark):
+    """`_bigram_counts` (r14 window form) must produce the same
+    (__gram, __c2, __c1) rows as the two-aggregate join form it
+    replaced: C(w1·) per bigram == the sum of C(w1 w2) over the
+    bigrams sharing its first word."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        _bigram_counts,
+        _doc_bigrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b"),
+            (3, "c c c c"),
+            (4, "solo"),  # < 2 tokens: contributes no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    grams = _doc_bigrams(docs, "doc_id", "text").select("__gram")
+    got = {
+        (r["__gram"], r["__c2"], r["__c1"])
+        for r in _bigram_counts(grams).collect()
+    }
+    # join-form reference, restated inline
+    cb = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
+    w1 = F.split(F.col("__gram"), " ").getItem(0)
+    cw = cb.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
+    ref = {
+        (r["__gram"], r["__c2"], r["__c1"])
+        for r in cb.withColumn("__w1", w1)
+        .join(cw, "__w1")
+        .drop("__w1")
+        .collect()
+    }
+    assert got == ref and got
+    # spot-check one context total by hand: "a b" ×3, "b a" ×1,
+    # "b c" ×1 → C(a·) = 3, C(b·) = 2
+    by_gram = {g: (c2, c1) for g, c2, c1 in got}
+    assert by_gram["a b"] == (3, 3)
+    assert by_gram["b c"] == (1, 2)
