@@ -174,22 +174,14 @@ def bloom_prefilter(
     rows. Deterministic end to end: xxhash64 is seed-stable, so
     speculative re-execution and the DuckDB oracle (plain join) agree.
     """
-    if n_bits is None:
-        n_keys = (
-            small.filter(F.col(small_key).isNotNull())
-            .select(small_key)
-            .distinct()
-            .count()
-        )
-        n_bits = max(1 << 16, ((13 * max(n_keys, 1) + 63) // 64) * 64)
-    if n_bits > max_bits:
+    if n_bits is not None and n_bits > max_bits:
         raise ValueError(
             f"bloom_prefilter sized to {n_bits} bits "
             f"({n_bits >> 23} MB bitmap) exceeds max_bits={max_bits}: the "
             "small side's key count has outgrown a plan-embedded bitmap — "
             "use a semi-join or raise max_bits deliberately"
         )
-    if n_bits % 64 != 0:
+    if n_bits is not None and n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
     big_t = big.schema[big_key].dataType
     small_t = small.schema[small_key].dataType
@@ -204,34 +196,67 @@ def bloom_prefilter(
             f"{small_key}:{small_t.simpleString()} — cast one side first "
             "(xxhash64 is type-sensitive, a mismatch never matches)"
         )
-    n_words = n_bits // 64
     seeds = list(range(n_hashes))
     key = F.col(small_key)
     # all n_hashes positions from ONE scan of the small side (an
     # earlier draft unioned one filtered scan per seed — n_hashes
-    # passes over the dim table for no reason, ADVICE r7)
-    positions = small.filter(key.isNotNull()).select(
+    # passes over the dim table for no reason, ADVICE r7). When
+    # auto-sizing, the key count that picks n_bits is computed INSIDE
+    # the same job as the bitmap (a broadcast 1-row aggregate the
+    # positions cross-join against, with the `div`-exact SQL twin of
+    # the Python sizing formula) and rides the collected word rows —
+    # one Spark job for count + build instead of two (r14; the count
+    # job alone was half the query's plan-construction time).
+    keyed = small.filter(key.isNotNull())
+    if n_bits is None:
+        cnt = keyed.agg(F.count_distinct(key).alias("__n"))
+        nbits_expr = F.greatest(
+            F.lit(1 << 16),
+            F.expr("((13 * greatest(__n, 1) + 63) div 64) * 64"),
+        )
+        src = keyed.crossJoin(F.broadcast(cnt))
+        carry = [F.first("__n").alias("__n")]
+    else:
+        src, nbits_expr, carry = keyed, F.lit(n_bits), []
+    positions = src.select(
+        *(["__n"] if carry else []),
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
+                    F.pmod(F.xxhash64(key, F.lit(s)), nbits_expr)
                     for s in seeds
                 ]
             )
-        ).alias("__pos")
+        ).alias("__pos"),
     )
     # bounded collect: ≤ n_words rows of (word, 64-bit mask)
     word_rows = (
         positions.select(
+            *(["__n"] if carry else []),
             (F.col("__pos") / 64).cast("int").alias("__word"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
             ).alias("__bit"),
         )
         .groupBy("__word")
-        .agg(F.expr("bit_or(__bit)").alias("__mask"))
+        .agg(F.expr("bit_or(__bit)").alias("__mask"), *carry)
         .collect()
     )
+    if n_bits is None:
+        # re-derive the size the in-query expression used (identical
+        # integer arithmetic); an empty small side collects no rows →
+        # the 2^16-bit floor with an all-zero bitmap, which correctly
+        # rejects (almost) every probe key.
+        n_keys = word_rows[0]["__n"] if word_rows else 0
+        n_bits = max(1 << 16, ((13 * max(n_keys, 1) + 63) // 64) * 64)
+        if n_bits > max_bits:
+            raise ValueError(
+                f"bloom_prefilter sized to {n_bits} bits "
+                f"({n_bits >> 23} MB bitmap) exceeds max_bits={max_bits}: "
+                "the small side's key count has outgrown a plan-embedded "
+                "bitmap — use a semi-join or raise max_bits deliberately"
+            )
+    n_words = n_bits // 64
     words = [0] * n_words
     for r in word_rows:
         words[r["__word"]] = r["__mask"]
