@@ -1067,33 +1067,43 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's events in the preceding hour — the sessionization/feature
     -engineering join shape.
 
-    Plan: equi-join on user_id (the shuffle key) with the time interval
-    as a join residual — Catalyst plans a sort-merge join on user and
-    evaluates the range per user partition, so cost is Σ per-user
-    pairs-within-window, never a time cross product. At 100 TB the
-    same predicate benefits from AQE skew handling on hot users; a
-    bucketed-by-user layout makes it shuffle-free.
+    Plan (r14): ONE shuffle — a RANGE-frame window over
+    (user_id, µs timestamp), frame [-1 h, -1 µs]. The timestamp column
+    is microsecond-resolution in BOTH engines (parquet ns truncated to
+    µs on load), so "strictly before me, within the preceding hour" is
+    exactly the µs range [ts−3 600 000 000, ts−1]: the same rows the
+    pre-r14 formulation matched with an equi-join on user_id plus a
+    time residual and then re-grouped per event. That join shuffled
+    the event relation twice (join exchange + per-event re-aggregation
+    exchange) and MATERIALIZED every in-window pair as a join row —
+    Σ per-user pairs of exchange traffic; the window form sorts each
+    user partition once and slides the frame, so nothing pair-shaped
+    ever crosses the network. Decimal-exact sums make the two forms
+    hash-identical. At 100 TB, AQE skew handling doesn't cover window
+    partitions, so a hot user costs one task either way — but the join
+    form paid that same skew in BOTH of its exchanges plus the pair
+    blow-up; a bucketed-by-user layout makes the remaining single
+    exchange free.
     """
     ev = load_table(spark, sf_dir, "events")
-    a = ev.select(
-        F.col("event_id"), F.col("user_id"), F.col("ts").alias("a_ts")
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it and an NTZ→TZ cast
+    # would be session-timezone (and DST-fold) dependent; timestampdiff
+    # against an NTZ epoch is the tz-independent µs ordering key.
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
     )
-    b = ev.select(
-        F.col("user_id").alias("b_user"),
-        F.col("ts").alias("b_ts"),
-        F.col("value").alias("b_value"),
-        F.col("event_id").alias("b_event_id"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, -1)
     )
-    joined = a.join(
-        b,
-        (F.col("user_id") == F.col("b_user"))
-        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("b_ts") < F.col("a_ts")),
-        "left",
-    )
-    return joined.groupBy("event_id", "user_id").agg(
-        F.count("b_event_id").alias("n_prior_events_1h"),
-        F.coalesce(F.sum(F.col("b_value").cast("decimal(18,6)")), F.lit(0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prior_events_1h"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w), F.lit(0)
+        )
         .cast("double")
         .alias("prior_value_1h"),
     )

@@ -240,13 +240,31 @@ def test_keep_best_argmax_is_agg_not_window(spark, registry):
     assert "CartesianProduct" not in plan
 
 
-def test_bigram_surprisal_has_no_window_and_partial_aggs(spark, registry):
+def test_bigram_surprisal_window_rides_count_table_and_partial_aggs(
+    spark, registry
+):
     """The bigram-LM build must be a partial-agg wordcount (vocab-sized
-    shuffle), and scoring a join + rollup — never a per-gram window
-    over the corpus stream."""
+    shuffle); the C(w1·) context total (r14) is a sum window over that
+    already-aggregated count relation — NEVER a window over the raw
+    corpus gram stream. The formatted plan's per-operator detail lists
+    each Window's input columns: every Window must consume the count
+    column (__c2), proving its input is the vocab-sized count table."""
+    import re
+
     plan = _plan(spark, registry, "text_bigram_surprisal")
-    assert "Window" not in plan
     assert "partial_count" in plan, "gram count lost its map-side combine"
+    win_ids = re.findall(r"\((\d+)\) Window\b", plan)
+    assert win_ids, "context-total window disappeared — plan restructured?"
+    for wid in win_ids:
+        detail = re.search(
+            rf"\({wid}\) Window\n(?:.+\n)*?Input \[\d+\]: \[([^\]]*)\]",
+            plan,
+        )
+        assert detail is not None, f"no Input detail for Window ({wid})"
+        assert "__c2" in detail.group(1), (
+            "a Window consumes the raw gram stream (no __c2 in its "
+            f"input): {detail.group(1)}"
+        )
 
 
 def test_cdc_merge_is_single_shuffle_argmax(spark, registry):
