@@ -579,6 +579,14 @@ def prefix_filter_candidate_pairs(
         .filter(F.col("__rn") <= prefix_len)
         .select(id_col, "__h", F.col("__sz").alias("__set_size"), "__rn")
     )
+    # The self-join plans this subtree TWICE (exchange reuse does not
+    # fire across the cached-scan + double-window shape) — examined
+    # r14: a 3-arm A/B (recompute vs localCheckpoint vs persist) over
+    # six host queries was inconclusive at sf0.1 (deltas within host
+    # noise, sign flipping per host), and at scale materializing the
+    # prefix relation writes comparable bytes to the shuffle it saves
+    # while losing lineage fault-tolerance; kept the recompute form —
+    # Spark executes the two sides as parallel stages of one job.
     a = pref.alias("a")
     b = pref.alias("b")
     # minimum overlap for Jaccard ≥ t: α = ceil(t·(|a|+|b|)/(1+t)).

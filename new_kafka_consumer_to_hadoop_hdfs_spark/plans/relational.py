@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 from ._registry import dsum as _dsum
-from ._registry import make_register, persist_bounded
+from ._registry import make_register
 
 QUERIES = {}
 ORACLES = {}
@@ -1983,9 +1983,13 @@ def agg_weighted_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = int(np.searchsorted(2 * cw, cw[-1], side="left"))
         return float(a[o][idx])
 
+    def _wt(w):
+        return int(w.to_numpy(np.int64).sum())
+
     # explicit GROUPED_AGG (this module's future-annotations make the
     # decorator's signature inference see strings, not pd.Series)
     _wmedian = F.pandas_udf(_wm, "double", F.PandasUDFType.GROUPED_AGG)
+    _wtotal = F.pandas_udf(_wt, "long", F.PandasUDFType.GROUPED_AGG)
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -1995,13 +1999,16 @@ def agg_weighted_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side collapse to (flag, v, Σw): the Arrow batch per group is
     # bounded by distinct prices, not row count — the same reduction
     # the oracle's g CTE performs
-    # persisted: the median UDAF and the totals aggregate both consume
-    # the collapsed relation — unpersisted, each branch would recompute
-    # it and scan lineitem twice
-    g = persist_bounded(li.groupBy("flag", "v").agg(F.sum("w").alias("w")))
-    med = g.groupBy("flag").agg(_wmedian("v", "w").alias("weighted_median"))
-    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
-    # aggregates in one agg(); the total rides a separate |flags|-row
-    # aggregate joined back (broadcast-sized)
-    tot = g.groupBy("flag").agg(F.sum("w").alias("total_qty"))
-    return med.join(tot, "flag")
+    g = li.groupBy("flag", "v").agg(F.sum("w").alias("w"))
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with BUILT-IN
+    # aggregates in one agg() — but two pandas UDAFs compose fine, so
+    # the total rides the SAME grouped-agg pass as the median (exact
+    # int64 sum in numpy). An earlier form persisted the collapsed
+    # relation and ran a second totals aggregate joined back: one
+    # extra cache-fill barrier, aggregation and broadcast join for a
+    # sum the median's Arrow batch already holds (r14 — 0.97→0.39 s
+    # at sf0.1; plan 9→5 nodes, join and InMemoryRelation gone).
+    return g.groupBy("flag").agg(
+        _wmedian("v", "w").alias("weighted_median"),
+        _wtotal("w").alias("total_qty"),
+    )
