@@ -333,9 +333,28 @@ DRIVER_CHECKED_R13 = frozenset({
 # old driver row vouch for a plan that no longer runs.
 # Round-13's three re-rides (sink_versioned_changes,
 # sink_versioned_incremental_agg, sim_topk_mmr) landed fresh r13 rows,
-# so the set reset to empty at the start of round 14; new entries are
-# added below as round-14 code changes alter checked plans.
-PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset()
+# so the set reset to empty at the start of round 14; entries below are
+# the round-14 OPTIMIZATION plan changes — the exact diff of
+# tools/plan_fingerprints.json between the tree the r13 driver graded
+# (81d4ad8) and HEAD, maintained alongside each plan-shape commit.
+# Every optimized query therefore earns a fresh driver oracle row THIS
+# round, which is the evidence an optimization round needs most; the
+# two members that were already r10-stale (pipeline_incremental_dedup,
+# text_winnow_fingerprint) ride in the head instead of the stale
+# segment. With q16's plan change the head + the 33-query r10-stale
+# remainder overflow the 50-slot window by ONE: the cohort's
+# module-order tail (event_distinct_sliding_hll — the rows-only
+# sketch whose exact twin stays in the window) slips to the r15
+# window; plan-changed beats stale per the priority above.
+PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
+    "agg_weighted_median_arrow", "dedup_containment",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_span_duplication", "join_bucketed_colocated",
+    "join_range_events", "pipeline_incremental_dedup",
+    "pipeline_quality_buckets", "pipeline_span_dedup",
+    "q16_supplier_part_count", "text_bigram_surprisal",
+    "text_winnow_fingerprint",
+})
 
 
 def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -456,14 +456,24 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (original: complaint comments) is s_acctbal < 0.
 
     Scale shape: the NOT IN is a LEFT ANTI join against an
-    already-aggregated tiny relation (it broadcasts); the distinct
-    part-supplier projection reduces lineitem BEFORE the part join;
-    count-distinct runs as Spark's two-phase distinct aggregate, no
-    driver involvement. NOT IN's null trap doesn't apply — s_suppkey
-    is a key and non-null — and the anti join is the null-safe plan.
+    already-aggregated tiny relation (it broadcasts); count-distinct
+    runs as Spark's two-phase distinct aggregate, no driver
+    involvement. NOT IN's null trap doesn't apply — s_suppkey is a key
+    and non-null — and the anti join is the null-safe plan.
+
+    r14: the oracle's `SELECT DISTINCT l_partkey, l_suppkey` pre-pass
+    is NOT materialized as its own exchange — COUNT(DISTINCT
+    l_suppkey) deduplicates suppliers within each (brand, type, size)
+    group by itself, so pair-level duplicates cannot change any count
+    and the explicit distinct only added a full lineitem-wide shuffle
+    on (partkey, suppkey) before the grouping shuffle. Dropping it
+    (and letting the broadcast part join's selective filter prune the
+    stream BEFORE the first exchange) removes one corpus-sized
+    exchange; the distinct aggregate's map-side partial dedup takes
+    over the pair collapse.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = li.select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & (F.col("p_type") != "MEDIUM")
