@@ -559,7 +559,20 @@ def prefix_filter_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    freq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    # Document frequency as a COUNT WINDOW over the __h partition
+    # (r14, second pass): shingles are near-unique per doc, so the old
+    # groupBy(__h) partial agg collapsed almost nothing — its exchange
+    # carried ~the full element relation, and the join back re-shuffled
+    # (or, locally, broadcast) the vocab-sized count table onto the
+    # element relation a second time. The window computes the identical
+    # integer __df in ONE exchange+sort of the element relation; the
+    # self-join below plans this subtree twice, so the saving doubles.
+    # In-session A/B at sf0.1: dedup_ngram_jaccard 2.58 → 1.88 s,
+    # pipeline_graph_triangles 3.60 → 2.64 s (pagerank/bfs moved within
+    # noise, mildly negative — accepted: at 100 TB the broadcast of a
+    # corpus vocabulary is impossible and the join form degrades to a
+    # second corpus-sized exchange).
+    wdf = Window.partitionBy("__h")
     w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
     # |set| per id as a COUNT WINDOW over the id partition the
     # row_number pass already establishes (r14): the separate
@@ -573,7 +586,7 @@ def prefix_filter_candidate_pairs(
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
     ).cast("int")
     pref = (
-        ex.join(freq, "__h")
+        ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .withColumn("__sz", F.count(F.lit(1)).over(wsz))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
@@ -717,17 +730,25 @@ def containment_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    sizes = element_set_sizes(ex, id_col)
-    freq = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    # __sz and __df as COUNT WINDOWS instead of aggregate+join-back
+    # (r14, second pass — same rationale as prefix_filter_candidate_
+    # pairs): the document-frequency partial agg collapses almost
+    # nothing on near-unique shingles, so the join form paid a second
+    # element-relation-sized exchange (locally, a vocab broadcast that
+    # cannot exist at 100 TB). The id-partition count window stacks on
+    # the exchange the row_number window needs anyway. A/B at sf0.1:
+    # dedup_containment 2.11 → 1.87 s.
+    wdf = Window.partitionBy("__h")
+    wid = Window.partitionBy(id_col)
     w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
     # minimum overlap when this doc is the smaller side: ⌈t·|S|⌉, with
     # the same one-ulp epsilon backoff prefix_filter_candidate_pairs
     # documents (pre-rounded t·|S| can push ceil one integer too high
     # and silently drop boundary pairs).
     min_overlap = F.ceil(F.col("__sz") * F.lit(threshold) - F.lit(1e-9))
-    sized = ex.join(sizes, id_col)
+    sized = ex.withColumn("__sz", F.count(F.lit(1)).over(wid))
     pref = (
-        sized.join(freq, "__h")
+        sized.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
         .select(id_col, "__h", F.col("__sz").alias("__psz"))
