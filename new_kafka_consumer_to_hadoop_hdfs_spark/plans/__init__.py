@@ -341,11 +341,13 @@ DRIVER_CHECKED_R13 = frozenset({
 # round, which is the evidence an optimization round needs most; the
 # two members that were already r10-stale (pipeline_incremental_dedup,
 # text_winnow_fingerprint) ride in the head instead of the stale
-# segment. With q16's plan change the head + the 33-query r10-stale
-# remainder overflow the 50-slot window by ONE: the cohort's
-# module-order tail (event_distinct_sliding_hll — the rows-only
-# sketch whose exact twin stays in the window) slips to the r15
-# window; plan-changed beats stale per the priority above.
+# segment. With the q16 and text_tfidf_keywords plan changes the head
+# + the 33-query r10-stale remainder overflow the 50-slot window by
+# TWO: the cohort's module-order tail — the sliding-distinct twins
+# event_distinct_sliding (exact) and event_distinct_sliding_hll (the
+# rows-only sketch it anchors) — slips to the r15 window TOGETHER, so
+# the twin-anchor pairing stays within one driver window; plan-changed
+# beats stale per the priority above.
 PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "agg_weighted_median_arrow", "dedup_containment",
     "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
@@ -353,7 +355,7 @@ PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "join_range_events", "pipeline_incremental_dedup",
     "pipeline_quality_buckets", "pipeline_span_dedup",
     "q16_supplier_part_count", "text_bigram_surprisal",
-    "text_winnow_fingerprint",
+    "text_tfidf_keywords", "text_winnow_fingerprint",
 })
 
 

@@ -617,45 +617,43 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus vocabulary.
 
     tf = occurrences / doc length; idf = ln((N+1)/(df+1)) (smoothed,
-    always finite). Plan: one explode pass → per-(doc, token) counts
-    (partial-agg shuffle keyed on doc+token) → document frequencies
-    (token-keyed agg over the SAME exploded relation, reused via
-    persist) joined back — |vocab| rows, broadcast by AQE while small,
-    hash-joined on token when the vocabulary outgrows that (no forced
-    hint: vocabularies grow with the corpus) — → per-doc rank on the
-    per-doc shuffle. Ranking uses the ROUNDED weight
-    (both engines round identically; raw ln() may differ in the last
-    ulp between libm and the JVM) with the token as tie-break, so the
-    result is deterministic and hash-checkable cross-engine.
+    always finite). Plan (r14): one explode pass → per-(doc, token)
+    counts (partial-agg shuffle keyed on doc+token) → document
+    frequency as a COUNT WINDOW over the token partition of the tf
+    OUTPUT: tf rows are distinct (doc, token) by construction, so the
+    per-token row count IS COUNT(DISTINCT doc_id) — the earlier
+    separate countDistinct aggregate re-shuffled the full exploded
+    token stream a second time (distinct partials barely collapse)
+    and joined the vocab relation back on. The window computes the
+    identical integer on the already-aggregated tf relation in one
+    token-keyed exchange, with no join — and the exploded relation now
+    has ONE consumer, so the persist is gone too (in-session A/B at
+    sf0.1: 1.05 → 0.77 s; results identical at sf0.01/sf0.1). Ranking
+    then uses the ROUNDED weight (both engines round identically; raw
+    ln() may differ in the last ulp between libm and the JVM) with the
+    token as tie-break, so the result is deterministic and
+    hash-checkable cross-engine.
 
     At 100 TB: the corpus-sized relations only ever shuffle on
-    (doc_id, token) and doc_id — both uniform; the vocabulary-sized
-    df relation is the only broadcast. No all-pairs term matrix is
-    ever materialized.
+    (doc_id, token), token, and doc_id — all uniform (the token window
+    is bounded by a term's posting count, the same skew bound the old
+    df aggregate had). No all-pairs term matrix is ever materialized.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = _persist_bounded(
-        d.select("doc_id", whitespace_tokens(F.col("text")).alias("__t"))
-        .select(  # bind the token array once; split text ONE time per doc
-            "doc_id",
-            F.explode("__t").alias("token"),
-            F.size("__t").alias("doc_len"),
-        )
+    toks = d.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("__t")
+    ).select(  # bind the token array once; split text ONE time per doc
+        "doc_id",
+        F.explode("__t").alias("token"),
+        F.size("__t").alias("doc_len"),
     )
     tf = toks.groupBy("doc_id", "token", "doc_len").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
-    # NO forced broadcast on df_rel: the vocabulary grows with the
-    # corpus (unbounded at web scale, unlike a benchmark suite), so the
-    # join strategy is AQE's call — it broadcasts while |vocab| is
-    # small and falls back to a token-keyed hash join when it isn't.
-    # Same rule as the dimension tables (SCALE.md ground rules).
-    df_rel = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
     total_docs = d.select(F.countDistinct("doc_id").alias("total_docs"))
+    wdf = Window.partitionBy("token")
     w = (
-        tf.join(df_rel, "token")
+        tf.withColumn("n_docs", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(total_docs))
         .select(
             "doc_id",

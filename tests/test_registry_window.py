@@ -360,7 +360,7 @@ def test_banked_names_exist():
         "join_range_events", "pipeline_incremental_dedup",
         "pipeline_quality_buckets", "pipeline_span_dedup",
         "q16_supplier_part_count", "text_bigram_surprisal",
-        "text_winnow_fingerprint",
+        "text_tfidf_keywords", "text_winnow_fingerprint",
     }
     # plan-changed names must be real, registered queries
     assert changed <= set(names)
@@ -405,29 +405,32 @@ def test_window_is_staleness_ordered():
     # VERDICT r13 task 1. Plan-changed members of the cohort
     # (pipeline_incremental_dedup, text_winnow_fingerprint) already
     # ride in the head, so only the remainder occupies this segment.
-    # head (18: 5 new-in-r14 + 14 plan-changed, pipeline_span_dedup in
-    # both) + the 33-query remainder = 51 > 50: ONE cohort member
-    # slips to the r15 window. Plan-changed beats stale by the
+    # head (19: 5 new-in-r14 + 15 plan-changed, pipeline_span_dedup in
+    # both) + the 33-query remainder = 52 > 50: TWO cohort members
+    # slip to the r15 window. Plan-changed beats stale by the
     # documented priority (a banked row must not vouch for a plan that
-    # no longer runs), and the slipped member is pinned below to the
-    # cohort's module-order TAIL — event_distinct_sliding_hll, the
-    # rows-only sketch anchored by its exact oracle-checked twin
-    # (event_distinct_sliding, which stays IN the window), i.e. the
-    # least-evidence-bearing slot in the cohort.
+    # no longer runs), and the slipped members are pinned below to the
+    # cohort's module-order TAIL — the sliding-distinct twins
+    # event_distinct_sliding (exact) and event_distinct_sliding_hll
+    # (the rows-only sketch it anchors), which travel TOGETHER so the
+    # twin-anchor pairing lands whole inside the r15 window instead of
+    # splitting the pair's evidence across rounds.
     window = names[:WINDOW]
     stale_r10 = r10 - r11 - r12 - r13
     assert len(stale_r10) == 35
     rest_r10 = [n for n in names if n in stale_r10 - head]
     overflow = len(head) + len(rest_r10) - WINDOW
-    assert overflow == 1 and rest_r10[-1] == "event_distinct_sliding_hll", (
-        "window overflow drifted: re-derive which cohort member slips"
-    )
-    assert stale_r10 - set(window) == {"event_distinct_sliding_hll"}, (
+    assert overflow == 2 and rest_r10[-2:] == [
+        "event_distinct_sliding", "event_distinct_sliding_hll",
+    ], "window overflow drifted: re-derive which cohort members slip"
+    assert stale_r10 - set(window) == {
+        "event_distinct_sliding", "event_distinct_sliding_hll",
+    }, (
         "VERDICT r13 task 1: all of the r10-stale cohort except the "
-        "pinned rows-only slip must sit inside the 50-slot window"
+        "pinned twin-pair slip must sit inside the 50-slot window"
     )
-    assert names[len(head): WINDOW] == rest_r10[:-1]
-    assert set(window) == head | set(rest_r10[:-1]), (
+    assert names[len(head): WINDOW] == rest_r10[:-2]
+    assert set(window) == head | set(rest_r10[:-2]), (
         f"round-14 window drifted: window={sorted(set(window))}"
     )
     # freshest evidence (r13-checked) rides at the very back — except
