@@ -96,6 +96,43 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / union.cast("double")
 
 
+def gram_multiset_counts(grams: Column) -> Column:
+    """Per-row multiset statistics of a gram array as a
+    ``struct<nd, mx, dup>`` (distinct grams, max occurrence count of
+    any gram, total occurrences belonging to repeated grams) — the
+    integer inputs of the Gopher-style repetition signals, computed
+    ZERO-SHUFFLE (r14).
+
+    These statistics are functions of ONE document's grams, so
+    shuffling the exploded gram stream through a corpus-wide
+    (doc, gram) aggregation — two exchanges at 100 TB — was pure
+    waste (the same per-document-work-never-shuffles argument as
+    :func:`simhash_signatures`). An Arrow-batched fold with a Counter
+    per row replaces both aggregations; outputs are exact integers,
+    so the caller's JVM-side divisions and roundings are bit-identical
+    to the grouped-aggregate form (pinned by
+    tests/test_text_operators.py::test_gram_multiset_counts_matches_agg).
+    An expression form exists for nd alone (``array_distinct``) but
+    mx/dup need per-gram occurrence counts, which the interpreted HOF
+    path evaluates O(distinct·len) per row — the Counter is O(len).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<nd: long, mx: long, dup: long>")
+    def _stats(garr: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        nd, mx, dup = [], [], []
+        for arr in garr:
+            c = Counter(arr)
+            nd.append(len(c))
+            mx.append(max(c.values()) if c else 0)
+            dup.append(sum(v for v in c.values() if v > 1))
+        return pd.DataFrame({"nd": nd, "mx": mx, "dup": dup})
+
+    return _stats(grams)
+
+
 def jaccard_verify_pairs(
     cands: DataFrame,
     sh: DataFrame,

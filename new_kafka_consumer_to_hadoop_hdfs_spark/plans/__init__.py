@@ -339,11 +339,11 @@ DRIVER_CHECKED_R13 = frozenset({
 # (81d4ad8) and HEAD, maintained alongside each plan-shape commit.
 # Every optimized query therefore earns a fresh driver oracle row THIS
 # round, which is the evidence an optimization round needs most; the
-# two members that were already r10-stale (pipeline_incremental_dedup,
-# text_winnow_fingerprint) ride in the head instead of the stale
-# segment. With the q16 and text_tfidf_keywords plan changes the head
-# + the 33-query r10-stale remainder overflow the 50-slot window by
-# TWO: the cohort's module-order tail — the sliding-distinct twins
+# three members that were already r10-stale (pipeline_incremental_dedup,
+# text_repetition_stats, text_winnow_fingerprint) ride in the head
+# instead of the stale segment. With the q16 and text_tfidf_keywords
+# plan changes the head + the 32-query r10-stale remainder overflow
+# the 50-slot window by TWO: the cohort's module-order tail — the sliding-distinct twins
 # event_distinct_sliding (exact) and event_distinct_sliding_hll (the
 # rows-only sketch it anchors) — slips to the r15 window TOGETHER, so
 # the twin-anchor pairing stays within one driver window; plan-changed
@@ -355,7 +355,8 @@ PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "join_range_events", "pipeline_incremental_dedup",
     "pipeline_quality_buckets", "pipeline_span_dedup",
     "q16_supplier_part_count", "text_bigram_surprisal",
-    "text_tfidf_keywords", "text_winnow_fingerprint",
+    "text_repetition_stats", "text_tfidf_keywords",
+    "text_winnow_fingerprint",
 })
 
 

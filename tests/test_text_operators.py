@@ -1479,3 +1479,49 @@ def test_bigram_counts_window_matches_join_form(spark):
     by_gram = {g: (c2, c1) for g, c2, c1 in got}
     assert by_gram["a b"] == (3, 3)
     assert by_gram["b c"] == (1, 2)
+
+
+def test_gram_multiset_counts_matches_agg(spark):
+    """`gram_multiset_counts` (r14 zero-shuffle Arrow fold) must equal
+    the grouped-aggregate form it replaced in text_repetition_stats:
+    per document, (distinct grams, max occurrence count, occurrences
+    of repeated grams) over non-distinct bigrams."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        gram_multiset_counts,
+        word_grams,
+        whitespace_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # grams: ab ba ab ba → nd=2 mx=2 dup=4
+            (2, "x y z"),            # xy yz → nd=2 mx=1 dup=0
+            (3, "r r r r"),          # rr ×3 → nd=1 mx=3 dup=3
+            (4, "one two"),          # single gram → nd=1 mx=1 dup=0
+        ],
+        ["doc_id", "text"],
+    )
+    toks = docs.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    got = {
+        (r["doc_id"], r["__s"]["nd"], r["__s"]["mx"], r["__s"]["dup"])
+        for r in toks.select(
+            "doc_id", gram_multiset_counts(word_grams(F.col("__t"), n=2)).alias("__s")
+        ).collect()
+    }
+    # grouped-aggregate reference, restated inline
+    ex = toks.select("doc_id", F.explode(word_grams(F.col("__t"), n=2)).alias("__g"))
+    counts = ex.groupBy("doc_id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    ref = {
+        (r["doc_id"], r["nd"], r["mx"], r["dup"])
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.max("__c").alias("mx"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("dup"),
+        )
+        .collect()
+    }
+    assert got == ref and got
+    assert (1, 2, 2, 4) in got and (3, 1, 3, 3) in got
