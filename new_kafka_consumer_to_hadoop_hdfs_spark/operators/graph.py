@@ -22,10 +22,22 @@ keyed on dst; convergence checks are a cheap count.
 from __future__ import annotations
 
 import contextlib
+import os
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# When set (tools/plan_fingerprints.py exports it), the checkpointer
+# becomes an IDENTITY: plans keep their full pre-checkpoint lineage so
+# the fingerprint gate can see upstream operator changes that a
+# materialized `Scan ExistingRDD` would truncate (ADVICE r14: the graph
+# hosts' banked driver rows vouched for a candidate pipeline whose
+# shape had changed invisibly). Fingerprint runs only CONSTRUCT plans
+# (plus the loops' bounded counts), so the lost materialization costs
+# seconds at the gate's SF and nothing anywhere else — the variable is
+# never set outside that tool.
+_NO_CHECKPOINT_ENV = "NKCH_PLAN_FINGERPRINT_NO_CHECKPOINT"
 
 
 @contextlib.contextmanager
@@ -44,6 +56,9 @@ def _session_checkpointer(
     and setCheckpointDir(null) maps back to None, so save/restore
     round-trips both cases.
     """
+    if os.environ.get(_NO_CHECKPOINT_ENV):
+        yield lambda df: df
+        return
     if checkpoint_dir is None:
         yield lambda df: df.localCheckpoint()
         return

@@ -456,6 +456,88 @@ def element_set_sizes(ex: DataFrame, id_col: str) -> DataFrame:
     return ex.groupBy(id_col).agg(F.count("*").alias("__sz"))
 
 
+# Default salt-group count for the document-frequency skew guard
+# below. 1 = UNSALTED (the r14 single count window — one element-
+# relation exchange, fastest on element spaces where no single gram
+# dominates, which is the shingle contract the operators document).
+# The salted two-phase form costs one extra element-relation pass, so
+# it is opt-in: per call via ``salt_groups``, or per session via
+# ``spark.nkch.df.saltGroups`` (the conf is for cluster operators —
+# set it to ≳ the executor task-slot count when the element space is
+# small-vocabulary, e.g. char-grams or stopword-heavy tokens, where a
+# hot gram's posting list would otherwise land on ONE window task).
+DF_SALT_GROUPS = 1
+_DF_SALT_CONF = "spark.nkch.df.saltGroups"
+
+
+def _attach_document_frequency(
+    ex: DataFrame, id_col: str, *, salt_groups: int | None = None
+) -> DataFrame:
+    """Attach the exact per-element document frequency ``__df`` (rows
+    per ``__h``), with an optional SALTED two-phase count — the hot-key
+    guard for the single-window form (VERDICT r14 item 1).
+
+    Unsalted (default): ``count().over(Window.partitionBy("__h"))`` —
+    ONE element-relation exchange, no join. Its skew exposure: every
+    occurrence of the hottest gram lands on one window task (AQE skew
+    handling splits join partitions, never window partitions — guide
+    §2.5), and unlike a ``groupBy(__h)`` there is no map-side partial
+    aggregation to collapse it first. That is catastrophic only when a
+    single gram owns a large corpus fraction — a regime the callers'
+    docstrings already exclude for well-chosen shingle spaces, which is
+    why unsalted is the default.
+
+    Salted (``salt_groups`` = G > 1, or session conf
+    ``spark.nkch.df.saltGroups``): two-phase count (guide §2.5
+    "two-level aggregation"), deterministic salt =
+    ``pmod(xxhash64(id), G)`` (never ``rand()`` — guide §2.5):
+
+    1. partial counts per (``__h``, salt) via ``groupBy`` — map-side
+       combine collapses a hot gram BEFORE the exchange, and the
+       reduce side holds ≤ G rows per gram;
+    2. ``__df`` = sum window over the ≈vocab-sized partial relation,
+       joined back on (``__h``, salt) — the join key is salted, so
+       even the attach step spreads a hot gram over G partitions (and
+       it is a JOIN, so AQE skew-split applies at scale; locally the
+       vocab-sized totals broadcast).
+
+    The sum of per-salt partials is the same integer the single window
+    produces, so candidate prefixes — and therefore results — are
+    identical for every G (pinned by test_df_salting_hot_gram_exact).
+    Measured cost of salting at sf0.1 (in-session interleaved A/B,
+    min-of-5, r15): dedup_ngram_jaccard 2.25 → 2.47 s, dedup_containment
+    1.86 → 2.26 s — the extra element-relation pass is pure overhead
+    when no gram is hot, hence opt-in rather than default. A
+    repartition-sharing variant (one explicit (h, salt) exchange
+    consumed by both phases) was also measured and rejected: exchange
+    reuse does not fire across the branch (0 ReusedExchange in the
+    executed plan), so it pays two full element exchanges AND a sort.
+    """
+    from pyspark.sql import Window
+
+    if salt_groups is None:
+        try:
+            salt_groups = int(
+                ex.sparkSession.conf.get(_DF_SALT_CONF, str(DF_SALT_GROUPS))
+            )
+        except Exception:  # pragma: no cover — conf access is best-effort
+            salt_groups = DF_SALT_GROUPS
+    if salt_groups <= 1:
+        return ex.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
+    salted = ex.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_groups))
+    )
+    totals = (
+        salted.groupBy("__h", "__salt")
+        .agg(F.count(F.lit(1)).alias("__cp"))
+        .withColumn("__df", F.sum("__cp").over(Window.partitionBy("__h")))
+        .select("__h", "__salt", "__df")
+    )
+    return salted.join(totals, ["__h", "__salt"]).drop("__salt")
+
+
 def _band_relation(
     ex: DataFrame, id_col: str, *, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
@@ -576,7 +658,11 @@ def minhash_candidate_pairs_between(
 
 
 def prefix_filter_candidate_pairs(
-    ex: DataFrame, id_col: str, *, threshold: float
+    ex: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """Exact prefix-filter candidates from the (id, __h) relation —
     the relational twin of :func:`prefix_filter_pairs` (frequency-
@@ -596,20 +682,16 @@ def prefix_filter_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    # Document frequency as a COUNT WINDOW over the __h partition
-    # (r14, second pass): shingles are near-unique per doc, so the old
-    # groupBy(__h) partial agg collapsed almost nothing — its exchange
-    # carried ~the full element relation, and the join back re-shuffled
-    # (or, locally, broadcast) the vocab-sized count table onto the
-    # element relation a second time. The window computes the identical
-    # integer __df in ONE exchange+sort of the element relation; the
-    # self-join below plans this subtree twice, so the saving doubles.
-    # In-session A/B at sf0.1: dedup_ngram_jaccard 2.58 → 1.88 s,
-    # pipeline_graph_triangles 3.60 → 2.64 s (pagerank/bfs moved within
-    # noise, mildly negative — accepted: at 100 TB the broadcast of a
-    # corpus vocabulary is impossible and the join form degrades to a
-    # second corpus-sized exchange).
-    wdf = Window.partitionBy("__h")
+    # Document frequency via _attach_document_frequency: one element-
+    # relation exchange (the r14 count-window win over agg+join-back —
+    # A/B'd at sf0.1: dedup_ngram_jaccard 2.58 → 1.88 s,
+    # pipeline_graph_triangles 3.60 → 2.64 s; at 100 TB the broadcast
+    # of a corpus vocabulary is impossible and the join form degrades
+    # to a second corpus-sized exchange). ``salt_groups`` /
+    # ``spark.nkch.df.saltGroups`` opts into the r15 salted two-phase
+    # count when a hot gram would otherwise land on one window task —
+    # see the helper's docstring for the trade. The self-join below
+    # plans this subtree twice, so the saving doubles.
     w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
     # |set| per id as a COUNT WINDOW over the id partition the
     # row_number pass already establishes (r14): the separate
@@ -623,7 +705,7 @@ def prefix_filter_candidate_pairs(
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
     ).cast("int")
     pref = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        _attach_document_frequency(ex, id_col, salt_groups=salt_groups)
         .withColumn("__sz", F.count(F.lit(1)).over(wsz))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
@@ -739,7 +821,11 @@ def jaccard_verify_elements(
 
 
 def containment_candidate_pairs(
-    ex: DataFrame, id_col: str, *, threshold: float
+    ex: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """Exact-recall candidates for OVERLAP COEFFICIENT ≥ t —
     |A∩B| / min(|A|,|B|) — via the ASYMMETRIC prefix filter of the
@@ -767,15 +853,15 @@ def containment_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    # __sz and __df as COUNT WINDOWS instead of aggregate+join-back
-    # (r14, second pass — same rationale as prefix_filter_candidate_
-    # pairs): the document-frequency partial agg collapses almost
-    # nothing on near-unique shingles, so the join form paid a second
-    # element-relation-sized exchange (locally, a vocab broadcast that
-    # cannot exist at 100 TB). The id-partition count window stacks on
-    # the exchange the row_number window needs anyway. A/B at sf0.1:
-    # dedup_containment 2.11 → 1.87 s.
-    wdf = Window.partitionBy("__h")
+    # __sz as a COUNT WINDOW instead of aggregate+join-back (r14,
+    # second pass — same rationale as prefix_filter_candidate_pairs:
+    # the join form paid a second element-relation-sized exchange at
+    # scale; A/B at sf0.1: dedup_containment 2.11 → 1.87 s). __df via
+    # _attach_document_frequency — the r14 count window by default,
+    # with the r15 salted two-phase opt-in (``salt_groups`` /
+    # ``spark.nkch.df.saltGroups``) for hot-gram element spaces; the
+    # id-partition count window stacks on the exchange the row_number
+    # window needs anyway.
     wid = Window.partitionBy(id_col)
     w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__h"))
     # minimum overlap when this doc is the smaller side: ⌈t·|S|⌉, with
@@ -784,8 +870,14 @@ def containment_candidate_pairs(
     # and silently drop boundary pairs).
     min_overlap = F.ceil(F.col("__sz") * F.lit(threshold) - F.lit(1e-9))
     sized = ex.withColumn("__sz", F.count(F.lit(1)).over(wid))
+    # __sz is (re-)derived AFTER the df attachment on the pref branch so
+    # it stacks on the ranking window's id exchange (same partitioning,
+    # no extra sort) — deriving it before would strand an id-keyed
+    # exchange on the other side of the df join: id → h → id, three
+    # element-relation exchanges instead of two.
     pref = (
-        sized.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        _attach_document_frequency(ex, id_col, salt_groups=salt_groups)
+        .withColumn("__sz", F.count(F.lit(1)).over(wid))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
         .select(id_col, "__h", F.col("__sz").alias("__psz"))

@@ -322,41 +322,55 @@ DRIVER_CHECKED_R13 = frozenset({
     "text_token_count", "text_token_histogram",
 })
 
+# Checked in round 14 (CORRECTNESS_r14.json: 50/50 green on
+# rows+schema+hash) — the freshest driver evidence. Composition: the 5
+# new r14 queries (equality deletes, hive export, bloom point read,
+# span dedup, Avro sink), the 16-member r14 optimization plan-changed
+# set, and all but the twin-pair tail of the r10-stale cohort.
+DRIVER_CHECKED_R14 = frozenset({
+    "agg_weighted_median_arrow", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_near_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_span_duplication", "embedding_centroid_per_label",
+    "event_interarrival_stats", "event_session_window",
+    "event_sliding_window", "event_tumbling_window",
+    "join_bucketed_colocated", "join_range_events", "join_salted_skew",
+    "pipeline_corpus_dedup", "pipeline_curriculum_order",
+    "pipeline_decontaminate", "pipeline_graph_triangles",
+    "pipeline_incremental_dedup", "pipeline_mix_languages",
+    "pipeline_pack_sequences", "pipeline_quality_buckets",
+    "pipeline_quality_filter", "pipeline_scd2_intervals",
+    "pipeline_similar_docs_report", "pipeline_span_dedup",
+    "pipeline_stratified_sample", "pipeline_train_val_split",
+    "q16_supplier_part_count", "scalar_array_functions", "sim_recall_report",
+    "sim_topk_cosine", "sim_topk_cosine_arrow", "sim_topk_cosine_int8",
+    "sim_topk_cosine_int8_stored", "sim_topk_cosine_mapside",
+    "sim_topk_ivf_stored", "sim_topk_ivfpq", "sim_topk_pq_stored",
+    "sink_avro_roundtrip", "sink_compacted_roundtrip", "sink_orc_roundtrip",
+    "sink_versioned_delete_equality", "sink_versioned_export_hive",
+    "sink_versioned_point_read_bloom", "text_bigram_surprisal",
+    "text_repetition_stats", "text_tfidf_keywords", "text_winnow_fingerprint",
+})
+
 # Queries whose ORACLE or PLAN changed AFTER their most recent driver
 # row: the banked evidence predates the contract (or physical plan) it
 # would vouch for, so the rotation treats them as never-checked until a
-# fresh driver row lands (precedent: sim_topk_pq's r6 row was a
-# `no_oracle` rows-only check; its hash oracle landed in r7 and its
-# driver-of-record row in r8). Membership is keyed off
+# fresh driver row lands. Membership is keyed off
 # tools/plan_fingerprints.json diffs as well as oracle edits (r12
 # ADVICE): a code change that alters a query's physical plan makes its
-# old driver row vouch for a plan that no longer runs.
-# Round-13's three re-rides (sink_versioned_changes,
-# sink_versioned_incremental_agg, sim_topk_mmr) landed fresh r13 rows,
-# so the set reset to empty at the start of round 14; entries below are
-# the round-14 OPTIMIZATION plan changes — the exact diff of
-# tools/plan_fingerprints.json between the tree the r13 driver graded
-# (81d4ad8) and HEAD, maintained alongside each plan-shape commit.
-# Every optimized query therefore earns a fresh driver oracle row THIS
-# round, which is the evidence an optimization round needs most; the
-# three members that were already r10-stale (pipeline_incremental_dedup,
-# text_repetition_stats, text_winnow_fingerprint) ride in the head
-# instead of the stale segment. With the q16 and text_tfidf_keywords
-# plan changes the head + the 32-query r10-stale remainder overflow
-# the 50-slot window by TWO: the cohort's module-order tail — the sliding-distinct twins
-# event_distinct_sliding (exact) and event_distinct_sliding_hll (the
-# rows-only sketch it anchors) — slips to the r15 window TOGETHER, so
-# the twin-anchor pairing stays within one driver window; plan-changed
-# beats stale per the priority above.
+# old driver row vouch for a plan that no longer runs. The r14 members
+# all landed fresh r14 rows, so the set reset at the start of round 15;
+# entries below are the round-15 OPTIMIZATION plan changes — the exact
+# fingerprint diff vs the tree the r14 driver graded (f341712) — PLUS
+# the two graph hosts whose banked rows (pagerank r12, bfs r11) predate
+# the r14 candidate-pipeline rewrite their checkpointed plans consume:
+# tools/plan_fingerprints.py used to hash only the post-localCheckpoint
+# plan (Scan ExistingRDD), which truncated that lineage (ADVICE r14
+# medium); the tool now hashes the full pre-checkpoint pipeline (see
+# its --help), and these rows ride priority 0 to earn fresh evidence.
 PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
-    "agg_weighted_median_arrow", "dedup_containment",
-    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_span_duplication", "join_bucketed_colocated",
-    "join_range_events", "pipeline_incremental_dedup",
-    "pipeline_quality_buckets", "pipeline_span_dedup",
-    "q16_supplier_part_count", "text_bigram_surprisal",
-    "text_repetition_stats", "text_tfidf_keywords",
-    "text_winnow_fingerprint",
+    "dedup_containment",
+    "pipeline_graph_bfs_reach",
+    "pipeline_graph_pagerank",
 })
 
 
@@ -399,6 +413,8 @@ def merged_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         # r11 cohort's head in module order.
         if name in PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK:
             return 0
+        if name in DRIVER_CHECKED_R14:
+            return 12
         if name in DRIVER_CHECKED_R13:
             return 11
         if name in DRIVER_CHECKED_R12:

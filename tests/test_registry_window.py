@@ -19,10 +19,27 @@ from __future__ import annotations
 
 WINDOW = 50
 
-# Oracle-backed queries ADDED in round 14 — no banked evidence exists,
-# so they lead the window. VERDICT r13 task 1 requires the complete
-# 35-query r10-stale cohort inside the r14 window, so this set must
-# stay <= 15 (|new| + 35 <= the 50-slot window).
+# Oracle-backed queries ADDED in round 15: none — an optimization round
+# adds no query surface. The r15 window is therefore the r15
+# plan-changed set (priority 0), the twin-pair slip from the r14 window
+# (the last r10-stale members), and the r11-stale cohort's head.
+NEW_IN_R15: set[str] = set()
+
+# Round 14's plan-changed set, all driver-checked in
+# CORRECTNESS_r14.json (kept for the window-history assertions).
+PLAN_CHANGED_IN_R14: set[str] = {
+    "agg_weighted_median_arrow", "dedup_containment",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_span_duplication", "join_bucketed_colocated",
+    "join_range_events", "pipeline_incremental_dedup",
+    "pipeline_quality_buckets", "pipeline_span_dedup",
+    "q16_supplier_part_count", "text_bigram_surprisal",
+    "text_repetition_stats", "text_tfidf_keywords",
+    "text_winnow_fingerprint",
+}
+
+# Oracle-backed queries ADDED in round 14 — driver-checked in
+# CORRECTNESS_r14.json.
 NEW_IN_R14: set[str] = {
     # equality deletes (VERDICT r13 task 3 — Iceberg v2 equality
     # delete files): a keyed delete commits the key VALUES with zero
@@ -242,6 +259,7 @@ def _registry():
         DRIVER_CHECKED_R11,
         DRIVER_CHECKED_R12,
         DRIVER_CHECKED_R13,
+        DRIVER_CHECKED_R14,
         PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
         merged_registry,
     )
@@ -261,17 +279,18 @@ def _registry():
         DRIVER_CHECKED_R11,
         DRIVER_CHECKED_R12,
         DRIVER_CHECKED_R13,
+        DRIVER_CHECKED_R14,
         PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK,
     )
 
 
 def test_banked_names_exist():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
      changed) = _registry()
     for label, banked in (
         ("R2_R3", r23), ("R4", r4), ("R5", r5), ("R6", r6), ("R7", r7),
         ("R8", r8), ("R9", r9), ("R10", r10), ("R11", r11), ("R12", r12),
-        ("R13", r13),
+        ("R13", r13), ("R14", r14),
     ):
         missing = banked - set(names)
         assert not missing, f"DRIVER_CHECKED_{label} names not in registry: {missing}"
@@ -349,39 +368,44 @@ def test_banked_names_exist():
     assert len(r13 & (r9 - r10 - r11 - r12)) == 24
     assert len(r13 & (r10 - r11 - r12)) == 15
     assert not (r12 & r13), "round 13's window re-checked no r12-banked query"
-    # Round-14 plan-changed set: the optimization round's plan-shape
-    # commits, i.e. the exact tools/plan_fingerprints.json diff between
-    # the tree the r13 driver graded (81d4ad8) and HEAD — every
-    # optimized query earns a fresh driver oracle row this round.
+    # r14's window: the 5 new r14 queries, the 16-member r14
+    # optimization plan-changed set (pipeline_span_dedup in both), and
+    # all of the r10-stale cohort except the pinned twin-pair slip
+    assert len(r14) == 50
+    assert NEW_IN_R14 <= r14 and PLAN_CHANGED_IN_R14 <= r14
+    assert len(r14 & (r10 - r11 - r12 - r13)) == 33
+    assert (r10 - r11 - r12 - r13) - r14 == {
+        "event_distinct_sliding", "event_distinct_sliding_hll",
+    }
+    # Round-15 plan-changed set: the second optimization round's
+    # plan-shape commits — the exact tools/plan_fingerprints.json diff
+    # between the tree the r14 driver graded (f341712) and HEAD — plus
+    # the two graph hosts whose checkpoint-truncated fingerprints hid
+    # the r14 pipeline change from their banked rows (ADVICE r14).
     assert changed == {
-        "agg_weighted_median_arrow", "dedup_containment",
-        "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_span_duplication", "join_bucketed_colocated",
-        "join_range_events", "pipeline_incremental_dedup",
-        "pipeline_quality_buckets", "pipeline_span_dedup",
-        "q16_supplier_part_count", "text_bigram_surprisal",
-        "text_repetition_stats", "text_tfidf_keywords",
-        "text_winnow_fingerprint",
+        "dedup_containment",
+        "pipeline_graph_bfs_reach",
+        "pipeline_graph_pagerank",
     }
     # plan-changed names must be real, registered queries
     assert changed <= set(names)
 
 
 def test_every_query_has_banked_or_new_status():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
      _c) = _registry()
     never = (set(names) - r23 - r4 - r5 - r6 - r7 - r8 - r9 - r10 - r11
-             - r12 - r13)
-    assert never == NEW_IN_R14, (
-        f"never-driver-checked set drifted: {never ^ NEW_IN_R14} — newly "
-        "added oracle queries must be registered in NEW_IN_R14"
+             - r12 - r13 - r14)
+    assert never == NEW_IN_R15, (
+        f"never-driver-checked set drifted: {never ^ NEW_IN_R15} — newly "
+        "added oracle queries must be registered in NEW_IN_R15"
     )
 
 
 def test_window_is_staleness_ordered():
-    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13,
+    (names, _, r23, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
      changed) = _registry()
-    later = r5 | r6 | r7 | r8 | r9 | r10 | r11 | r12 | r13
+    later = r5 | r6 | r7 | r8 | r9 | r10 | r11 | r12 | r13 | r14
     assert not (r23 - later), "every r3-era query re-checked"
     assert not (r4 - later), "every r4-era query re-checked"
     assert not (r5 - r6 - r7 - r8 - r9 - r10 - r11 - r12), (
@@ -399,46 +423,45 @@ def test_window_is_staleness_ordered():
     assert not (r9 - r10 - r11 - r12 - r13), (
         "every r9-era query was re-checked (the 24-query cohort rode in r13)"
     )
-    # new + plan-changed queries lead
-    head = NEW_IN_R14 | changed
+    # r15 window: plan-changed queries lead (no new queries this
+    # round), then the r10-stale twin-pair slip from the r14 window —
+    # the sliding-distinct twins travel TOGETHER, landing whole inside
+    # this window as pinned in r14 — then the r11-stale cohort, then
+    # the r12-stale cohort's module-order head in whatever slots
+    # remain.
+    head = NEW_IN_R15 | changed
     assert set(names[: len(head)]) == head
-    # the 35-query r10-stale cohort follows in module order —
-    # VERDICT r13 task 1. Plan-changed members of the cohort
-    # (pipeline_incremental_dedup, text_repetition_stats,
-    # text_winnow_fingerprint) already ride in the head, so only the
-    # remainder occupies this segment.
-    # head (20: 5 new-in-r14 + 16 plan-changed, pipeline_span_dedup in
-    # both) + the 32-query remainder = 52 > 50: TWO cohort members
-    # slip to the r15 window. Plan-changed beats stale by the
-    # documented priority (a banked row must not vouch for a plan that
-    # no longer runs), and the slipped members are pinned below to the
-    # cohort's module-order TAIL — the sliding-distinct twins
-    # event_distinct_sliding (exact) and event_distinct_sliding_hll
-    # (the rows-only sketch it anchors), which travel TOGETHER so the
-    # twin-anchor pairing lands whole inside the r15 window instead of
-    # splitting the pair's evidence across rounds.
     window = names[:WINDOW]
-    stale_r10 = r10 - r11 - r12 - r13
-    assert len(stale_r10) == 35
-    rest_r10 = [n for n in names if n in stale_r10 - head]
-    overflow = len(head) + len(rest_r10) - WINDOW
-    assert overflow == 2 and rest_r10[-2:] == [
+    stale_r10 = r10 - r11 - r12 - r13 - r14
+    assert sorted(stale_r10) == [
         "event_distinct_sliding", "event_distinct_sliding_hll",
-    ], "window overflow drifted: re-derive which cohort members slip"
-    assert stale_r10 - set(window) == {
+    ], "the r14 twin-pair slip drifted"
+    assert names[len(head): len(head) + 2] == [
         "event_distinct_sliding", "event_distinct_sliding_hll",
-    }, (
-        "VERDICT r13 task 1: all of the r10-stale cohort except the "
-        "pinned twin-pair slip must sit inside the 50-slot window"
+    ], "the slipped twins must lead the stale segment of the r15 window"
+    stale_r11 = r11 - r12 - r13 - r14
+    assert len(stale_r11) == 44
+    # pipeline_graph_bfs_reach is r11-banked but rides the head as
+    # plan-changed, so the stale segment holds one fewer
+    rest_r11 = [n for n in names if n in stale_r11 - head]
+    assert len(rest_r11) == len(stale_r11 - head) == 43
+    # head + twins + the full r11-stale cohort leaves
+    # WINDOW - len(head) - 2 - 44 slots for the r12-stale head
+    fill = WINDOW - len(head) - 2 - len(rest_r11)
+    assert fill >= 0, (
+        "r15 plan-changed set grew past the window budget: the full "
+        "r11-stale cohort no longer fits — re-derive which members slip"
     )
-    assert names[len(head): WINDOW] == rest_r10[:-2]
-    assert set(window) == head | set(rest_r10[:-2]), (
-        f"round-14 window drifted: window={sorted(set(window))}"
-    )
-    # freshest evidence (r13-checked) rides at the very back — except
+    stale_r12 = r12 - r13 - r14
+    rest_r12 = [n for n in names if n in stale_r12 - head]
+    assert names[len(head) + 2: WINDOW] == rest_r11 + rest_r12[:fill]
+    assert set(window) == head | stale_r10 | set(rest_r11) | set(
+        rest_r12[:fill]
+    ), f"round-15 window drifted: window={sorted(set(window))}"
+    # freshest evidence (r14-checked) rides at the very back — except
     # members whose plan changed this round, which lead the window
-    r13_tail = r13 - changed
-    tail = names[-len(r13_tail):]
-    assert set(tail) == r13_tail, (
-        "unchanged r13-banked queries must occupy the registry tail"
+    r14_tail = r14 - changed
+    tail = names[-len(r14_tail):]
+    assert set(tail) == r14_tail, (
+        "unchanged r14-banked queries must occupy the registry tail"
     )

@@ -1525,3 +1525,102 @@ def test_gram_multiset_counts_matches_agg(spark):
     }
     assert got == ref and got
     assert (1, 2, 2, 4) in got and (3, 1, 3, 3) in got
+
+
+def test_df_salting_hot_gram_exact(spark):
+    """The salted two-phase document-frequency count (the r15 hot-key
+    guard, VERDICT r14 item 1) must produce the SAME candidate pairs as
+    the single count window on a corpus with a genuinely hot gram —
+    one shingle shared by 50% of documents — for every salt setting,
+    while its plan spreads that gram's posting list over (h, salt)
+    groups instead of one window partition."""
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.text import (
+        _attach_document_frequency,
+        containment_candidate_pairs,
+        prefix_filter_candidate_pairs,
+        shingle_elements,
+    )
+
+    # 20 near-dup pairs (docs 2k / 2k+1 share a 20-token base — Jaccard
+    # 18/22 ≈ 0.82, containment 18/19 ≈ 0.947); every EVEN doc carries
+    # the hot trigram, so one shingle sits in 50% of the corpus
+    hot = "hot hot gram"
+    rows = []
+    for k in range(20):
+        base = " ".join(f"p{k}w{j}" for j in range(20))
+        rows.append((2 * k, hot + " " + base))
+        rows.append((2 * k + 1, base + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = shingle_elements(docs, "doc_id", "text", n=3)
+
+    # exact __df equality on the hot corpus, all salt settings
+    base = {
+        (r["doc_id"], r["__h"]): r["__df"]
+        for r in _attach_document_frequency(ex, "doc_id", salt_groups=1).collect()
+    }
+    assert max(base.values()) == 20  # the hot gram IS hot: 50% of docs
+    for g in (2, 8, 64):
+        salted = {
+            (r["doc_id"], r["__h"]): r["__df"]
+            for r in _attach_document_frequency(
+                ex, "doc_id", salt_groups=g
+            ).collect()
+        }
+        assert salted == base, f"salt_groups={g} changed __df"
+
+    # candidate sets (incl. carried sizes) identical, both generators
+    for fn, t in (
+        (prefix_filter_candidate_pairs, 0.6),
+        (containment_candidate_pairs, 0.9),
+    ):
+        unsalted = sorted(
+            map(tuple, fn(ex, "doc_id", threshold=t, salt_groups=1).collect())
+        )
+        assert unsalted, "hot-gram fixture must produce candidates"
+        salted = sorted(
+            map(tuple, fn(ex, "doc_id", threshold=t, salt_groups=8).collect())
+        )
+        assert salted == unsalted, fn.__name__
+
+    # plan property of the df computation itself: the element relation
+    # is partially aggregated map-side and exchanged on (__h, __salt),
+    # and the only window partitioned by __h ALONE consumes the
+    # aggregated per-salt partials (sum(__cp)) — never the raw posting
+    # list, so the hot gram's occurrences never converge on one task.
+    # (The candidate SELF-JOIN still exchanges prefixes on __h, which
+    # is a join partition — AQE skew-split applies there, unlike
+    # windows.)
+    salted_plan = (
+        _attach_document_frequency(ex, "doc_id", salt_groups=8)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "partial_count" in salted_plan, salted_plan  # map-side combine
+    assert "hashpartitioning(__h" in salted_plan
+    for line in salted_plan.splitlines():
+        for frag in line.split("windowspecdefinition(")[1:]:
+            if frag.startswith("__h") and ", __salt" not in frag.split(
+                "specifiedwindowframe"
+            )[0]:
+                assert "sum(__cp" in line, (
+                    "__h-alone window over the raw element relation:\n"
+                    + salted_plan
+                )
+
+    # session-conf opt-in reaches the plan without a code change
+    spark.conf.set("spark.nkch.df.saltGroups", "4")
+    try:
+        conf_plan = prefix_filter_candidate_pairs(
+            ex, "doc_id", threshold=0.6
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "__salt" in conf_plan
+    finally:
+        spark.conf.unset("spark.nkch.df.saltGroups")

@@ -31,7 +31,12 @@ executing the queries; the whole check runs in about a minute.
 
 The session recipe is pinned (local[16], shuffle=16, hostile timezone —
 verify_all's recipe) because plan shape legitimately depends on session
-conf; fingerprints are only comparable under the same recipe.
+conf; fingerprints are only comparable under the same recipe. Since
+r15 the recipe also sets NKCH_PLAN_FINGERPRINT_NO_CHECKPOINT so the
+iterative graph operators skip their localCheckpoint materializations:
+the hash then covers the full pre-checkpoint pipeline instead of a
+truncated `Scan ExistingRDD`, making upstream operator changes visible
+for checkpointed queries (ADVICE r14 medium).
 """
 
 from __future__ import annotations
@@ -166,6 +171,19 @@ def main() -> int:
               "snapshot recipe needs the default testdata; nothing was "
               "compared")
         return 2
+
+    # Hash the FULL pre-checkpoint lineage (r15, ADVICE r14 medium):
+    # iterative graph operators materialize their expensive upstream
+    # pipeline via localCheckpoint at construction, so the returned
+    # plan roots at `Scan ExistingRDD` and a change to the candidate/
+    # verify operators those queries consume was INVISIBLE to this gate
+    # — banked driver rows kept vouching for plans that no longer ran.
+    # The env var flips operators/graph.py's checkpointer to identity
+    # for this process only; construction gets slower (the loops'
+    # bounded counts re-execute lineage at the gate SF), runtime plans
+    # everywhere else are untouched. Snapshot regenerated under this
+    # recipe in r15 — fingerprints are only comparable within it.
+    os.environ["NKCH_PLAN_FINGERPRINT_NO_CHECKPOINT"] = "1"
 
     spark = _open_session()
     if args.write:
