@@ -369,6 +369,8 @@ DRIVER_CHECKED_R14 = frozenset({
 # its --help), and these rows ride priority 0 to earn fresh evidence.
 PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "dedup_containment",
+    "pipeline_corpus_dedup",
+    "pipeline_dedup_keep_best",
     "pipeline_graph_bfs_reach",
     "pipeline_graph_pagerank",
 })

@@ -384,6 +384,8 @@ def test_banked_names_exist():
     # the r14 pipeline change from their banked rows (ADVICE r14).
     assert changed == {
         "dedup_containment",
+        "pipeline_corpus_dedup",
+        "pipeline_dedup_keep_best",
         "pipeline_graph_bfs_reach",
         "pipeline_graph_pagerank",
     }
