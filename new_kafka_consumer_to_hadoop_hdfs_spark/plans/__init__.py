@@ -370,6 +370,7 @@ DRIVER_CHECKED_R14 = frozenset({
 PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "dedup_containment",
     "pipeline_corpus_dedup",
+    "pipeline_curriculum_order",
     "pipeline_dedup_keep_best",
     "pipeline_graph_bfs_reach",
     "pipeline_graph_pagerank",

@@ -1949,20 +1949,22 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
-    # 64-row offset table: collect is index-build-scale (bounded by
-    # stages × 16 shards, never by corpus size).
-    counts = sorted(
-        (r["stage"], r["shard"], r["n"])
-        for r in keyed.groupBy("stage", "shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # 64-row offset table, fully distributed (r15): cumulative counts
+    # via a global-order window over the (stage, shard) aggregate —
+    # 64 rows at ANY corpus size, so the single-partition window is
+    # free — instead of an eager driver collect + Python running sum.
+    # Same integers, one fewer job boundary: the offset aggregation now
+    # rides the main query's execution (as the broadcast build side)
+    # rather than running as its own construct-time job. A/B at sf0.1
+    # (min of 5, in-session): 0.76 → 0.67 s.
+    counts = keyed.groupBy("stage", "shard").agg(F.count(F.lit(1)).alias("__n"))
+    wbase = Window.orderBy("stage", "shard").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    bases, running = [], 0
-    for stage, shard, n in counts:
-        bases.append((stage, shard, running))
-        running += n
-    base_df = keyed.sparkSession.createDataFrame(
-        bases, "stage bigint, shard string, base bigint"
+    base_df = counts.select(
+        "stage",
+        "shard",
+        F.coalesce(F.sum("__n").over(wbase), F.lit(0)).alias("base"),
     )
     w = Window.partitionBy("stage", "shard").orderBy("k", "doc_id")
     return (

@@ -385,6 +385,7 @@ def test_banked_names_exist():
     assert changed == {
         "dedup_containment",
         "pipeline_corpus_dedup",
+        "pipeline_curriculum_order",
         "pipeline_dedup_keep_best",
         "pipeline_graph_bfs_reach",
         "pipeline_graph_pagerank",
@@ -447,19 +448,19 @@ def test_window_is_staleness_ordered():
     # plan-changed, so the stale segment holds one fewer
     rest_r11 = [n for n in names if n in stale_r11 - head]
     assert len(rest_r11) == len(stale_r11 - head) == 43
-    # head + twins + the full r11-stale cohort leaves
-    # WINDOW - len(head) - 2 - 44 slots for the r12-stale head
-    fill = WINDOW - len(head) - 2 - len(rest_r11)
-    assert fill >= 0, (
-        "r15 plan-changed set grew past the window budget: the full "
-        "r11-stale cohort no longer fits — re-derive which members slip"
+    # head (6 plan-changed) + twins (2) + the 43-query r11-stale
+    # remainder = 51 > 50: ONE cohort member slips past the window.
+    # Plan-changed beats stale per the documented priority, and the
+    # slipped member is pinned to the cohort's module-order tail —
+    # event_changepoint_cusum.
+    overflow = len(head) + 2 + len(rest_r11) - WINDOW
+    assert overflow == 1 and rest_r11[-1:] == ["event_changepoint_cusum"], (
+        "window overflow drifted: re-derive which cohort members slip"
     )
-    stale_r12 = r12 - r13 - r14
-    rest_r12 = [n for n in names if n in stale_r12 - head]
-    assert names[len(head) + 2: WINDOW] == rest_r11 + rest_r12[:fill]
-    assert set(window) == head | stale_r10 | set(rest_r11) | set(
-        rest_r12[:fill]
-    ), f"round-15 window drifted: window={sorted(set(window))}"
+    assert names[len(head) + 2: WINDOW] == rest_r11[:-1]
+    assert set(window) == head | stale_r10 | set(rest_r11[:-1]), (
+        f"round-15 window drifted: window={sorted(set(window))}"
+    )
     # freshest evidence (r14-checked) rides at the very back — except
     # members whose plan changed this round, which lead the window
     r14_tail = r14 - changed
