@@ -370,6 +370,7 @@ def topk_cosine_mapside(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_query_rows: int = 200_000,
 ) -> DataFrame:
     """Exact top-k cosine with MAP-SIDE pruning — the scale form of
     :func:`topk_cosine`'s brute-force plan, same results.
@@ -389,6 +390,17 @@ def topk_cosine_mapside(
     index build side of |queries|·dim floats, collected once — the
     query side must be broadcastable for ANY exact-kNN plan here).
 
+    GUARDRAIL (r15, same contract style as ``bloom_prefilter``'s
+    ``max_bits`` and :func:`cosine_pairs`' ``max_rows``): the query
+    collect is issued through ``limit(max_query_rows + 1)`` so an
+    over-cap query relation short-circuits the scan and raises instead
+    of OOMing the driver and every task that deserializes the closure.
+    The default 200k rows is ~100 MB at 64-dim float64 — already
+    generous for a closure; raise it explicitly only if the driver and
+    executors can hold the matrix, or switch to the window-rank twins
+    (:func:`topk_cosine` / ``topk_cosine_arrow``), which keep the
+    query side distributed.
+
     Degenerate-input semantics, where this DIFFERS from the window
     twins: NULL / ragged / zero-norm corpus vectors score NaN and are
     DROPPED here, while the window plans emit them as null-scored
@@ -403,8 +415,18 @@ def topk_cosine_mapside(
     q_rows = (
         queries.select(F.col(id_col), to_double(F.col(vec_col)))
         .filter(F.col(vec_col).isNotNull())
+        .limit(max_query_rows + 1)
         .collect()
     )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"topk_cosine_mapside: query relation exceeds max_query_rows="
+            f"{max_query_rows} — the query matrix ships inside every task "
+            f"closure, so it must stay broadcast-sized. Use the window-rank "
+            f"plans (topk_cosine / topk_cosine_arrow) for large query sets, "
+            f"or raise max_query_rows explicitly if the cluster can hold "
+            f"the matrix."
+        )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"

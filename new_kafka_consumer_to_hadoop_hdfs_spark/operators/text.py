@@ -124,7 +124,10 @@ def gram_multiset_counts(grams: Column) -> Column:
 
         nd, mx, dup = [], [], []
         for arr in garr:
-            c = Counter(arr)
+            # a NULL gram array (no caller produces one today, but this
+            # is a public module-level operator — ADVICE r14) counts as
+            # empty instead of raising Counter(None) in the executor
+            c = Counter(arr if arr is not None else ())
             nd.append(len(c))
             mx.append(max(c.values()) if c else 0)
             dup.append(sum(v for v in c.values() if v > 1))
