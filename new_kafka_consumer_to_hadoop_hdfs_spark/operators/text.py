@@ -1821,20 +1821,30 @@ def excise_duplicated_spans(
 
     span_end = k + w - 2  # chars j .. j+span_end
     if win_groups is not None:
-        # rows are already distinct per (id, fp): the fingerprint
-        # sharing count is a direct groupBy — no distinct pass
-        shared_fps = (
-            win_groups.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__nd"))
-            .filter(F.col("__nd") >= 2)
-            .select("fp")
-        )
+        # rows are already distinct per (id, fp), so the shared-
+        # fingerprint doc count is a COUNT WINDOW over the fp partition
+        # (r15 — the r14 document-frequency trick applied here): the
+        # old groupBy(fp) + join-back consumed the window relation
+        # TWICE, and since the registered caller leaves it unpersisted
+        # (the r14 A/B: recompute beat the cache-fill barrier), that
+        # meant TWO full Python winnow passes over the corpus. The
+        # window form derives the count in place — ONE winnow pass, one
+        # fp-keyed exchange — and the grouped rows are what ship, not
+        # raw windows. In-session interleaved A/B at sf0.1 (min of 5):
+        # pipeline_span_dedup 2.35 → 1.87 s. Hot-fingerprint caveat and
+        # its salted two-phase opt-in are _attach_document_frequency's
+        # (a boilerplate span shared by half the corpus concentrates
+        # one window task; set spark.nkch.df.saltGroups — the salted
+        # path re-pays the second winnow pass for bounded tasks).
         # window starts within a document are unique across its
         # fingerprints (each window has exactly one fp), so the
         # flattened list needs no dedup — array_sort restores the
         # global ascending order the cut fold requires
         dup_starts = (
-            win_groups.join(F.broadcast(shared_fps), "fp")
+            _attach_document_frequency(
+                win_groups.withColumnRenamed("fp", "__h"), id_col
+            )
+            .filter(F.col("__df") >= 2)
             .groupBy(id_col)
             .agg(
                 F.array_sort(F.flatten(F.collect_list("starts"))).alias(

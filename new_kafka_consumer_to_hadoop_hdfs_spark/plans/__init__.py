@@ -374,6 +374,7 @@ PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "pipeline_dedup_keep_best",
     "pipeline_graph_bfs_reach",
     "pipeline_graph_pagerank",
+    "pipeline_span_dedup",
 })
 
 

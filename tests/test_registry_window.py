@@ -389,6 +389,7 @@ def test_banked_names_exist():
         "pipeline_dedup_keep_best",
         "pipeline_graph_bfs_reach",
         "pipeline_graph_pagerank",
+        "pipeline_span_dedup",
     }
     # plan-changed names must be real, registered queries
     assert changed <= set(names)
@@ -448,17 +449,17 @@ def test_window_is_staleness_ordered():
     # plan-changed, so the stale segment holds one fewer
     rest_r11 = [n for n in names if n in stale_r11 - head]
     assert len(rest_r11) == len(stale_r11 - head) == 43
-    # head (6 plan-changed) + twins (2) + the 43-query r11-stale
-    # remainder = 51 > 50: ONE cohort member slips past the window.
+    # head (7 plan-changed) + twins (2) + the 43-query r11-stale
+    # remainder = 52 > 50: TWO cohort members slip past the window.
     # Plan-changed beats stale per the documented priority, and the
-    # slipped member is pinned to the cohort's module-order tail —
-    # event_changepoint_cusum.
+    # slipped members are pinned to the cohort's module-order tail —
+    # event_attribution and event_changepoint_cusum.
     overflow = len(head) + 2 + len(rest_r11) - WINDOW
-    assert overflow == 1 and rest_r11[-1:] == ["event_changepoint_cusum"], (
-        "window overflow drifted: re-derive which cohort members slip"
-    )
-    assert names[len(head) + 2: WINDOW] == rest_r11[:-1]
-    assert set(window) == head | stale_r10 | set(rest_r11[:-1]), (
+    assert overflow == 2 and rest_r11[-2:] == [
+        "event_attribution", "event_changepoint_cusum",
+    ], "window overflow drifted: re-derive which cohort members slip"
+    assert names[len(head) + 2: WINDOW] == rest_r11[:-2]
+    assert set(window) == head | stale_r10 | set(rest_r11[:-2]), (
         f"round-15 window drifted: window={sorted(set(window))}"
     )
     # freshest evidence (r14-checked) rides at the very back — except
