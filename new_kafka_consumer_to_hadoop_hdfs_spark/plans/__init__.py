@@ -369,6 +369,7 @@ DRIVER_CHECKED_R14 = frozenset({
 # its --help), and these rows ride priority 0 to earn fresh evidence.
 PLAN_OR_ORACLE_CHANGED_SINCE_LAST_CHECK = frozenset({
     "dedup_containment",
+    "event_interarrival_stats",
     "pipeline_corpus_dedup",
     "pipeline_curriculum_order",
     "pipeline_dedup_keep_best",

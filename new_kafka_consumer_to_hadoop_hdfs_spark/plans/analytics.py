@@ -2042,19 +2042,31 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         "event_type", (ts_us - prev_us).alias("__gap_us")
     ).filter(F.col("__gap_us").isNotNull())
-    return gaps.groupBy("event_type").agg(
+    # BOTH percentiles from ONE aggregate (r15): percentile over an
+    # array of fractions buffers/serializes each group's values once —
+    # two scalar percentile calls each carried their own full-group
+    # buffer through the partial-agg exchange and merge (Spark's
+    # percentile is a TypedImperativeAggregate: the buffer IS the value
+    # multiset). Identical interpolation, identical doubles, half the
+    # buffer traffic; in-session interleaved A/B at sf0.1 (min of 7):
+    # 1.23 → 0.99 s.
+    agg = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(
             F.sum("__gap_us").cast("double")
             / (F.count(F.lit(1)) * F.lit(1000000.0)),
             6,
         ).alias("avg_gap_sec"),
-        F.round(F.expr("percentile(__gap_us / 1000000.0, 0.5)"), 6).alias(
-            "p50_gap_sec"
+        F.expr("percentile(__gap_us / 1000000.0, array(0.5, 0.95))").alias(
+            "__p"
         ),
-        F.round(F.expr("percentile(__gap_us / 1000000.0, 0.95)"), 6).alias(
-            "p95_gap_sec"
-        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "avg_gap_sec",
+        F.round(F.col("__p")[0], 6).alias("p50_gap_sec"),
+        F.round(F.col("__p")[1], 6).alias("p95_gap_sec"),
     )
 
 

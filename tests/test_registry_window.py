@@ -384,6 +384,7 @@ def test_banked_names_exist():
     # the r14 pipeline change from their banked rows (ADVICE r14).
     assert changed == {
         "dedup_containment",
+        "event_interarrival_stats",
         "pipeline_corpus_dedup",
         "pipeline_curriculum_order",
         "pipeline_dedup_keep_best",
@@ -449,17 +450,17 @@ def test_window_is_staleness_ordered():
     # plan-changed, so the stale segment holds one fewer
     rest_r11 = [n for n in names if n in stale_r11 - head]
     assert len(rest_r11) == len(stale_r11 - head) == 43
-    # head (7 plan-changed) + twins (2) + the 43-query r11-stale
-    # remainder = 52 > 50: TWO cohort members slip past the window.
+    # head (8 plan-changed) + twins (2) + the 43-query r11-stale
+    # remainder = 53 > 50: THREE cohort members slip past the window.
     # Plan-changed beats stale per the documented priority, and the
     # slipped members are pinned to the cohort's module-order tail —
-    # event_attribution and event_changepoint_cusum.
+    # pipeline_drift_psi, event_attribution, event_changepoint_cusum.
     overflow = len(head) + 2 + len(rest_r11) - WINDOW
-    assert overflow == 2 and rest_r11[-2:] == [
-        "event_attribution", "event_changepoint_cusum",
+    assert overflow == 3 and rest_r11[-3:] == [
+        "pipeline_drift_psi", "event_attribution", "event_changepoint_cusum",
     ], "window overflow drifted: re-derive which cohort members slip"
-    assert names[len(head) + 2: WINDOW] == rest_r11[:-2]
-    assert set(window) == head | stale_r10 | set(rest_r11[:-2]), (
+    assert names[len(head) + 2: WINDOW] == rest_r11[:-3]
+    assert set(window) == head | stale_r10 | set(rest_r11[:-3]), (
         f"round-15 window drifted: window={sorted(set(window))}"
     )
     # freshest evidence (r14-checked) rides at the very back — except
