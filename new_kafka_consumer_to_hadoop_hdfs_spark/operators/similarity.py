@@ -1529,21 +1529,30 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    # dim comes from the first valid vector (one 1-row job); the
-    # length filter must then be applied BEFORE the limit so the
-    # sample is "first train_sample VALID vectors by id" — the oracle
-    # filters len(v) = dim in its vn CTE before LIMIT, and filtering
-    # after the collect would train on a short sample whenever a
-    # wrong-length vector sneaks into the head (ADVICE r7).
-    first = (
+    # The sample contract is "first train_sample VALID vectors by id",
+    # where valid = non-null AND len == dim of the first non-null
+    # vector — the oracle filters len(v) = dim in its vn CTE before
+    # LIMIT (ADVICE r7). One TakeOrdered job serves BOTH the dim probe
+    # and the sample in the common case: collect the first
+    # train_sample non-null vectors WITH their widths, read dim off
+    # the head row, drop wrong-width rows driver-side. That equals the
+    # contract exactly when the collect drained every non-null row
+    # (nothing valid can exist past the prefix) or when no wrong-width
+    # row displaced a valid one (the filtered prefix still holds
+    # train_sample rows). Only a ragged corpus that ate into the
+    # sample falls back to the original two-job path (1-row dim probe,
+    # then a width-filtered limit) — same rows, same order, same
+    # floats in every case.
+    head = (
         corpus.filter(F.col(vec_col).isNotNull())
         .orderBy(id_col)  # deterministic dim choice under mixed lengths
-        .select(F.size(vec_col).alias("__d"))
-        .first()
+        .limit(train_sample)
+        .select(to_double(F.col(vec_col)), F.size(vec_col).alias("__d"))
+        .collect()
     )
-    if first is None:
+    if not head:
         return None
-    dim = first["__d"]
+    dim = head[0]["__d"]
     if dim <= 0:
         # 0 % n_subspaces == 0 would slip an empty/corrupt lead vector
         # through the divisibility check and train zero-width codebooks
@@ -1555,13 +1564,18 @@ def train_pq_codebooks(
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub_dim = dim // n_subspaces
-    train_rows = (
-        corpus.orderBy(id_col)
-        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-        .limit(train_sample)
-        .select(to_double(F.col(vec_col)))
-        .collect()
-    )
+    train_rows = [r for r in head if r["__d"] == dim]
+    if len(train_rows) < train_sample and len(head) == train_sample:
+        # wrong-width rows displaced sample candidates AND more
+        # non-null rows may exist past the prefix: re-collect with the
+        # width predicate pushed before the limit (the exact path)
+        train_rows = (
+            corpus.orderBy(id_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+            .limit(train_sample)
+            .select(to_double(F.col(vec_col)))
+            .collect()
+        )
     if not train_rows:
         return None
 
@@ -1985,14 +1999,28 @@ def ivfpq_topk(
     Deterministic end to end, so the DuckDB oracle restates BOTH
     trainings, the joint encode, the probe join, and the ADC ranking.
     """
-    cent = train_ivf_centroids(
-        corpus, id_col=id_col, vec_col=vec_col,
-        n_cells=n_cells, refine_iterations=0, dim=dim,
-    )
-    books = train_pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces,
-        n_codes=n_codes, refine_iterations=refine_iterations,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The two trainings are independent (coarse quantizer vs codebooks,
+    # each its own bounded TakeOrdered collect + driver-side numpy), so
+    # their construction jobs OVERLAP from a 2-thread pool (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially) — the same overlap pagerank's checkpoint jobs use.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_f = pool.submit(
+            lambda: train_ivf_centroids(
+                corpus, id_col=id_col, vec_col=vec_col,
+                n_cells=n_cells, refine_iterations=0, dim=dim,
+            )
+        )
+        books_f = pool.submit(
+            lambda: train_pq_codebooks(
+                corpus, id_col=id_col, vec_col=vec_col,
+                n_subspaces=n_subspaces, n_codes=n_codes,
+                refine_iterations=refine_iterations,
+            )
+        )
+        cent, books = cent_f.result(), books_f.result()
     if cent is None or books is None:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"

@@ -901,6 +901,55 @@ def test_ivfpq_edge_vectors_and_empty_inputs(spark):
     ]
 
 
+def test_pq_training_sample_exact_when_ragged_rows_displace(spark):
+    """`train_pq_codebooks` fuses its dim probe into the sample collect
+    (one TakeOrdered job) and filters wrong-width rows driver-side —
+    but the sample contract is still "first train_sample VALID vectors
+    by id" (the oracle's `WHERE len(v)=dim ... LIMIT`, ADVICE r7). When
+    ragged rows displace sample candidates inside the collected prefix,
+    the fallback re-collect must kick in: books trained on a corpus
+    with ragged rows interleaved must equal books trained on the same
+    corpus pre-filtered to the valid rows (which takes the fast path)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from new_kafka_consumer_to_hadoop_hdfs_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    rows = []
+    for i in range(1, 9):
+        if i == 2:
+            rows.append((i, [1.0, 2.0]))          # ragged: wrong width
+        elif i == 6:
+            rows.append((i, None))                # null: never sampled
+        else:
+            rows.append((i, [float(i), float(i) + 0.5,
+                             float(i) * 2.0, 1.0]))
+    ragged = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean = ragged.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 4)
+    )
+
+    # train_sample=4 < valid rows: the ragged id 2 sits inside the
+    # collected prefix (ids 1,2,3,4), so the valid prefix is short and
+    # the exact fallback must sample ids 1,3,4,5 — exactly what the
+    # clean corpus's fast path samples.
+    kw = dict(n_subspaces=2, n_codes=4, refine_iterations=2, train_sample=4)
+    books_ragged = train_pq_codebooks(ragged, **kw)
+    books_clean = train_pq_codebooks(clean, **kw)
+    assert np.array_equal(books_ragged, books_clean)
+
+    # fast path sanity: a whole-corpus sample (limit not hit) trains
+    # identically whether or not ragged rows are present
+    kw_all = dict(n_subspaces=2, n_codes=4, refine_iterations=2,
+                  train_sample=100)
+    assert np.array_equal(
+        train_pq_codebooks(ragged, **kw_all),
+        train_pq_codebooks(clean, **kw_all),
+    )
+
+
 def test_ivf_invalid_vector_contract(spark):
     """ADVICE r10 contracts: (a) `train_ivf_centroids(dim=...)` pushes
     the width predicate BEFORE the seed LIMIT — a ragged vector among
